@@ -1,0 +1,118 @@
+package graft.stats
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Matrix
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Pearson correlation matrices (SURVEY.md A13/A15).
+  *
+  * The reference computes a 41×41 target correlation matrix
+  * (`eda_workspace/public_eda_pipeline.py:140-141`) and a 519×41
+  * feature×target cross-correlation grid via centered `XᵀY/n`
+  * (`P:495-511`). The Spark-idiomatic form is ONE pass of
+  * `ml.stat.Correlation.corr` over an assembled vector column — a single
+  * distributed Gramian accumulation instead of O(k²) separate agg jobs.
+  * The resulting k×k matrix is tiny (≤ a few thousand entries) and is
+  * flattened driver-side to a long (col_a, col_b, corr) table.
+  *
+  * Scale note: `Correlation.corr` reduces via treeAggregate of a k×k
+  * co-moment buffer — one scan, no shuffle of row data; this is the plan
+  * you want at 100 TB for k up to a few thousand.
+  */
+object Correlations {
+
+  /** k×k Pearson matrix over `cols`, nulls mean-imputed upstream or rows
+    * dropped here (`dropRows=true` mirrors pandas `DataFrame.corr`'s
+    * pairwise-complete default only when data has no nulls; the reference's
+    * target matrix has none). */
+  def corrMatrix(df: DataFrame, cols: Seq[String], dropNullRows: Boolean = true): Matrix = {
+    val base = if (dropNullRows) df.na.drop(cols) else df
+    val casted = base.select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray)
+      .setOutputCol("__v")
+      .transform(casted)
+      .select("__v")
+    Correlation.corr(assembled, "__v", "pearson").head.getAs[Matrix](0)
+  }
+
+  /** Long-format (col_a, col_b, corr) for all ordered pairs a < b. */
+  def corrLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val m = corrMatrix(df, cols)
+    val spark = df.sparkSession
+    val rows = for {
+      i <- cols.indices
+      j <- cols.indices
+      if i < j
+    } yield Row(cols(i), cols(j), m(i, j))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.asJava,
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("corr", DoubleType, nullable = true))))
+  }
+
+  /** Cross-correlation block: features × targets Pearson grid via one
+    * assembled pass (reference screening `P:495-511`, 519×41). Returns
+    * (feature, target, corr, abs_corr). */
+  def crossCorr(df: DataFrame, features: Seq[String], targets: Seq[String]): DataFrame = {
+    val all = features ++ targets
+    val m = corrMatrix(df, all, dropNullRows = false)
+    val spark = df.sparkSession
+    val nf = features.length
+    val rows = for {
+      i <- features.indices
+      j <- targets.indices
+    } yield Row(features(i), targets(j), m(i, nf + j), math.abs(m(i, nf + j)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.asJava,
+      StructType(Seq(
+        StructField("feature", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("corr", DoubleType, nullable = true),
+        StructField("abs_corr", DoubleType, nullable = true))))
+  }
+
+  /** Pairwise co-occurrence counts and lift for binary 0/1 columns via the
+    * Gramian yᵀy (reference A14, `P:143-163`): one distributed pass, then
+    * driver-side pair enumeration (≤ C(k,2) rows). Lift =
+    * P(a∧b)/(P(a)·P(b)). */
+  def pairLift(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count().toDouble
+    // co-count matrix via one agg of sum(a*b) per pair is O(k²) exprs;
+    // for k ≤ ~64 that is fine and stays in one codegen'd pass.
+    val sumsRow = df.agg(
+      cols.map(c => sum(col(c).cast(LongType)).as(c)).head,
+      cols.map(c => sum(col(c).cast(LongType)).as(c)).tail: _*).head()
+    val counts = cols.indices.map(i => if (sumsRow.isNullAt(i)) 0L else sumsRow.getLong(i))
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val coAggs = pairs.map { case (i, j) =>
+      sum((col(cols(i)) * col(cols(j))).cast(LongType)).as(s"${i}_$j")
+    }
+    val coRow = df.agg(coAggs.head, coAggs.tail: _*).head()
+    val rows = pairs.zipWithIndex.map { case ((i, j), k) =>
+      val co = if (coRow.isNullAt(k)) 0L else coRow.getLong(k)
+      val pa = counts(i) / n
+      val pb = counts(j) / n
+      val lift = if (pa > 0 && pb > 0) (co / n) / (pa * pb) else Double.NaN
+      Row(cols(i), cols(j), counts(i), counts(j), co, lift)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.asJava,
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("count_a", LongType, nullable = false),
+        StructField("count_b", LongType, nullable = false),
+        StructField("co_count", LongType, nullable = false),
+        StructField("pair_lift", DoubleType, nullable = true))))
+  }
+}
