@@ -43,10 +43,11 @@ object FeatureCatalog {
       catFeatures = fieldNames.filter(_.startsWith("cat_feature_")),
       targets = fieldNames.filter(_.startsWith("target_")))
 
-  /** Target family = middle token of `target_<family>_<idx>`
-    * (reference `public_eda_pipeline.py:52-55`). */
+  /** Target family = middle token of `target_<family>_<idx>`; names with
+    * fewer than 3 tokens have no family token and map to "unknown"
+    * (reference `public_eda_pipeline.py:52-55` requires `len(parts) >= 3`). */
   def targetFamily(target: String): String = {
     val parts = target.split("_")
-    if (parts.length >= 2) parts(1) else "unknown"
+    if (parts.length >= 3) parts(1) else "unknown"
   }
 }

@@ -22,53 +22,67 @@ object WideAgg {
   val DefaultBatch = 400
 
   /** Null-rate per column (reference A3: `is_null().mean()` for 2241 cols).
-    * Returns a small DataFrame (column, null_rate) — one row per column. */
+    * Returns a small DataFrame (col_name, null_rate) — one row per column.
+    * The 0/1 indicator sums are exact in double, so the rate is
+    * bit-deterministic across engines. */
   def nullProfile(df: DataFrame, cols: Seq[String], batch: Int = DefaultBatch): DataFrame = {
     val spark = df.sparkSession
     val rates = runBatched(df, cols, c => avg(col(c).isNull.cast(DoubleType)), batch)
-    toDf(spark, rates, "column", "null_rate")
+    toDf(spark, rates, "col_name", "null_rate")
   }
 
-  /** Per-column sum (reference A2: 41 target sums in one pass). */
+  /** Per-column sum (reference A2: 41 target sums in one pass). Plain
+    * double accumulation — fast path; use [[sumProfileExact]] when the
+    * result must be bit-deterministic (oracle queries). */
   def sumProfile(df: DataFrame, cols: Seq[String], batch: Int = DefaultBatch): DataFrame = {
     val spark = df.sparkSession
     val sums = runBatched(df, cols, c => sum(col(c).cast(DoubleType)), batch)
-    toDf(spark, sums, "column", "sum")
+    toDf(spark, sums, "col_name", "sum_value")
+  }
+
+  /** Per-column sum with exact decimal accumulation (order-independent →
+    * reproducible bitwise across engines/runs), emitted as double. */
+  def sumProfileExact(df: DataFrame, cols: Seq[String], batch: Int = DefaultBatch): DataFrame = {
+    val spark = df.sparkSession
+    val sums = runBatched(
+      df, cols,
+      c => sum(col(c).cast(DecimalType(27, 6))).cast(DoubleType), batch)
+    toDf(spark, sums, "col_name", "sum_value")
   }
 
   /** Per-column mean. */
   def meanProfile(df: DataFrame, cols: Seq[String], batch: Int = DefaultBatch): DataFrame = {
     val spark = df.sparkSession
     val m = runBatched(df, cols, c => avg(col(c).cast(DoubleType)), batch)
-    toDf(spark, m, "column", "mean")
+    toDf(spark, m, "col_name", "mean")
   }
 
-  /** Generic: one aggregate expression per column, batched, long format. */
+  /** Generic: one aggregate expression per column, batched, long format.
+    * `None` = the aggregate itself was NULL (empty/all-null input);
+    * `Some(NaN)` = a genuinely-NaN result — the two are distinct. */
   def runBatched(
       df: DataFrame,
       cols: Seq[String],
       exprOf: String => Column,
-      batch: Int = DefaultBatch): Seq[(String, Double)] =
+      batch: Int = DefaultBatch): Seq[(String, Option[Double])] =
     cols.grouped(math.max(1, batch)).toSeq.flatMap { group =>
       val aggs = group.map(c => exprOf(c).cast(DoubleType).as(c))
       val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
       group.zipWithIndex.map { case (c, i) =>
-        c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+        c -> (if (row.isNullAt(i)) None else Some(row.getDouble(i)))
       }
     }
 
   private def toDf(
       spark: SparkSession,
-      data: Seq[(String, Double)],
+      data: Seq[(String, Option[Double])],
       keyName: String,
       valName: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
       StructField(keyName, StringType, nullable = false),
       StructField(valName, DoubleType, nullable = true)))
-    val rows = data.map { case (k, v) =>
-      Row(k, if (v.isNaN) null else v)
-    }
+    val rows = data.map { case (k, v) => Row(k, v.orNull) }
     spark.createDataFrame(rows.asJava, schema)
   }
 

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Relational, WideAgg}
+import graft.stats.{Auc, Correlations}
+
+/** Aggregation / window / sort queries (SURVEY.md §2.4–§2.5) with DuckDB
+  * oracles. Same determinism contract as [[RelationalQueries]]. */
+object AggQueries {
+  import Det._
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** Population stddev from exact decimal sums: all inputs to the final
+    * double arithmetic are bit-identical across engines, so the result is
+    * too (no rounding needed). */
+  private def stdExact(c: org.apache.spark.sql.Column) = {
+    val sx = sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
+    val sxx = sum((c * c).cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
+    val n = count(c).cast("double")
+    sqrt(sxx / n - (sx / n) * (sx / n))
+  }
+
+  private def stdExactSql(x: String): String = {
+    val sx = s"CAST(SUM(CAST(($x) AS DECIMAL(27,6))) AS DOUBLE)"
+    val sxx = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(27,6))) AS DOUBLE)"
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    s"SQRT($sxx/$n - ($sx/$n)*($sx/$n))"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A: aggregations ---------------------------------------------------
+    Q("a1_count_rows",
+      (s, d) => T(s, d, "lineitem").agg(count(lit(1)).as("lineitem_rows"))
+        .crossJoin(T(s, d, "orders").agg(count(lit(1)).as("orders_rows"))),
+      Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+             |(SELECT COUNT(*) FROM orders) AS orders_rows""".stripMargin)),
+
+    Q("a2_wide_sum",
+      (s, d) => WideAgg.sumProfileExact(
+        T(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name")),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"SELECT '$c' AS col_name, ${sumExactSql(c)} AS sum_value FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
+    Q("a3_null_profile",
+      (s, d) => WideAgg.nullProfile(
+        T(s, d, "lineitem")
+          .withColumn("tax0", expr("nullif(l_tax, 0.0D)"))
+          .withColumn("disc0", expr("nullif(l_discount, 0.0D)")),
+        Seq("tax0", "disc0", "l_quantity"))
+        .orderBy(col("col_name")),
+      Some(Seq(
+        "tax0" -> "NULLIF(l_tax, 0.0)",
+        "disc0" -> "NULLIF(l_discount, 0.0)",
+        "l_quantity" -> "l_quantity").map { case (nm, x) =>
+        s"SELECT '$nm' AS col_name, CAST(AVG(CASE WHEN $x IS NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS null_rate FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
+    Q("a4_distinct_count",
+      (s, d) => T(s, d, "lineitem").agg(
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        countDistinct(col("l_linestatus")).as("n_status"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part")),
+      Some("""SELECT COUNT(DISTINCT l_returnflag) AS n_flags,
+             |COUNT(DISTINCT l_linestatus) AS n_status,
+             |COUNT(DISTINCT l_suppkey) AS n_supp,
+             |COUNT(DISTINCT l_partkey) AS n_part FROM lineitem""".stripMargin)),
+
+    Q("a5_distinct_values",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("a6_groupby_stats",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_price"),
+          avgExact(col("l_discount")).as("avg_disc"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${sumExactSql("l_quantity")} AS sum_qty,
+              |${sumExactSql("l_extendedprice")} AS sum_price,
+              |${avgExactSql("l_discount")} AS avg_disc,
+              |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("a7_groupby_median",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          avgExact(col("o_totalprice")).as("avg_price"),
+          round(median(col("o_totalprice")), 4).as("med_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+              |${avgExactSql("o_totalprice")} AS avg_price,
+              |ROUND(MEDIAN(o_totalprice), 4) AS med_price,
+              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a8_conditional_agg",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countIf(col("l_quantity") > 25).as("n_big"),
+          countIf(col("l_discount") > 0.05).as("n_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+              |${countIfSql("l_quantity > 25")} AS n_big,
+              |${countIfSql("l_discount > 0.05")} AS n_disc,
+              |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a9_value_counts",
+      (s, d) => Relational.valueCounts(T(s, d, "orders"), "o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+             |GROUP BY 1 ORDER BY n DESC, o_orderstatus""".stripMargin)),
+
+    Q("a10_mean_std",
+      (s, d) => T(s, d, "lineitem").agg(
+        avgExact(col("l_quantity")).as("mean_qty"),
+        stdExact(col("l_quantity")).as("std_qty"),
+        avgExact(col("l_extendedprice")).as("mean_price"),
+        stdExact(col("l_extendedprice")).as("std_price")),
+      Some(s"""SELECT ${avgExactSql("l_quantity")} AS mean_qty,
+              |${stdExactSql("l_quantity")} AS std_qty,
+              |${avgExactSql("l_extendedprice")} AS mean_price,
+              |${stdExactSql("l_extendedprice")} AS std_price FROM lineitem""".stripMargin)),
+
+    Q("a11_impute_mean",
+      (s, d) => {
+        val li = T(s, d, "lineitem").withColumn("tax0", expr("nullif(l_tax, 0.0D)"))
+        val mean = li.agg(avgExact(col("tax0")).as("mean_tax"))
+        li.crossJoin(broadcast(mean))
+          .withColumn("imputed", coalesce(col("tax0"), col("mean_tax")))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countIf(col("tax0").isNull).as("n_imputed"),
+            sumExact(col("imputed")).as("sum_imputed"))
+      },
+      Some(s"""WITH m AS (SELECT ${avgExactSql("NULLIF(l_tax, 0.0)")} AS mean_tax FROM lineitem)
+              |SELECT COUNT(*) AS n_rows,
+              |${countIfSql("NULLIF(l_tax, 0.0) IS NULL")} AS n_imputed,
+              |${sumExactSql("COALESCE(NULLIF(l_tax, 0.0), mean_tax)")} AS sum_imputed
+              |FROM lineitem, m""".stripMargin)),
+
+    Q("a12_quantile",
+      (s, d) => T(s, d, "orders").agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 4).as("p99")),
+      Some("""SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+             |ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90,
+             |ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99 FROM orders""".stripMargin)),
+
+    Q("a13_corr_matrix",
+      (s, d) => {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        Correlations.corrLong(T(s, d, "lineitem"), cols)
+          .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("pearson_r"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield
+          s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, ROUND(CORR(${cols(i)}, ${cols(j)}), 6) AS pearson_r FROM lineitem")
+          .mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+      }),
+
+    Q("a14_pair_lift",
+      (s, d) => {
+        val flagged = T(s, d, "lineitem")
+          .withColumn("f_disc", (col("l_discount") > 0.05).cast("int"))
+          .withColumn("f_qty", (col("l_quantity") > 25).cast("int"))
+          .withColumn("f_ret", (col("l_returnflag") === "R").cast("int"))
+        Correlations.pairLift(flagged, Seq("f_disc", "f_qty", "f_ret"))
+          .select(
+            col("col_a"), col("col_b"), col("count_a"), col("count_b"),
+            col("co_count"), round(col("pair_lift"), 6).as("pair_lift"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val fl = Seq(
+          "f_disc" -> "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END",
+          "f_qty" -> "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
+          "f_ret" -> "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+        val pairs = for { i <- fl.indices; j <- fl.indices if i < j } yield (fl(i), fl(j))
+        val sels = pairs.map { case ((na, xa), (nb, xb)) =>
+          s"""SELECT '$na' AS col_a, '$nb' AS col_b,
+             |CAST(SUM($xa) AS BIGINT) AS count_a, CAST(SUM($xb) AS BIGINT) AS count_b,
+             |CAST(SUM(($xa) * ($xb)) AS BIGINT) AS co_count,
+             |ROUND((CAST(SUM(($xa) * ($xb)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) /
+             |  ((CAST(SUM($xa) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) *
+             |   (CAST(SUM($xb) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))), 6) AS pair_lift
+             |FROM lineitem""".stripMargin
+        }
+        sels.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+      }),
+
+    Q("a15_cross_corr",
+      (s, d) => {
+        val base = T(s, d, "lineitem")
+          .withColumn("tax0", expr("nullif(l_tax, 0.0D)"))
+          .withColumn("f_ret", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("f_open", (col("l_linestatus") === "O").cast("double"))
+        Correlations.crossCorr(base, Seq("l_quantity", "tax0"), Seq("f_ret", "f_open"))
+          .select(col("feature"), col("target"), round(col("corr"), 6).as("pearson_r"))
+          .orderBy(col("feature"), col("target"))
+      },
+      Some {
+        val feats = Seq(
+          "l_quantity" -> "CAST(l_quantity AS DOUBLE)",
+          "tax0" -> "COALESCE(NULLIF(l_tax, 0.0), mt)")
+        val tgts = Seq(
+          "f_ret" -> "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+          "f_open" -> "CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END")
+        val withM = s"WITH m AS (SELECT ${avgExactSql("NULLIF(l_tax, 0.0)")} AS mt FROM lineitem)"
+        val sels = for { (fn, fx) <- feats; (tn, tx) <- tgts } yield
+          s"SELECT '$fn' AS feature, '$tn' AS target, ROUND(CORR($fx, $tx), 6) AS pearson_r FROM lineitem, m"
+        withM + sels.mkString(" ", " UNION ALL ", " ORDER BY feature, target")
+      }),
+
+    Q("a16_point_biserial",
+      (s, d) => T(s, d, "orders").agg(
+        round(corr((col("o_orderstatus") === "F").cast("double"), col("o_totalprice")), 6)
+          .as("pearson_r"),
+        count(lit(1)).as("n")),
+      Some("""SELECT ROUND(CORR(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END,
+             |  o_totalprice), 6) AS pearson_r, COUNT(*) AS n FROM orders""".stripMargin)),
+
+    Q("a17_auc",
+      (s, d) => Auc.aucDf(
+        T(s, d, "orders"), col("o_orderstatus") === "F", floor(col("o_totalprice") / 100))
+        .select(
+          col("n_pos").cast("long").as("n_pos"),
+          col("n_neg").cast("long").as("n_neg"),
+          round(col("auc"), 6).as("auc")),
+      Some {
+        s"""WITH d AS (SELECT FLOOR(o_totalprice / 100) AS s,
+           |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+           |per AS (SELECT s, SUM(y) AS pos, SUM(1-y) AS neg FROM d GROUP BY s),
+           |rk AS (SELECT pos, neg, SUM(pos+neg) OVER (ORDER BY s) AS cum FROM per),
+           |fin AS (SELECT SUM(pos) AS np, SUM(neg) AS nn,
+           |        SUM((cum - (pos+neg-1)/2.0) * pos) AS rs FROM rk)
+           |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           |  ROUND((rs - np*(np+1)/2.0) / (np*nn), 6) AS auc FROM fin""".stripMargin
+      }),
+
+    Q("a19_whale_contingency",
+      (s, d) => Relational.whaleContingency(
+        T(s, d, "lineitem"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        col("l_returnflag") === "R"),
+      Some("""WITH n AS (SELECT COUNT(*) AS cnt FROM lineitem),
+             |r AS (SELECT l_returnflag,
+             |  ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+             |  FROM lineitem),
+             |f AS (SELECT CASE WHEN rk <= FLOOR(cnt * 1.0 / 100.0) THEN 1 ELSE 0 END AS w,
+             |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t FROM r, n)
+             |SELECT CAST(SUM(CASE WHEN w=1 AND t=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |  CAST(SUM(CASE WHEN w=1 AND t=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |  CAST(SUM(CASE WHEN w=0 AND t=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |  CAST(SUM(CASE WHEN w=0 AND t=0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |  ROUND((CAST(SUM(CASE WHEN w=1 AND t=1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    (SUM(CASE WHEN w=1 AND t=1 THEN 1 ELSE 0 END) + SUM(CASE WHEN w=1 AND t=0 THEN 1 ELSE 0 END))) /
+             |    (CAST(SUM(CASE WHEN t=1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)), 6) AS whale_lift
+             |FROM f""".stripMargin)),
+
+    // ---- W: windows / sorts / top-k ----------------------------------------
+    Q("w1_sort_multi",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber FROM lineitem
+             |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    Q("w2_topn",
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("w3_topk_per_group",
+      (s, d) => Relational.topKPerGroup(
+        T(s, d, "part").select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+        Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey")), 3)
+        .orderBy(col("p_brand"), col("rk")),
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+             |  FROM part)
+             |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)),
+
+    Q("w4_decile",
+      (s, d) => Relational.decileExact(
+        T(s, d, "orders"), Seq(col("o_totalprice"), col("o_orderkey")))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          avgExact(col("o_totalprice")).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("decile")),
+      Some(s"""SELECT decile, COUNT(*) AS n, ${avgExactSql("o_totalprice")} AS avg_price,
+              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price FROM (
+              |  SELECT o_totalprice, CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+              |  FROM orders)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("w5_threshold_rank",
+      (s, d) => T(s, d, "lineitem")
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_quantity >= 45
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    // ---- Events (timestamp handling) ----------------------------------------
+    Q("t1_events_daily",
+      (s, d) => {
+        // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+        // rejects by default; read nanos as long and convert exactly
+        // (integer div → micros), matching DuckDB's native ns handling.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        T(s, d, "events")
+          .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+              |${sumExactSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers for the DuckDB-oracle contract.
+  *
+  * The driver hash-compares our parquet output against DuckDB evaluating
+  * `SparkEntry.oracleSql` on the same tables. Double-precision SUM/AVG are
+  * accumulation-order dependent, so a naive `sum(double)` will not match
+  * bitwise across engines (or even across Spark runs with AQE). The fix:
+  * route every many-row floating aggregate through an exact DECIMAL
+  * accumulation and cast the final (exact) value back to DOUBLE — both
+  * engines round a double to DECIMAL(p,s) identically (half away from
+  * zero; verified empirically for Spark HALF_UP vs DuckDB), and the same
+  * exact decimal converts to the same double.
+  *
+  * O(1)-magnitude statistics whose math is not decimal-expressible
+  * (corr, stddev, quantile interpolation, AUC) instead get `round(x, 6)`
+  * on BOTH sides: their cross-engine fp error is ~1e-12 relative, so a
+  * 1e-6 grid misses a rounding boundary with overwhelming probability.
+  *
+  * Each Spark-side helper has a string twin that emits the equivalent
+  * ANSI SQL for the oracle, so the two sides cannot drift.
+  */
+object Det {
+  val Prec = 27
+  val Scale = 6
+
+  /** Exact sum of a double column: decimal-accumulate, emit double. */
+  def sumExact(c: Column): Column =
+    sum(c.cast(DecimalType(Prec, Scale))).cast(DoubleType)
+
+  def sumExactSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL($Prec,$Scale))) AS DOUBLE)"
+
+  /** Exact avg (null-skipping, like SQL AVG): exact sum / non-null count. */
+  def avgExact(c: Column): Column =
+    (sum(c.cast(DecimalType(Prec, Scale))).cast(DoubleType) / count(c))
+
+  def avgExactSql(expr: String): String =
+    s"(CAST(SUM(CAST(($expr) AS DECIMAL($Prec,$Scale))) AS DOUBLE) / COUNT($expr))"
+
+  /** Long sum (exact by construction). */
+  def sumLong(c: Column): Column = sum(c.cast(LongType))
+
+  def sumLongSql(expr: String): String = s"CAST(SUM($expr) AS BIGINT)"
+
+  /** Conditional count as BIGINT. */
+  def countIf(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  def countIfSql(cond: String): String =
+    s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)"
+}

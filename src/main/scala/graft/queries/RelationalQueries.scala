@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Relational, Sampling, WideAgg}
+import graft.stats.{Auc, Correlations}
+
+/** One declared query per SURVEY.md §2 operator (the driver's correctness
+  * surface). Every query returns a DataFrame whose column names match its
+  * `oracle` SQL exactly (the driver sorts columns by name and hash-compares
+  * values), all floating aggregates go through [[Det]] so the values are
+  * bit-deterministic across engines, and every query ends in a fully
+  * deterministic ORDER BY (unique tie-break keys).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object RelationalQueries {
+  import Det._
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** DuckDB oracle for the rank-based exact AUC (mirrors stats.Auc). */
+  private def aucSql(from: String, score: String, labelCond: String): String =
+    s"""WITH d AS (SELECT ($score) AS s, CASE WHEN $labelCond THEN 1 ELSE 0 END AS y FROM $from),
+       |per AS (SELECT s, SUM(y) AS pos, SUM(1-y) AS neg FROM d GROUP BY s),
+       |rk AS (SELECT pos, neg, SUM(pos+neg) OVER (ORDER BY s) AS cum FROM per),
+       |fin AS (SELECT SUM(pos) AS np, SUM(neg) AS nn,
+       |        SUM((cum - (pos+neg-1)/2.0) * pos) AS rs FROM rk)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |  ROUND((rs - np*(np+1)/2.0) / (np*nn), 6) AS auc FROM fin""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- S: scans / schema ------------------------------------------------
+    Q("s1_scan_project",
+      (s, d) => T(s, d, "lineitem")
+        .where(col("l_quantity") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity < 3 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("s2_schema_only",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem").schema.fieldNames.sorted.toSeq.toDF("col_name")
+      },
+      Some("""SELECT column_name AS col_name FROM (DESCRIBE SELECT * FROM lineitem)
+             |ORDER BY col_name""".stripMargin)),
+
+    Q("s3_full_scan_agg",
+      (s, d) => T(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sumExact(col("l_extendedprice")).as("sum_price"),
+        sumExact(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+              |${sumExactSql("l_extendedprice")} AS sum_price,
+              |${sumExactSql("l_quantity")} AS sum_qty FROM lineitem""".stripMargin)),
+
+    // ---- E: projections / predicates / scalar expressions -----------------
+    Q("e1_projection",
+      (s, d) => T(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, p_retailprice FROM part ORDER BY p_partkey")),
+
+    Q("e2_hash_sample",
+      (s, d) => Sampling.modSample(T(s, d, "orders"), "o_orderkey", 10).agg(
+        count(lit(1)).as("n_rows"),
+        sumExact(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n_rows, ${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderkey % 100 < 10""".stripMargin)),
+
+    Q("e3_cast",
+      (s, d) => T(s, d, "lineitem").agg(
+        sum(floor(col("l_quantity")).cast("int")).as("qty_sum"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents_sum")),
+      Some("""SELECT CAST(SUM(CAST(FLOOR(l_quantity) AS INTEGER)) AS BIGINT) AS qty_sum,
+             |CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM lineitem""".stripMargin)),
+
+    Q("e4_null_fill",
+      (s, d) => T(s, d, "lineitem")
+        .withColumn("filled", coalesce(expr("nullif(l_tax, 0.0D)"), lit(-1.0)))
+        .agg(
+          countIf(col("filled") === -1.0).as("n_filled"),
+          sumExact(col("filled")).as("sum_filled")),
+      Some(s"""SELECT ${countIfSql("COALESCE(NULLIF(l_tax, 0.0), -1.0) = -1.0")} AS n_filled,
+              |${sumExactSql("COALESCE(NULLIF(l_tax, 0.0), -1.0)")} AS sum_filled
+              |FROM lineitem""".stripMargin)),
+
+    Q("e5_null_predicates",
+      (s, d) => T(s, d, "lineitem")
+        .withColumn("tax0", expr("nullif(l_tax, 0.0D)"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countIf(col("tax0").isNull).as("n_null"),
+          countIf(col("tax0").isNotNull).as("n_notnull"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+              |${countIfSql("NULLIF(l_tax, 0.0) IS NULL")} AS n_null,
+              |${countIfSql("NULLIF(l_tax, 0.0) IS NOT NULL")} AS n_notnull
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("e6_horizontal_sum",
+      (s, d) => T(s, d, "lineitem").agg(
+        sum(WideAgg.horizontalSum(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+          .as("hsum_total"),
+        count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(SUM(CAST(l_orderkey AS BIGINT) + CAST(l_partkey AS BIGINT)
+             | + CAST(l_suppkey AS BIGINT) + CAST(l_linenumber AS BIGINT)) AS BIGINT) AS hsum_total,
+             |COUNT(*) AS n_rows FROM lineitem""".stripMargin)),
+
+    Q("e7_flag",
+      (s, d) => T(s, d, "lineitem")
+        .withColumn("disc_flag", WideAgg.flag(col("l_discount") > 0.05).cast("int"))
+        .groupBy(col("disc_flag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("disc_flag")),
+      Some("""SELECT CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS INTEGER) AS disc_flag,
+             |COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("e8_string_ops",
+      (s, d) => T(s, d, "part")
+        .withColumn("name_head", split(col("p_name"), " ").getItem(0))
+        .where(col("p_type").startsWith("E") || col("p_type").startsWith("P"))
+        .groupBy(col("name_head")).agg(count(lit(1)).as("n"))
+        .orderBy(col("name_head")),
+      Some("""SELECT split_part(p_name, ' ', 1) AS name_head, COUNT(*) AS n FROM part
+             |WHERE p_type LIKE 'E%' OR p_type LIKE 'P%'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("e9_abs_guards",
+      (s, d) => T(s, d, "lineitem").agg(
+        sumExact(abs(col("l_discount") - 0.05)).as("sum_dev"),
+        sumExact(greatest(col("l_discount"), lit(1.0) - col("l_discount"))).as("sum_max")),
+      Some(s"""SELECT ${sumExactSql("ABS(l_discount - 0.05)")} AS sum_dev,
+              |${sumExactSql("GREATEST(l_discount, 1.0 - l_discount)")} AS sum_max
+              |FROM lineitem""".stripMargin)),
+
+    Q("e10_dict_diff",
+      (s, d) => Relational.unseenValues(
+        T(s, d, "part").select(col("p_partkey").as("partkey")),
+        T(s, d, "lineitem").where(col("l_quantity") >= 49)
+          .select(col("l_partkey").as("partkey")),
+        "partkey"),
+      Some("""SELECT p_partkey AS partkey FROM part
+             |EXCEPT
+             |SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 49
+             |ORDER BY partkey""".stripMargin)),
+
+    Q("e11_in_list",
+      (s, d) => T(s, d, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("e12_band_histogram",
+      (s, d) => T(s, d, "lineitem")
+        .withColumn("band", Relational.bandLabel(
+          col("l_discount"),
+          Seq("a_low" -> 0.02, "b_mid" -> 0.05, "c_high" -> 0.08), "d_top"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), avgExact(col("l_discount")).as("avg_disc"))
+        .orderBy(col("band")),
+      Some(s"""SELECT CASE WHEN l_discount < 0.02 THEN 'a_low'
+              |  WHEN l_discount < 0.05 THEN 'b_mid'
+              |  WHEN l_discount < 0.08 THEN 'c_high' ELSE 'd_top' END AS band,
+              |COUNT(*) AS n, ${avgExactSql("l_discount")} AS avg_disc
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- J: joins ----------------------------------------------------------
+    Q("j1_join_inner",
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j2_join_two",
+      (s, d) => Sampling.modSample(T(s, d, "orders"), "o_orderkey", 20)
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_lines,
+              |${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE o_orderkey % 100 < 20
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j3_join_auc_set",
+      (s, d) => {
+        val joined = Sampling.modSample(T(s, d, "lineitem"), "l_orderkey", 30)
+          .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+        Auc.aucDf(joined, col("o_orderstatus") === "F", floor(col("l_extendedprice") / 1000))
+          .select(
+            col("n_pos").cast("long").as("n_pos"),
+            col("n_neg").cast("long").as("n_neg"),
+            round(col("auc"), 6).as("auc"))
+      },
+      Some(aucSql(
+        "lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_orderkey % 100 < 30",
+        "FLOOR(l_extendedprice / 1000)", "o_orderstatus = 'F'"))),
+
+    Q("j4_whale_set",
+      (s, d) => Sampling.modSample(T(s, d, "lineitem"), "l_orderkey", 12)
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+        .where(col("l_returnflag") === "R")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus")),
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumExactSql("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE l_orderkey % 100 < 12 AND l_returnflag = 'R'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j5_left_broadcast",
+      (s, d) => T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust FROM customer
+             |LEFT JOIN nation ON c_nationkey = n_nationkey
+             |LEFT JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("j6_union_labeled",
+      (s, d) => Relational.unionLabeled(
+        T(s, d, "orders").where(col("o_orderstatus") === "F"),
+        T(s, d, "orders").where(col("o_orderstatus") === "O"),
+        "src")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("src")),
+      Some(s"""SELECT src, COUNT(*) AS n, ${sumExactSql("o_totalprice")} AS sum_price FROM (
+              |  SELECT CAST(0 AS INTEGER) AS src, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+              |  UNION ALL
+              |  SELECT CAST(1 AS INTEGER) AS src, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+              |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j7_anti_join",
+      (s, d) => T(s, d, "customer")
+        .join(
+          T(s, d, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   * Ties get average ranks (tie correction), which matters for binary scores
   * like missing-indicators (`P:345-355`).
   *
-  * Scale design: instead of ranking raw rows with a global single-partition
-  * window, we first reduce to one row per DISTINCT score (a shuffled,
-  * map-side-combined aggregate), then rank the distinct-score table. For
-  * continuous scores at extreme scale the distinct table is still large, but
-  * the window degrades gracefully; for the common screening case (integer
-  * counts, binary indicators, bucketed scores) it is tiny. The final
-  * reduction is a single-row aggregate.
+  * Scale design (no global single-partition window anywhere):
+  *   1. reduce to one row per DISTINCT score — shuffled, map-side-combined
+  *      aggregate;
+  *   2. range-partition the distinct-score table by score and compute the
+  *      cumulative row count per partition with a window PARTITIONED BY the
+  *      physical partition id (fully parallel);
+  *   3. bridge partitions with a tiny broadcast prefix-offset table (one
+  *      row per partition);
+  *   4. single-row final reduction.
+  * Every per-row quantity is an integer-valued double (< 2^53), so the
+  * arithmetic is exact and the result is bit-deterministic regardless of
+  * partitioning — safe for the DuckDB-oracle hash compare.
   */
 object Auc {
 
@@ -29,6 +34,9 @@ object Auc {
     * (n_pos, n_neg, auc). Returns NaN auc when a class is absent —
     * the reference's `safe_auc` guard (`public_eda_pipeline.py:34-35`). */
   def aucDf(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val spark = df.sparkSession
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+
     val perScore = df
       .select(score.cast("double").as("s"), label.cast("int").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
@@ -37,10 +45,27 @@ object Auc {
         sum(col("y")).cast("double").as("pos"),
         sum(lit(1) - col("y")).cast("double").as("neg"))
 
+    // Parallel prefix sum: per-partition cumulative counts + broadcast
+    // partition offsets (same-key rows never straddle a range partition).
+    val ranged = perScore
+      .repartitionByRange(nShuffle, col("s"))
+      .sortWithinPartitions("s")
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("s")
+    val local = ranged.withColumn("local_cum", sum(col("pos") + col("neg")).over(wLocal))
+
+    // One row per partition — tiny; the unpartitioned window here runs
+    // over ≤ nShuffle rows, not the data.
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid")
+      .agg(sum(col("pos") + col("neg")).as("part_total"))
+      .withColumn("offset", coalesce(sum("part_total").over(wOff), lit(0.0)))
+      .select("pid", "offset")
+
     // Average rank of a tie-group = (rows before group) + (size+1)/2.
-    val w = Window.orderBy(col("s"))
-    val ranked = perScore
-      .withColumn("cum", sum(col("pos") + col("neg")).over(w))
+    val ranked = local
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("avg_rank", col("cum") - (col("pos") + col("neg") - 1) / 2.0)
 
     ranked.agg(

@@ -57,12 +57,32 @@ object Correlations {
         StructField("corr", DoubleType, nullable = true))))
   }
 
+  /** Mean-impute `cols` in one exact pass (reference A11,
+    * `public_eda_pipeline.py:496-499`): per-column means via a single
+    * decimal-accumulated aggregate (order-independent, so the imputed
+    * values are bit-deterministic), then `coalesce(col, mean)`. Columns
+    * that are entirely null fill with 0.0 like the reference's
+    * `np.nan_to_num` fallback. */
+  def imputeMeans(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val means = graft.core.WideAgg.runBatched(
+      df, cols,
+      c => sum(col(c).cast(DecimalType(27, 6))).cast(DoubleType) / count(col(c)))
+      .toMap
+    cols.foldLeft(df) { (d, c) =>
+      val m = means.getOrElse(c, None).filterNot(_.isNaN).getOrElse(0.0)
+      d.withColumn(c, coalesce(col(c).cast(DoubleType), lit(m)))
+    }
+  }
+
   /** Cross-correlation block: features × targets Pearson grid via one
-    * assembled pass (reference screening `P:495-511`, 519×41). Returns
-    * (feature, target, corr, abs_corr). */
+    * assembled pass (reference screening `P:495-511`, 519×41). Nullable
+    * features are mean-imputed first (the reference mean-imputes NaNs
+    * before its centered XᵀY grid, `P:496-499`; VectorAssembler would
+    * otherwise throw on nulls). Returns (feature, target, corr, abs_corr). */
   def crossCorr(df: DataFrame, features: Seq[String], targets: Seq[String]): DataFrame = {
     val all = features ++ targets
-    val m = corrMatrix(df, all, dropNullRows = false)
+    val imputed = imputeMeans(df, features)
+    val m = corrMatrix(imputed, all, dropNullRows = false)
     val spark = df.sparkSession
     val nf = features.length
     val rows = for {
@@ -84,21 +104,25 @@ object Correlations {
     * driver-side pair enumeration (≤ C(k,2) rows). Lift =
     * P(a∧b)/(P(a)·P(b)). */
   def pairLift(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // O(k²) aggregate expressions — one codegen'd pass for k ≤ 64; beyond
+    // that the constant pool blows up, so refuse loudly (use
+    // RowMatrix.computeGramianMatrix for wider inputs).
+    require(cols.length <= 64, s"pairLift: ${cols.length} cols > 64; use a Gramian path")
     val spark = df.sparkSession
-    val n = df.count().toDouble
-    // co-count matrix via one agg of sum(a*b) per pair is O(k²) exprs;
-    // for k ≤ ~64 that is fine and stays in one codegen'd pass.
-    val sumsRow = df.agg(
-      cols.map(c => sum(col(c).cast(LongType)).as(c)).head,
-      cols.map(c => sum(col(c).cast(LongType)).as(c)).tail: _*).head()
-    val counts = cols.indices.map(i => if (sumsRow.isNullAt(i)) 0L else sumsRow.getLong(i))
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
-    val coAggs = pairs.map { case (i, j) =>
-      sum((col(cols(i)) * col(cols(j))).cast(LongType)).as(s"${i}_$j")
-    }
-    val coRow = df.agg(coAggs.head, coAggs.tail: _*).head()
+    // ONE full-scan pass: total count + k marginal sums + C(k,2) co-counts.
+    val allAggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(col(c).cast(LongType)).as(c)) ++
+        pairs.map { case (i, j) =>
+          sum((col(cols(i)) * col(cols(j))).cast(LongType)).as(s"${i}_$j")
+        }
+    val row = df.agg(allAggs.head, allAggs.tail: _*).head()
+    val n = row.getLong(0).toDouble
+    val counts = cols.indices.map(i => if (row.isNullAt(1 + i)) 0L else row.getLong(1 + i))
+    val coBase = 1 + cols.length
     val rows = pairs.zipWithIndex.map { case ((i, j), k) =>
-      val co = if (coRow.isNullAt(k)) 0L else coRow.getLong(k)
+      val co = if (row.isNullAt(coBase + k)) 0L else row.getLong(coBase + k)
       val pa = counts(i) / n
       val pb = counts(j) / n
       val lift = if (pa > 0 && pb > 0) (co / n) / (pa * pb) else Double.NaN

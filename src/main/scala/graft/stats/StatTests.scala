@@ -50,11 +50,28 @@ object StatTests {
     val N = a + b + c + d
     val K = a + b // row-1 total
     val n = a + c // col-1 total
+    val kMin = math.max(0L, K + n - N)
     val kMax = math.min(K, n)
-    var k = a
-    var p = 0.0
-    while (k <= kMax) { p += hypergeomPmf(k, N, K, n); k += 1 }
-    math.min(1.0, p)
+    // PMF mode — terms decay monotonically beyond it, enabling early exit.
+    val mode = ((K + 1.0) * (n + 1.0) / (N + 2.0)).toLong
+    // Sum whichever tail is shorter: P(X>=a) directly, or 1 − P(X<=a−1).
+    if (kMax - a <= a - kMin) {
+      var k = a
+      var p = 0.0
+      var stop = false
+      while (k <= kMax && !stop) {
+        val t = hypergeomPmf(k, N, K, n)
+        p += t
+        if (k >= mode && t < p * 1e-18) stop = true // underflowed tail
+        k += 1
+      }
+      math.min(1.0, p)
+    } else {
+      var k = kMin
+      var p = 0.0
+      while (k < a) { p += hypergeomPmf(k, N, K, n); k += 1 }
+      math.min(1.0, math.max(0.0, 1.0 - p))
+    }
   }
 
   /** Regularized incomplete beta I_x(a,b) by continued fraction (Lentz),
