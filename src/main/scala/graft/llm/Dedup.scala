@@ -1,0 +1,242 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), exact n-gram Jaccard (inverted shingle index),
+  * MinHash+LSH (shingle → minhash → band → bucket join), SimHash
+  * (band-blocked Hamming), and embedding-cosine near-dup (brute
+  * baseline + random-hyperplane LSH scale path).
+  *
+  * Scale stance (100 TB): every candidate-generation step is a
+  * bucket/band JOIN on a key — never an all-pairs cross join. The only
+  * quadratic work is within-bucket, which the band width controls. Hot
+  * shingles (appearing in > maxDf docs) are droppable stopword shingles —
+  * the standard skew guard for the inverted-index join.
+  */
+object Dedup {
+
+  // ---- shingling ----------------------------------------------------------
+
+  /** Distinct `w`-token shingles per row: (id, shingle). Documents with
+    * fewer than `w` tokens contribute their whole text as one shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) < w, array(col(textCol))).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w))))))
+    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+  }
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup via md5-groupBy: one row per distinct text with the
+    * smallest id as representative and the duplicate count. One shuffle
+    * on the 128-bit key; fully map-side combined. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
+
+  /** Corpus-level exact-dup summary: total docs, unique texts, dup groups,
+    * rows that would be dropped by keep-first dedup. */
+  def exactStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactGroups(df, idCol, textCol).agg(
+      sum(col("n_docs")).as("n_docs"),
+      count(lit(1)).as("n_unique"),
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(col("n_docs") - 1).as("n_dropped"))
+
+  // ---- exact n-gram Jaccard (inverted index) ------------------------------
+
+  /** Exact Jaccard-similar pairs via the inverted shingle index:
+    * candidate pairs share ≥1 shingle (bucket join on the shingle),
+    * intersection counted per pair, sizes joined back. `maxDf` drops
+    * shingles occurring in more than that many docs (skew guard; pairs
+    * similar ONLY through dropped stopword-shingles are missed — at
+    * maxDf=∞ the result is exact). */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** MinHash signatures: k seeded-xxhash64 minima over the doc's shingle
+    * set → (id, sig: array<long>[k]). One explode + one groupBy(id) with
+    * k map-side-combined min aggregates. */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String, w: Int, k: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+    val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash LSH candidate pairs: signatures split into `bands` bands of
+    * k/bands rows; docs sharing any band hash become candidates (bucket
+    * join — never all-pairs). Output includes the signature-estimated
+    * Jaccard (fraction of equal minhashes). Any pair with true Jaccard
+    * ≥ (1/bands)^(bands/k) is found with high probability. */
+  def minHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val sigs = minHashSignatures(df, idCol, textCol, w, k)
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * lit(r) + 1, lit(r))))))
+        .as(Seq("band", "band_hash")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands.withColumn("est_jaccard",
+      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        .cast("double") / k)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * shingle-set Jaccard (intersection join restricted to candidates). */
+  def minHashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 64, bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, w, k, bands)
+    val sh = shingles(df, idCol, textCol, w)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("sa")
+      .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
+      .join(sh.as("sb"), col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * the bit of each token's xxhash64; sign → bit. One explode + one
+    * groupBy(id) with 64 conditional-sum aggregates. */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val perDoc = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    perDoc.select(col("id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on four 16-bit bands (any equal band →
+    * candidate; catches all pairs with Hamming ≤ 3 by pigeonhole, most
+    * with ≤ maxHamming), verify with bit_count(xor). */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash64(df, idCol, textCol)
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }: _*)
+    val banded = sh.select(col("id"), col("simhash"), explode(bandArr).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---- embedding cosine near-dup ------------------------------------------
+
+  /** dot(a, b) over array<double> columns, left-fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine near-dup pairs — the correctness baseline
+    * (O(n²) cross join; fixture/oracle scale only — use
+    * [[cosinePairsLsh]] at scale). */
+  def cosinePairsBrute(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Random-hyperplane LSH cosine near-dup: sign-bit signature over
+    * `nPlanes` seeded hyperplanes, banded like SimHash, exact cosine on
+    * candidates. The scale path: bucket join + within-bucket verify. */
+  def cosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      dim: Int, nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bits = planes.toSeq.map(p => when(dot(col("v"), typedLit(p.toSeq)) > 0, 1L).otherwise(0L))
+    val sig = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+    val r = nPlanes / nBands
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
+    }: _*)
+    val banded = v.withColumn("sig", sig)
+      .select(col("id"), col("v"), explode(bandArr).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the correctness baseline, and two scale
+  * paths — random-hyperplane LSH buckets and an IVF (inverted-file)
+  * index built from k-means coarse centroids.
+  *
+  * Scale stance: the query set is small relative to the corpus (that is
+  * what makes it a *search*), so queries are always the broadcast side;
+  * the corpus is never collected or crossed with itself. IVF prunes the
+  * corpus scan to nprobe/nlist of the data per query; LSH prunes to
+  * matching buckets. Both trade recall for scan fraction — measured by
+  * the recall spec against brute force.
+  */
+object Similarity {
+
+  import Dedup.{cosine, dot}
+
+  /** Brute-force cosine top-k: broadcast the query set against the
+    * corpus, rank per query. Exact; cost = |corpus| × |queries| dots,
+    * fully parallel over the corpus (the right baseline even at scale
+    * for ≤ a few hundred queries). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
+  /** Random-hyperplane LSH top-k: corpus bucketed by sign-bit signature
+    * bands; each query probes only its matching buckets. Recall rises
+    * with nBands (more, narrower bands → more candidates). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, nPlanes: Int = 16, nBands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    def sigOf(v: Column): Column = {
+      val bits = planes.toSeq.map(p => when(dot(v, typedLit(p.toSeq)) > 0, 1L).otherwise(0L))
+      bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+    }
+    val r = nPlanes / nBands
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
+    }: _*)
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+        .withColumn("sig", sigOf(col(vec)))
+        .select(col(id), col(vec), explode(bandArr).as("bk"))
+        .select(col(id), col(vec), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cb = banded(corpus, "corpus_id", "cv")
+    val qb = banded(queries, "query_id", "qv")
+    val cands = cb.join(broadcast(qb), Seq("band", "key"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "qv", "corpus_id", "cv")
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    cands.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
+  /** IVF top-k: k-means coarse quantizer (nlist cells, fixed seed) over
+    * the corpus; each query scans only its `nprobe` nearest cells. The
+    * classic ANN shape: centroid table is tiny (broadcast), the corpus
+    * is hash-partitioned by cell. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select("corpus_id", "cv", "cell")
+
+    // Tiny centroid table → broadcast; each query ranks cells by
+    // centroid distance and keeps nprobe.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val qCells = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    val probes = qCells.withColumn("crk", row_number().over(wq))
+      .where(col("crk") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    cands.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
+  /** Recall@k of an ANN result against the brute-force truth: fraction
+    * of (query, corpus) truth pairs the ANN result recovered. */
+  def recallAtK(ann: DataFrame, truth: DataFrame): Double = {
+    val hit = truth.select("query_id", "corpus_id")
+      .join(ann.select("query_id", "corpus_id"), Seq("query_id", "corpus_id"), "left_semi")
+      .count()
+    val total = truth.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline surface:
+  * tokenization, quality scoring, language-ID, and document
+  * fingerprinting. Everything here is a pure per-row projection — no
+  * shuffle, fully codegen'd `functions._` expressions, pushdown-safe —
+  * so it scales linearly with input bytes (the 100 TB shape: a map-only
+  * stage over the documents table).
+  */
+object TextStats {
+
+  /** Whitespace tokens (the cheap tokenizer). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: word runs and single non-word-non-space marks
+    * each count as one token (a common pre-tokenizer approximation). */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-language marker stopwords (public small lists). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不"))
+
+  /** Count of tokens in `markers` (total occurrences, not distinct). */
+  def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Language-ID by marker-stopword voting: argmax of per-language hit
+    * counts; ties break to the FIRST language in [[LangMarkers]] order;
+    * zero hits → "unknown". A pure stopword heuristic — no model. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, ms) => lang -> hits(toks, ms) }
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit("unknown")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length band, mean token length,
+    * stopword presence, and alphanumeric ratio — the usual cheap
+    * pretraining-quality heuristics (length/punct/stopword ratios). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val meanTokLen = (nChars - (nTok - 1)) / nTok // chars net of separators
+    val stopHits = hits(toks, LangMarkers.flatMap(_._2)).cast("double")
+    val alnum = length(regexp_replace(text, "[^A-Za-z0-9一-鿿]", "")).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val tokLenScore = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopHits * 8.0 / greatest(nTok, lit(1.0)), lit(1.0))
+    val alnumScore = alnum / greatest(nChars, lit(1.0))
+    round(lenScore * 0.35 + tokLenScore * 0.15 + stopScore * 0.2 + alnumScore * 0.3, 6)
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum
+    * md5 over all `w`-char sliding windows of the text. Documents
+    * sharing any window can collide to the same fingerprint → cheap
+    * near-dup blocking key. Short texts (< w chars) hash whole. */
+  def fingerprint(text: Column, w: Int = 16): Column =
+    when(length(text) < w, md5(text)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(text) - (w - 1)),
+        i => md5(text.substr(i, lit(w))))))
+
+  /** Full per-document text-stats projection. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", size(tokens(t)))
+      .withColumn("n_tokens_bpeish", tokenCountBpeish(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

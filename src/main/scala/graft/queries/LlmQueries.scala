@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+/** LLM-training-data-pipeline queries (dedup, similarity search, text
+  * analysis, multimodal) over the documents/embeddings fixtures, with
+  * DuckDB oracles wherever the operator is SQL-expressible. Hash-based
+  * operators (MinHash, SimHash, random-hyperplane LSH) have no DuckDB
+  * twin (xxhash64 differs) — they get rows-only queries here and recall
+  * specs in the test suite.
+  */
+object LlmQueries {
+  import Det._
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** Shared SQL fragments for the oracle side. */
+  private val markerSql: Seq[(String, String)] = TextStats.LangMarkers.map {
+    case (lang, ms) =>
+      lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- dedup --------------------------------------------------------------
+    Q("d1_exact_dedup",
+      (s, d) => Dedup.exactStats(T(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_unique,
+             |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             |  CAST(SUM(n_docs - 1) AS BIGINT) AS n_dropped
+             |FROM (SELECT md5(text) AS h, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+             |      FROM documents GROUP BY 1)""".stripMargin)),
+
+    Q("d2_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", w = 3, minJaccard = 0.35)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+             |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash/SimHash: xxhash64-based — no DuckDB twin; rows-only checks.
+    // Their correctness contract is the recall spec vs d2's exact pairs
+    // (src/test/scala/graft/DedupSpec.scala).
+    Q("d3_minhash_lsh",
+      (s, d) => Dedup.minHashNearDup(
+        T(s, d, "documents"), "doc_id", "text", w = 3, k = 64, bands = 16, minJaccard = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    Q("d4_simhash",
+      (s, d) => Dedup.simHashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    Q("d5_embed_neardup",
+      (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.88)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.88
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- similarity search --------------------------------------------------
+    Q("n1_ann_brute",
+      (s, d) => Similarity.bruteForceTopK(
+        T(s, d, "embeddings"),
+        T(s, d, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS INTEGER) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id)
+             |SELECT query_id, corpus_id, ROUND(cos, 6) AS cos, rk FROM scored
+             |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)),
+
+    // LSH/IVF ANN: recall contract vs n1 in the test suite; rows-only here.
+    Q("n2_ann_lsh",
+      (s, d) => Similarity.lshTopK(
+        T(s, d, "embeddings"),
+        T(s, d, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, dim = 64)
+        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
+    Q("n3_ann_ivf",
+      (s, d) => Similarity.ivfTopK(
+        T(s, d, "embeddings"),
+        T(s, d, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
+    // ---- text analysis ------------------------------------------------------
+    Q("x1_token_stats",
+      (s, d) => T(s, d, "documents")
+        .withColumn("n_tokens", size(TextStats.tokens(col("text"))))
+        .withColumn("n_tokens_bpeish", TextStats.tokenCountBpeish(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sumLong(col("n_tokens")).as("total_tokens"),
+          sumLong(col("n_tokens_bpeish")).as("total_bpeish"),
+          max(col("n_tokens")).cast("int").as("max_tokens"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+              |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              |CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpeish,
+              |CAST(MAX(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("x2_lang_id",
+      (s, d) => T(s, d, "documents")
+        .withColumn("lang_id", TextStats.langId(col("text")))
+        .groupBy(col("lang_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_id")),
+      Some {
+        val scores = markerSql.map { case (lang, inList) =>
+          s"len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS s_$lang"
+        }.mkString(", ")
+        val maxExpr = markerSql.map { case (lang, _) => s"s_$lang" }
+          .mkString("GREATEST(", ", ", ")")
+        val pick = markerSql.map { case (lang, _) =>
+          s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH scored AS (SELECT $scores FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM scored),
+           |p AS (SELECT CASE $pick ELSE 'unknown' END AS lang_id FROM m)
+           |SELECT lang_id, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    Q("x3_quality",
+      (s, d) => T(s, d, "documents")
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avgExact(col("quality")), 4).as("avg_quality"),
+          countIf(col("quality") >= 0.75).as("n_high"))
+        .orderBy(col("lang")),
+      Some {
+        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
+          .map(m => s"'$m'").mkString("(", ",", ")")
+        val q =
+          s"""LEAST(len(string_split(text,' ')) / 64.0, 1.0) * 0.35
+             | + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1.0)) / len(string_split(text,' '))
+             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
+             | + LEAST(len(list_filter(string_split(text,' '), t -> t IN $allMarkers)) * 8.0
+             |      / GREATEST(len(string_split(text,' ')), 1), 1.0) * 0.2
+             | + length(regexp_replace(text, '[^A-Za-z0-9一-鿿]', '', 'g'))
+             |      / GREATEST(length(text), 1.0) * 0.3""".stripMargin
+        s"""WITH scored AS (SELECT lang, ROUND($q, 6) AS quality FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs, ROUND(${avgExactSql("quality")}, 4) AS avg_quality,
+           |${countIfSql("quality >= 0.75")} AS n_high
+           |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    Q("x4_fingerprint",
+      (s, d) => T(s, d, "documents")
+        .withColumn("fp", TextStats.fingerprint(col("text"), w = 16))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_fingerprints"),
+          min(col("fp")).as("min_fp")),
+      Some("""WITH fp AS (
+             |  SELECT doc_id, CASE WHEN length(text) < 16 THEN md5(text)
+             |    ELSE list_min([md5(substr(text, CAST(i AS INT), 16))
+             |                   for i in range(1, length(text) - 14)]) END AS fp
+             |  FROM documents)
+             |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints,
+             |  MIN(fp) AS min_fp FROM fp""".stripMargin)),
+
+    // ---- multimodal ---------------------------------------------------------
+    Q("mm1_meta_stats",
+      (s, d) => Multimodal.metaStats(
+        Multimodal.fromDocuments(T(s, d, "documents"))),
+      Some("""WITH media AS (
+             |  SELECT doc_id AS media_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    octet_length(encode(text)) AS n_bytes
+             |  FROM documents)
+             |SELECT kind, COUNT(*) AS n_media,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+             |  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+             |FROM media GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("mm2_features",
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.fromDocuments(T(s, d, "documents")))
+        feats.select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 7).cast("double"), 6).as("bin6"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x), 4)
+            .as("feat_sum"))
+          .orderBy(col("media_id"))
+      },
+      // Oracle: bin6 = share of payload bytes in [96,112) — histogram bin 6
+      // of the stub decoder. The fixture text is ASCII, so byte values equal
+      // char codes ('`' plus a–o land in bin 6); feat_sum = 1 for non-empty
+      // payloads. The FLOAT casts replicate the decoder's float32 division.
+      Some("""WITH b AS (
+             |  SELECT doc_id AS media_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    len(regexp_extract_all(text, '[`a-o]')) AS n_bin,
+             |    octet_length(encode(text)) AS n FROM documents)
+             |SELECT media_id, kind,
+             |  ROUND(CAST(CAST(CAST(n_bin AS FLOAT) / CAST(n AS FLOAT) AS FLOAT) AS DOUBLE), 6) AS bin6,
+             |  1.0 AS feat_sum
+             |FROM b ORDER BY media_id""".stripMargin))
+  )
+}
