@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{FeatureCatalog, Relational, WideAgg}
+import graft.llm.{Multimodal, TextStats}
+
+class CoreSpec extends SparkSpec {
+
+  test("targetFamily: reference >=3-token rule") {
+    assert(FeatureCatalog.targetFamily("target_credit_1") === "credit")
+    assert(FeatureCatalog.targetFamily("target_7") === "unknown")
+    assert(FeatureCatalog.targetFamily("weird") === "unknown")
+    assert(FeatureCatalog.targetFamily("target_a_b_c") === "a")
+  }
+
+  test("bandLabel assigns upper-bound-exclusive bands") {
+    import spark.implicits._
+    val df = Seq(0.01, 0.02, 0.049, 0.05, 0.2).toDF("x")
+      .withColumn("band", Relational.bandLabel(col("x"),
+        Seq("low" -> 0.02, "mid" -> 0.05), "high"))
+    val got = df.collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(got(0.01) === "low" && got(0.02) === "mid" && got(0.049) === "mid")
+    assert(got(0.05) === "high" && got(0.2) === "high")
+  }
+
+  test("topKPerGroup keeps exactly k with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 5.0), ("b", 4, 1.0))
+      .toDF("g", "id", "v")
+    val top = Relational.topKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id")), 2)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("id"), r.getAs[Int]("rk")))
+    assert(top.toSet === Set(("a", 1, 1), ("a", 2, 2), ("b", 4, 1)))
+  }
+
+  test("decileExact and decileByRange agree on distinct values") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val exact = Relational.decileExact(df, Seq(col("x")))
+      .groupBy("decile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exact.values.forall(_ == 100L) && exact.size === 10)
+    val ranged = Relational.decileByRange(df, "x", relErr = 1e-6)
+      .groupBy("decile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ranged.size === 10 && ranged.values.sum === 1000L)
+    assert(ranged.values.forall(n => n >= 90 && n <= 110)) // near-equal buckets
+  }
+
+  test("unseenValues = left-distinct minus right-distinct") {
+    import spark.implicits._
+    val l = Seq("a", "b", "c", "c").toDF("k")
+    val r = Seq("b", "d").toDF("k")
+    assert(Relational.unseenValues(l, r, "k").collect().map(_.getString(0)).toSeq === Seq("a", "c"))
+  }
+
+  test("nullProfile preserves null vs value distinction") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, null), (2.0, null), (3.0, 1.0))
+      .toDF("full", "sparse")
+    val rates = WideAgg.nullProfile(df, Seq("full", "sparse"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("full") === 0.0)
+    assert(math.abs(rates("sparse") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("horizontalSum adds columns as long") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3), (4, 5, 6)).toDF("a", "b", "c")
+    val s = df.select(WideAgg.horizontalSum(Seq("a", "b", "c")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s === Seq(6L, 15L))
+  }
+
+  test("TextStats: tokens, langId, fingerprint determinism") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextStats.profile(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("lang_id") === "en")
+    assert(out(2L).getAs[String]("lang_id") === "de")
+    assert(out(3L).getAs[String]("lang_id") === "unknown")
+    assert(out(1L).getAs[Int]("n_tokens") === 7)
+    // fingerprint is stable across runs
+    val fp2 = TextStats.profile(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    out.foreach { case (id, r) => assert(r.getAs[String]("fingerprint") === fp2(id)) }
+  }
+
+  test("Multimodal: stub decoder histogram sums to 1; frameSample slices payload") {
+    val bins = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(bins.length === 16)
+    assert(math.abs(bins.sum - 1.0f) < 1e-5f)
+    assert(Multimodal.decodeStub(Array.emptyByteArray).sum === 0.0f)
+
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 10)).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.frameSample(media, n = 4, frameBytes = 10).collect()
+    assert(frames.count(_.getAs[Long]("media_id") == 1L) === 4)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Seq[Float]]("features")).toMap
+    assert(feats(1L).length === 16)
+    // 'a' = 0x61 → bin 6 gets everything
+    assert(math.abs(feats(1L)(6) - 1.0f) < 1e-6f)
+  }
+}

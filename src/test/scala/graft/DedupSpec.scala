@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+
+  /** Deterministic corpus with planted exact dups and near-dups. */
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val words = base.split(" ")
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 60).map { i =>
+      val shuffled = rnd.shuffle(words.toSeq).mkString(" ")
+      (i.toLong, shuffled)
+    } ++ Seq(
+      (100L, base),           // exact dup pair
+      (101L, base),
+      (102L, base + " extra"), // near dup of base (one token appended)
+      (103L, "completely different text about spark engines and shuffles"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactStats finds planted duplicate group") {
+    val r = Dedup.exactStats(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 64L)
+    assert(r.getAs[Long]("n_unique") === 63L)
+    assert(r.getAs[Long]("n_dup_groups") === 1L)
+    assert(r.getAs[Long]("n_dropped") === 1L)
+  }
+
+  test("jaccardPairs finds exact and near dups with correct jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs.contains((100L, 101L)) && math.abs(pairs((100L, 101L)) - 1.0) < 1e-12)
+    // 102 shares all 12 shingles of base; has 13 → J = 12/13
+    assert(math.abs(pairs((100L, 102L)) - 12.0 / 13.0) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 103L || b == 103L })
+  }
+
+  test("minHash est_jaccard approximates true jaccard; LSH recall is total on high-sim pairs") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", w = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minHashNearDup(docs, "doc_id", "text", w = 3, k = 64, bands = 16, minJaccard = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // bands=16, r=4: a J>=0.8 pair is caught w.p. 1-(1-0.8^4)^16 ≈ 0.9998
+    assert(truth.nonEmpty && truth.subsetOf(found))
+    // est vs exact on the identical pair
+    val est = Dedup.minHashCandidates(docs, "doc_id", "text", w = 3, k = 64, bands = 16)
+      .where(col("id_a") === 100L && col("id_b") === 101L)
+      .collect()(0).getAs[Double]("est_jaccard")
+    assert(est === 1.0)
+  }
+
+  test("simHash: identical texts collide, near texts are close, distinct are far") {
+    val sh = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(100L) === sh(101L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(100L), sh(102L)) <= 12)
+    assert(hamming(sh(100L), sh(103L)) > 12)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.8,
+      dim = 64, nPlanes = 16, nBands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(brute)) // verify step guarantees no false positives
+    if (brute.nonEmpty) {
+      val recall = lsh.intersect(brute).size.toDouble / brute.size
+      assert(recall >= 0.5, s"LSH recall $recall over ${brute.size} true pairs")
+    }
+  }
+}

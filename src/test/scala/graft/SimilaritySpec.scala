@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.where(col("vec_id") < 8)
+  private lazy val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+
+  test("bruteForceTopK returns exactly k ranked neighbors per query, self excluded") {
+    val rows = truth.collect()
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size === 8)
+    perQuery.foreach { case (q, rs) =>
+      assert(rs.length === 3)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq === Seq(1, 2, 3))
+      assert(!rs.exists(_.getAs[Long]("corpus_id") == q))
+      // ranks ordered by descending cosine
+      val byRank = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK recall@3 vs brute force") {
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3,
+      dim = 64, nPlanes = 16, nBands = 8)
+    val recall = Similarity.recallAtK(ann, truth)
+    assert(recall >= 0.5, s"LSH recall@3 = $recall")
+  }
+
+  test("ivfTopK recall@3 vs brute force") {
+    val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 4)
+    val recall = Similarity.recallAtK(ann, truth)
+    assert(recall >= 0.7, s"IVF recall@3 = $recall")
+  }
+
+  test("ANN results never invent pairs: every ANN hit has the true cosine") {
+    val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
+    // nprobe = nlist → exhaustive scan → must equal brute force exactly
+    val a = ann.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val t = truth.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === t)
+  }
+}
