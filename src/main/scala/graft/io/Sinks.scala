@@ -1,0 +1,102 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks (SURVEY.md §2.1 S4–S6): CSV golden tables, JSON summary,
+  * Markdown report. The reference's entire deliverable is 29 CSVs + 1
+  * JSON + 1 report (`eda_workspace/public_eda_pipeline.py:104-905`), all
+  * ≤ ~21k rows — post-aggregation artifacts.
+  *
+  * Scale stance: these sinks are for SMALL results (the contract of every
+  * call site: aggregated tables). `writeCsv` collects to the driver —
+  * guarded by `maxRows` so a mis-wired call on a 100 TB frame fails fast
+  * instead of OOMing the driver; use `writeCsvDistributed` for anything
+  * larger (one file per partition, no driver round-trip).
+  */
+object Sinks {
+
+  /** Driver-side CSV writer for small aggregated tables (header + RFC-ish
+    * quoting). Deterministic: writes rows in the DataFrame's order — give
+    * it a sorted frame. */
+  def writeCsv(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeCsv($path): > $maxRows rows — use writeCsvDistributed for large outputs")
+    val cols = df.columns
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case other => other.toString
+    }
+    val sb = new StringBuilder
+    sb.append(cols.mkString(",")).append('\n')
+    rows.foreach { r =>
+      sb.append(cols.indices.map(i => cell(r.get(i))).mkString(",")).append('\n')
+    }
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, sb.toString)
+  }
+
+  /** Distributed CSV sink for large outputs (S4 scale path). */
+  def writeCsvDistributed(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** Minimal JSON rendering of a scalar map (S5 `summary.json`). Values:
+    * numbers, booleans, strings, null. Keys emitted in insertion order. */
+  def toJson(m: Seq[(String, Any)]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def render(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case d: Double =>
+        if (d.isNaN || d.isInfinite) "null" else BigDecimal(d).toString
+      case f: Float => render(f.toDouble)
+      case s: String => "\"" + esc(s) + "\""
+      case seq: Seq[_] => seq.map(render).mkString("[", ",", "]")
+      case other => "\"" + esc(other.toString) + "\""
+    }
+    m.map { case (k, v) => "\"" + esc(k) + "\": " + render(v) }
+      .mkString("{\n  ", ",\n  ", "\n}")
+  }
+
+  def writeJson(m: Seq[(String, Any)], path: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, toJson(m))
+  }
+
+  /** Fixed-width pretty table of the first `n` rows (S6 report blocks —
+    * mirrors the reference's `pretty` helper, `public_eda_pipeline
+    * .py:46-49`). */
+  def pretty(df: DataFrame, n: Int = 10): String = {
+    val rows = df.limit(n).collect()
+    val cols = df.columns
+    val cells = rows.map(r => cols.indices.map(i => Option(r.get(i)).map {
+      case d: Double => f"$d%.6g"
+      case other => other.toString
+    }.getOrElse("null")).toArray)
+    val widths = cols.indices.map(i =>
+      (cols(i).length +: cells.map(_(i).length)).max)
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.reverse.padTo(w, ' ').reverse }
+        .mkString("  ")
+    (line(cols.toSeq) +: cells.map(c => line(c.toSeq)).toSeq).mkString("\n")
+  }
+
+  def writeText(s: String, path: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, s)
+  }
+}

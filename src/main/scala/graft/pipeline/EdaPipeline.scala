@@ -1,0 +1,336 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{FeatureCatalog, Relational, Sampling, WideAgg}
+import graft.io.Sinks
+import graft.ml.{Adversarial, Clustering}
+import graft.stats.{Auc, Correlations, StatTests}
+
+/** End-to-end EDA pipeline: the reference's analysis blocks in order
+  * (`eda_workspace/public_eda_pipeline.py:73-714`), re-expressed
+  * Spark-first over the reference-schema analog (FIXTURES.md §A).
+  * Emits the golden-table layout: CSVs + summary.json + report.md.
+  *
+  * Block → reference line map:
+  *   1 counts P:76-85 · 2 target stats P:87-116 · 3 opened dist P:119-135
+  *   4 pair lift P:138-173 · 5 corr matrix + antagonist P:140-181
+  *   6 clustering P:184-229 · 7 main missingness P:233-247
+  *   8 extra bands P:249-280 · 9 filled-count deciles/AUC P:283-318
+  *   10 missing-indicator AUC P:321-364 · 11 dictionaries P:369-405
+  *   12 adversarial P:410-459 · 13 linear screen P:464-536
+  *   14 universality P:539-594 · 15 whales P:599-669 · 16 summary P:674-905
+  *
+  * Scale: every block that touches full-width input runs as Spark jobs
+  * (batched wide aggs, one-pass Gramians, sampled joins with pushed-down
+  * hash filters); only post-aggregation artifacts (≤ ~20k rows) cross to
+  * the driver for CSV/stats.
+  */
+object EdaPipeline {
+
+  final case class Result(
+      trainRows: Long, testRows: Long,
+      nTargets: Int, rareTargets: Int,
+      filledCountAuc: Double, filledCountPb: Double,
+      adversarialAuc: Double,
+      silhouetteK4: Double, largestClusterShare: Double,
+      unseenCatFeatures: Int,
+      screenedFeatures: Int, screenSampleRows: Long,
+      whaleSignificant: Long)
+
+  def run(spark: SparkSession, inputDir: String, outDir: String): Result = {
+    def load(n: String) = spark.read.parquet(s"$inputDir/$n.parquet")
+    def out(n: String) = s"$outDir/$n"
+
+    val trainMain = load("train_main_features")
+    val testMain = load("test_main_features")
+    val trainExtra = load("train_extra_features")
+    val trainTarget = load("train_target")
+
+    val mainCat = FeatureCatalog.fromSchema(trainMain.schema.fieldNames.toSeq)
+    val extraCat = FeatureCatalog.fromSchema(trainExtra.schema.fieldNames.toSeq)
+    val tgtCat = FeatureCatalog.fromSchema(trainTarget.schema.fieldNames.toSeq)
+    val targets = tgtCat.targets
+
+    // ---- 1: dataset sizes --------------------------------------------------
+    val trainRows = trainMain.count()
+    val testRows = testMain.count()
+
+    // ---- 2: target stats (wide sum → rate → family → sort) -----------------
+    val sums = WideAgg.runBatched(trainTarget, targets, c => sum(col(c).cast("long"))).toMap
+    val targetStats = targets.map { t =>
+      val pos = sums(t).map(_.toLong).getOrElse(0L)
+      (t, FeatureCatalog.targetFamily(t), pos, pos.toDouble / trainRows)
+    }
+    import spark.implicits._
+    val targetStatsDf = targetStats.toDF("target", "family", "positive_count", "positive_rate")
+      .orderBy(col("positive_count").desc, col("target"))
+    Sinks.writeCsv(targetStatsDf, out("target_stats.csv"))
+    val familyStats = targetStatsDf.groupBy(col("family"))
+      .agg(count(lit(1)).as("n_targets"), avg(col("positive_rate")).as("avg_rate"),
+        min(col("positive_rate")).as("min_rate"), max(col("positive_rate")).as("max_rate"))
+      .orderBy(col("family"))
+    Sinks.writeCsv(familyStats, out("target_family_stats.csv"))
+
+    // ---- 3: opened-targets distribution ------------------------------------
+    val opened = trainTarget.withColumn("n_opened", WideAgg.horizontalSum(targets))
+    Sinks.writeCsv(
+      opened.groupBy(col("n_opened")).agg(count(lit(1)).as("n_customers")).orderBy(col("n_opened")),
+      out("opened_targets_distribution.csv"))
+
+    // ---- 4: pair co-occurrence + lift --------------------------------------
+    val pairDf = Correlations.pairLift(trainTarget, targets)
+    Sinks.writeCsv(pairDf.orderBy(col("col_a"), col("col_b")), out("target_pair_stats.csv"))
+    Sinks.writeCsv(
+      pairDf.where(col("co_count") >= 10)
+        .orderBy(col("pair_lift").desc, col("col_a"), col("col_b")).limit(30),
+      out("target_top_pairs.csv"))
+
+    // ---- 5: 41×41 corr matrix + antagonist slice ---------------------------
+    val corrM = Correlations.corrMatrix(trainTarget, targets)
+    val corrRows = targets.indices.map { i =>
+      org.apache.spark.sql.Row.fromSeq(targets(i) +: targets.indices.map(j => corrM(i, j)))
+    }
+    val corrSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("target", org.apache.spark.sql.types.StringType) +:
+        targets.map(t => org.apache.spark.sql.types.StructField(t,
+          org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    Sinks.writeCsv(spark.createDataFrame(corrRows.asJava, corrSchema), out("target_corr_matrix.csv"))
+    val antagonist = targets.head // family-10 analog of target_10_1
+    val ai = targets.indexOf(antagonist)
+    val antiCorrs = targets.indices.filter(_ != ai).map(j => corrM(ai, j))
+    val antagonistNegShare = antiCorrs.count(_ < 0).toDouble / antiCorrs.size
+    Sinks.writeCsv(
+      targets.indices.filter(_ != ai).map(j => (targets(j), corrM(ai, j)))
+        .toDF("target", "corr_with_antagonist").orderBy(col("corr_with_antagonist")),
+      out("antagonist_corr_slice.csv"))
+
+    // ---- 6: clustering on 1−|corr| (k ∈ {3,4,5}) ---------------------------
+    val dist = Array.tabulate(targets.size, targets.size)((i, j) => 1.0 - math.abs(corrM(i, j)))
+    val byK = Seq(3, 4, 5).map { k =>
+      val labels = Clustering.averageLinkage(dist, k)
+      k -> (labels, Clustering.silhouette(dist, labels))
+    }.toMap
+    val (labels4, sil4) = byK(4)
+    val families = targets.map(FeatureCatalog.targetFamily).toArray
+    Sinks.writeCsv(
+      targets.indices.map(i => (targets(i), families(i), labels4(i)))
+        .toDF("target", "family", "cluster").orderBy(col("cluster"), col("target")),
+      out("target_cluster_assignments.csv"))
+    Sinks.writeCsv(
+      Clustering.summaries(dist, labels4, families)
+        .map(s => (s.cluster, s.size, s.avgIntraDist, s.dominantGroup, s.dominantShare))
+        .toDF("cluster", "size", "avg_intra_dist", "dominant_family", "dominant_share"),
+      out("target_cluster_summary.csv"))
+    val largestShare = labels4.groupBy(identity).values.map(_.size).max.toDouble / targets.size
+
+    // ---- 7: main-feature missingness ---------------------------------------
+    val mainFeats = mainCat.allFeatures
+    val mainNulls = WideAgg.nullProfile(trainMain, mainFeats)
+      .withColumn("feature_type",
+        when(col("col_name").startsWith("num_"), "numeric").otherwise("categorical"))
+      .withColumn("source", lit("main"))
+    Sinks.writeCsv(mainNulls.orderBy(col("null_rate").desc, col("col_name")),
+      out("feature_missingness_summary.csv"))
+
+    // ---- 8: extra-feature missingness bands --------------------------------
+    val extraNulls = WideAgg.nullProfile(trainExtra, extraCat.numFeatures)
+    val banded = extraNulls.withColumn("band", Relational.bandLabel(
+      col("null_rate"),
+      Seq("a_.. <=0.10" -> 0.10001, "b_.. <=0.50" -> 0.50001, "c_.. <=0.90" -> 0.90001,
+        "d_.. <=0.99" -> 0.99001), "e_.. >0.99"))
+    Sinks.writeCsv(
+      banded.groupBy(col("band")).agg(count(lit(1)).as("n_features")).orderBy(col("band")),
+      out("extra_missingness_bands.csv"))
+
+    // ---- 9: filled-extra-count → deciles, AUC, point-biserial --------------
+    val filled = trainExtra.select(
+      col("customer_id"),
+      extraCat.numFeatures.map(c => col(c).isNotNull.cast("int")).reduce(_ + _).as("filled_extra_count"))
+    val anyOpen = trainTarget.select(
+      col("customer_id"),
+      WideAgg.flag(WideAgg.horizontalSum(targets) > 0).as("any_open"))
+    val joined = filled.join(anyOpen, Seq("customer_id"), "inner").cache()
+    val deciles = Relational.decileExact(joined, Seq(col("filled_extra_count"), col("customer_id")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), avg(col("filled_extra_count")).as("avg_filled"),
+        avg(col("any_open").cast("double")).as("open_rate"))
+      .orderBy(col("decile"))
+    Sinks.writeCsv(deciles, out("filled_extra_count_deciles.csv"))
+    val aucRow = Auc.aucDf(joined, col("any_open") === 1, col("filled_extra_count")).collect()(0)
+    val filledAuc = aucRow.getAs[Double]("auc")
+    val pbRow = joined.agg(
+      corr(col("any_open").cast("double"), col("filled_extra_count").cast("double")).as("r"),
+      count(lit(1)).as("n")).collect()(0)
+    val filledPb = pbRow.getAs[Double]("r")
+    val filledPbP = StatTests.corrPValue(filledPb, pbRow.getAs[Long]("n"))
+    joined.unpersist()
+
+    // ---- 10: missing-indicator AUC (30% sample) ----------------------------
+    val candidates = extraNulls.collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .filter { case (_, nr) => nr > 0.05 && nr < 0.95 }.map(_._1).take(20).toSeq
+    val sampled = Sampling.modSample(trainExtra, "customer_id", 30)
+      .select((col("customer_id") +: candidates.map(col)): _*)
+      .join(anyOpen, Seq("customer_id"), "inner").cache()
+    val indAuc = candidates.map { c =>
+      val r = Auc.aucDf(sampled, col("any_open") === 1, col(c).isNotNull.cast("int")).collect()(0)
+      (c, r.getAs[Double]("auc"), math.max(r.getAs[Double]("auc"), 1 - r.getAs[Double]("auc")))
+    }
+    sampled.unpersist()
+    Sinks.writeCsv(
+      indAuc.toDF("feature", "auc", "abs_auc").orderBy(col("abs_auc").desc, col("feature")),
+      out("missing_indicator_auc.csv"))
+
+    // ---- 11: categorical dictionaries + unseen test categories -------------
+    val catStats = mainCat.catFeatures.map { c =>
+      val trD = trainMain.select(c).distinct()
+      val teD = testMain.select(c).distinct()
+      val unseen = teD.join(trD, Seq(c), "left_anti").count()
+      val unseenRows = if (unseen == 0) 0L
+      else testMain.join(trD, Seq(c), "left_anti").count()
+      (c, trD.count(), teD.count(), unseen, unseenRows.toDouble / testRows)
+    }
+    Sinks.writeCsv(
+      catStats.toDF("feature", "train_cardinality", "test_cardinality",
+        "unseen_test_values", "unseen_row_rate").orderBy(col("feature")),
+      out("categorical_cardinality.csv"))
+    val unseenFeatures = catStats.count(_._4 > 0)
+
+    // ---- 12: adversarial shift (20% samples) -------------------------------
+    val advCols = mainCat.numFeatures ++ mainCat.catFeatures
+    val (advAuc, _, _) = Adversarial.adversarialAuc(
+      Sampling.modSample(trainMain, "customer_id", 20),
+      Sampling.modSample(testMain, "customer_id", 20),
+      advCols, maxIter = 15, maxDepth = 4)
+    Sinks.writeCsv(Seq(("train_vs_test", advAuc)).toDF("experiment", "auc"),
+      out("adversarial_auc.csv"))
+
+    // ---- 13: linear screening (12% sample, impute, cross-corr) -------------
+    val screenFeats = mainCat.numFeatures ++
+      extraNulls.collect().map(r => r.getString(0) -> r.getDouble(1))
+        .filter(_._2 < 0.95).map(_._1).toSeq
+    val screenSample = Sampling.modSample(trainMain, "customer_id", 12)
+      .select((col("customer_id") +: mainCat.numFeatures.map(col)): _*)
+      .join(Sampling.modSample(trainExtra, "customer_id", 12)
+        .select((col("customer_id") +:
+          screenFeats.filterNot(mainCat.numFeatures.contains).map(col)): _*),
+        Seq("customer_id"), "inner")
+      .join(Sampling.modSample(trainTarget, "customer_id", 12), Seq("customer_id"), "inner")
+      .cache()
+    val screenRows = screenSample.count()
+    val linear = Correlations.crossCorr(screenSample, screenFeats, targets)
+    Sinks.writeCsv(linear.orderBy(col("feature"), col("target")),
+      out("feature_target_linear_corr.csv"))
+    val top10 = Relational.topKPerGroup(
+      linear.na.drop(Seq("corr")), Seq("target"), Seq(col("abs_corr").desc, col("feature")), 10)
+    Sinks.writeCsv(top10.orderBy(col("target"), col("rk")), out("top10_features_per_target.csv"))
+    screenSample.unpersist()
+
+    // ---- 14: feature universality ------------------------------------------
+    val universality = linear.na.drop(Seq("corr")).groupBy(col("feature"))
+      .agg(
+        sum(when(col("abs_corr") > 0.05, 1).otherwise(0)).as("n_targets_gt05"),
+        avg(col("abs_corr")).as("mean_abs_corr"),
+        max(col("abs_corr")).as("max_abs_corr"),
+        median(col("abs_corr")).as("median_abs_corr"))
+      .orderBy(col("n_targets_gt05").desc, col("mean_abs_corr").desc, col("feature"))
+    Sinks.writeCsv(universality, out("feature_universality.csv"))
+
+    // ---- 15: whale signals (p99 cut × rare targets, Fisher) ----------------
+    val rare = targetStats.filter(_._4 < 0.05).map(_._1).take(8)
+    val whaleSample = Sampling.modSample(trainMain, "customer_id", 12)
+      .join(trainTarget.select((col("customer_id") +: rare.map(col)): _*),
+        Seq("customer_id"), "inner").cache()
+    val nW = whaleSample.count()
+    val numFeats = mainCat.numFeatures
+    val cuts = WideAgg.runBatched(whaleSample, numFeats,
+      c => percentile(col(c), lit(0.99))).toMap
+    // one pass: per (feature,target) contingency via conditional aggs
+    val aggExprs = numFeats.flatMap { f =>
+      val whale = col(f).isNotNull && col(f) >= cuts(f).getOrElse(Double.MaxValue)
+      Seq(sum(when(whale, 1L).otherwise(0L)).as(s"${f}__n")) ++ rare.map { t =>
+        sum(when(whale && col(t) === 1, 1L).otherwise(0L)).as(s"${f}__${t}__a")
+      }
+    } ++ rare.map(t => sum(col(t).cast("long")).as(s"__tot__$t"))
+    val aggRow = whaleSample.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    whaleSample.unpersist()
+    def gl(n: String): Long = if (aggRow.isNullAt(aggRow.fieldIndex(n))) 0L
+      else aggRow.getLong(aggRow.fieldIndex(n))
+    val whaleRows = for {
+      f <- numFeats
+      t <- rare
+      nWhale = gl(s"${f}__n") if nWhale > 0
+      a = gl(s"${f}__${t}__a")
+      tot = gl(s"__tot__$t")
+    } yield {
+      val b = nWhale - a
+      val c = tot - a
+      val d = nW - nWhale - c
+      val whaleRate = a.toDouble / nWhale
+      val baseRate = tot.toDouble / nW
+      val lift = if (baseRate > 0) whaleRate / baseRate else Double.NaN
+      val p = StatTests.fisherExactGreater(a, b, c, d)
+      (f, t, nWhale, a, lift, p)
+    }
+    val whaleDf = whaleRows
+      .toDF("feature", "target", "n_whales", "n_whale_pos", "lift", "p_value")
+      .orderBy(col("p_value"), col("feature"), col("target"))
+    Sinks.writeCsv(whaleDf, out("whale_signals.csv"))
+    val whaleSig = whaleRows.count(r => r._5 >= 2.0 && r._6 < 0.05).toLong
+
+    // ---- 16: summary.json + report.md --------------------------------------
+    val rareCount = targetStats.count(_._4 < 0.01)
+    val summary = Seq[(String, Any)](
+      "train_rows" -> trainRows, "test_rows" -> testRows,
+      "n_targets" -> targets.size,
+      "n_main_features" -> mainFeats.size,
+      "n_extra_features" -> extraCat.numFeatures.size,
+      "targets_below_1pct" -> rareCount,
+      "antagonist_target" -> antagonist,
+      "antagonist_neg_share" -> antagonistNegShare,
+      "filled_extra_count_auc" -> filledAuc,
+      "filled_extra_count_pointbiserial" -> filledPb,
+      "filled_extra_count_pb_pvalue" -> filledPbP,
+      "adversarial_auc" -> advAuc,
+      "silhouette_k3" -> byK(3)._2, "silhouette_k4" -> sil4, "silhouette_k5" -> byK(5)._2,
+      "largest_cluster_share" -> largestShare,
+      "cat_features_with_unseen" -> unseenFeatures,
+      "screened_features" -> screenFeats.size,
+      "screen_sample_rows" -> screenRows,
+      "whale_significant_pairs" -> whaleSig)
+    Sinks.writeJson(summary, out("summary.json"))
+
+    val report =
+      s"""# EDA report (Spark-native rebuild)
+         |
+         |Deterministic pipeline over `$inputDir` (seeded hash sampling,
+         |reference block order). Memory-safe via distributed execution.
+         |
+         |## Dataset
+         |- train rows: $trainRows, test rows: $testRows
+         |- targets: ${targets.size} (${rareCount} below 1% prevalence)
+         |
+         |## Target stats (top 10)
+         |${Sinks.pretty(targetStatsDf, 10)}
+         |
+         |## Opened-target distribution
+         |${Sinks.pretty(opened.groupBy(col("n_opened")).count().orderBy(col("n_opened")), 10)}
+         |
+         |## Clustering (k=4): silhouette ${f"$sil4%.4f"}, largest share ${f"$largestShare%.3f"}
+         |
+         |## Filled-extra-count: AUC ${f"$filledAuc%.4f"}, point-biserial ${f"$filledPb%.4f"}
+         |
+         |## Adversarial AUC (train vs test): ${f"$advAuc%.4f"}
+         |
+         |## Whale signals (top 10 by p-value)
+         |${Sinks.pretty(whaleDf, 10)}
+         |""".stripMargin
+    Sinks.writeText(report, out("report.md"))
+
+    Result(trainRows, testRows, targets.size, rareCount,
+      filledAuc, filledPb, advAuc, sil4, largestShare,
+      unseenFeatures, screenFeats.size, screenRows, whaleSig)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.fixtures.RefFixture
+import graft.pipeline.EdaPipeline
+
+/** End-to-end pipeline test on the reference-schema analog fixture —
+  * the golden-table invariants from SURVEY.md §5. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val result = {
+    val dir = Files.createTempDirectory("graft_fixture").toString
+    val outDir = Files.createTempDirectory("graft_out").toString
+    RefFixture.write(spark, dir, nTrain = 6000, nTest = 2000)
+    (EdaPipeline.run(spark, dir, outDir), outDir)
+  }
+
+  test("pipeline emits the full golden-table layout") {
+    val (_, outDir) = result
+    val expected = Seq(
+      "target_stats.csv", "target_family_stats.csv", "opened_targets_distribution.csv",
+      "target_pair_stats.csv", "target_top_pairs.csv", "target_corr_matrix.csv",
+      "antagonist_corr_slice.csv", "target_cluster_assignments.csv",
+      "target_cluster_summary.csv", "feature_missingness_summary.csv",
+      "extra_missingness_bands.csv", "filled_extra_count_deciles.csv",
+      "missing_indicator_auc.csv", "categorical_cardinality.csv",
+      "adversarial_auc.csv", "feature_target_linear_corr.csv",
+      "top10_features_per_target.csv", "feature_universality.csv",
+      "whale_signals.csv", "summary.json", "report.md")
+    val missing = expected.filterNot(f => Files.exists(Paths.get(outDir, f)))
+    assert(missing.isEmpty, s"missing artifacts: $missing")
+  }
+
+  test("golden invariants: 41 target rows, C(41,2) pairs, corr symmetry") {
+    val (r, outDir) = result
+    assert(r.nTargets === 41)
+    val stats = Files.readAllLines(Paths.get(outDir, "target_stats.csv"))
+    assert(stats.size === 42) // header + 41
+    val pairs = Files.readAllLines(Paths.get(outDir, "target_pair_stats.csv"))
+    assert(pairs.size === 821) // header + C(41,2)=820
+    // corr matrix: 41 rows, unit diagonal
+    val corr = Files.readAllLines(Paths.get(outDir, "target_corr_matrix.csv"))
+    assert(corr.size === 42)
+    val header = corr.get(0).split(",")
+    (1 until 42).foreach { i =>
+      val cells = corr.get(i).split(",")
+      val name = cells(0)
+      val diagIdx = header.indexOf(name)
+      assert(math.abs(cells(diagIdx).toDouble - 1.0) < 1e-9, s"diag of $name")
+    }
+  }
+
+  test("metric windows: rates in [0,1], AUC sane, adversarial ~0.5, signal found") {
+    val (r, _) = result
+    assert(r.trainRows === 6000 && r.testRows === 2000)
+    // missingness carries planted signal → AUC must clearly beat chance
+    assert(r.filledCountAuc > 0.55 && r.filledCountAuc <= 1.0, s"auc=${r.filledCountAuc}")
+    assert(r.filledCountPb > 0.02, s"pb=${r.filledCountPb}")
+    // train/test mains are iid by construction (modulo unseen cat codes)
+    assert(r.adversarialAuc > 0.3 && r.adversarialAuc < 0.7, s"adv=${r.adversarialAuc}")
+    assert(r.silhouetteK4 >= -1.0 && r.silhouetteK4 <= 1.0)
+    assert(r.largestClusterShare >= 1.0 / 41 && r.largestClusterShare <= 1.0)
+    // fixture plants unseen test categories in cat_feature_4/5
+    assert(r.unseenCatFeatures >= 1, s"unseen=${r.unseenCatFeatures}")
+    assert(r.screenedFeatures > 0 && r.screenSampleRows > 0)
+  }
+
+  test("deciles monotone in avg_filled") {
+    val (_, outDir) = result
+    val lines = Files.readAllLines(Paths.get(outDir, "filled_extra_count_deciles.csv"))
+    val header = lines.get(0).split(",").toSeq
+    val avgIdx = header.indexOf("avg_filled")
+    val avgs = (1 until lines.size).map(i => lines.get(i).split(",")(avgIdx).toDouble)
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b + 1e-9 }, s"deciles $avgs")
+  }
+}
