@@ -26,11 +26,27 @@ object Similarity {
     * for ≤ a few hundred queries). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
+    // Query set broadcast as primitive arrays; the corpus streams through
+    // a mapPartitions dense kernel (a query⨯corpus non-equi join would be
+    // an interpreted BroadcastNestedLoopJoin — ~30× slower measured).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v, math.sqrt(Dedup.dotArr(v, v))) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (cid, cv) =>
+          val nc = math.sqrt(Dedup.dotArr(cv, cv))
+          bc.value.iterator
+            .filter(_._1 != cid)
+            .map { case (qid, qv, nq) => (qid, cid, Dedup.dotArr(qv, cv) / (nq * nc)) }
+        }
+      }.toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
@@ -48,7 +64,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     def sigOf(v: Column): Column = {
-      val bits = planes.toSeq.map(p => when(dot(v, typedLit(p.toSeq)) > 0, 1L).otherwise(0L))
+      val bits = planes.toSeq.map(p => when(dot(v, typedLit(p.toSeq), dim) > 0, 1L).otherwise(0L))
       bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
     }
     val r = nPlanes / nBands
@@ -67,7 +83,7 @@ object Similarity {
       .where(col("query_id") =!= col("corpus_id"))
       .select("query_id", "qv", "corpus_id", "cv")
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     cands.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
@@ -81,7 +97,7 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, dim: Int = 0): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -102,7 +118,7 @@ object Similarity {
       .toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val qCells = q.crossJoin(broadcast(cents))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid"), dim))
     val wq = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
     val probes = qCells.withColumn("crk", row_number().over(wq))
       .where(col("crk") <= nprobe)
@@ -110,7 +126,7 @@ object Similarity {
 
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     cands.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)

@@ -76,7 +76,7 @@ object LlmQueries {
       None),
 
     Q("d5_embed_neardup",
-      (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.88)
+      (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.88, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b")),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -92,7 +92,7 @@ object LlmQueries {
       (s, d) => Similarity.bruteForceTopK(
         T(s, d, "embeddings"),
         T(s, d, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3)
+        "vec_id", "embedding", k = 3, dim = 64)
         .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy(col("query_id"), col("rk")),
       Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -120,7 +120,7 @@ object LlmQueries {
       (s, d) => Similarity.ivfTopK(
         T(s, d, "embeddings"),
         T(s, d, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3)
+        "vec_id", "embedding", k = 3, dim = 64)
         .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy(col("query_id"), col("rk")),
       None),
