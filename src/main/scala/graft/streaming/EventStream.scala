@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table: watermarked
+  * windowed aggregation and stateful sessionization — the stream shapes
+  * a training-data/analytics pipeline needs (the reference itself has no
+  * streams; this is the extension surface from SURVEY.md §7.6).
+  *
+  * Scale stance: windowed aggs shuffle on (window, key) with partial
+  * aggregation; sessionization shuffles once on user and holds one small
+  * state object per active key with event-time timeout — both the
+  * standard unbounded-input shapes. Tests drive them with MemoryStream
+  * (deterministic); `runWindowedOnce` replays a bounded parquet dir with
+  * Trigger.AvailableNow, so the final result is comparable to the batch
+  * answer (and DuckDB-oracle-checkable).
+  */
+object EventStream {
+
+  /** Raw footer schema of the driver's events.parquet: ts is INT64
+    * TIMESTAMP(NANOS), which Spark only reads as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`); converted to a proper
+    * timestamp right after the scan. */
+  val RawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window count/sum per event_type with a watermark. */
+  def windowedAgg(events: DataFrame, window: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Replay a bounded parquet events dir as a stream (Trigger.AvailableNow,
+    * complete mode into a memory sink) and return the final window table —
+    * the stream/batch parity surface. */
+  def runWindowedOnce(spark: SparkSession, path: String, sinkName: String,
+      window: String = "1 day"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; the corpus ships single files —
+    // expose one via a symlink in a temp dir (no data copied).
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val stream = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedAgg(stream, window)
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class Session(
+      userId: Long, sessionStart: java.sql.Timestamp, sessionEnd: java.sql.Timestamp,
+      nEvents: Int, sumValue: Double)
+
+  /** Stateful sessionization: events for a user belong to one session
+    * while gaps stay under `gapMs`; a session closes (and emits) when the
+    * event-time watermark passes its last event + gap. The canonical
+    * `flatMapGroupsWithState` shape: one state object per active user,
+    * event-time timeout, append output. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  test("bounded stream replay equals the batch windowed aggregate") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamed = EventStream.runWindowedOnce(
+      spark, "/root/testdata/sf0.001/events.parquet", "spec_sink")
+      .select(col("window_start"), col("event_type"), col("n"), round(col("sum_value"), 6).as("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("s"))
+      .select(col("window.start"), col("event_type"), col("n"), col("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("sessionize groups events by gap and emits on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_sink").start()
+
+    // user 1: two bursts separated by > gap; user 2: one burst
+    input.addData(
+      Event(t(0), 1L, "view", 1.0), Event(t(5), 1L, "click", 2.0),
+      Event(t(30), 1L, "view", 3.0),
+      Event(t(2), 2L, "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far beyond everything → all sessions time out
+    input.addData(Event(t(500), 99L, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(t(1000), 99L, "view", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions_sink").as[Session].collect()
+    q.stop()
+
+    val u1 = out.filter(_.userId == 1L).sortBy(_.sessionStart.getTime)
+    assert(u1.length === 2, s"user1 sessions: ${u1.toSeq}")
+    assert(u1(0).nEvents === 2 && math.abs(u1(0).sumValue - 3.0) < 1e-12)
+    assert(u1(1).nEvents === 1 && math.abs(u1(1).sumValue - 3.0) < 1e-12)
+    val u2 = out.filter(_.userId == 2L)
+    assert(u2.length === 1 && u2(0).nEvents === 1)
+  }
+}
