@@ -245,6 +245,37 @@ object Dedup {
     }.toDF("id_a", "id_b", "cos")
   }
 
+  /** Seeded random hyperplanes for sign-bit LSH signatures. */
+  private[llm] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** (id, v, sig): sign-bit signature computed in a mapPartitions kernel
+    * (an expression tree of nPlanes×dim literals costs seconds of
+    * analysis/codegen per run — the primitive loop is free). */
+  private[llm] def withSignature(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], idName: String = "id", vecName: String = "v"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(planes)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, v) =>
+          var sig = 0L
+          var i = 0
+          while (i < ps.length) {
+            if (dotArr(ps(i), v) > 0) sig |= (1L << i)
+            i += 1
+          }
+          (id, v, sig)
+        }
+      }.toDF(idName, vecName, "sig")
+  }
+
   /** Random-hyperplane LSH cosine near-dup: sign-bit signature over
     * `nPlanes` seeded hyperplanes, banded like SimHash, exact cosine on
     * candidates. The scale path: bucket join + within-bucket verify. */
@@ -252,17 +283,13 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
       dim: Int, nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
     require(nPlanes % nBands == 0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val bits = planes.toSeq.map(p => when(dot(col("v"), typedLit(p.toSeq), dim) > 0, 1L).otherwise(0L))
-    val sig = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val r = nPlanes / nBands
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
     }: _*)
-    val banded = v.withColumn("sig", sig)
+    val banded = withSignature(df, idCol, vecCol, planes)
       .select(col("id"), col("v"), explode(bandArr).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")

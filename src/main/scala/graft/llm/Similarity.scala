@@ -61,20 +61,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       dim: Int, nPlanes: Int = 16, nBands: Int = 8, seed: Long = 42L): DataFrame = {
     require(nPlanes % nBands == 0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    def sigOf(v: Column): Column = {
-      val bits = planes.toSeq.map(p => when(dot(v, typedLit(p.toSeq), dim) > 0, 1L).otherwise(0L))
-      bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
-    }
+    val planes = Dedup.hyperplanes(nPlanes, dim, seed)
     val r = nPlanes / nBands
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
     }: _*)
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
-        .withColumn("sig", sigOf(col(vec)))
+      Dedup.withSignature(df, idCol, vecCol, planes, id, vec)
         .select(col(id), col(vec), explode(bandArr).as("bk"))
         .select(col(id), col(vec), col("bk.band").as("band"), col("bk.key").as("key"))
     val cb = banded(corpus, "corpus_id", "cv")

@@ -35,8 +35,12 @@ object LlmQueries {
              |FROM (SELECT md5(text) AS h, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
              |      FROM documents GROUP BY 1)""".stripMargin)),
 
+    // w=5 shingles: on this fixture's tiny 31-word vocab, 3-gram buckets
+    // collide massively (every doc pair shares one); 5-grams keep the
+    // inverted-index join sparse — the same reason production dedup uses
+    // 5-13-token shingles.
     Q("d2_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", w = 3, minJaccard = 0.35)
+      (s, d) => Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", w = 5, minJaccard = 0.12)
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
@@ -44,8 +48,8 @@ object LlmQueries {
              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (
              |  SELECT DISTINCT doc_id, sh FROM (
-             |    SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-             |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS shs
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
              |    FROM toks), UNNEST(shs) AS u(sh)),
              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
              |inter AS (
@@ -56,7 +60,7 @@ object LlmQueries {
              |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
              |FROM inter JOIN sizes sa ON sa.doc_id = id_a
              |JOIN sizes sb ON sb.doc_id = id_b
-             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // MinHash/SimHash: xxhash64-based — no DuckDB twin; rows-only checks.
@@ -64,7 +68,7 @@ object LlmQueries {
     // (src/test/scala/graft/DedupSpec.scala).
     Q("d3_minhash_lsh",
       (s, d) => Dedup.minHashNearDup(
-        T(s, d, "documents"), "doc_id", "text", w = 3, k = 64, bands = 16, minJaccard = 0.35)
+        T(s, d, "documents"), "doc_id", "text", w = 5, k = 64, bands = 32, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
