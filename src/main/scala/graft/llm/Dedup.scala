@@ -59,7 +59,10 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       w: Int, minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    // the shingle table feeds three consumers (sizes, both join sides) —
+    // persist so the explode runs once, not three times
     val sh = shingles(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
@@ -131,6 +134,7 @@ object Dedup {
       w: Int = 3, k: Int = 64, bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, w, k, bands)
     val sh = shingles(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("sa")
       .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))

@@ -99,7 +99,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell")
+      .setPredictionCol("cell").setMaxIter(10) // coarse quantizer: 10 iters is plenty
     val model = km.fit(c)
     val assigned = model.transform(c).select("corpus_id", "cv", "cell")
 

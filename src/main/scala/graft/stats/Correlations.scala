@@ -104,10 +104,10 @@ object Correlations {
     * driver-side pair enumeration (≤ C(k,2) rows). Lift =
     * P(a∧b)/(P(a)·P(b)). */
   def pairLift(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // O(k²) aggregate expressions — one codegen'd pass for k ≤ 64; beyond
-    // that the constant pool blows up, so refuse loudly (use
-    // RowMatrix.computeGramianMatrix for wider inputs).
-    require(cols.length <= 64, s"pairLift: ${cols.length} cols > 64; use a Gramian path")
+    // O(k²) aggregate expressions — one codegen'd pass for k ≤ 64; wider
+    // inputs route through the RowMatrix Gramian (one treeAggregate of a
+    // k×k buffer — no codegen blowup).
+    if (cols.length > 64) return pairLiftGramian(df, cols)
     val spark = df.sparkSession
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
     // ONE full-scan pass: total count + k marginal sums + C(k,2) co-counts.
@@ -127,6 +127,45 @@ object Correlations {
       val pb = counts(j) / n
       val lift = if (pa > 0 && pb > 0) (co / n) / (pa * pb) else Double.NaN
       Row(cols(i), cols(j), counts(i), counts(j), co, lift)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.asJava,
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("count_a", LongType, nullable = false),
+        StructField("count_b", LongType, nullable = false),
+        StructField("co_count", LongType, nullable = false),
+        StructField("pair_lift", DoubleType, nullable = true))))
+  }
+
+  /** Wide-k pair lift via `RowMatrix.computeGramianMatrix`: yᵀy in one
+    * treeAggregate of a k×k upper-triangular buffer — scales to k in the
+    * thousands where per-pair aggregate expressions would blow the codegen
+    * constant pool. Counts are exact (0/1 inputs ⇒ integer-valued doubles
+    * below 2^53). Same output schema as [[pairLift]]. */
+  def pairLiftGramian(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    val k = cols.length
+    val casted = df.select(cols.map(c => coalesce(col(c).cast(DoubleType), lit(0.0)).as(c)): _*)
+    val rdd = casted.rdd.map { r =>
+      OldVectors.dense(Array.tabulate(k)(i => r.getDouble(i)))
+    }
+    rdd.cache()
+    val n = rdd.count().toDouble
+    val gram = new RowMatrix(rdd).computeGramianMatrix()
+    rdd.unpersist()
+    val rows = for { i <- 0 until k; j <- 0 until k if i < j } yield {
+      val ca = gram(i, i).toLong
+      val cb = gram(j, j).toLong
+      val co = gram(i, j).toLong
+      val pa = ca / n
+      val pb = cb / n
+      val lift = if (pa > 0 && pb > 0) ((co / n) / (pa * pb)) else Double.NaN
+      Row(cols(i), cols(j), ca, cb, co, lift)
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
