@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the 100-TB path: bucketed co-located joins (no
+  * shuffle at query time) and salted joins for skewed keys.
+  *
+  * Bucketing: for repeatedly-joined fact tables, paying one write-side
+  * shuffle (`bucketBy`) removes the per-query Exchange on both sides —
+  * the sort-merge join reads co-located buckets directly. Salting: a hot
+  * key that overwhelms one reducer is spread over `salts` subkeys; the
+  * small side is replicated per salt (classic skew mitigation when AQE's
+  * skew-join split isn't available, e.g. non-AQE plans or stream-static
+  * joins).
+  */
+object Joins {
+
+  /** Write `df` as a bucketed+sorted managed table. One-time shuffle so
+    * every later equi-join/aggregation on `keyCol` is exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — planner elides
+    * both Exchanges (verified by `JoinsSpec`). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      keyCol: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
+
+  /** Salted inner equi-join: big side gets a per-row salt in [0, salts);
+    * small side is replicated across all salts (explode of a static
+    * array — `salts`× small-side rows). The salt only spreads rows of a
+    * hot key across reducers; since the small side carries every salt,
+    * the join result equals a plain inner join on `key` for ANY salt
+    * assignment (so the per-row id source needn't be retry-stable). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}
