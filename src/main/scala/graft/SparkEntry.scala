@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AggQueries, LlmQueries, MlQueries, Q, RelationalQueries, StreamQueries}
+import graft.queries.{AggQueries, LlmQueries, MlQueries, Q, RelationalQueries, StreamQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def registry: Seq[Q] =
     RelationalQueries.all ++ AggQueries.all ++ LlmQueries.all ++ MlQueries.all ++
-      StreamQueries.all
+      StreamQueries.all ++ WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's target-prevalence block (scan → wide agg →

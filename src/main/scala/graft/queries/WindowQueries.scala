@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function depth: analytic functions (rank family, lag/lead)
+  * and the batch sessionization shape (lag + cumulative sum over a
+  * per-user window) — the batch twin of streaming sessionize, fully
+  * DuckDB-oracle-checked. */
+object WindowQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("w6_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rk", rank().over(w).cast("int"))
+          .withColumn("drk", dense_rank().over(w).cast("int"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .where(col("rk") <= 5)
+          .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(RANK() OVER w AS INTEGER) AS rk,
+             |    CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+             |    LAG(o_totalprice, 1) OVER w AS prev_price,
+             |    LEAD(o_totalprice, 1) OVER w AS next_price,
+             |    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+             |WHERE rk <= 5 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin)),
+
+    // Batch sessionization: lag-gap flag → cumulative-sum session id →
+    // per-session stats → session-size histogram (small deterministic
+    // output). The batch twin of streaming/EventStream.sessionize.
+    Q("st2_sessions_batch",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapMin = 30L
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMin * 60, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(byUser))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("n_events"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             |  FROM f),
+             |per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+             |SELECT n_events, COUNT(*) AS n_sessions FROM per
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
