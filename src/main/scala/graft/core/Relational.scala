@@ -77,6 +77,19 @@ object Relational {
   def unionLabeled(a: DataFrame, b: DataFrame, labelCol: String): DataFrame =
     a.withColumn(labelCol, lit(0)).unionByName(b.withColumn(labelCol, lit(1)))
 
+  /** Sketch twins of the exact operators (SURVEY §7.6): constant-memory
+    * per-column estimates for the 100 TB path, where COUNT(DISTINCT) /
+    * exact percentile would shuffle every value. rsd/relErr trade
+    * precision for sketch size; accuracy contracts live in CoreSpec. */
+  def distinctCountApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
+
+  def quantilesApprox(df: DataFrame, c: String, probs: Seq[Double],
+      relErr: Double = 1e-3): Seq[Double] =
+    df.stat.approxQuantile(c, probs.toArray, relErr).toSeq
+
   /** A19 (exact): whale contingency — top-`pct`% rows by `order` (strict
     * lexicographic rank; include unique tie-breakers) vs a boolean target:
     * returns (a,b,c,d) with a = whale∧target, b = whale∧¬target,

@@ -80,6 +80,25 @@ object WindowQueries {
              |  FROM f),
              |per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
              |SELECT n_events, COUNT(*) AS n_sessions FROM per
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Semi-structured column: events.props is a JSON string — parse with
+    // from_json (vectorized, no UDF) and aggregate on an extracted field.
+    Q("x5_json_props",
+      (s, d) => events(s, d)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+             |CAST(SUM(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -87,6 +87,36 @@ class CoreSpec extends SparkSpec {
     out.foreach { case (id, r) => assert(r.getAs[String]("fingerprint") === fp2(id)) }
   }
 
+  test("WideAgg batching survives 900 columns (3 batches, codegen-safe)") {
+    import spark.implicits._
+    val n = 900
+    var df = spark.range(50).toDF("id")
+    val exprs = (0 until n).map(i => (pmod(col("id") + i, lit(7))).cast("double").as(s"c$i"))
+    df = df.select((col("id") +: exprs): _*)
+    val sums = WideAgg.runBatched(df, (0 until n).map(i => s"c$i"), c => sum(col(c)))
+    assert(sums.size === n)
+    // spot-check c0: sum of (id % 7) over id=0..49
+    val expect0 = (0 until 50).map(_ % 7).sum.toDouble
+    assert(sums.toMap.apply("c0") === Some(expect0))
+  }
+
+  test("sketch twins: approx distinct within rsd, approx quantiles within relErr") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_suppkey")).as("s")).collect()(0)
+    val approx = Relational.distinctCountApprox(li, Seq("l_partkey", "l_suppkey"), rsd = 0.02)
+      .collect()(0)
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.1)
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.1)
+    val Seq(p50, p99) = Relational.quantilesApprox(li, "l_extendedprice", Seq(0.5, 0.99), 1e-4)
+    val exactQ = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)),
+      percentile(col("l_extendedprice"), lit(0.99))).collect()(0)
+    assert(math.abs(p50 - exactQ.getDouble(0)) / exactQ.getDouble(0) < 0.01)
+    assert(math.abs(p99 - exactQ.getDouble(1)) / exactQ.getDouble(1) < 0.01)
+  }
+
   test("Multimodal: stub decoder histogram sums to 1; frameSample slices payload") {
     val bins = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert(bins.length === 16)
