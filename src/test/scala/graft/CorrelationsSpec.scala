@@ -40,6 +40,19 @@ class CorrelationsSpec extends SparkSpec {
     assert(out.count() === n.toLong * (n - 1) / 2)
   }
 
+  test("small-k corrMatrix agg path matches df.stat.corr pairwise") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val m = Correlations.corrMatrix(li, cols)
+    for (i <- cols.indices; j <- cols.indices) {
+      if (i == j) assert(math.abs(m(i, j) - 1.0) < 1e-12)
+      else {
+        val truth = li.stat.corr(cols(i), cols(j))
+        assert(math.abs(m(i, j) - truth) < 1e-9, s"(${cols(i)},${cols(j)}): ${m(i, j)} vs $truth")
+      }
+    }
+  }
+
   test("imputeMeans fills nulls with the column mean, all-null with 0") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, null), (3.0, null), (null, null))
