@@ -193,16 +193,12 @@ object Dedup {
 
   // ---- embedding cosine near-dup ------------------------------------------
 
-  /** dot(a, b) over array<double> columns, left-fold (deterministic).
-    * With `dim > 0` the loop unrolls into a flat codegen'd expression
-    * chain (same left-fold order → bit-identical result, ~20× faster than
-    * the interpreted higher-order `aggregate`); dim ≤ 0 falls back to the
-    * generic lambda for unknown widths. */
+  /** dot(a, b) over array<double> columns via the native codegen'd
+    * [[graft.functions.DotProduct]] expression (same left-fold order as a
+    * lambda/unrolled form → bit-identical results; `dim` retained for
+    * source compatibility, unused). */
   def dot(a: Column, b: Column, dim: Int = 0): Column =
-    if (dim > 0)
-      (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-    else
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   def cosine(a: Column, b: Column, dim: Int = 0): Column =
     dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class DotProductSpec extends SparkSpec {
+
+  test("dot_product matches the lambda fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(200)((
+      Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+      .toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.dot_product(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, v) => s + v)
+        .as("lambda")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact
+  }
+
+  test("dot_product nulls and SQL registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    df.createOrReplaceTempView("dp")
+    assert(spark.sql("SELECT dot_product(a, b) FROM dp").collect()(0).getDouble(0) === 32.0)
+    val withNull = df.select(GraftFunctions.dot_product(lit(null).cast("array<double>"), col("b")))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
+  test("dot_product participates in whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val df = emb.select(GraftFunctions.dot_product(col("v"), col("v")).as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dot_product"), plan)
+    assert(df.collect().forall(_.getDouble(0) >= 0.0)) // self-dot = squared norm
+  }
+}
