@@ -149,6 +149,54 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
+  // ---- duplicate-cluster resolution ---------------------------------------
+
+  /** Connected components over near-dup pairs → (id, cluster) with
+    * cluster = the minimum id reachable from the node. Iterative
+    * min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels; dup clusters have tiny
+    * diameter, so this converges in a handful of rounds (hard cap
+    * `maxIter`, converged when no label changes). Shuffles on id per
+    * round — the standard GraphX-free CC shape. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "dst_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_cluster")).as("nbr_cluster"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-first dedup of a corpus given near-dup pairs: every member of
+    * a dup cluster except its minimum id is dropped; singletons stay. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

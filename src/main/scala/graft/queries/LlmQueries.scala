@@ -63,6 +63,50 @@ object LlmQueries {
              |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Full dedup resolution: exact-Jaccard pairs → connected components →
+    // keep-first dedup; oracle replays it with a recursive CTE.
+    Q("d6_dedup_resolve",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+        val clusters = Dedup.dupClusters(pairs)
+        val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+        val nDocs = docs.count()
+        val inClusters = clusters.count()
+        val nClusters = clusters.select("cluster").distinct().count()
+        val nKept = kept.count()
+        import s.implicits._
+        Seq((nDocs, inClusters, nClusters, nKept))
+          .toDF("n_docs", "n_in_dup_clusters", "n_clusters", "n_kept")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+             |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             |  (SELECT COUNT(*) FROM cc) AS n_in_dup_clusters,
+             |  (SELECT COUNT(DISTINCT cluster) FROM cc) AS n_clusters,
+             |  (SELECT COUNT(*) FROM documents) -
+             |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin)),
+
     // MinHash/SimHash: xxhash64-based — no DuckDB twin; rows-only checks.
     // Their correctness contract is the recall spec vs d2's exact pairs
     // (src/test/scala/graft/DedupSpec.scala).

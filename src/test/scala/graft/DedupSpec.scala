@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("dupClusters resolves transitive near-dup chains; dedup keeps representatives") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive: 1~2, 2~3 but no 1~3 edge), pair 10-11, singleton 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(clusters(10L) === 10L && clusters(11L) === 10L)
+
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.8)
