@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators: the filter → dedup → pack flow a
+  * pretraining data pipeline runs over raw documents.
+  *
+  * Scale stance: filtering is a pushdown-friendly projection; dedup
+  * reuses the bucket-join operators from [[Dedup]]; packing is
+  * per-partition greedy (each partition packs its own documents — no
+  * global coordination, which is exactly how production packers work:
+  * pack boundaries are partition-local by design).
+  */
+object Curation {
+
+  /** Quality/language gate: keep docs in `langs` with quality ≥ minQ and
+    * token count within [minTokens, maxTokens]. Pure projection+filter —
+    * pushes to the scan. */
+  def qualityFilter(
+      df: DataFrame, textCol: String,
+      langs: Seq[String], minQuality: Double,
+      minTokens: Int, maxTokens: Int): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__lang", TextStats.langId(t))
+      .withColumn("__q", TextStats.qualityScore(t))
+      .withColumn("__ntok", size(TextStats.tokens(t)))
+      .where(col("__lang").isin(langs: _*) && col("__q") >= minQuality &&
+        col("__ntok").between(minTokens, maxTokens))
+      .drop("__lang", "__q")
+      .withColumnRenamed("__ntok", "n_tokens")
+  }
+
+  /** Full curation: quality gate → exact dedup (md5 keep-first) →
+    * near-dup resolution via Jaccard pairs + connected components. */
+  def curate(
+      df: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
+      minTokens: Int = 8, maxTokens: Int = 1 << 20,
+      shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val gated = qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens)
+    // exact dedup: keep the min id per distinct text
+    val reps = gated.groupBy(md5(col(textCol)).as("__h")).agg(min(col(idCol)).as(idCol))
+    val exactKept = gated.join(reps.select(idCol), Seq(idCol), "left_semi")
+    // near-dup resolution on the survivors
+    val pairs = Dedup.jaccardPairs(exactKept, idCol, textCol, shingleW, minJaccard)
+    Dedup.dedupByClusters(exactKept, idCol, pairs)
+  }
+
+  /** Greedy per-partition sequence packing: assign documents to packs so
+    * each pack's token total stays ≤ `budget` (docs larger than the
+    * budget get their own pack). Returns (pack_id, doc ids, n_docs,
+    * total_tokens). pack_id is globally unique (partition id × 2^40 +
+    * local counter); packing is partition-local — repartition upstream
+    * to control pack mix. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String, budget: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tokenCol).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var packLocal = 0L
+        var used = 0
+        var docs = List.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Int, Int)]
+        def flush(): Unit = if (docs.nonEmpty) {
+          out += (((pid << 40) | packLocal, docs.reverse, docs.size, used))
+          packLocal += 1; used = 0; docs = Nil
+        }
+        it.foreach { case (id, ntok) =>
+          if (docs.nonEmpty && used + ntok > budget) flush()
+          docs ::= id
+          used += ntok
+          if (used >= budget) flush()
+        }
+        flush()
+        out.iterator
+      }.toDF("pack_id", "doc_ids", "n_docs", "total_tokens")
+  }
+}

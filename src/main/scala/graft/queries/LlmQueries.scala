@@ -252,6 +252,87 @@ object LlmQueries {
              |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints,
              |  MIN(fp) AS min_fp FROM fp""".stripMargin)),
 
+    // ---- curation (gate → dedup → resolve → pack) ---------------------------
+    Q("x6_curate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val gated = graft.llm.Curation.qualityFilter(docs, "text", Seq("en"), 0.4, 8, 1 << 20)
+        val kept = graft.llm.Curation.curate(docs, "doc_id", "text",
+          langs = Seq("en"), minQuality = 0.4, minTokens = 8,
+          shingleW = 5, minJaccard = 0.8)
+        import s.implicits._
+        Seq((docs.count(), gated.count(), kept.count()))
+          .toDF("n_input", "n_gated", "n_kept")
+      },
+      Some {
+        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
+          .map(m => s"'$m'").mkString("(", ",", ")")
+        val scores = markerSql.map { case (lang, inList) =>
+          s"len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS s_$lang"
+        }.mkString(", ")
+        val maxExpr = markerSql.map { case (lang, _) => s"s_$lang" }
+          .mkString("GREATEST(", ", ", ")")
+        val pick = markerSql.map { case (lang, _) =>
+          s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
+        }.mkString(" ")
+        val q =
+          s"""LEAST(len(string_split(text,' ')) / 64.0, 1.0) * 0.35
+             | + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1.0)) / len(string_split(text,' '))
+             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
+             | + LEAST(len(list_filter(string_split(text,' '), t -> t IN $allMarkers)) * 8.0
+             |      / GREATEST(len(string_split(text,' ')), 1), 1.0) * 0.2
+             | + length(regexp_replace(text, '[^A-Za-z0-9一-鿿]', '', 'g'))
+             |      / GREATEST(length(text), 1.0) * 0.3""".stripMargin
+        s"""WITH RECURSIVE scored AS (
+           |  SELECT doc_id, text, $scores, ROUND($q, 6) AS quality FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM scored),
+           |gated AS (
+           |  SELECT doc_id, text FROM m
+           |  WHERE CASE $pick ELSE 'unknown' END = 'en'
+           |    AND quality >= 0.4 AND len(string_split(text, ' ')) >= 8),
+           |reps AS (SELECT md5(text) AS h, MIN(doc_id) AS rep FROM gated GROUP BY 1),
+           |ek AS (SELECT doc_id, text FROM gated WHERE doc_id IN (SELECT rep FROM reps)),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ek),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+           |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+           |    FROM toks), UNNEST(shs) AS u(sh)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+           |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1)
+           |SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+           |  (SELECT COUNT(*) FROM gated) AS n_gated,
+           |  (SELECT COUNT(*) FROM ek) -
+           |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
+      }),
+
+    // Sequence packing: deterministic single-partition order (greedy
+    // packing has no closed SQL form → rows-only; semantics in
+    // CurationSpec). At scale packing runs per-partition in parallel.
+    Q("x7_pack_sequences",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+          .repartition(1).sortWithinPartitions("doc_id")
+        graft.llm.Curation.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+          .select(col("pack_id"), col("n_docs"), col("total_tokens"))
+          .orderBy(col("pack_id"))
+      },
+      None),
+
     // ---- multimodal ---------------------------------------------------------
     Q("mm1_meta_stats",
       (s, d) => Multimodal.metaStats(

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("qualityFilter gates on language, quality, and token count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog is here and the day is good"), // en, decent
+      (2L, "der hund und die katze ist da und so weiter gut"), // de
+      (3L, "a b")                                               // too short
+    ).toDF("doc_id", "text")
+    val kept = Curation.qualityFilter(docs, "text", Seq("en"), 0.3, 5, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
+  test("curate drops exact and near duplicates, keeps first") {
+    import spark.implicits._
+    val base = "the cat and the dog is here and the day is good for a walk today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                      // exact dup of 1
+      (3L, base + " indeed"),          // near dup of 1
+      (4L, "the fish and the bird is there and the night is cold for a swim now")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text", minQuality = 0.2, minTokens = 5,
+      shingleW = 3, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("packSequences respects the budget and covers every doc exactly once") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")
+      .repartition(4)
+    val packs = Curation.packSequences(docs, "doc_id", "n_tokens", budget = 1000).collect()
+    // budget respected (oversized docs would get their own pack; none here)
+    assert(packs.forall(_.getAs[Int]("total_tokens") <= 1000))
+    // every doc in exactly one pack
+    val all = packs.flatMap((r => r.getSeq[Long](r.fieldIndex("doc_ids"))))
+    assert(all.length === 100 && all.toSet.size === 100)
+    // pack ids unique
+    assert(packs.map(_.getAs[Long]("pack_id")).distinct.length === packs.length)
+    // packing is reasonably tight: average fill ≥ 60%
+    val fill = packs.map(_.getAs[Int]("total_tokens")).sum.toDouble / (packs.length * 1000)
+    assert(fill > 0.6, s"fill=$fill")
+  }
+
+  test("packSequences gives oversized docs their own pack") {
+    import spark.implicits._
+    val docs = Seq((1L, 5000), (2L, 10), (3L, 20)).toDF("doc_id", "n_tokens").repartition(1)
+    val packs = Curation.packSequences(docs, "doc_id", "n_tokens", budget = 100).collect()
+    val big = packs.find(r => r.getSeq[Long](r.fieldIndex("doc_ids")).contains(1L)).get
+    assert(big.getAs[Int]("n_docs") === 1)
+  }
+}
