@@ -87,9 +87,9 @@ class CoreSpec extends SparkSpec {
     out.foreach { case (id, r) => assert(r.getAs[String]("fingerprint") === fp2(id)) }
   }
 
-  test("WideAgg batching survives 900 columns (3 batches, codegen-safe)") {
+  test("WideAgg batching survives 2241 columns (reference width, 6 batches)") {
     import spark.implicits._
-    val n = 900
+    val n = 2241
     var df = spark.range(50).toDF("id")
     val exprs = (0 until n).map(i => (pmod(col("id") + i, lit(7))).cast("double").as(s"c$i"))
     df = df.select((col("id") +: exprs): _*)

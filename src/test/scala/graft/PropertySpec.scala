@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.stats.StatTests
+
+/** Property-based checks (SURVEY §5): driver-side numerics get seeded
+  * ScalaCheck sweeps; Spark operators get a small number of generated
+  * cases (each case is a Spark job). Raw Gen + seeds (the scalatest
+  * bridge isn't in the offline cache), deterministic by construction. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next).take(n)
+      .flatMap(s => g.apply(params, s)).toSeq
+  }
+
+  private def forAll[T](g: Gen[T], n: Int = 100)(f: T => Unit): Unit = {
+    val cases = samples(g, n)
+    assert(cases.size > n / 2, "generator exhausted")
+    cases.foreach(f)
+  }
+
+  test("fisherExactGreater is a valid p-value and monotone in a (fixed margins)") {
+    val tables = for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L)
+      c <- Gen.choose(0L, 30L); d <- Gen.choose(0L, 30L)
+    } yield (a, b, c, d)
+    forAll(tables) { case (a, b, c, d) =>
+      val p = StatTests.fisherExactGreater(a, b, c, d)
+      assert(p >= 0.0 && p <= 1.0)
+      // moving one unit from b,c into a,d (margins fixed) can't raise p
+      if (b > 0 && c > 0) {
+        val p2 = StatTests.fisherExactGreater(a + 1, b - 1, c - 1, d + 1)
+        assert(p2 <= p + 1e-12, s"($a,$b,$c,$d): $p2 > $p")
+      }
+    }
+  }
+
+  test("hypergeometric PMF sums to 1 over its support") {
+    val cfgs = for {
+      n2 <- Gen.choose(1L, 40L); k2 <- Gen.choose(0L, 40L); d2 <- Gen.choose(1L, 40L)
+    } yield (n2 + d2, k2 min (n2 + d2), n2)
+    forAll(cfgs) { case (bigN, bigK, n) =>
+      val lo = math.max(0L, bigK + n - bigN)
+      val hi = math.min(bigK, n)
+      val total = (lo to hi).map(k => StatTests.hypergeomPmf(k, bigN, bigK, n)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"N=$bigN K=$bigK n=$n: $total")
+    }
+  }
+
+  test("studentTCdf is monotone and symmetric") {
+    val gen = for { t <- Gen.choose(-8.0, 8.0); df <- Gen.choose(1, 60) } yield (t, df)
+    forAll(gen) { case (t, df) =>
+      val f = StatTests.studentTCdf(t, df)
+      assert(f >= 0.0 && f <= 1.0)
+      assert(math.abs(f + StatTests.studentTCdf(-t, df) - 1.0) < 1e-9)
+      assert(StatTests.studentTCdf(t + 0.5, df) >= f - 1e-12)
+    }
+  }
+
+  test("AUC equals brute force on random generated datasets (sampled cases)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { _ =>
+      val n = 50 + rnd.nextInt(200)
+      val ties = 1 + rnd.nextInt(10)
+      val data = Seq.fill(n)((rnd.nextInt(2), rnd.nextInt(ties * 4).toDouble / ties))
+      val pos = data.filter(_._1 == 1).map(_._2)
+      val neg = data.filter(_._1 == 0).map(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val brute = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum / (pos.size.toDouble * neg.size)
+        val auc = graft.stats.Auc.aucDf(data.toDF("y", "s"), col("y") === 1, col("s"))
+          .collect()(0).getAs[Double]("auc")
+        assert(math.abs(auc - brute) < 1e-12, s"n=$n ties=$ties")
+      }
+    }
+  }
+
+  test("modSample is deterministic and subset-consistent across pct") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    def ids(pct: Int) = graft.core.Sampling.modSample(orders, "o_orderkey", pct)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s10a = ids(10)
+    val s10b = ids(10)
+    val s20 = ids(20)
+    assert(s10a === s10b)          // deterministic
+    assert(s10a.subsetOf(s20))     // pct nesting (mod < pct)
+    assert(s10a.nonEmpty && s20.size > s10a.size)
+  }
+}
