@@ -71,6 +71,19 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Stream-static enrichment: join the event stream with a static
+    * dimension table (broadcast per micro-batch — no stream state), then
+    * aggregate. The standard enrichment shape: static side is re-read
+    * per batch, stream side never shuffles for the join. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, joinKey: String,
+      groupCol: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(joinKey))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(groupCol), col("n"))
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class Session(

@@ -69,6 +69,18 @@ class CoreSpec extends SparkSpec {
     assert(s === Seq(6L, 15L))
   }
 
+  test("multimodal features compose with ANN search (decode → embed → top-k)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    val queries = feats.where(col("vec_id") < 3)
+    val top = graft.llm.Similarity.bruteForceTopK(feats, queries, "vec_id", "embedding",
+      k = 2, dim = Multimodal.FeatureDim).collect()
+    assert(top.groupBy(_.getAs[Long]("query_id")).size === 3)
+    assert(top.forall(r => r.getAs[Double]("cos") >= -1.0 && r.getAs[Double]("cos") <= 1.0))
+  }
+
   test("TextStats: tokens, langId, fingerprint determinism") {
     import spark.implicits._
     val df = Seq(

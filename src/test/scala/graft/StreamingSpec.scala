@@ -24,6 +24,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream-static join enriches the stream against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = input.toDS().toDF("ts", "user_id")
+    val q = graft.streaming.EventStream.enrichedCounts(stream, dim, "user_id", "tier")
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("enrich_sink").start()
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData((t(0), 1L), (t(1), 1L), (t(2), 2L), (t(3), 3L)) // user 3 has no dim row
+    q.processAllAvailable()
+    val out = spark.table("enrich_sink")
+      .select("tier", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(out === Map("gold" -> 2L, "basic" -> 1L)) // inner join drops user 3
+  }
+
   test("sessionize groups events by gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
