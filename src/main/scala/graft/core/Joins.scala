@@ -31,6 +31,20 @@ object Joins {
       keyCol: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
 
+  /** Bloom-pruned join: build a Bloom filter over the small side's keys
+    * and pre-filter the big side BEFORE its shuffle — semi-join
+    * reduction. At 100 TB this is the difference between shuffling every
+    * big-side row and shuffling only candidate matches (false-positive
+    * rate `fpp` controls the leak; correctness is unaffected since the
+    * join re-checks keys). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(key, expectedKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val f = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.where(f(col(key).cast("long"))).join(small, Seq(key))
+  }
+
   /** Salted inner equi-join: big side gets a per-row salt in [0, salts);
     * small side is replicated across all salts (explode of a static
     * array — `salts`× small-side rows). The salt only spreads rows of a

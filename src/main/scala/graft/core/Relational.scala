@@ -90,6 +90,12 @@ object Relational {
       relErr: Double = 1e-3): Seq[Double] =
     df.stat.approxQuantile(c, probs.toArray, relErr).toSeq
 
+  /** Heavy hitters: values with frequency ≥ `support` per column
+    * (count-based FreqItems sketch — one pass, constant memory; may
+    * return false positives, never false negatives). */
+  def heavyHitters(df: DataFrame, cols: Seq[String], support: Double = 0.01): DataFrame =
+    df.stat.freqItems(cols.toArray, support)
+
   /** A19 (exact): whale contingency — top-`pct`% rows by `order` (strict
     * lexicographic rank; include unique tie-breakers) vs a boolean target:
     * returns (a,b,c,d) with a = whale∧target, b = whale∧¬target,

@@ -28,6 +28,20 @@ class JoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom-pruned join equals the plain join; filter reaches below the shuffle") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).limit(100)
+    val big = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "k")
+    val plain = big.join(urgent, Seq("k")).count()
+    val pruned = graft.core.Joins.bloomPrunedJoin(big, urgent, "k", expectedKeys = 1000)
+    assert(pruned.count() === plain)
+    // the bloom filter prunes most of the big side before the join
+    val bloomKept = pruned.queryExecution.executedPlan.toString
+    assert(bloomKept.contains("UDF")) // filter present in the physical plan
+  }
+
   test("salted join returns exactly the plain-join rows on skewed data") {
     import spark.implicits._
     // 90% of big rows share one hot key
