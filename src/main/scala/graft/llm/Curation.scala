@@ -38,11 +38,20 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       minTokens: Int = 8, maxTokens: Int = 1 << 20,
+      shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame =
+    curateGated(
+      qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens),
+      idCol, textCol, shingleW, minJaccard)
+
+  /** Dedup stages over an already-gated frame (pass a persisted frame to
+    * avoid recomputing the gate through the dedup lineage). */
+  def curateGated(
+      gated: DataFrame, idCol: String, textCol: String,
       shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    val gated = qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens)
     // exact dedup: keep the min id per distinct text
     val reps = gated.groupBy(md5(col(textCol)).as("__h")).agg(min(col(idCol)).as(idCol))
     val exactKept = gated.join(reps.select(idCol), Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup resolution on the survivors
     val pairs = Dedup.jaccardPairs(exactKept, idCol, textCol, shingleW, minJaccard)
     Dedup.dedupByClusters(exactKept, idCol, pairs)

@@ -152,13 +152,44 @@ object Dedup {
   // ---- duplicate-cluster resolution ---------------------------------------
 
   /** Connected components over near-dup pairs → (id, cluster) with
-    * cluster = the minimum id reachable from the node. Iterative
-    * min-label propagation: each round every node takes the min of its
-    * own label and its neighbors' labels; dup clusters have tiny
-    * diameter, so this converges in a handful of rounds (hard cap
-    * `maxIter`, converged when no label changes). Shuffles on id per
-    * round — the standard GraphX-free CC shape. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * cluster = the minimum id reachable from the node.
+    *
+    * Adaptive: near-dup EDGE lists are tiny relative to the corpus (the
+    * whole point of near-dup thresholds), so up to `maxDriverPairs` the
+    * edges are collected and resolved with union-find on the driver
+    * (microseconds, zero extra jobs) — the shape production dedup uses.
+    * Larger edge lists fall back to distributed min-label propagation. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      maxDriverPairs: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgeRows = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit((maxDriverPairs + 1).toInt).collect()
+    if (edgeRows.length <= maxDriverPairs) {
+      // driver union-find with path compression
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ids = edgeRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
+    }
+    dupClustersDistributed(pairs, maxIter)
+  }
+
+  /** Distributed min-label propagation CC (for edge lists too large for
+    * the driver): each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(cluster diameter) rounds. */
+  def dupClustersDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()

@@ -257,8 +257,8 @@ object LlmQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
         val gated = graft.llm.Curation.qualityFilter(docs, "text", Seq("en"), 0.4, 8, 1 << 20)
-        val kept = graft.llm.Curation.curate(docs, "doc_id", "text",
-          langs = Seq("en"), minQuality = 0.4, minTokens = 8,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = graft.llm.Curation.curateGated(gated, "doc_id", "text",
           shingleW = 5, minJaccard = 0.8)
         import s.implicits._
         Seq((docs.count(), gated.count(), kept.count()))

@@ -73,6 +73,10 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
     assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
     assert(clusters(10L) === 10L && clusters(11L) === 10L)
+    // distributed path agrees with the driver union-find path
+    val dist = Dedup.dupClustersDistributed(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(dist === clusters)
 
     val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
     val kept = Dedup.dedupByClusters(corpus, "doc_id", pairs)
