@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Relational, Sampling, WideAgg}
+import graft.io.Sinks
+import graft.llm.{Curation, Dedup, TextStats}
+
+/** Edge-case hardening: empty inputs, degenerate parameters, guards. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    assert(Dedup.exactStats(emptyDocs, "doc_id", "text").collect()(0).isNullAt(0) ||
+      Dedup.exactStats(emptyDocs, "doc_id", "text").collect()(0).getAs[Any]("n_docs") == null)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 3, 0.5).count() === 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text").count() === 0)
+    import spark.implicits._
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+  }
+
+  test("AUC on empty input returns no-signal row, not an exception") {
+    import spark.implicits._
+    val r = graft.stats.Auc.aucDf(
+      Seq.empty[(Int, Double)].toDF("y", "s"), col("y") === 1, col("s")).collect()(0)
+    assert(r.getAs[Double]("auc").isNaN || r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("Sinks.writeCsv refuses oversized frames; quotes embedded commas") {
+    import spark.implicits._
+    val big = spark.range(100).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sinks.writeCsv(big, "/tmp/graft_guard.csv", maxRows = 10)
+    }
+    val path = java.nio.file.Files.createTempDirectory("csv").resolve("q.csv").toString
+    Sinks.writeCsv(Seq(("a,b", 1), ("c\"d", 2)).toDF("s", "n"), path)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.get(1) === "\"a,b\",1")
+    assert(lines.get(2) === "\"c\"\"d\",2")
+  }
+
+  test("packSequences on empty input yields zero packs; sampler pct edges") {
+    import spark.implicits._
+    assert(Curation.packSequences(
+      Seq.empty[(Long, Int)].toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 100).count() === 0)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert(Sampling.modSample(orders, "o_orderkey", 0).count() === 0)
+    assert(Sampling.modSample(orders, "o_orderkey", 100).count() === orders.count())
+  }
+
+  test("text stats on pathological strings: empty, single char, all punctuation") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "x"), (3L, "!!! ??? ...")).toDF("doc_id", "text")
+    val out = TextStats.profile(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 3)
+    assert(out(1L).getAs[String]("lang_id") === "unknown")
+    assert(out(2L).getAs[Int]("n_tokens") === 1)
+    assert(out(3L).getAs[Int]("n_tokens_bpeish") === 9) // each mark is a token
+    out.values.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[String]("fingerprint") != null)
+    }
+  }
+
+  test("bandLabel with empty bands puts everything in rest; topK k=0 empty") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0).toDF("x")
+    val banded = df.withColumn("b", Relational.bandLabel(col("x"), Seq.empty, "all"))
+    assert(banded.collect().forall(_.getString(1) === "all"))
+    assert(Relational.topKPerGroup(df.withColumn("g", lit("a")), Seq("g"),
+      Seq(col("x")), 0).count() === 0)
+  }
+}
