@@ -80,6 +80,22 @@ object TextStats {
         sequence(lit(1), length(text) - (w - 1)),
         i => md5(text.substr(i, lit(w))))))
 
+  /** TF-IDF over whitespace tokens: term frequency per (doc, term),
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), score =
+    * tf · idf. One explode + two grouped aggregations — shuffles on
+    * (doc, term) then term; fully distributed, no vocabulary collected.
+    * Returns (id, term, tf, df, tfidf). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count().toDouble
+    val terms = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select("id", "term", "tf", "df", "tfidf")
+  }
+
   /** Full per-document text-stats projection. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

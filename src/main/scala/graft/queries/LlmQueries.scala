@@ -252,6 +252,39 @@ object LlmQueries {
              |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints,
              |  MIN(fp) AS min_fp FROM fp""".stripMargin)),
 
+    // TF-IDF: top-3 most distinctive terms per source by summed tf-idf.
+    Q("x8_tfidf",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val scored = TextStats.tfIdf(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .groupBy(col("source"), col("term"))
+          .agg(sum(col("tfidf")).as("score"))
+        graft.core.Relational.topKPerGroup(
+          scored, Seq("source"),
+          Seq(round(col("score"), 6).desc, col("term")), 3)
+          .select(col("source"), col("term"), round(col("score"), 6).as("score"), col("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |terms AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT d.source, tf.term,
+             |    SUM(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)) AS score
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+             |  JOIN documents d ON d.doc_id = tf.doc_id, n
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT source, term, ROUND(score, 6) AS score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY ROUND(score, 6) DESC, term) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT source, term, score, rk FROM ranked
+             |WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
     // ---- curation (gate → dedup → resolve → pack) ---------------------------
     Q("x6_curate",
       (s, d) => {
