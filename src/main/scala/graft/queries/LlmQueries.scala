@@ -124,7 +124,7 @@ object LlmQueries {
       None),
 
     Q("d5_embed_neardup",
-      (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.88, dim = 64)
+      (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b")),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -132,7 +132,7 @@ object LlmQueries {
              |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             |  CAST(b.embedding AS DOUBLE[])) >= 0.88
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.45
              |ORDER BY 1, 2""".stripMargin)),
 
     // ---- similarity search --------------------------------------------------

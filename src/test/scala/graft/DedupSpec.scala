@@ -86,9 +86,9 @@ class DedupSpec extends SparkSpec {
 
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.8)
+    val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.8,
+    val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.4,
       dim = 64, nPlanes = 16, nBands = 8)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(lsh.subsetOf(brute)) // verify step guarantees no false positives
