@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Relational, WideAgg}
+import graft.core.{Relational, Sampling, WideAgg}
 import graft.stats.{Auc, Correlations}
 
 /** Aggregation / window / sort queries (SURVEY.md §2.4–§2.5) with DuckDB
@@ -261,6 +261,48 @@ object AggQueries {
            |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
            |  ROUND((rs - np*(np+1)/2.0) / (np*nn), 6) AS auc FROM fin""".stripMargin
       }),
+
+    // A18: one-sided Fisher exact on the whale contingency (driver-side
+    // hypergeometric tail over Spark-aggregated counts); the oracle
+    // replays the tail sum with DuckDB's lgamma.
+    Q("a18_fisher",
+      (s, d) => {
+        val sample = Sampling.modSample(T(s, d, "lineitem"), "l_orderkey", 10)
+        val cont = Relational.whaleContingency(
+          sample,
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+          col("l_returnflag") === "R").collect()(0)
+        val (a, b, c, dd) = (cont.getAs[Long]("a"), cont.getAs[Long]("b"),
+          cont.getAs[Long]("c"), cont.getAs[Long]("d"))
+        val p = graft.stats.StatTests.fisherExactGreater(a, b, c, dd)
+        import s.implicits._
+        Seq((a, b, c, dd, math.rint(p * 1e6) / 1e6))
+          .toDF("a", "b", "c", "d", "p_greater")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+             |  FROM lineitem WHERE l_orderkey % 100 < 10),
+             |nn AS (SELECT COUNT(*) AS cnt FROM base),
+             |r AS (SELECT l_returnflag,
+             |  ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+             |  FROM base),
+             |f AS (SELECT CASE WHEN rk <= FLOOR(cnt * 1.0 / 100.0) THEN 1 ELSE 0 END AS w,
+             |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t FROM r, nn),
+             |cont AS (SELECT
+             |  CAST(SUM(CASE WHEN w=1 AND t=1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |  CAST(SUM(CASE WHEN w=1 AND t=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |  CAST(SUM(CASE WHEN w=0 AND t=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |  CAST(SUM(CASE WHEN w=0 AND t=0 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM f),
+             |m AS (SELECT a, b, c, d, a+b AS kk, a+c AS n1, a+b+c+d AS nt FROM cont),
+             |terms AS (
+             |  SELECT m.*, r2.range AS k2 FROM m, range(0, 100000) r2
+             |  WHERE r2.range >= m.a AND r2.range <= LEAST(m.kk, m.n1)),
+             |p AS (SELECT a, b, c, d,
+             |  SUM(EXP(lgamma(kk+1.0)-lgamma(k2+1.0)-lgamma(kk-k2+1.0)
+             |    + lgamma(nt-kk+1.0)-lgamma(n1-k2+1.0)-lgamma(nt-kk-n1+k2+1.0)
+             |    - (lgamma(nt+1.0)-lgamma(n1+1.0)-lgamma(nt-n1+1.0)))) AS pv
+             |  FROM terms GROUP BY 1,2,3,4)
+             |SELECT a, b, c, d, ROUND(LEAST(pv, 1.0), 6) AS p_greater FROM p""".stripMargin)),
 
     Q("a19_whale_contingency",
       (s, d) => Relational.whaleContingency(
