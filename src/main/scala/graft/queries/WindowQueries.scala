@@ -82,6 +82,36 @@ object WindowQueries {
              |SELECT n_events, COUNT(*) AS n_sessions FROM per
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // OLAP completeness beyond the reference surface: hierarchical
+    // rollup totals and a pivoted cross-tab.
+    Q("w7_rollup",
+      (s, d) => T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.sumLong(floor(col("l_quantity"))).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS n, CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("w8_pivot",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Semi-structured column: events.props is a JSON string — parse with
     // from_json (vectorized, no UDF) and aggregate on an extracted field.
     Q("x5_json_props",
