@@ -22,7 +22,9 @@ object MlQueries {
     // spec asserts the metric window).
     Q("m1_adversarial",
       (s, d) => {
-        val orders = T(s, d, "orders")
+        // 20% hash sample, mirroring the reference's adversarial block
+        // (`public_eda_pipeline.py:418`)
+        val orders = graft.core.Sampling.modSample(T(s, d, "orders"), "o_orderkey", 20)
         val a = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
         val b = orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
         val (auc, na, nb) = Adversarial.adversarialAuc(
