@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips and partition pruning — the scan-side scale
+  * techniques: a filter on the partition column must prune directories
+  * (PartitionFilters), not just rows. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("hive-partitioned write + read prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // only the F partition directory is read
+    assert(back.count() === orders.where(col("o_orderstatus") === "F").count())
+    val scanned = plan.linesIterator.find(_.contains("FileScan")).get
+    assert(!scanned.contains("o_orderstatus=O"), "pruned partitions must not be listed")
+  }
+
+  test("CSV round-trip preserves data with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val sample = orders.limit(500).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    sample.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(sample.schema).csv(dir)
+    assert(back.count() === 500)
+    val a = sample.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(a === b)
+  }
+
+  test("JSON round-trip preserves data incl. nested struct") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val sample = orders.limit(200)
+      .select(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderstatus")).as("payload"))
+    sample.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(sample.schema).json(dir)
+    assert(back.count() === 200)
+    val a = sample.collect().map(r => (r.getLong(0), r.getStruct(1).getDouble(0))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getStruct(1).getDouble(0))).toSet
+    assert(a === b)
+  }
+
+  test("maxPartitionBytes shapes scan parallelism") {
+    val li = "/root/testdata/sf0.01/lineitem.parquet"
+    val defParts = spark.read.parquet(li).rdd.getNumPartitions
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "262144") // 256 KiB
+      val smallParts = spark.read.parquet(li).rdd.getNumPartitions
+      assert(smallParts > defParts, s"$smallParts vs $defParts")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+}
