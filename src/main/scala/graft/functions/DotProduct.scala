@@ -60,6 +60,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** SparkSessionExtensions hook: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` —
+  * injects `dot_product` into every session's function registry at
+  * build time (the extension-point route for custom expressions). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+}
+
 object GraftFunctions {
 
   /** Column-API entry: `dot_product(a, b)`. */

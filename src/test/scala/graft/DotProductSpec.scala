@@ -28,6 +28,18 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("registration is droppable and re-installable (registry lifecycle)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    GraftFunctions.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    assert(reg.functionExists(FunctionIdentifier("dot_product")))
+    reg.dropFunction(FunctionIdentifier("dot_product"))
+    assert(!reg.functionExists(FunctionIdentifier("dot_product")))
+    GraftFunctions.register(spark) // what GraftExtensions does at session build
+    assert(spark.sql("SELECT dot_product(array(3.0d), array(5.0d))").collect()(0)
+      .getDouble(0) === 15.0)
+  }
+
   test("dot_product participates in whole-stage codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("embedding").cast("array<double>").as("v"))
