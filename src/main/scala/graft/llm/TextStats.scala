@@ -80,6 +80,20 @@ object TextStats {
         sequence(lit(1), length(text) - (w - 1)),
         i => md5(text.substr(i, lit(w))))))
 
+  /** Shannon entropy (bits) of the per-document character distribution —
+    * a cheap gibberish/repetition signal (low entropy = repeated chars,
+    * high = noise). Distributed explode → per-(doc,char) counts →
+    * per-doc entropy; shuffles on (id, char) then id. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol).as("id"), length(col(textCol)).as("len"),
+      explode(split(col(textCol), "")).as("ch"))
+    chars.groupBy("id", "len", "ch").agg(count(lit(1)).as("n"))
+      .groupBy("id", "len")
+      .agg(sum(
+        -(col("n") / col("len")) * log(2.0, col("n") / col("len"))).as("char_entropy"))
+      .select(col("id"), col("char_entropy"))
+  }
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, term),
     * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), score =
     * tf · idf. One explode + two grouped aggregations — shuffles on

@@ -252,6 +252,34 @@ object LlmQueries {
              |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints,
              |  MIN(fp) AS min_fp FROM fp""".stripMargin)),
 
+    // Character-entropy distribution per language (gibberish signal).
+    Q("x9_char_entropy",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextStats.charEntropy(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avgExact(round(col("char_entropy"), 6)), 4).as("avg_entropy"),
+            round(min(round(col("char_entropy"), 6)), 4).as("min_entropy"),
+            round(max(round(col("char_entropy"), 6)), 4).as("max_entropy"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH chars AS (
+              |  SELECT doc_id, length(text) AS len, unnest(string_split(text, '')) AS ch
+              |  FROM documents),
+              |cnt AS (SELECT doc_id, len, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2, 3),
+              |ent AS (
+              |  SELECT doc_id,
+              |    ROUND(SUM(-(CAST(n AS DOUBLE)/len) * LOG2(CAST(n AS DOUBLE)/len)), 6) AS e
+              |  FROM cnt GROUP BY doc_id, len),
+              |j AS (SELECT d.lang, ent.e FROM ent JOIN documents d USING (doc_id))
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  ROUND(${avgExactSql("e")}, 4) AS avg_entropy,
+              |  ROUND(MIN(e), 4) AS min_entropy, ROUND(MAX(e), 4) AS max_entropy
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TF-IDF: top-3 most distinctive terms per source by summed tf-idf.
     Q("x8_tfidf",
       (s, d) => {
