@@ -42,6 +42,40 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map("gold" -> 2L, "basic" -> 1L)) // inner join drops user 3
   }
 
+  test("foreachBatch sink with checkpoint: restart continues without reprocessing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+    val input = MemoryStream[Long]
+
+    def start() = input.toDS().toDF("v")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // idempotent by batch id — the exactly-once foreachBatch contract
+        if (seen.putIfAbsent(id, id) == null) {
+          batch.write.mode("append").parquet(s"$outDir/data")
+        }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    input.addData(1L, 2L, 3L)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same checkpoint → resumes after batch 0
+    input.addData(4L, 5L)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val vals = spark.read.parquet(s"$outDir/data").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals === Seq(1L, 2L, 3L, 4L, 5L), s"got $vals") // no dups, no loss
+  }
+
   test("sessionize groups events by gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
