@@ -173,14 +173,13 @@ object EdaPipeline {
       .filter { case (_, nr) => nr > 0.05 && nr < 0.95 }.map(_._1).take(20).toSeq
     val sampled = Sampling.modSample(trainExtra, "customer_id", 30)
       .select((col("customer_id") +: candidates.map(col)): _*)
-      .join(anyOpen, Seq("customer_id"), "inner").cache()
-    val indAuc = candidates.map { c =>
-      val r = Auc.aucDf(sampled, col("any_open") === 1, col(c).isNotNull.cast("int")).collect()(0)
-      (c, r.getAs[Double]("auc"), math.max(r.getAs[Double]("auc"), 1 - r.getAs[Double]("auc")))
-    }
-    sampled.unpersist()
+      .join(anyOpen, Seq("customer_id"), "inner")
+      .select((col("any_open") +: candidates.map(c => col(c).isNotNull.cast("int").as(c))): _*)
+    // all indicator AUCs in ONE aggregate pass (binary-score closed form)
+    val indAuc = Auc.binaryAucProfile(sampled, col("any_open") === 1, candidates)
     Sinks.writeCsv(
-      indAuc.toDF("feature", "auc", "abs_auc").orderBy(col("abs_auc").desc, col("feature")),
+      indAuc.withColumnRenamed("col_name", "feature")
+        .orderBy(col("abs_auc").desc, col("feature")),
       out("missing_indicator_auc.csv"))
 
     // ---- 11: categorical dictionaries + unseen test categories -------------

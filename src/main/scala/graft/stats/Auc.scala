@@ -1,8 +1,9 @@
 package graft.stats
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** Exact ROC AUC as a distributed rank statistic (Mann–Whitney U with
   * average-rank tie correction) — SURVEY.md A17.
@@ -91,4 +92,43 @@ object Auc {
   /** Orientation-free strength `max(auc, 1-auc)` (reference `P:354`). */
   def aucStrength(a: Double): Double =
     if (a.isNaN) Double.NaN else math.max(a, 1.0 - a)
+
+  /** Many BINARY-score AUCs in ONE aggregate pass. For a 0/1 score the
+    * tie-corrected AUC has the closed form 0.5 + (P(s=1|y=1) −
+    * P(s=1|y=0))/2, so k indicator columns (e.g. the reference's
+    * missing-indicator screen, `P:321-364`) need k conditional means —
+    * one map-side-combined job instead of k ranking jobs. Returns
+    * (col_name, auc, abs_auc); NaN when a label class is absent.
+    * Verified against the rank-based [[aucDf]] in AucSpec. */
+  def binaryAucProfile(df: DataFrame, label: Column, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val y = label.cast("int")
+    val aggs =
+      Seq(sum(y).as("__np"), sum(lit(1) - y).as("__nn")) ++
+        cols.flatMap { c =>
+          val s = col(c).cast("int")
+          Seq(sum(when(y === 1, s)).as(s"${c}__p1"),
+            sum(when(y === 0, s)).as(s"${c}__p0"))
+        }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val np = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nn = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val a =
+        if (np == 0 || nn == 0) Double.NaN
+        else {
+          val s1 = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
+          val s0 = if (row.isNullAt(3 + 2 * i)) 0L else row.getLong(3 + 2 * i)
+          0.5 + (s1.toDouble / np - s0.toDouble / nn) / 2.0
+        }
+      val aucV: java.lang.Double = if (a.isNaN) null else a
+      val absV: java.lang.Double = if (a.isNaN) null else math.max(a, 1 - a)
+      Row(c, aucV, absV)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("auc", DoubleType, nullable = true),
+      StructField("abs_auc", DoubleType, nullable = true))))
+  }
 }

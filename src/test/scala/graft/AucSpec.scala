@@ -43,6 +43,19 @@ class AucSpec extends SparkSpec {
     assert(aucOf(Seq((1, 1.0), (1, 2.0))).isNaN) // one class only
   }
 
+  test("binaryAucProfile matches rank-based aucDf for indicator columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = Seq.fill(500)((rnd.nextInt(2), rnd.nextInt(2), rnd.nextInt(2), rnd.nextInt(4) / 3))
+      .toDF("y", "i1", "i2", "i3")
+    val profile = Auc.binaryAucProfile(df, col("y") === 1, Seq("i1", "i2", "i3"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("i1", "i2", "i3").foreach { c =>
+      val ranked = Auc.aucDf(df, col("y") === 1, col(c)).collect()(0).getAs[Double]("auc")
+      assert(math.abs(profile(c) - ranked) < 1e-12, s"$c: ${profile(c)} vs $ranked")
+    }
+  }
+
   test("AUC is invariant to partitioning (parallel prefix sum correctness)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
