@@ -12,15 +12,22 @@ object SparkEntry {
       StreamQueries.all ++ WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Mirrors the reference's target-prevalence block (scan → wide agg →
-    * derived rate → sort; `eda_workspace/public_eda_pipeline.py:87-104`). */
+    * Mirrors the reference's target-prevalence block shape (scan → join →
+    * wide agg → derived rate → sort; `public_eda_pipeline.py:87-104`)
+    * with a broadcast dimension join and a windowed share. */
   def entry(spark: SparkSession): DataFrame = {
-    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
     orders
-      .groupBy(col("o_orderstatus"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("o_orderstatus"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
-      .withColumn("share", col("n_orders") / sum(col("n_orders")).over())
-      .orderBy(col("n_orders").desc, col("o_orderstatus"))
+      .withColumn("share_in_status",
+        col("n_orders") / sum(col("n_orders"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderstatus"))))
+      .orderBy(col("o_orderstatus"), col("n_orders").desc, col("c_mktsegment"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -305,26 +305,62 @@ object EdaPipeline {
       s"""# EDA report (Spark-native rebuild)
          |
          |Deterministic pipeline over `$inputDir` (seeded hash sampling,
-         |reference block order). Memory-safe via distributed execution.
+         |reference block order, `public_eda_pipeline.py:73-714` analog).
+         |Memory-safe via distributed execution; all heavy blocks run as
+         |Spark jobs, only post-aggregation artifacts reach the driver.
          |
-         |## Dataset
+         |## 1. Dataset
          |- train rows: $trainRows, test rows: $testRows
-         |- targets: ${targets.size} (${rareCount} below 1% prevalence)
+         |- targets: ${targets.size} ($rareCount below 1% prevalence)
+         |- main features: ${mainFeats.size} (${mainCat.numFeatures.size} numeric / ${mainCat.catFeatures.size} categorical)
+         |- extra features: ${extraCat.numFeatures.size} (heavily null)
          |
-         |## Target stats (top 10)
+         |## 2. Target stats (top 10 by positive count)
          |${Sinks.pretty(targetStatsDf, 10)}
          |
-         |## Opened-target distribution
+         |## 3. Family rollup
+         |${Sinks.pretty(familyStats, 10)}
+         |
+         |## 4. Opened-target distribution
          |${Sinks.pretty(opened.groupBy(col("n_opened")).count().orderBy(col("n_opened")), 10)}
          |
-         |## Clustering (k=4): silhouette ${f"$sil4%.4f"}, largest share ${f"$largestShare%.3f"}
+         |## 5. Strongest co-occurring target pairs (co_count ≥ 10, by lift)
+         |${Sinks.pretty(pairDf.where(col("co_count") >= 10)
+              .orderBy(col("pair_lift").desc, col("col_a"), col("col_b")), 10)}
          |
-         |## Filled-extra-count: AUC ${f"$filledAuc%.4f"}, point-biserial ${f"$filledPb%.4f"}
+         |## 6. Antagonist target `$antagonist`
+         |- negative-correlation share vs other targets: ${f"$antagonistNegShare%.3f"}
          |
-         |## Adversarial AUC (train vs test): ${f"$advAuc%.4f"}
+         |## 7. Clustering on 1−|corr| (average linkage)
+         |- silhouette: k=3 ${f"${byK(3)._2}%.4f"}, k=4 ${f"$sil4%.4f"}, k=5 ${f"${byK(5)._2}%.4f"}
+         |- largest-cluster share at k=4: ${f"$largestShare%.3f"}
          |
-         |## Whale signals (top 10 by p-value)
+         |## 8. Extra-feature missingness bands
+         |${Sinks.pretty(banded.groupBy(col("band")).agg(count(lit(1)).as("n_features"))
+              .orderBy(col("band")), 10)}
+         |
+         |## 9. Filled-extra-count signal
+         |- AUC vs any-open: ${f"$filledAuc%.4f"}
+         |- point-biserial r: ${f"$filledPb%.4f"} (p = ${f"$filledPbP%.3g"})
+         |- deciles:
+         |${Sinks.pretty(deciles, 10)}
+         |
+         |## 10. Top missing-indicator AUCs (30% sample)
+         |${Sinks.pretty(indAuc.orderBy(col("abs_auc").desc, col("col_name")), 10)}
+         |
+         |## 11. Categorical dictionaries
+         |- features with unseen test categories: $unseenFeatures
+         |
+         |## 12. Adversarial shift (20% samples)
+         |- train-vs-test AUC: ${f"$advAuc%.4f"} (≈0.5 ⇒ no detectable shift)
+         |
+         |## 13. Linear screen (12% sample, $screenRows rows, ${screenFeats.size} features)
+         |top universal features:
+         |${Sinks.pretty(universality, 10)}
+         |
+         |## 14. Whale signals (top 10 by p-value)
          |${Sinks.pretty(whaleDf, 10)}
+         |- significant (lift ≥ 2, p < 0.05): $whaleSig
          |""".stripMargin
     Sinks.writeText(report, out("report.md"))
 
