@@ -25,9 +25,13 @@ object RunPipeline {
         val fx = java.nio.file.Files.createTempDirectory("graft_fixture").toString
         RefFixture.write(spark, fx)
         (fx, out)
+      case Array("--fixture", out, nTrain) =>
+        val fx = java.nio.file.Files.createTempDirectory("graft_fixture").toString
+        RefFixture.write(spark, fx, nTrain.toLong, nTrain.toLong * 3 / 8)
+        (fx, out)
       case Array(in, out) => (in, out)
       case _ =>
-        System.err.println("usage: RunPipeline <inputDir> <outDir> | --fixture <outDir>")
+        System.err.println("usage: RunPipeline <inputDir> <outDir> | --fixture <outDir> [nTrain]")
         sys.exit(2)
     }
     val t0 = System.nanoTime()
