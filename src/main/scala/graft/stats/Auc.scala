@@ -55,9 +55,12 @@ object Auc {
     val wLocal = Window.partitionBy("pid").orderBy("s")
     val local = ranged.withColumn("local_cum", sum(col("pos") + col("neg")).over(wLocal))
 
-    // One row per partition — tiny; the unpartitioned window here runs
-    // over ≤ nShuffle rows, not the data.
-    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    // One row per partition — tiny; this window runs over ≤ nShuffle
+    // rows, not the data (constant partition key keeps WindowExec from
+    // logging its single-partition warning for this intentionally-tiny
+    // frame).
+    val wOff = Window.partitionBy(lit(0))
+      .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("pid")
       .agg(sum(col("pos") + col("neg")).as("part_total"))
       .withColumn("offset", coalesce(sum("part_total").over(wOff), lit(0.0)))
