@@ -10,10 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, executor threads)
-    // so per-query numbers reflect steady state, not JVM startup.
+    // Warm the session (executor threads, parquet reader) and pre-compile
+    // each query's plan/codegen against the tiny sf0.001 corpus so timed
+    // numbers measure execution on the target SF, not first-run JIT.
+    // Disable with SPARK_GRAFT_COLD=1.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (!sys.env.contains("SPARK_GRAFT_COLD")) {
+      val warmDir = "/root/testdata/sf0.001"
+      queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
