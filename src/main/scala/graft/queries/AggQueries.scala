@@ -262,6 +262,36 @@ object AggQueries {
            |  ROUND((rs - np*(np+1)/2.0) / (np*nn), 6) AS auc FROM fin""".stripMargin
       }),
 
+    // describe-style per-column profile in long format (count/mean/std/
+    // min/max for several columns in one batched pass).
+    Q("a20_summary_profile",
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = T(s, d, "lineitem")
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).cast("double").as(s"${c}__n"),
+            avgExact(col(c)).as(s"${c}__mean"),
+            stdExact(col(c)).as(s"${c}__std"),
+            min(col(c)).as(s"${c}__min"),
+            max(col(c)).as(s"${c}__max"))
+        }
+        val row = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+        import s.implicits._
+        cols.zipWithIndex.map { case (c, i) =>
+          (c, row.getDouble(5 * i).toLong,
+            math.rint(row.getDouble(5 * i + 1) * 1e6) / 1e6,
+            math.rint(row.getDouble(5 * i + 2) * 1e6) / 1e6,
+            row.getDouble(5 * i + 3), row.getDouble(5 * i + 4))
+        }.toDF("col_name", "n", "mean", "std", "min_v", "max_v")
+          .orderBy(col("col_name"))
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+           |ROUND(${avgExactSql(c)}, 6) AS mean,
+           |ROUND(${stdExactSql(c)}, 6) AS std,
+           |MIN($c) AS min_v, MAX($c) AS max_v FROM lineitem""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
     // A18: one-sided Fisher exact on the whale contingency (driver-side
     // hypergeometric tail over Spark-aggregated counts); the oracle
     // replays the tail sum with DuckDB's lgamma.
