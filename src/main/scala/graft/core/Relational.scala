@@ -43,12 +43,64 @@ object Relational {
       .filter(col("rk") <= k)
   }
 
-  /** W4 (exact): decile bucketing via ntile over a global order. Matches
-    * the reference's qcut-ish equal-count split given a unique order key.
-    * NOTE: the global window is single-partition — exact/oracle variant
-    * only. At scale use [[decileByRange]] (range-partitioned, parallel). */
-  def decileExact(df: DataFrame, order: Seq[Column], n: Int = 10): DataFrame =
-    df.withColumn("decile", ntile(n).over(Window.orderBy(order: _*)).cast("int"))
+  /** Exact global 1-based rank over `order` with NO single-partition stage
+    * (the scale-safe replacement for `row_number() OVER (ORDER BY …)`):
+    *   1. one range shuffle on the order keys (explicit partition count, so
+    *      AQE never re-coalesces it differently per consumer);
+    *   2. local sort, then `monotonically_increasing_id()` — its upper bits
+    *      are the physical partition index and its lower 33 bits a
+    *      consecutive within-partition counter, so one codegen'd projection
+    *      yields (pid, local_rank) with no second shuffle and no
+    *      mapPartitions (the expression is nondeterministic, which also
+    *      bars the optimizer from reordering it below the sort);
+    *   3. a tiny one-row-per-partition prefix-offset table (derived from
+    *      the SAME exchange via reuse) broadcast back to bridge partitions
+    *      — the pattern proven for AUC in [[graft.stats.Auc]].
+    * Adds `rankCol` (long) and `totalCol` (long, the table row count).
+    * Include unique tie-breakers in `order` for a deterministic rank.
+    * Assumes < 2^33 rows per range partition (size partitions accordingly). */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
+      totalCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, order: _*)
+
+    // Tiny side: one row per partition → prefix offset + grand total. The
+    // windows below run over ≤ nPart rows (constant partition key keeps
+    // them off the data path).
+    val wOff = Window.partitionBy(lit(0)).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.withColumn("__pid", spark_partition_id())
+      .groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum("__pn").over(wOff), lit(0L)))
+      .withColumn(totalCol, sum("__pn").over(Window.partitionBy(lit(0))))
+      .select("__pid", "__off", totalCol)
+
+    ranged.sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lrk", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .join(broadcast(offsets), col("__pid2") === col("__pid"))
+      .withColumn(rankCol, col("__lrk") + col("__off"))
+      .drop("__mid", "__pid", "__pid2", "__lrk", "__off")
+  }
+
+  /** W4 (exact): decile bucketing with NTILE tie semantics over a global
+    * order, computed from the distributed [[withGlobalRank]] — no
+    * single-partition window. NTILE(n) closed form: with N rows, the first
+    * r = N mod n buckets take ceil(N/n) rows, the rest floor(N/n).
+    * Matches the reference's qcut-ish equal-count split given a unique
+    * order key. [[decileByRange]] is the approximate constant-pass twin. */
+  def decileExact(df: DataFrame, order: Seq[Column], n: Int = 10): DataFrame = {
+    val ranked = withGlobalRank(df, order, "__grk", "__gn")
+    val q = floor(col("__gn") / n).cast("long")
+    val r = col("__gn") - q * n
+    val thr = r * (q + lit(1L))
+    val decile = when(col("__grk") <= thr,
+        floor((col("__grk") - 1) / (q + lit(1L))) + 1)
+      .otherwise(r + floor((col("__grk") - thr - 1) / greatest(q, lit(1L))) + 1)
+    ranked.withColumn("decile", decile.cast("int")).drop("__grk", "__gn")
+  }
 
   /** W4 (scale path): equal-frequency bucketing by approx-quantile cut
     * points — fully parallel (one pass for the sketch + one map pass).
@@ -100,14 +152,16 @@ object Relational {
     * lexicographic rank; include unique tie-breakers) vs a boolean target:
     * returns (a,b,c,d) with a = whale∧target, b = whale∧¬target,
     * c = ¬whale∧target, d = rest, plus the positive-rate lift of whales.
-    * Exact variant ranks on a global window (single partition) — for the
-    * 100 TB path cut on `approxQuantile(value, 1-pct/100)` instead and
-    * accept boundary fuzz (the reference's own cut is a quantile,
-    * `public_eda_pipeline.py:622`). */
+    * Ranks via the distributed [[withGlobalRank]] (one range shuffle, no
+    * single-partition window); the cut n = floor(N·pct/100) comes from the
+    * same broadcast offsets table, so the whole thing is one pass over the
+    * data plus a single-row reduction. (The reference's own cut is a
+    * quantile, `public_eda_pipeline.py:622` — an approxQuantile cut on the
+    * order value is an even cheaper variant when boundary fuzz is fine.) */
   def whaleContingency(df: DataFrame, order: Seq[Column], target: Column, pct: Double = 1.0): DataFrame = {
-    val ranked = df.withColumn("__rk", row_number().over(Window.orderBy(order: _*)))
+    val ranked = withGlobalRank(df, order, "__rk", "__gn")
       .withColumn("__t", target.cast("int"))
-    val n = floor(max(col("__rk")).over(Window.partitionBy()) * lit(pct) / 100.0)
+    val n = floor(col("__gn") * lit(pct) / 100.0)
     ranked
       .withColumn("__whale", (col("__rk") <= n).cast("int"))
       .agg(

@@ -42,6 +42,27 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, p) // partial + final
   }
 
+  test("w4/a19: decile and whale rank have no single-partition stage on the data path") {
+    for (name <- Seq("w4_decile", "a19_whale_contingency")) {
+      val p = plan(name)
+      // the data path ranks via one range shuffle (explicit count)...
+      assert(p.contains("REPARTITION_BY_NUM"), s"$name missing range shuffle:\n$p")
+      // ...and the old global ntile/row_number windows are gone: any
+      // remaining SinglePartition exchange must sit directly above a
+      // HashAggregate (the ≤ nPart-row offset partials / final agg), never
+      // above a scan or sort of the data
+      val lines = p.linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+        case (_, i) =>
+          val child = lines.drop(i + 1).headOption.getOrElse("")
+          assert(child.contains("HashAggregate"),
+            s"$name single-partition exchange over non-aggregate data:\n$p")
+      }
+      // no unpartitioned window over anything but the tiny offset frame
+      assert(!p.contains("ntile"), s"$name still uses a global ntile:\n$p")
+    }
+  }
+
   test("a17: AUC has no unpartitioned window over the data path") {
     val df = SparkEntry.queries("a17_auc")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
