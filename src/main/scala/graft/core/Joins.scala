@@ -39,10 +39,28 @@ object Joins {
     * join re-checks keys). */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // probe with the SAME representation the filter is built on — a
+    // mismatched probe (e.g. casting a string key to long) turns the
+    // false-positive-only contract into silent false negatives; validate
+    // the key type up front so unsupported types fail fast
+    val keyType = big.schema(key).dataType
+    val supported = Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+    if (!supported.contains(keyType)) {
+      throw new IllegalArgumentException(
+        s"bloomPrunedJoin: unsupported key type $keyType for '$key' (integral or string only)")
+    }
     val bloom = small.stat.bloomFilter(key, expectedKeys, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val f = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.where(f(col(key).cast("long"))).join(small, Seq(key))
+    val keep = keyType match {
+      case StringType =>
+        val f = udf((k: String) => k != null && bc.value.mightContainString(k))
+        f(col(key))
+      case _ =>
+        val f = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        f(col(key).cast("long"))
+    }
+    big.where(keep).join(small, Seq(key))
   }
 
   /** Salted inner equi-join: big side gets a per-row salt in [0, salts);

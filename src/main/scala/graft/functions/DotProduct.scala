@@ -32,7 +32,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -44,7 +48,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);

@@ -186,9 +186,15 @@ object Dedup {
     dupClustersDistributed(pairs, maxIter)
   }
 
-  /** Distributed min-label propagation CC (for edge lists too large for
-    * the driver): each round every node takes the min of its own and its
-    * neighbors' labels; converges in O(cluster diameter) rounds. */
+  /** Distributed CC (for edge lists too large for the driver): min-label
+    * propagation PLUS pointer doubling — each round a node takes the min
+    * of its own and its neighbors' labels, then jumps to its label's label
+    * (label ← label(label)). The jump halves the distance to the cluster
+    * minimum, so convergence is O(log diameter) rounds, not O(diameter) —
+    * chain-shaped dup clusters (the pathological shape for plain
+    * propagation) converge in ~log₂ rounds. Throws if `maxIter` rounds
+    * were insufficient rather than silently returning partial clusters
+    * (which would KEEP duplicates downstream). */
   def dupClustersDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
@@ -204,10 +210,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "dst_cluster"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_cluster")).as("nbr_cluster"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: follow the label's own label (labels are node
+      // ids, so a self-join resolves one extra hop per round). The self-
+      // reference doubles the logical plan, so truncate lineage each round
+      // (localCheckpoint — the standard iterative-algorithm fix; a cluster
+      // deployment with a checkpoint dir would use checkpoint()).
+      val hop = stepped.select(col("id").as("cluster"), col("cluster").as("hop_cluster"))
+      val updated = stepped.join(hop, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("hop_cluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true) // eager — stepped can be released right after
+      stepped.unpersist()
       val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -216,6 +233,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClustersDistributed: labels still changing after $maxIter rounds " +
+          "(cluster diameter too large) — raise maxIter")
+    }
     labels
   }
 

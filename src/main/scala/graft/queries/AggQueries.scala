@@ -309,7 +309,7 @@ object AggQueries {
         Seq((a, b, c, dd, math.rint(p * 1e6) / 1e6))
           .toDF("a", "b", "c", "d", "p_greater")
       },
-      Some("""WITH base AS (
+      Some("""WITH RECURSIVE base AS (
              |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
              |  FROM lineitem WHERE l_orderkey % 100 < 10),
              |nn AS (SELECT COUNT(*) AS cnt FROM base),
@@ -324,9 +324,11 @@ object AggQueries {
              |  CAST(SUM(CASE WHEN w=0 AND t=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
              |  CAST(SUM(CASE WHEN w=0 AND t=0 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM f),
              |m AS (SELECT a, b, c, d, a+b AS kk, a+c AS n1, a+b+c+d AS nt FROM cont),
-             |terms AS (
-             |  SELECT m.*, r2.range AS k2 FROM m, range(0, 100000) r2
-             |  WHERE r2.range >= m.a AND r2.range <= LEAST(m.kk, m.n1)),
+             |ks(k2) AS (
+             |  SELECT a FROM m
+             |  UNION ALL
+             |  SELECT k2 + 1 FROM ks, m WHERE ks.k2 < LEAST(m.kk, m.n1)),
+             |terms AS (SELECT m.*, ks.k2 FROM m, ks),
              |p AS (SELECT a, b, c, d,
              |  SUM(EXP(lgamma(kk+1.0)-lgamma(k2+1.0)-lgamma(kk-k2+1.0)
              |    + lgamma(nt-kk+1.0)-lgamma(n1-k2+1.0)-lgamma(nt-kk-n1+k2+1.0)

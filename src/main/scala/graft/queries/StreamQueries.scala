@@ -18,11 +18,10 @@ object StreamQueries {
         EventStream.runWindowedOnce(s, s"$d/events.parquet", sink, window = "1 day")
           .select(
             date_format(col("window_start"), "yyyy-MM-dd").as("day"),
-            col("event_type"), col("n"),
-            round(col("sum_value"), 4).as("sum_value"))
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("day"), col("event_type"))
       },
-      Some("""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-             |COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+      Some(s"""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              |COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

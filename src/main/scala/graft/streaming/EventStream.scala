@@ -29,13 +29,17 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Tumbling-window count/sum per event_type with a watermark. */
+  /** Tumbling-window count/sum per event_type with a watermark. The sum
+    * is decimal-accumulated then emitted as double (the repo-wide `Det`
+    * contract), so the result is order- and partitioning-independent —
+    * required for the stream≡batch≡oracle hash parity. */
   def windowedAgg(events: DataFrame, window: String = "1 day",
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(27, 6))).cast(DoubleType).as("sum_value"))
       .select(
         col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))

@@ -84,6 +84,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("distributed CC converges on long chains in O(log d) rounds; throws when rounds run out") {
+    import spark.implicits._
+    // a 64-node chain: plain min-propagation needs 63 rounds; pointer
+    // doubling gets there in well under 10
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClustersDistributed(chain, maxIter = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.size === 64 && labels.values.forall(_ === 1L), labels)
+    // insufficient rounds must throw, not silently keep duplicates
+    intercept[IllegalStateException] {
+      Dedup.dupClustersDistributed(chain, maxIter = 2)
+    }
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)

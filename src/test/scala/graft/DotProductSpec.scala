@@ -18,6 +18,25 @@ class DotProductSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact
   }
 
+  test("dot_product throws on dimension mismatch (no silent min-length truncation)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    // interpreted path
+    val eInterp = intercept[Exception] {
+      df.select(GraftFunctions.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(exceptionChain(eInterp).exists(_.getMessage.contains("dimension mismatch")), eInterp)
+    // codegen path (project over enough rows to stay in whole-stage codegen)
+    val big = Seq.fill(100)((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    val eGen = intercept[Exception] {
+      big.select(GraftFunctions.dot_product(col("a"), col("b")).as("d")).agg(sum(col("d"))).collect()
+    }
+    assert(exceptionChain(eGen).exists(_.getMessage.contains("dimension mismatch")), eGen)
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("dot_product nulls and SQL registration") {
     import spark.implicits._
     GraftFunctions.register(spark)

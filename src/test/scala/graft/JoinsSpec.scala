@@ -42,6 +42,26 @@ class JoinsSpec extends SparkSpec {
     assert(bloomKept.contains("UDF")) // filter present in the physical plan
   }
 
+  test("bloom-pruned join is lossless on STRING keys (probe matches build representation)") {
+    import spark.implicits._
+    // string keys whose cast-to-long is null — the old probe silently
+    // dropped every such row (false negatives from a false-positive-only
+    // structure)
+    val big = (1 to 500).map(i => (s"key_$i", i)).toDF("k", "payload")
+    val small = Seq("key_7", "key_42", "key_499").toDF("k")
+    val plain = big.join(small, Seq("k")).select("k", "payload")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val pruned = Joins.bloomPrunedJoin(big, small, "k", expectedKeys = 100)
+      .select("k", "payload")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(pruned === plain && plain.size === 3)
+    // unsupported key types fail fast instead of silently dropping rows
+    val doubleKeyed = Seq((1.5, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(doubleKeyed, doubleKeyed, "k")
+    }
+  }
+
   test("salted join returns exactly the plain-join rows on skewed data") {
     import spark.implicits._
     // 90% of big rows share one hot key
