@@ -10,6 +10,26 @@ import graft.stats.{Auc, Correlations}
 object AggQueries {
   import Det._
 
+  /** Shared oracle for a14 / a14b (expression-pass and Gramian paths must
+    * match the same SQL). */
+  private val pairLiftOracleSql: String = {
+    val fl = Seq(
+      "f_disc" -> "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END",
+      "f_qty" -> "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
+      "f_ret" -> "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+    val pairs = for { i <- fl.indices; j <- fl.indices if i < j } yield (fl(i), fl(j))
+    val sels = pairs.map { case ((na, xa), (nb, xb)) =>
+      s"""SELECT '$na' AS col_a, '$nb' AS col_b,
+         |CAST(SUM($xa) AS BIGINT) AS count_a, CAST(SUM($xb) AS BIGINT) AS count_b,
+         |CAST(SUM(($xa) * ($xb)) AS BIGINT) AS co_count,
+         |ROUND((CAST(SUM(($xa) * ($xb)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) /
+         |  ((CAST(SUM($xa) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) *
+         |   (CAST(SUM($xb) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))), 6) AS pair_lift
+         |FROM lineitem""".stripMargin
+    }
+    sels.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
@@ -195,23 +215,23 @@ object AggQueries {
             col("co_count"), round(col("pair_lift"), 6).as("pair_lift"))
           .orderBy(col("col_a"), col("col_b"))
       },
-      Some {
-        val fl = Seq(
-          "f_disc" -> "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END",
-          "f_qty" -> "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
-          "f_ret" -> "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
-        val pairs = for { i <- fl.indices; j <- fl.indices if i < j } yield (fl(i), fl(j))
-        val sels = pairs.map { case ((na, xa), (nb, xb)) =>
-          s"""SELECT '$na' AS col_a, '$nb' AS col_b,
-             |CAST(SUM($xa) AS BIGINT) AS count_a, CAST(SUM($xb) AS BIGINT) AS count_b,
-             |CAST(SUM(($xa) * ($xb)) AS BIGINT) AS co_count,
-             |ROUND((CAST(SUM(($xa) * ($xb)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) /
-             |  ((CAST(SUM($xa) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) *
-             |   (CAST(SUM($xb) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))), 6) AS pair_lift
-             |FROM lineitem""".stripMargin
-        }
-        sels.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
-      }),
+      Some(pairLiftOracleSql)),
+
+    // A14 scale twin: identical semantics via RowMatrix Gramian (one
+    // treeAggregate of a k×k buffer — the k>64 path), same DuckDB oracle.
+    Q("a14b_pair_lift_gramian",
+      (s, d) => {
+        val flagged = T(s, d, "lineitem")
+          .withColumn("f_disc", (col("l_discount") > 0.05).cast("int"))
+          .withColumn("f_qty", (col("l_quantity") > 25).cast("int"))
+          .withColumn("f_ret", (col("l_returnflag") === "R").cast("int"))
+        Correlations.pairLiftGramian(flagged, Seq("f_disc", "f_qty", "f_ret"))
+          .select(
+            col("col_a"), col("col_b"), col("count_a"), col("count_b"),
+            col("co_count"), round(col("pair_lift"), 6).as("pair_lift"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some(pairLiftOracleSql)),
 
     Q("a15_cross_corr",
       (s, d) => {
@@ -402,6 +422,33 @@ object AggQueries {
               |  SELECT o_totalprice, CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
               |  FROM orders)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // W4 scale twin: equal-frequency bucketing from approx-quantile cut
+    // points — constant-pass, no ranking shuffle at all. With relErr small
+    // enough to be exact (εN < 1), Spark's GK sketch returns the same
+    // discrete quantiles as DuckDB's quantile_disc (verified at sf0.01 and
+    // sf0.1), so this twin is fully oracle-checkable; at real scale one
+    // relaxes relErr and accepts boundary fuzz.
+    Q("w4b_decile_range",
+      (s, d) => Relational.decileByRange(
+        T(s, d, "orders"), "o_totalprice", relErr = 1e-8)
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          avgExact(col("o_totalprice")).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("decile")),
+      Some(s"""WITH cuts AS (
+              |  SELECT quantile_disc(o_totalprice,
+              |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM orders),
+              |b AS (
+              |  SELECT o_totalprice,
+              |    CAST(1 + len(list_filter(cuts.cs, c -> c < o_totalprice)) AS INTEGER) AS decile
+              |  FROM orders, cuts)
+              |SELECT decile, COUNT(*) AS n, ${avgExactSql("o_totalprice")} AS avg_price,
+              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("w5_threshold_rank",
       (s, d) => T(s, d, "lineitem")

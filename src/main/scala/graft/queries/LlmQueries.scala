@@ -135,6 +135,19 @@ object LlmQueries {
              |  CAST(b.embedding AS DOUBLE[])) >= 0.45
              |ORDER BY 1, 2""".stripMargin)),
 
+    // d5 scale twin: random-hyperplane LSH candidate generation + exact
+    // cosine verify — the path that runs at 100 TB (bucket equi-join, no
+    // driver collect). Rows-only here; the correctness contract is the
+    // recall-vs-brute spec (DedupSpec "cosinePairsLsh finds what brute
+    // force finds": subset of brute + recall ≥ 0.9).
+    Q("d5b_embed_neardup_lsh",
+      (s, d) => Dedup.cosinePairsLsh(
+        T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45,
+        dim = 64, nPlanes = 16, nBands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
     // ---- similarity search --------------------------------------------------
     Q("n1_ann_brute",
       (s, d) => Similarity.bruteForceTopK(

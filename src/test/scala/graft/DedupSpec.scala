@@ -108,7 +108,7 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute)) // verify step guarantees no false positives
     if (brute.nonEmpty) {
       val recall = lsh.intersect(brute).size.toDouble / brute.size
-      assert(recall >= 0.5, s"LSH recall $recall over ${brute.size} true pairs")
+      assert(recall >= 0.9, s"LSH recall $recall over ${brute.size} true pairs")
     }
   }
 }
