@@ -8,11 +8,20 @@ import graft.pipeline.EdaPipeline
   * the golden-table invariants from SURVEY.md §5. */
 class PipelineSpec extends SparkSpec {
 
+  private lazy val jobCount = new java.util.concurrent.atomic.AtomicInteger
+
   private lazy val result = {
     val dir = Files.createTempDirectory("graft_fixture").toString
     val outDir = Files.createTempDirectory("graft_out").toString
     RefFixture.write(spark, dir, nTrain = 6000, nTest = 2000)
-    (EdaPipeline.run(spark, dir, outDir), outDir)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try (EdaPipeline.run(spark, dir, outDir), outDir)
+    finally spark.sparkContext.removeSparkListener(counter)
   }
 
   test("pipeline emits the full golden-table layout") {
@@ -29,6 +38,14 @@ class PipelineSpec extends SparkSpec {
       "whale_signals.csv", "summary.json", "report.md")
     val missing = expected.filterNot(f => Files.exists(Paths.get(outDir, f)))
     assert(missing.isEmpty, s"missing artifacts: $missing")
+  }
+
+  test("driver launches a bounded number of jobs (no per-feature job storms)") {
+    val (_, _) = result // force the pipeline run
+    val n = jobCount.get
+    // the old per-cat-feature dictionary loop alone launched ~4 jobs × 67
+    // features; the melted pipeline stays well under that in TOTAL
+    assert(n > 0 && n < 200, s"pipeline launched $n Spark jobs")
   }
 
   test("golden invariants: 41 target rows, C(41,2) pairs, corr symmetry") {
