@@ -97,6 +97,22 @@ object EdaPipeline {
           org.apache.spark.sql.types.DoubleType)))
     import scala.jdk.CollectionConverters._
     Sinks.writeCsv(spark.createDataFrame(corrRows.asJava, corrSchema), out("target_corr_matrix.csv"))
+    // pair tables enriched with the pearson corr of each pair
+    // (reference `P:168-173`): top-30 positive / negative / lift slices
+    val corrPairs = (for { i <- targets.indices; j <- targets.indices if i < j }
+      yield (targets(i), targets(j), corrM(i, j))).toDF("col_a", "col_b", "corr")
+    val pairWithCorr = pairDf.join(corrPairs, Seq("col_a", "col_b"), "left")
+    Sinks.writeCsv(
+      pairWithCorr.orderBy(col("corr").desc, col("col_a"), col("col_b")).limit(30),
+      out("top_positive_target_pairs.csv"))
+    Sinks.writeCsv(
+      pairWithCorr.orderBy(col("corr").asc, col("col_a"), col("col_b")).limit(30),
+      out("top_negative_target_pairs.csv"))
+    Sinks.writeCsv(
+      pairWithCorr.where(col("co_count") >= 10)
+        .orderBy(col("pair_lift").desc, col("col_a"), col("col_b")).limit(30),
+      out("top_cooccurrence_lift_pairs.csv"))
+
     val antagonist = targets.head // family-10 analog of target_10_1
     val ai = targets.indexOf(antagonist)
     val antiCorrs = targets.indices.filter(_ != ai).map(j => corrM(ai, j))
@@ -105,6 +121,13 @@ object EdaPipeline {
       targets.indices.filter(_ != ai).map(j => (targets(j), corrM(ai, j)))
         .toDF("target", "corr_with_antagonist").orderBy(col("corr_with_antagonist")),
       out("antagonist_corr_slice.csv"))
+    // abs-sorted profile variant (reference's target_10_1_profile, `P:175-181`)
+    Sinks.writeCsv(
+      targets.indices.filter(_ != ai)
+        .map(j => (targets(j), corrM(ai, j), math.abs(corrM(ai, j))))
+        .toDF("other_target", "correlation", "abs_correlation")
+        .orderBy(col("abs_correlation").desc, col("other_target")),
+      out("antagonist_profile.csv"))
 
     // ---- 6: clustering on 1−|corr| (k ∈ {3,4,5}) ---------------------------
     val dist = Array.tabulate(targets.size, targets.size)((i, j) => 1.0 - math.abs(corrM(i, j)))
@@ -113,6 +136,16 @@ object EdaPipeline {
       k -> (labels, Clustering.silhouette(dist, labels))
     }.toMap
     val (labels4, sil4) = byK(4)
+    // per-k quality table: silhouette + cluster-size value counts
+    // (reference's target_cluster_quality, `P:186-205`)
+    Sinks.writeCsv(
+      Seq(3, 4, 5).map { k =>
+        val (labels, sil) = byK(k)
+        val sizes = labels.groupBy(identity).values.map(_.size)
+        (k, sil, sizes.max.toDouble / targets.size, sizes.min, sizes.max)
+      }.toDF("k", "silhouette_precomputed", "largest_cluster_share",
+        "min_cluster_size", "max_cluster_size"),
+      out("target_cluster_quality.csv"))
     val families = targets.map(FeatureCatalog.targetFamily).toArray
     Sinks.writeCsv(
       targets.indices.map(i => (targets(i), families(i), labels4(i)))
@@ -131,11 +164,22 @@ object EdaPipeline {
       .withColumn("feature_type",
         when(col("col_name").startsWith("num_"), "numeric").otherwise("categorical"))
       .withColumn("source", lit("main"))
-    Sinks.writeCsv(mainNulls.orderBy(col("null_rate").desc, col("col_name")),
-      out("feature_missingness_summary.csv"))
 
     // ---- 8: extra-feature missingness bands --------------------------------
     val extraNulls = WideAgg.nullProfile(trainExtra, extraCat.numFeatures)
+    // the combined summary is main ∪ extra (reference `P:249-267`), plus
+    // the extra-only slice and its top-10-missing head as separate tables
+    val extraNullsLabeled = extraNulls
+      .withColumn("feature_type", lit("numeric"))
+      .withColumn("source", lit("extra"))
+    Sinks.writeCsv(
+      mainNulls.unionByName(extraNullsLabeled).orderBy(col("null_rate").desc, col("col_name")),
+      out("feature_missingness_summary.csv"))
+    Sinks.writeCsv(extraNullsLabeled.orderBy(col("null_rate").desc, col("col_name")),
+      out("extra_missingness_summary.csv"))
+    Sinks.writeCsv(
+      extraNullsLabeled.orderBy(col("null_rate").desc, col("col_name")).limit(10),
+      out("top10_missing_features.csv"))
     val banded = extraNulls.withColumn("band", Relational.bandLabel(
       col("null_rate"),
       Seq("a_.. <=0.10" -> 0.10001, "b_.. <=0.50" -> 0.50001, "c_.. <=0.90" -> 0.90001,
@@ -218,6 +262,13 @@ object EdaPipeline {
         .toDF("feature", "train_cardinality", "test_cardinality",
           "unseen_test_values", "unseen_row_rate"),
       out("categorical_cardinality.csv"))
+    // unseen-values slice sorted by test-row impact (reference's
+    // categorical_unseen_categories, `P:398-405`)
+    Sinks.writeCsv(
+      catStats.map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+        .toDF("feature", "unseen_unique_categories", "unseen_rate_test_rows")
+        .orderBy(col("unseen_rate_test_rows").desc, col("feature")),
+      out("categorical_unseen_categories.csv"))
     val unseenFeatures = catStats.count(_.getLong(3) > 0)
 
     // ---- 12: adversarial shift (20% samples) -------------------------------
@@ -248,6 +299,65 @@ object EdaPipeline {
     val top10 = Relational.topKPerGroup(
       linear.na.drop(Seq("corr")), Seq("target"), Seq(col("abs_corr").desc, col("feature")), 10)
     Sinks.writeCsv(top10.orderBy(col("target"), col("rk")), out("top10_features_per_target.csv"))
+
+    // feature provenance for the mix/signal tables
+    val mainFeatSet = (mainCat.numFeatures ++ mainCat.catFeatures).toSet
+    val withMeta = top10
+      .withColumn("source",
+        when(col("feature").isin(mainFeatSet.toSeq: _*), "main").otherwise("extra"))
+      .withColumn("feature_type",
+        when(col("feature").startsWith("cat_"), "categorical").otherwise("numeric"))
+
+    // per-target composition of the top-10 list (reference `P:539-551`)
+    Sinks.writeCsv(
+      withMeta.groupBy(col("target")).agg(
+        avg(col("abs_corr")).as("mean_abs_corr_top10"),
+        sum(when(col("feature_type") === "categorical", 1).otherwise(0)).as("n_cat_top10"),
+        sum(when(col("feature_type") === "numeric", 1).otherwise(0)).as("n_num_top10"),
+        sum(when(col("source") === "main", 1).otherwise(0)).as("n_main_top10"),
+        sum(when(col("source") === "extra", 1).otherwise(0)).as("n_extra_top10"))
+        .orderBy(col("mean_abs_corr_top10").desc, col("target")),
+      out("target_top10_feature_mix.csv"))
+
+    // universality via top-10 membership (reference `P:553-563`; the full-
+    // screen variant below stays as feature_universality.csv)
+    Sinks.writeCsv(
+      withMeta.groupBy(col("feature")).agg(
+        countDistinct(col("target")).as("n_targets_top10"),
+        avg(col("abs_corr")).as("mean_abs_corr_when_top10"),
+        max(col("abs_corr")).as("max_abs_corr_when_top10"))
+        .orderBy(col("n_targets_top10").desc, col("mean_abs_corr_when_top10").desc,
+          col("feature")),
+      out("feature_universality_top10.csv"))
+
+    // full-screen signal summary with provenance + null rate (reference
+    // `P:565-585`)
+    val featNullRates = mainNulls.select(col("col_name").as("feature"), col("null_rate"))
+      .unionByName(extraNulls.select(col("col_name").as("feature"), col("null_rate")))
+    Sinks.writeCsv(
+      linear.na.drop(Seq("corr")).groupBy(col("feature")).agg(
+        max(col("abs_corr")).as("max_abs_corr"),
+        avg(col("abs_corr")).as("mean_abs_corr"),
+        sum(when(col("abs_corr") > 0.05, 1).otherwise(0)).as("n_targets_abs_corr_gt_005"),
+        sum(when(col("abs_corr") > 0.10, 1).otherwise(0)).as("n_targets_abs_corr_gt_010"))
+        .withColumn("source",
+          when(col("feature").isin(mainFeatSet.toSeq: _*), "main").otherwise("extra"))
+        .withColumn("feature_type",
+          when(col("feature").startsWith("cat_"), "categorical").otherwise("numeric"))
+        .join(featNullRates, Seq("feature"), "left")
+        .orderBy(col("max_abs_corr").desc, col("mean_abs_corr").desc, col("feature")),
+      out("feature_signal_summary.csv"))
+
+    // convenience slice: top-5 linear rows for a fixed target set
+    // (reference's golden_linear_top5_selected_targets, `P:587-594`;
+    // selection is deterministic — first 4 targets in catalog order)
+    val selectedTargets = targets.take(4)
+    Sinks.writeCsv(
+      Relational.topKPerGroup(
+        linear.na.drop(Seq("corr")).where(col("target").isin(selectedTargets: _*)),
+        Seq("target"), Seq(col("abs_corr").desc, col("feature")), 5)
+        .orderBy(col("target"), col("rk")),
+      out("golden_linear_top5_selected_targets.csv"))
     screenSample.unpersist()
 
     // ---- 14: feature universality ------------------------------------------
@@ -300,6 +410,28 @@ object EdaPipeline {
       .toDF("feature", "target", "n_whales", "n_whale_pos", "lift", "p_value")
       .orderBy(col("p_value"), col("feature"), col("target"))
     Sinks.writeCsv(whaleDf, out("whale_signals.csv"))
+    // candidate rollup + top-3 per target over the SIGNIFICANT slice
+    // (reference `P:652-669`); whaleRows is a driver-side list (≤ features
+    // × rare targets), so these are local transforms
+    val sigWhales = whaleRows.filter(r => !r._5.isNaN && r._5 >= 2.0 && r._6 < 0.05)
+    val whaleCandidates = sigWhales.groupBy(_._1).map { case (f, rs) =>
+      val lifts = rs.map(_._5).sorted
+      val median =
+        if (lifts.size % 2 == 1) lifts(lifts.size / 2)
+        else (lifts(lifts.size / 2 - 1) + lifts(lifts.size / 2)) / 2.0
+      (f, rs.map(_._2).distinct.size, median, lifts.last, rs.map(_._6).min)
+    }.toSeq
+    Sinks.writeCsv(
+      whaleCandidates
+        .toDF("feature", "n_rare_targets", "median_lift", "max_lift", "min_pvalue")
+        .orderBy(col("n_rare_targets").desc, col("median_lift").desc, col("feature")),
+      out("whale_feature_candidates.csv"))
+    Sinks.writeCsv(
+      sigWhales.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._5, r._1)).take(3)
+      }.toDF("feature", "target", "n_whales", "n_whale_pos", "lift", "p_value")
+        .orderBy(col("target"), col("lift").desc, col("feature")),
+      out("whale_top3_per_target.csv"))
     val whaleSig = whaleRows.count(r => r._5 >= 2.0 && r._6 < 0.05).toLong
 
     // ---- 16: summary.json + report.md --------------------------------------

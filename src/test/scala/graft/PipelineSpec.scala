@@ -26,16 +26,26 @@ class PipelineSpec extends SparkSpec {
 
   test("pipeline emits the full golden-table layout") {
     val (_, outDir) = result
+    // full analog of the reference's 29-CSV golden-table layout
+    // (`public_eda_pipeline.py` to_csv sites) + summary.json + report.md
     val expected = Seq(
       "target_stats.csv", "target_family_stats.csv", "opened_targets_distribution.csv",
-      "target_pair_stats.csv", "target_top_pairs.csv", "target_corr_matrix.csv",
-      "antagonist_corr_slice.csv", "target_cluster_assignments.csv",
+      "target_pair_stats.csv", "target_top_pairs.csv",
+      "top_positive_target_pairs.csv", "top_negative_target_pairs.csv",
+      "top_cooccurrence_lift_pairs.csv", "target_corr_matrix.csv",
+      "antagonist_corr_slice.csv", "antagonist_profile.csv",
+      "target_cluster_quality.csv", "target_cluster_assignments.csv",
       "target_cluster_summary.csv", "feature_missingness_summary.csv",
+      "extra_missingness_summary.csv", "top10_missing_features.csv",
       "extra_missingness_bands.csv", "filled_extra_count_deciles.csv",
       "missing_indicator_auc.csv", "categorical_cardinality.csv",
+      "categorical_unseen_categories.csv",
       "adversarial_auc.csv", "feature_target_linear_corr.csv",
-      "top10_features_per_target.csv", "feature_universality.csv",
-      "whale_signals.csv", "summary.json", "report.md")
+      "top10_features_per_target.csv", "target_top10_feature_mix.csv",
+      "feature_universality.csv", "feature_universality_top10.csv",
+      "feature_signal_summary.csv", "golden_linear_top5_selected_targets.csv",
+      "whale_signals.csv", "whale_feature_candidates.csv",
+      "whale_top3_per_target.csv", "summary.json", "report.md")
     val missing = expected.filterNot(f => Files.exists(Paths.get(outDir, f)))
     assert(missing.isEmpty, s"missing artifacts: $missing")
   }
@@ -80,6 +90,48 @@ class PipelineSpec extends SparkSpec {
     // fixture plants unseen test categories in cat_feature_4/5
     assert(r.unseenCatFeatures >= 1, s"unseen=${r.unseenCatFeatures}")
     assert(r.screenedFeatures > 0 && r.screenSampleRows > 0)
+  }
+
+  test("new golden-table analogs carry sane content") {
+    val (_, outDir) = result
+    def lines(f: String) = Files.readAllLines(Paths.get(outDir, f))
+    // per-k cluster quality: exactly k=3,4,5 with silhouettes in [-1,1]
+    val cq = lines("target_cluster_quality.csv")
+    assert(cq.size === 4)
+    val cqHeader = cq.get(0).split(",").toSeq
+    val silIdx = cqHeader.indexOf("silhouette_precomputed")
+    (1 until 4).foreach { i =>
+      val s = cq.get(i).split(",")(silIdx).toDouble
+      assert(s >= -1.0 && s <= 1.0, s"silhouette $s")
+    }
+    // pair slices: ≤30 rows, positives sorted desc / negatives asc by corr
+    def corrCol(f: String): Seq[Double] = {
+      val ls = lines(f)
+      val idx = ls.get(0).split(",").indexOf("corr")
+      (1 until ls.size).map(i => ls.get(i).split(",")(idx).toDouble)
+    }
+    val pos = corrCol("top_positive_target_pairs.csv")
+    val neg = corrCol("top_negative_target_pairs.csv")
+    assert(pos.size <= 30 && pos.sorted.reverse == pos, "positives not desc")
+    assert(neg.size <= 30 && neg.sorted == neg, "negatives not asc")
+    // top-3 per target bounded
+    val t3 = lines("whale_top3_per_target.csv")
+    if (t3.size > 1) {
+      val tIdx = t3.get(0).split(",").indexOf("target")
+      val counts = (1 until t3.size).map(i => t3.get(i).split(",")(tIdx))
+        .groupBy(identity).values.map(_.size)
+      assert(counts.forall(_ <= 3), "more than 3 rows for a target")
+    }
+    // signal summary: null rates within [0,1] when present
+    val fs = lines("feature_signal_summary.csv")
+    val nrIdx = fs.get(0).split(",").indexOf("null_rate")
+    (1 until fs.size).foreach { i =>
+      val cells = fs.get(i).split(",", -1)
+      if (nrIdx < cells.length && cells(nrIdx).nonEmpty) {
+        val nr = cells(nrIdx).toDouble
+        assert(nr >= 0.0 && nr <= 1.0, s"null_rate $nr")
+      }
+    }
   }
 
   test("deciles monotone in avg_filled") {
