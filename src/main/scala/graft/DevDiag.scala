@@ -31,15 +31,17 @@ object DevDiag {
     println("[diag] ---- agg.count() plan ----")
     agg.groupBy().count().explain("formatted")
     time("agg4.head") { agg.head() }
-    time("agg4.count") { agg.count() }
+    // NB: .count() on a groupBy-less agg lets Spark PRUNE the decimal sum
+    // expressions (scan + empty agg only) — kept as the control that
+    // isolates scan cost from sum cost, not comparable to .head()
+    time("agg4.count[sums-pruned]") { agg.count() }
     val sums2 = Seq("l_quantity", "l_extendedprice")
       .map(c => sum(col(c).cast(DecimalType(27, 6))).cast(DoubleType).as(c))
-    time("agg2.count(s3-shape)") { li.agg(count(lit(1)).as("n"), sums2: _*).count() }
+    time("agg2.head(s3-shape)") { li.agg(count(lit(1)).as("n"), sums2: _*).head() }
     time("agg4.double.head") {
       li.agg(sum(col("l_quantity")).as("a"), sum(col("l_extendedprice")).as("b"),
         sum(col("l_discount")).as("c"), sum(col("l_tax")).as("d")).head()
     }
-    val li8 = spark.read.option("parquet.split.files", "true").parquet(s"$sfDir/lineitem.parquet")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
     val liSplit = spark.read.parquet(s"$sfDir/lineitem.parquet")
     println(s"[diag] split partitions: ${liSplit.rdd.getNumPartitions}")

@@ -116,6 +116,32 @@ object Relational {
     df.withColumn("decile", bucket.cast("int"))
   }
 
+  /** W4 (qcut parity): pandas-style equal-frequency bucketing with
+    * duplicate-edge dropping (`pd.qcut(x, n, labels=False,
+    * duplicates="drop")`, reference `public_eda_pipeline.py:306-307`).
+    * Edges are the type-7 (linearly interpolated) quantiles at i/n from
+    * ONE distributed `percentile` aggregate; they are quantized to 1e-6
+    * before dedupe so tie-boundary edges collapse identically across
+    * engines (interpolation at a tie boundary is fp-fragile: DuckDB
+    * yields 0.0199…97 where numpy/Spark yield 0.02 — only edges that
+    * truly differ by <1e-6 are affected, a degenerate case). Assignment
+    * is right-closed (code = #{interior unique edges < value}, 0-based),
+    * null values get a null code.
+    *
+    * Tie-handling delta vs [[decileExact]] (ntile): ntile splits a run of
+    * equal values across buckets to equalize counts; qcut keeps every
+    * equal value in one bucket and DROPS the collapsed edges, so
+    * heavy-tie columns yield fewer than n buckets of unequal size. */
+  def decileQcut(df: DataFrame, valueCol: String, n: Int = 10): DataFrame = {
+    val probs = array((0 to n).map(i => lit(i.toDouble / n)): _*)
+    val edges = df.agg(percentile(col(valueCol).cast("double"), probs).as("es"))
+      .head().getSeq[Double](0)
+    val interior = edges.map(e => math.rint(e * 1e6) / 1e6).distinct.sorted.drop(1)
+    val c = col(valueCol)
+    val code = interior.foldLeft(lit(0)) { (acc, e) => acc + (c > lit(e)).cast("int") }
+    df.withColumn("decile", when(c.isNotNull, code).cast("int"))
+  }
+
   /** J7/E10/A5: dictionary diff — distinct values of `keyCol` in `left`
     * that never occur in `right`. Broadcast-friendly when dictionaries are
     * small; stays a shuffled anti join otherwise (both scale-safe). */

@@ -450,6 +450,29 @@ object AggQueries {
               |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
               |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // W4 qcut-parity variant on a heavy-tie column (l_tax: 9 distinct
+    // values, so several decile edges collapse and get DROPPED — the
+    // pd.qcut(duplicates="drop") semantics; verified equal to pandas qcut
+    // codes on this data). Edge quantization contract in Relational.decileQcut.
+    Q("w4c_decile_qcut",
+      (s, d) => Relational.decileQcut(T(s, d, "lineitem"), "l_tax")
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          avgExact(col("l_tax")).as("avg_tax"),
+          min(col("l_tax")).as("min_tax"),
+          max(col("l_tax")).as("max_tax"))
+        .orderBy(col("decile")),
+      Some(s"""WITH e AS (SELECT list_sort(list_distinct(list_transform(
+              |    quantile_cont(l_tax, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]),
+              |    x -> ROUND(x, 6)))) AS u FROM lineitem),
+              |b AS (SELECT l_tax,
+              |  CAST(len(list_filter(e.u[2:], x -> x < l_tax)) AS INTEGER) AS decile
+              |  FROM lineitem, e)
+              |SELECT decile, COUNT(*) AS n, ${avgExactSql("l_tax")} AS avg_tax,
+              |MIN(l_tax) AS min_tax, MAX(l_tax) AS max_tax
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("w5_threshold_rank",
       (s, d) => T(s, d, "lineitem")
         .where(col("l_quantity") >= 45)

@@ -44,6 +44,29 @@ class CoreSpec extends SparkSpec {
     assert(ranged.values.forall(n => n >= 90 && n <= 110)) // near-equal buckets
   }
 
+  test("decileQcut drops duplicate edges like pd.qcut(duplicates=\"drop\")") {
+    import spark.implicits._
+    // 80% zeros: quantile edges at p=0..0.8 all collapse to 0.0 → pandas
+    // qcut keeps 3 buckets: [0,0] code 0, (0,5] code 1, (5,10] code 2
+    // (edges 0, 5.0 interpolated, 10). ntile would split the zero run.
+    val xs = Seq.fill(80)(0.0) ++ (1 to 10).map(_.toDouble) ++ (1 to 10).map(_ + 90.0)
+    val df = xs.toDF("x")
+    val codes = Relational.decileQcut(df, "x")
+      .groupBy("decile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(codes(0) === 80L, codes)                     // the whole tie run in ONE bucket
+    assert(codes.keys.max.toLong === codes.size - 1L, codes) // consecutive 0-based codes
+    assert(codes.values.sum === 100L)
+    // deciles of distinct uniform data match equal-count buckets
+    val uni = Relational.decileQcut((1 to 1000).map(_.toDouble).toDF("x"), "x")
+      .groupBy("decile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(uni.size === 10 && uni.values.forall(_ === 100L), uni)
+    // nulls get a null code
+    val withNull = Relational.decileQcut(
+      (Seq[java.lang.Double](null) ++ (1 to 9).map(d => java.lang.Double.valueOf(d.toDouble))).toDF("x"), "x")
+    assert(withNull.where(col("x").isNull).collect().forall(_.isNullAt(1)))
+  }
+
   test("unseenValues = left-distinct minus right-distinct") {
     import spark.implicits._
     val l = Seq("a", "b", "c", "c").toDF("k")
