@@ -88,6 +88,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(groupCol), col("n"))
 
+  /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
+    * repeat within the watermark horizon (e.g. a content hash on a
+    * document stream). `dropDuplicatesWithinWatermark` expires dedup state
+    * by event time — plain `dropDuplicates` on a stream retains EVERY key
+    * forever, which is unusable on an unbounded corpus. The trade: a
+    * duplicate arriving later than `watermark` after the original is kept
+    * — the standard ingest-dedup contract (re-dedup at rest catches
+    * stragglers, see graft.llm.Dedup). */
+  def dedupStream(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class Session(

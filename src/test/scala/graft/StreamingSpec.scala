@@ -42,6 +42,24 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map("gold" -> 2L, "basic" -> 1L)) // inner join drops user 3
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps distinct keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDS().toDF("ts", "doc_id", "text")
+    val q = EventStream.dedupStream(stream, "10 minutes", Seq("doc_id"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("dedup_sink").start()
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData((t(0), 1L, "a"), (t(1), 1L, "a dup"), (t(1), 2L, "b"))
+    q.processAllAvailable()
+    input.addData((t(2), 2L, "b dup"), (t(3), 3L, "c")) // dups across batches too
+    q.processAllAvailable()
+    val out = spark.table("dedup_sink").select("doc_id").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(out.sorted === Seq(1L, 2L, 3L), s"got $out")
+  }
+
   test("foreachBatch sink with checkpoint: restart continues without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
