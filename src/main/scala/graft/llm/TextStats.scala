@@ -94,6 +94,22 @@ object TextStats {
       .select(col("id"), col("char_entropy"))
   }
 
+  /** Word-repetition profile — duplicate-token fraction and top-token
+    * share per document (the RefinedWeb/Gopher-style repetition quality
+    * gates: high rep_ratio / top_share flags boilerplate and spam).
+    * rep_ratio = 1 − distinct/total tokens; top_share = most frequent
+    * token count / total. One explode + two grouped aggregations —
+    * shuffles on (id, term) then id, fully distributed (same shape as
+    * [[tfIdf]]). Returns (id, n_tokens, rep_ratio, top_share). */
+  def wordRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("n"))
+      .groupBy("id")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"), max("n").as("max_n"))
+      .select(col("id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct") / col("n_tokens")).as("rep_ratio"),
+        (col("max_n") / col("n_tokens")).as("top_share"))
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, term),
     * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), score =
     * tf · idf. One explode + two grouped aggregations — shuffles on

@@ -293,6 +293,36 @@ object LlmQueries {
               |  ROUND(MIN(e), 4) AS min_entropy, ROUND(MAX(e), 4) AS max_entropy
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Word repetition: duplicate-token fraction + top-token share per doc,
+    // rolled up per language (the RefinedWeb/Gopher repetition gates).
+    Q("x10_word_repetition",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextStats.wordRepetition(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avgExact(round(col("rep_ratio"), 6)), 4).as("avg_rep"),
+            round(avgExact(round(col("top_share"), 6)), 4).as("avg_top_share"),
+            countIf(round(col("rep_ratio"), 6) >= 0.5).as("n_repetitive"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+              |cnt AS (SELECT doc_id, t, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+              |per AS (SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_distinct, MAX(n) AS max_n
+              |  FROM cnt GROUP BY 1),
+              |r AS (SELECT doc_id,
+              |  ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS rep_ratio,
+              |  ROUND(max_n / CAST(n_tokens AS DOUBLE), 6) AS top_share FROM per),
+              |j AS (SELECT d.lang, r.rep_ratio, r.top_share FROM r JOIN documents d USING (doc_id))
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  ROUND(${avgExactSql("rep_ratio")}, 4) AS avg_rep,
+              |  ROUND(${avgExactSql("top_share")}, 4) AS avg_top_share,
+              |  ${countIfSql("rep_ratio >= 0.5")} AS n_repetitive
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TF-IDF: top-3 most distinctive terms per source by summed tf-idf.
     Q("x8_tfidf",
       (s, d) => {

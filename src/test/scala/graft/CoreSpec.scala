@@ -104,6 +104,23 @@ class CoreSpec extends SparkSpec {
     assert(top.forall(r => r.getAs[Double]("cos") >= -1.0 && r.getAs[Double]("cos") <= 1.0))
   }
 
+  test("TextStats.wordRepetition: hand-computed rep_ratio and top_share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct → rep 0.75, top 1.0
+      (2L, "a b c d"),          // all distinct → rep 0.0, top 0.25
+      (3L, "spam spam eggs")    // 3 tokens, 2 distinct → rep 1/3, top 2/3
+    ).toDF("doc_id", "text")
+    val out = TextStats.wordRepetition(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("rep_ratio"), r.getAs[Double]("top_share")))
+      .toMap
+    assert(out(1L) === ((4L, 0.75, 1.0)))
+    assert(out(2L) === ((4L, 0.0, 0.25)))
+    assert(out(3L)._1 === 3L)
+    assert(math.abs(out(3L)._2 - 1.0 / 3) < 1e-12 && math.abs(out(3L)._3 - 2.0 / 3) < 1e-12)
+  }
+
   test("TextStats: tokens, langId, fingerprint determinism") {
     import spark.implicits._
     val df = Seq(
