@@ -134,8 +134,12 @@ object Relational {
     * heavy-tie columns yield fewer than n buckets of unequal size. */
   def decileQcut(df: DataFrame, valueCol: String, n: Int = 10): DataFrame = {
     val probs = array((0 to n).map(i => lit(i.toDouble / n)): _*)
-    val edges = df.agg(percentile(col(valueCol).cast("double"), probs).as("es"))
-      .head().getSeq[Double](0)
+    val edgesRow = df.agg(percentile(col(valueCol).cast("double"), probs).as("es"))
+      .head()
+    if (edgesRow.isNullAt(0)) { // empty / all-null input: no edges, null codes
+      return df.withColumn("decile", lit(null).cast("int"))
+    }
+    val edges = edgesRow.getSeq[Double](0)
     val interior = edges.map(e => math.rint(e * 1e6) / 1e6).distinct.sorted.drop(1)
     val c = col(valueCol)
     val code = interior.foldLeft(lit(0)) { (acc, e) => acc + (c > lit(e)).cast("int") }

@@ -67,6 +67,23 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("decile variants and global rank survive empty and single-row inputs") {
+    import spark.implicits._
+    import graft.core.Relational
+    val empty = Seq.empty[Double].toDF("x")
+    assert(Relational.decileExact(empty, Seq(col("x"))).count() === 0)
+    assert(Relational.decileQcut(empty, "x").count() === 0)
+    assert(Relational.whaleContingency(empty, Seq(col("x")), col("x") > 0).count() === 1)
+    val one = Seq(7.0).toDF("x")
+    val d1 = Relational.decileExact(one, Seq(col("x"))).collect()
+    assert(d1.length === 1 && d1(0).getAs[Int]("decile") === 1) // ntile(10) of 1 row → bucket 1
+    val q1 = Relational.decileQcut(one, "x").collect()
+    assert(q1.length === 1 && q1(0).getAs[Int]("decile") === 0) // qcut codes 0-based
+    val ranked = Relational.withGlobalRank(one, Seq(col("x")), "rk", "n").collect()
+    assert(ranked.length === 1 &&
+      ranked(0).getAs[Long]("rk") === 1L && ranked(0).getAs[Long]("n") === 1L)
+  }
+
   test("bandLabel with empty bands puts everything in rest; topK k=0 empty") {
     import spark.implicits._
     val df = Seq(1.0, 2.0).toDF("x")
