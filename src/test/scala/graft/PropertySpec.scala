@@ -80,6 +80,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRank yields the order-consistent permutation 1..N at any partition count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      // duplicate-heavy values force ties; the unique id tie-breaks
+      vals <- Gen.listOfN(n, Gen.choose(0, 20))
+    } yield vals
+    forAll(gen, n = 6) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (v.toDouble, i.toLong) }.toDF("v", "id")
+      for (parts <- Seq(1, 3, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          val got = graft.core.Relational
+            .withGlobalRank(df, Seq(col("v"), col("id")), "rk", "n")
+            .select("v", "id", "rk", "n").collect()
+            .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val n = vals.size.toLong
+          assert(got.forall(_._4 === n))
+          assert(got.map(_._3).sorted.toSeq === (1L to n), s"not a permutation at $parts parts")
+          val expected = got.map(t => (t._1, t._2)).sortBy(identity).zipWithIndex
+            .map { case ((v, id), i) => (v, id) -> (i + 1L) }.toMap
+          got.foreach { case (v, id, rk, _) =>
+            assert(rk === expected((v, id)), s"rank mismatch for ($v,$id) at $parts parts")
+          }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 8)
+      }
+    }
+  }
+
   test("modSample is deterministic and subset-consistent across pct") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
