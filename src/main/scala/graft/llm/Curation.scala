@@ -40,7 +40,11 @@ object Curation {
       minTokens: Int = 8, maxTokens: Int = 1 << 20,
       shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame =
     curateGated(
-      qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens),
+      // persist the gate output: it feeds both the md5 rep-pick and the
+      // keep-first join probe, and the gate itself is regex-heavy — without
+      // the cache the full language/quality scoring runs per consumer
+      qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       idCol, textCol, shingleW, minJaccard)
 
   /** Dedup stages over an already-gated frame (pass a persisted frame to
