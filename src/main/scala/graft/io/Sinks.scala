@@ -44,6 +44,35 @@ object Sinks {
   def writeCsvDistributed(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(dir)
 
+  /** Hive-partitioned parquet sink — the 100-TB-corpus write shape:
+    * `dir/col=value/part-*.parquet` so downstream readers get partition
+    * PRUNING for free (a filter on a partition column skips whole
+    * directories; visible as PartitionFilters in the scan). Sort within
+    * partitions by `sortCols` for better run-length/dictionary encoding.
+    * Cap output file count per partition value with `maxFilesPerPartition`
+    * (repartition on the partition cols) to avoid the
+    * many-small-files problem on object stores. */
+  def writeParquetPartitioned(
+      df: DataFrame, dir: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil, maxFilesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(maxFilesPerPartition >= 1)
+    val parts = partitionCols.map(col)
+    // hash-repartition on the partition columns → each value lands in ONE
+    // task → one file per partition dir; for wider parallelism on huge
+    // partition values, a deterministic-enough salt splits each value
+    // across up to maxFilesPerPartition tasks/files
+    val shaped0 =
+      if (maxFilesPerPartition == 1) df.repartition(parts: _*)
+      else df.repartition(
+        parts :+ pmod(xxhash64(monotonically_increasing_id()), lit(maxFilesPerPartition)): _*)
+    val shaped =
+      if (sortCols.nonEmpty)
+        shaped0.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else shaped0
+    shaped.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+  }
+
   /** Minimal JSON rendering of a scalar map (S5 `summary.json`). Values:
     * numbers, booleans, strings, null. Keys emitted in insertion order. */
   def toJson(m: Seq[(String, Any)]): String = {

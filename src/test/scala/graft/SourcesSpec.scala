@@ -22,6 +22,24 @@ class SourcesSpec extends SparkSpec {
     assert(!scanned.contains("o_orderstatus=O"), "pruned partitions must not be listed")
   }
 
+  test("Sinks.writeParquetPartitioned: pruning, sorted files, bounded file count") {
+    val dir = Files.createTempDirectory("graft_psink").toString
+    graft.io.Sinks.writeParquetPartitioned(
+      orders, dir, Seq("o_orderstatus"), sortCols = Seq("o_orderkey"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    val plan = back.where(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // one file per partition directory (maxFilesPerPartition default)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName}: $n part files")
+    }
+  }
+
   test("CSV round-trip preserves data with explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val sample = orders.limit(500).select("o_orderkey", "o_totalprice", "o_orderstatus")
