@@ -23,5 +23,22 @@ object StreamQueries {
       },
       Some(s"""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
               |COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Stream-static broadcast enrichment through a real readStream replay;
+    // the dim is data-derived (event_type → 3-char category) so the final
+    // table has a pure-SQL twin.
+    Q("st3_stream_enriched",
+      (s, d) => {
+        val sink = s"st3_sink_${System.nanoTime()}"
+        EventStream.runEnrichedOnce(s, s"$d/events.parquet", sink, window = "1 day")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+            col("category"), col("n"), col("sum_value"))
+          .orderBy(col("day"), col("category"))
+      },
+      Some(s"""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              |UPPER(SUBSTRING(event_type, 1, 3)) AS category,
+              |COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

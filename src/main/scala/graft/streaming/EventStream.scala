@@ -75,6 +75,48 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Bounded replay of the stream-static ENRICHMENT shape (same
+    * scaffolding as [[runWindowedOnce]]): the event stream broadcast-joins
+    * a static dimension keyed on event_type, then aggregates per
+    * (day window, category). The dim here is derived from the data
+    * (distinct event_type → its upper-cased 3-char prefix), so the result
+    * is DuckDB-oracle-checkable while still driving a real per-batch
+    * stream-static join. */
+  def runEnrichedOnce(spark: SparkSession, path: String, sinkName: String,
+      window: String = "1 day"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val dim = spark.read.schema(RawEventSchema).parquet(dir)
+      .select(col("event_type")).distinct()
+      .withColumn("category", upper(substring(col("event_type"), 1, 3)))
+    val stream = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(27, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("category"), col("n"), col("sum_value"))
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Stream-static enrichment: join the event stream with a static
     * dimension table (broadcast per micro-batch — no stream state), then
     * aggregate. The standard enrichment shape: static side is re-read
