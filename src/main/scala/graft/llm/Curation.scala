@@ -61,6 +61,31 @@ object Curation {
     Dedup.dedupByClusters(exactKept, idCol, pairs)
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct `w`-token shingles also occur in an eval/benchmark set —
+    * the n-gram-overlap method used to scrub pretraining corpora of test
+    * leakage. Returns (id, n_shingles, n_overlap, overlap_rate); gate on
+    * overlap_rate (or n_overlap > 0) to drop contaminated docs.
+    *
+    * Scale shape: the eval shingle dictionary is distinct'ed (benchmarks
+    * are small → broadcast semi join; Spark falls back to a shuffled semi
+    * join when not) and the corpus side is one explode + two grouped
+    * aggregations — never all-pairs, same inverted-index stance as
+    * [[Dedup.jaccardPairs]]. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, w)
+    val evalSh = Dedup.shingles(evalSet, idCol, textCol, w)
+      .select(col("shingle")).distinct()
+    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val overlaps = corpusSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlaps, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))
+  }
+
   /** Greedy per-partition sequence packing: assign documents to packs so
     * each pack's token total stays ≤ `budget` (docs larger than the
     * budget get their own pack). Returns (pack_id, doc ids, n_docs,

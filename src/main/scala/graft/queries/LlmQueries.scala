@@ -423,6 +423,35 @@ object LlmQueries {
            |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
       }),
 
+    // Benchmark decontamination: n-gram overlap of each corpus doc against
+    // an eval set (src0 plays the benchmark); full DuckDB twin replicating
+    // the shingle semantics (distinct per doc, whole-text when < w tokens).
+    Q("x11_decontaminate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.llm.Curation.contamination(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", w = 5)
+          .select(col("id"), col("n_shingles"), col("n_overlap"),
+            round(col("overlap_rate"), 6).as("overlap_rate"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks, source FROM documents),
+             |sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 5 THEN [text]
+             |  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> array_to_string(toks[i:i+4], ' '))) END AS shl FROM t),
+             |ex AS (SELECT doc_id, source, unnest(shl) AS shingle FROM sh),
+             |ev AS (SELECT DISTINCT shingle FROM ex WHERE source = 'src0'),
+             |co AS (SELECT doc_id, shingle FROM ex WHERE source <> 'src0'),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM co GROUP BY 1),
+             |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM co
+             |  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1)
+             |SELECT tot.doc_id AS id, tot.n_shingles,
+             |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  ROUND(COALESCE(ov.n_overlap, 0) / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_rate
+             |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id ORDER BY 1""".stripMargin)),
+
     // Sequence packing: deterministic single-partition order (greedy
     // packing has no closed SQL form → rows-only; semantics in
     // CurationSpec). At scale packing runs per-partition in parallel.

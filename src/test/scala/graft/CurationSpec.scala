@@ -32,6 +32,24 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("contamination counts shared shingles; clean docs report zero overlap") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog indeed"), // contains eval 5-grams
+      (2L, "completely different content with no shared phrases at all here"),     // clean
+      (3L, "tiny")                                                                 // < w tokens → whole text
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, evalSet, "doc_id", "text", w = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))).toMap
+    // doc 1: 13 tokens → 9 distinct 5-gram shingles; eval has 5 shingles,
+    // all of which appear contiguously inside doc 1 → overlap 5
+    assert(out(1L) === ((9L, 5L)), out)
+    assert(out(2L)._2 === 0L)
+    assert(out(3L) === ((1L, 0L))) // whole-text shingle, no overlap
+  }
+
   test("packSequences respects the budget and covers every doc exactly once") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")
