@@ -33,4 +33,18 @@ object Sampling {
     * weaker mixing; only for keys that are already ~uniform. */
   def modSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(100L)) < lit(pct.toLong))
+
+  /** Domain-mixture sampler: per-stratum keep percentages (source →
+    * pct) — the knob a pretraining mix uses to up/down-weight domains
+    * deterministically. Strata missing from the map keep `defaultPct`.
+    * Same engine-portable modulo contract as [[modSample]]; a when-chain
+    * over the (small) strata map, embarrassingly parallel, no shuffle,
+    * predicate pushes below downstream joins. */
+  def stratifiedModSample(df: DataFrame, keyCol: String, strataCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(col(keyCol), lit(100L)) < pct.cast("long"))
+  }
 }

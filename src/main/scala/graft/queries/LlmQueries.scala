@@ -423,6 +423,19 @@ object LlmQueries {
            |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
       }),
 
+    // Domain-mixture sampling: per-source keep rates (up/down-weighting
+    // domains in a pretraining mix), deterministic mod-sampling contract.
+    Q("x12_domain_mix",
+      (s, d) => graft.core.Sampling.stratifiedModSample(
+        T(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 80, "src1" -> 40, "src2" -> 10), defaultPct = 20)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_kept FROM documents
+             |WHERE doc_id % 100 < (CASE source WHEN 'src0' THEN 80
+             |  WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 20 END)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Benchmark decontamination: n-gram overlap of each corpus doc against
     // an eval set (src0 plays the benchmark); full DuckDB twin replicating
     // the shingle semantics (distinct per doc, whole-text when < w tokens).
@@ -480,6 +493,32 @@ object LlmQueries {
              |  CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
              |  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
              |FROM media GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Frame sampling: n evenly-spaced fixed-width binary frames per
+    // payload. Frames compare as md5+length (raw binary columns hash
+    // differently across engines); the oracle slices the VARCHAR — safe
+    // because the fixture text is pure ASCII (verified at sf0.01/0.1:
+    // octet_length(encode(text)) == length(text) for every row), and uses
+    // explicit FLOOR where Spark's int cast truncates.
+    Q("mm3_frame_sample",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.fromDocuments(T(s, d, "documents")), n = 4, frameBytes = 32)
+        .select(col("media_id"), col("kind"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""WITH media AS (
+             |  SELECT doc_id AS media_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    text, octet_length(encode(text)) AS L
+             |  FROM documents),
+             |f AS (
+             |  SELECT media_id, kind, CAST(r2.range AS INT) AS frame_idx,
+             |    substring(text, CAST(FLOOR(r2.range * GREATEST((L - 32) / 3.0, 0) + 1) AS INT), 32) AS frame
+             |  FROM media, range(0, 4) r2)
+             |SELECT media_id, kind, frame_idx, md5(frame) AS frame_md5,
+             |  CAST(length(frame) AS INT) AS frame_len
+             |FROM f WHERE length(frame) > 0 ORDER BY 1, 3""".stripMargin)),
 
     Q("mm2_features",
       (s, d) => {

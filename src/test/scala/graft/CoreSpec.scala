@@ -104,6 +104,21 @@ class CoreSpec extends SparkSpec {
     assert(top.forall(r => r.getAs[Double]("cos") >= -1.0 && r.getAs[Double]("cos") <= 1.0))
   }
 
+  test("stratifiedModSample keeps exactly the per-stratum mod buckets") {
+    import spark.implicits._
+    import graft.core.Sampling
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val kept = Sampling.stratifiedModSample(df, "id", "src", Map("a" -> 30), defaultPct = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // stratum b fully dropped; stratum a keeps exactly id%100 < 30
+    assert(kept.forall(_._2 == "a"))
+    assert(kept.map(_._1).toSet === (0 until 1000).filter(i => i % 2 == 0 && i % 100 < 30).map(_.toLong).toSet)
+    // default applies to unlisted strata
+    val withDefault = Sampling.stratifiedModSample(df, "id", "src", Map("a" -> 0), defaultPct = 100)
+      .collect().map(_.getString(1))
+    assert(withDefault.nonEmpty && withDefault.forall(_ == "b"))
+  }
+
   test("TextStats.wordRepetition: hand-computed rep_ratio and top_share") {
     import spark.implicits._
     val df = Seq(
