@@ -127,6 +127,159 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rk")
   }
 
+  // ---- product quantization ------------------------------------------------
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(Dedup.dotArr(v, v))
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private def subVec(v: Array[Double], s: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+
+  /** Plain deterministic Lloyd k-means on a driver-side sample (the
+    * FAISS-style codebook fit: codebooks are trained in memory on a
+    * sample, never distributed). Empty clusters keep their old center. */
+  private[llm] def lloyd(data: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(data.nonEmpty)
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(data.indices.toVector).distinct.take(k)
+      .map(i => data(i).clone).toArray
+    val kEff = centers.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff)(new Array[Double](data(0).length))
+      val counts = new Array[Long](kEff)
+      data.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var j = 0
+          while (j < p.length) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < p.length) { sums(best)(j) += p(j); j += 1 }
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < centers(c).length) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cluster: keep old center (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearestCode(books: Array[Array[Double]], p: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < books.length) {
+      var d = 0.0; var j = 0
+      while (j < p.length) { val t = p(j) - books(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization top-k — the memory-bound ANN shape for
+    * billion-vector corpora: the (normalized) corpus is encoded as `m`
+    * byte codes per vector (dim×8 bytes → m bytes), queries score
+    * candidates by asymmetric distance computation (ADC: per query an
+    * m×ksub table of subspace dots, scoring = m table lookups, no
+    * original vectors touched), and the approx top `k·refine` get an
+    * EXACT cosine rerank against the original vectors (candidate set is
+    * tiny by then). Codebooks are Lloyd-fit on a guarded driver-side
+    * sample and broadcast — exactly FAISS's train/encode/search split.
+    * With `refine` large enough to cover the corpus the result equals
+    * brute force (SimilaritySpec pins this). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      trainMax: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub <= 127, "codes are stored as bytes")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusVec = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val corpusNorm = corpusVec.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
+
+    // train codebooks on a driver-side sample
+    val sample = corpusNorm.limit(trainMax).collect().map(_._2)
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => lloyd(sample.map(subVec(_, s, dsub)), ksub, iters = 10, seed + s))
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    // encode: m byte codes per corpus vector
+    val encoded = corpusNorm.mapPartitions { it =>
+      val bks = bcBooks.value
+      it.map { case (id, v) =>
+        (id, Array.tabulate(m)(s => nearestCode(bks(s), subVec(v, s, dsub)).toByte))
+      }
+    }
+
+    // queries: broadcast (id, ADC lookup table m×ksub)
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, qv) =>
+        val qn = l2normalize(qv)
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          val qs = subVec(qn, s, dsub)
+          var c = 0
+          while (c < books(s).length) {
+            lut(s * ksub + c) = Dedup.dotArr(qs, books(s)(c))
+            c += 1
+          }
+          s += 1
+        }
+        (qid, lut)
+      }
+    val bcQ = spark.sparkContext.broadcast(qArr)
+
+    // ADC scoring: approx cosine = Σ_s lut(s, code_s)
+    val approx = encoded.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (cid, codes) =>
+        qs.iterator.filter(_._1 != cid).map { case (qid, lut) =>
+          var s = 0; var score = 0.0
+          while (s < codes.length) { score += lut(s * ksub + codes(s)); s += 1 }
+          (qid, cid, score)
+        }
+      }
+    }.toDF("query_id", "corpus_id", "approx")
+    val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id"))
+    val shortlist = approx.withColumn("ark", row_number().over(wa))
+      .where(col("ark") <= k * refine)
+      .select("query_id", "corpus_id")
+
+    // exact rerank of the shortlist against ORIGINAL vectors
+    val qVec = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val reranked = shortlist
+      .join(corpusVec, Seq("corpus_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    reranked.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
   /** Recall@k of an ANN result against the brute-force truth: fraction
     * of (query, corpus) truth pairs the ANN result recovered. */
   def recallAtK(ann: DataFrame, truth: DataFrame): Double = {

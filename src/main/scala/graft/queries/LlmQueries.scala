@@ -186,6 +186,18 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk")),
       None),
 
+    // PQ/ADC: codes-only scoring + exact rerank; recall + full-refine≡brute
+    // contracts in SimilaritySpec. Rows-only here (xxhash-free but the
+    // codebook fit has no SQL twin).
+    Q("n4_ann_pq",
+      (s, d) => Similarity.pqTopK(
+        T(s, d, "embeddings"),
+        T(s, d, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, dim = 64, refine = 22)
+        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
     // ---- text analysis ------------------------------------------------------
     Q("x1_token_stats",
       (s, d) => T(s, d, "documents")

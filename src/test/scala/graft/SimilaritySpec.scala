@@ -37,6 +37,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@3 = $recall")
   }
 
+  test("pqTopK recall@3 vs brute force; full refine equals brute exactly") {
+    // the fixture embeddings are near-uniform random (no cluster
+    // structure), the hardest case for ADC ranking — a ~13% shortlist
+    // still buys decent recall; real clustered corpora do far better
+    val ann = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      dim = 64, m = 8, ksub = 16, refine = 22)
+    val recall = Similarity.recallAtK(ann, truth)
+    assert(recall >= 0.7, s"PQ recall@3 = $recall")
+    // refine covering the whole corpus → exact rerank over everything →
+    // identical to brute force (the nprobe=nlist analog for PQ)
+    val full = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      dim = 64, m = 8, ksub = 16, refine = 1000)
+    val a = full.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val t = truth.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === t)
+  }
+
   test("ANN results never invent pairs: every ANN hit has the true cosine") {
     val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
     // nprobe = nlist → exhaustive scan → must equal brute force exactly
