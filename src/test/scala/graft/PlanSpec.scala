@@ -63,6 +63,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x12: the mixture-sampling predicate reaches the parquet scan") {
+    val p = plan("x12_domain_mix")
+    // the when-chain over strata compiles to a single pushable filter —
+    // at 100 TB this is scan-time row pruning, not a post-scan filter stage
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("CASE")), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(scanLine.nonEmpty)
+  }
+
+  test("x11: decontamination joins by shingle, eval dictionary broadcast") {
+    val p = plan("x11_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("a17: AUC has no unpartitioned window over the data path") {
     val df = SparkEntry.queries("a17_auc")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
