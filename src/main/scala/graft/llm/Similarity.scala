@@ -218,6 +218,12 @@ object Similarity {
 
     // train codebooks on a driver-side sample
     val sample = corpusNorm.limit(trainMax).collect().map(_._2)
+    if (sample.isEmpty) { // empty corpus: no codebooks, no neighbors
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rk"))
+        .limit(0)
+    }
     val books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => lloyd(sample.map(subVec(_, s, dsub)), ksub, iters = 10, seed + s))
     val bcBooks = spark.sparkContext.broadcast(books)

@@ -67,6 +67,15 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK on an empty corpus returns an empty result with the ANN schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val q = Seq((1L, Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.pqTopK(empty, q, "vec_id", "embedding", k = 3, dim = 8, m = 2)
+    assert(out.columns.toSeq === Seq("query_id", "corpus_id", "cos", "rk"))
+    assert(out.count() === 0)
+  }
+
   test("decile variants and global rank survive empty and single-row inputs") {
     import spark.implicits._
     import graft.core.Relational
