@@ -94,6 +94,24 @@ object TextStats {
       .select(col("id"), col("char_entropy"))
   }
 
+  /** PII scrubbing (C4-style): emails, then IPv4 addresses, then
+    * phone-like digit runs are replaced with typed placeholder tokens.
+    * Map-only projection; the patterns deliberately stay in the portable
+    * regex subset shared by Java regex and RE2 (`\b \d {m,}` character
+    * classes, no lookaround), so the same scrub is expressible in the
+    * DuckDB oracle. Order matters: IPs are scrubbed before phone runs so
+    * dotted quads never half-match as phone numbers. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Word-repetition profile — duplicate-token fraction and top-token
     * share per document (the RefinedWeb/Gopher-style repetition quality
     * gates: high rep_ratio / top_share flags boilerplate and spam).

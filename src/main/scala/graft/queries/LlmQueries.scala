@@ -435,6 +435,41 @@ object LlmQueries {
            |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
       }),
 
+    // PII scrubbing parity: a deterministic synthetic footer (email + IP +
+    // phone derived from doc_id) is appended to every doc so the scrub
+    // actually fires on every row; the oracle replays the same regexes in
+    // DuckDB (RE2) — the length checksum catches any dialect drift.
+    Q("x13_pii_scrub",
+      (s, d) => T(s, d, "documents")
+        .withColumn("pii_text", concat(
+          col("text"), lit(" contact doc"), col("doc_id"),
+          lit("@corp.example.com ip 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".7 tel +1 555 123-4567")))
+        .withColumn("scrubbed", TextStats.scrubPii(col("pii_text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countIf(col("scrubbed").contains("<EMAIL>")).as("n_email"),
+          countIf(col("scrubbed").contains("<IP>")).as("n_ip"),
+          countIf(col("scrubbed").contains("<PHONE>")).as("n_phone"),
+          sumLong(length(col("scrubbed"))).as("len_sum"))
+        .orderBy(col("source")),
+      Some(s"""WITH p AS (
+              |  SELECT source,
+              |    regexp_replace(regexp_replace(regexp_replace(
+              |      text || ' contact doc' || doc_id || '@corp.example.com ip 10.0.'
+              |        || (doc_id % 256) || '.7 tel +1 555 123-4567',
+              |      '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+              |      '${TextStats.Ipv4Re}', '<IP>', 'g'),
+              |      '${TextStats.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+              |  FROM documents)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  ${countIfSql("scrubbed LIKE '%<EMAIL>%'")} AS n_email,
+              |  ${countIfSql("scrubbed LIKE '%<IP>%'")} AS n_ip,
+              |  ${countIfSql("scrubbed LIKE '%<PHONE>%'")} AS n_phone,
+              |  ${sumLongSql("length(scrubbed)")} AS len_sum
+              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Domain-mixture sampling: per-source keep rates (up/down-weighting
     // domains in a pretraining mix), deterministic mod-sampling contract.
     Q("x12_domain_mix",

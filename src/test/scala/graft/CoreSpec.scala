@@ -119,6 +119,20 @@ class CoreSpec extends SparkSpec {
     assert(withDefault.nonEmpty && withDefault.forall(_ == "b"))
   }
 
+  test("scrubPii replaces emails, IPs and phone runs; leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "contact me at john.doe+x@example.co.uk ok",
+      "server at 192.168.1.100 responded",
+      "call +1 555 123-4567 now",
+      "plain text no pii at all").toDF("text")
+    val out = df.select(TextStats.scrubPii(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === "contact me at <EMAIL> ok")
+    assert(out(1) === "server at <IP> responded")
+    assert(out(2) === "call <PHONE> now")
+    assert(out(3) === "plain text no pii at all")
+  }
+
   test("TextStats.wordRepetition: hand-computed rep_ratio and top_share") {
     import spark.implicits._
     val df = Seq(
