@@ -61,6 +61,31 @@ object Curation {
     Dedup.dedupByClusters(exactKept, idCol, pairs)
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * chunks of ≤ `chunkTokens` tokens with `overlap` tokens shared
+    * between consecutive chunks (stride = chunk − overlap) — the
+    * standard pre-training / RAG windowing shape. Map-only (one
+    * projection + posexplode), no shuffle; documents shorter than one
+    * chunk yield exactly one chunk. Returns
+    * (id, chunk_idx, n_tokens, chunk_text). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0)
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride) + 1)
+    df.select(
+      col(idCol).as("id"),
+      posexplode(transform(
+        sequence(lit(0), (nChunks - 1).cast("int")),
+        i => slice(toks, i * stride + 1, lit(chunkTokens)))).as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("id"), col("chunk_idx"),
+        size(col("chunk_toks")).as("n_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct `w`-token shingles also occur in an eval/benchmark set —
     * the n-gram-overlap method used to scrub pretraining corpora of test

@@ -435,6 +435,27 @@ object LlmQueries {
            |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
       }),
 
+    // Context-window chunking: 64-token chunks with 8-token overlap;
+    // per-chunk md5 parity against a DuckDB list-slicing twin.
+    Q("x14_chunking",
+      (s, d) => graft.llm.Curation.chunkDocuments(
+        T(s, d, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 8)
+        .select(col("id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id,
+             |  CASE WHEN len(toks) <= 64 THEN 1
+             |    ELSE CAST(CEIL((len(toks) - 64) / 56.0) + 1 AS INT) END AS n_chunks, toks
+             |  FROM t),
+             |ch AS (SELECT doc_id AS id,
+             |  unnest(list_transform(range(n_chunks), i -> CAST(i AS INT))) AS chunk_idx,
+             |  unnest(list_transform(range(n_chunks), i -> toks[(i*56+1):(i*56+64)])) AS chunk
+             |  FROM c)
+             |SELECT id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM ch ORDER BY 1, 2""".stripMargin)),
+
     // PII scrubbing parity: a deterministic synthetic footer (email + IP +
     // phone derived from doc_id) is appended to every doc so the scrub
     // actually fires on every row; the oracle replays the same regexes in

@@ -32,6 +32,22 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("chunkDocuments: overlap windows cover the doc; short docs get one chunk") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → chunks at 1,4,7: sizes 4,4,4
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1.map(_._3).forall(_ === 4))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2(0)._4 === "a b" && d2(0)._3 === 2)
+  }
+
   test("contamination counts shared shingles; clean docs report zero overlap") {
     import spark.implicits._
     val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
