@@ -144,6 +144,46 @@ object TextStats {
       .select("id", "term", "tf", "df", "tfidf")
   }
 
+  /** CCNet-style LM quality score: a bigram language model with add-α
+    * smoothing is "trained" on `reference` (distributed counts — the
+    * model stays a TABLE and is joined, never collected to the driver)
+    * and every document in `df` is scored by per-bigram log2 perplexity:
+    *   P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V)
+    * where c(w1·) counts bigrams with left word w1 and V = |{w1}| in the
+    * reference. ppl = 2^(−avg log2 P); high perplexity = unlike the
+    * reference distribution (the classic gibberish/boilerplate filter).
+    * Documents with fewer than two tokens have no bigrams and are
+    * excluded. Shuffles on the bigram key (vocab-bounded at any corpus
+    * size) then on the doc id. Returns (id, n_bigrams, ppl). */
+  def bigramPerplexity(df: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.1): DataFrame = {
+    def bigrams(src: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      val n = size(toks)
+      src.where(n >= 2)
+        .select(col(idCol).as("id"),
+          explode(transform(sequence(lit(1), n - 1),
+            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+            .as("bg"))
+        .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val refBg = bigrams(reference)
+    val c2 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = refBg.select(countDistinct(col("w1")).as("v"))
+    bigrams(df)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        log(2.0,
+          (coalesce(col("c2"), lit(0L)) + alpha) /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("lp"))).as("nll"))
+      .select(col("id"), col("n_bigrams"), pow(lit(2.0), col("nll")).as("ppl"))
+  }
+
   /** Full per-document text-stats projection. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -435,6 +435,39 @@ object LlmQueries {
            |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin
       }),
 
+    // Bigram-LM perplexity (CCNet-style quality filter): model trained on
+    // the corpus itself, every doc scored by per-bigram log2 perplexity;
+    // per-source rollup with the repo's round-then-decimal-average
+    // contract for interpolated stats.
+    Q("x15_lm_perplexity",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextStats.bigramPerplexity(docs, docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("lang"), col("source")), "id")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sumLong(col("n_bigrams")).as("total_bigrams"),
+            round(avgExact(round(col("ppl"), 6)), 4).as("avg_ppl"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+              |bg AS (SELECT doc_id, source,
+              |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+              |  FROM t WHERE len(toks) >= 2),
+              |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+              |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+              |v AS (SELECT COUNT(DISTINCT w1) AS v FROM bg),
+              |sc AS (SELECT bg.doc_id, bg.source,
+              |  log2((COALESCE(c2.c2, 0) + 0.1) / (COALESCE(c1.c1, 0) + 0.1 * v.v)) AS lp
+              |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v),
+              |d AS (SELECT doc_id, source, COUNT(*) AS n_bigrams,
+              |  ROUND(POW(2.0, -AVG(lp)), 6) AS ppl FROM sc GROUP BY 1, 2)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+              |  ROUND(${avgExactSql("ppl")}, 4) AS avg_ppl
+              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Context-window chunking: 64-token chunks with 8-token overlap;
     // per-chunk md5 parity against a DuckDB list-slicing twin.
     Q("x14_chunking",

@@ -119,6 +119,24 @@ class CoreSpec extends SparkSpec {
     assert(withDefault.nonEmpty && withDefault.forall(_ == "b"))
   }
 
+  test("bigramPerplexity: in-distribution text scores lower than unseen text") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran to the mat"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"),   // exactly in-distribution
+      (11L, "zeta qux blorp wib nix"),   // all-unseen bigrams
+      (12L, "x")                         // single token → no bigrams → excluded
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramPerplexity(score, ref, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl")))
+      .toMap
+    assert(out.keySet === Set(10L, 11L))
+    assert(out(10L)._1 === 5L)
+    assert(out(10L)._2 < out(11L)._2, s"in-dist ${out(10L)._2} !< unseen ${out(11L)._2}")
+    assert(out(10L)._2 >= 1.0) // perplexity is bounded below by 1 for any proper model
+  }
+
   test("scrubPii replaces emails, IPs and phone runs; leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
