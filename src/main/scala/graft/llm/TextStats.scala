@@ -167,7 +167,9 @@ object TextStats {
             .as("bg"))
         .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
-    val refBg = bigrams(reference)
+    // the reference bigram frame feeds three consumers (c2, c1, V) — cache
+    // it so the tokenize+explode pass runs once
+    val refBg = bigrams(reference).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = refBg.select(countDistinct(col("w1")).as("v"))
