@@ -170,24 +170,45 @@ object Correlations {
         StructField("pair_lift", DoubleType, nullable = true))))
   }
 
-  /** Wide-k pair lift via `RowMatrix.computeGramianMatrix`: yᵀy in one
-    * treeAggregate of a k×k upper-triangular buffer — scales to k in the
-    * thousands where per-pair aggregate expressions would blow the codegen
-    * constant pool. Counts are exact (0/1 inputs ⇒ integer-valued doubles
-    * below 2^53). Same output schema as [[pairLift]]. */
+  /** Wide-k pair lift via a single-pass distributed Gramian: each partition
+    * folds its rows into a primitive upper-triangular k·(k+1)/2 buffer (plus
+    * one slot for the row count), tree-reduced to the driver — scales to k in
+    * the thousands where per-pair aggregate expressions would blow the
+    * codegen constant pool. One scan, no cache, no separate `count()` job,
+    * no per-cell boxing (the earlier `RowMatrix` form paid all three).
+    * Counts are exact (0/1 inputs ⇒ integer-valued doubles below 2^53).
+    * Same output schema as [[pairLift]]. */
   def pairLiftGramian(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
-    import org.apache.spark.mllib.linalg.distributed.RowMatrix
     val spark = df.sparkSession
     val k = cols.length
+    val tlen = k * (k + 1) / 2
     val casted = df.select(cols.map(c => coalesce(col(c).cast(DoubleType), lit(0.0)).as(c)): _*)
-    val rdd = casted.rdd.map { r =>
-      OldVectors.dense(Array.tabulate(k)(i => r.getDouble(i)))
+    val buf = casted.rdd.mapPartitions { it =>
+      val acc = new Array[Double](tlen + 1) // upper-tri gram ++ row count
+      val v = new Array[Double](k)
+      while (it.hasNext) {
+        val r = it.next()
+        var i = 0
+        while (i < k) { v(i) = r.getDouble(i); i += 1 }
+        var idx = 0
+        i = 0
+        while (i < k) {
+          val vi = v(i)
+          var j = i
+          while (j < k) { acc(idx) += vi * v(j); idx += 1; j += 1 }
+          i += 1
+        }
+        acc(tlen) += 1.0
+      }
+      Iterator.single(acc)
+    }.treeReduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
     }
-    rdd.cache()
-    val n = rdd.count().toDouble
-    val gram = new RowMatrix(rdd).computeGramianMatrix()
-    rdd.unpersist()
+    val n = buf(tlen)
+    // row i of the upper triangle starts at i*k - i*(i-1)/2; requires i <= j.
+    def gram(i: Int, j: Int): Double = buf(i * k - i * (i - 1) / 2 + (j - i))
     val rows = for { i <- 0 until k; j <- 0 until k if i < j } yield {
       val ca = gram(i, i).toLong
       val cb = gram(j, j).toLong
