@@ -131,7 +131,13 @@ object Relational {
     * Tie-handling delta vs [[decileExact]] (ntile): ntile splits a run of
     * equal values across buckets to equalize counts; qcut keeps every
     * equal value in one bucket and DROPS the collapsed edges, so
-    * heavy-tie columns yield fewer than n buckets of unequal size. */
+    * heavy-tie columns yield fewer than n buckets of unequal size.
+    *
+    * Scale caveat: exact `percentile` buffers every value of `valueCol`
+    * in aggregation state — fine for oracle parity (this method's
+    * purpose), but at 100-TB scale use [[decileByRange]], whose
+    * approx-quantile sketch is constant-memory per partition (same
+    * caveat as [[decileExact]]'s scaladoc). */
   def decileQcut(df: DataFrame, valueCol: String, n: Int = 10): DataFrame = {
     val probs = array((0 to n).map(i => lit(i.toDouble / n)): _*)
     val edgesRow = df.agg(percentile(col(valueCol).cast("double"), probs).as("es"))

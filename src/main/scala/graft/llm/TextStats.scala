@@ -168,12 +168,14 @@ object TextStats {
         .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
     // the reference bigram frame feeds three consumers (c2, c1, V) — cache
-    // it so the tokenize+explode pass runs once
+    // it so the tokenize+explode pass runs once; when scoring the training
+    // frame itself (df eq reference) it is a fourth consumer of the same
+    // cached frame rather than a fresh tokenize+explode
     val refBg = bigrams(reference).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = refBg.select(countDistinct(col("w1")).as("v"))
-    bigrams(df)
+    (if (df eq reference) refBg else bigrams(df))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))

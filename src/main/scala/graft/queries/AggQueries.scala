@@ -284,6 +284,13 @@ object AggQueries {
 
     // describe-style per-column profile in long format (count/mean/std/
     // min/max for several columns in one batched pass).
+    // Cost note (round 5, measured via DevDiag at sf0.1): a 4-col decimal
+    // sum runs ~1.0 s warm vs ~0.15 s in plain double — the ~7× decimal
+    // tax times this query's 12 decimal accumulators (avgExact + two-moment
+    // stdExact × 4 cols) accounts for its full ~2.3 s warm cost. The plan
+    // is already ONE pass; the cost is exactness-bound (decimal
+    // accumulation is what makes the hash bit-match the DuckDB oracle),
+    // so it stays.
     Q("a20_summary_profile",
       (s, d) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
