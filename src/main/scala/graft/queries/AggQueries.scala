@@ -505,6 +505,64 @@ object AggQueries {
       },
       Some(s"""SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
               |${sumExactSql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- H: sketch operators, oracled through their guarantees --------------
+    // freqItems guarantees NO FALSE NEGATIVES above the support fraction
+    // (false positives possible), so sketch → semi-join exact counts →
+    // threshold filter reproduces the EXACT heavy-hitter set; the oracle is
+    // the plain HAVING query.
+    Q("h1_heavy_hitters",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val support = 0.01
+        val total = orders.count()
+        val items = Relational.heavyHitters(orders, Seq("o_orderpriority"), support)
+          .select(explode(col("o_orderpriority_freqItems")).as("o_orderpriority"))
+        orders.join(items, Seq("o_orderpriority"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > lit(total * support))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1
+             |HAVING COUNT(*) > (SELECT COUNT(*) FROM orders) * 0.01
+             |ORDER BY 1""".stripMargin)),
+
+    // HLL++ is deterministic for a given dataset (hash-based, order- and
+    // partitioning-independent), so the 3σ accuracy window is a stable
+    // verifiable fact: the query emits the EXACT count plus the in-window
+    // flag, and the oracle asserts the flag is literally TRUE.
+    Q("h2_approx_distinct",
+      (s, d) => {
+        val rsd = 0.05
+        T(s, d, "orders")
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            approx_count_distinct(col("o_custkey"), rsd).as("n_approx"))
+          .select(
+            col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <= lit(3 * rsd) * col("n_exact"))
+              .as("approx_ok"))
+      },
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
+             |FROM orders""".stripMargin)),
+
+    // approxQuantile at relErr 1e-8 is EXACT on any column with fewer
+    // distinct values than 1e8 (the GK sketch stores every distinct rank
+    // boundary) and returns an observed value — i.e. quantile_disc
+    // semantics (same equivalence w4b_decile_range relies on).
+    Q("h3_approx_quantile",
+      (s, d) => {
+        val labels = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)
+        val vals = Relational.quantilesApprox(
+          T(s, d, "orders"), "o_totalprice", labels.map(_._2), relErr = 1e-8)
+        import s.implicits._
+        labels.map(_._1).zip(vals).toDF("p", "value").orderBy(col("p"))
+      },
+      Some(Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90", 0.99 -> "p99").map {
+        case (q, l) =>
+          s"SELECT '$l' AS p, quantile_disc(o_totalprice, $q) AS value FROM orders"
+      }.mkString("", " UNION ALL ", " ORDER BY p")))
   )
 }

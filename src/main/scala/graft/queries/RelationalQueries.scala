@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Relational, Sampling, WideAgg}
+import graft.core.{Joins, Relational, Sampling, WideAgg}
 import graft.stats.{Auc, Correlations}
 
 /** One declared query per SURVEY.md §2 operator (the driver's correctness
@@ -22,6 +22,14 @@ object RelationalQueries {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
+
+  /** Shared oracle for j1 / j8 / j9: the salted and bloom-pruned joins'
+    * contract IS "result equals the plain inner join". */
+  private lazy val plainJoinOracleSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |${Det.sumExactSql("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle for the rank-based exact AUC (mirrors stats.Auc). */
   private def aucSql(from: String, score: String, labelCond: String): String =
@@ -181,9 +189,49 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
         .orderBy(col("c_mktsegment")),
-      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      Some(plainJoinOracleSql)),
+
+    // The skew/pruning join strategies' correctness contract is "equals
+    // the plain inner join", so both reuse j1's oracle VERBATIM — the
+    // salt / bloom machinery must be invisible in the result.
+    Q("j8_salted_join",
+      (s, d) => Joins.saltedJoin(
+        T(s, d, "orders"),
+        T(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+      Some(plainJoinOracleSql)),
+
+    Q("j9_bloom_join",
+      (s, d) => Joins.bloomPrunedJoin(
+        T(s, d, "orders"),
+        T(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+      Some(plainJoinOracleSql)),
+
+    // Hive-partitioned sink round-trip: write orders partitioned by
+    // status, re-read with a partition filter (pruning skips the other
+    // status directories — locked by SourcesSpec), aggregate. Oracle is
+    // the same filter+agg on the UNPARTITIONED table.
+    Q("p1_partitioned_sink",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_psink").toString
+        graft.io.Sinks.writeParquetPartitioned(
+          T(s, d, "orders"), out, partitionCols = Seq("o_orderstatus"))
+        s.read.parquet(out)
+          .where(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
               |${sumExactSql("o_totalprice")} AS sum_price
-              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |FROM orders WHERE o_orderstatus = 'F'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("j2_join_two",

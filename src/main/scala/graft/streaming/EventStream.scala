@@ -141,6 +141,57 @@ object EventStream {
   def dedupStream(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Bounded replay of [[sessionize]] over an events parquet file — the
+    * stream-side twin of the batch lag+cumsum sessionization (`st2`).
+    *
+    * Append-mode `flatMapGroupsWithState` only EMITS a session once the
+    * event-time watermark passes its `last + gap`, so a naive replay of a
+    * finite file would swallow every trailing session (the watermark stops
+    * at `max(ts) − delay`). The replay therefore appends one SENTINEL event
+    * per user at `max(ts) + gap + delay + margin`: it pushes the final
+    * watermark beyond every real session's timeout (all real sessions
+    * flush), while the sentinel sessions themselves stay un-emitted in
+    * state (nothing ever outlives them). Spark's available-now trigger runs
+    * the extra empty micro-batch that fires the timeouts
+    * (`shouldRunAnotherBatch` on watermark advance). Sessions starting at
+    * or after the sentinel timestamp are filtered out defensively. */
+  def runSessionizeOnce(spark: SparkSession, path: String, sinkName: String,
+      gapMs: Long = 30 * 60 * 1000L, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(path)
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+    // sentinel file: one max-ts row per user, far enough out to flush all
+    // real sessions (watermark delay hardcoded to 1h below in millis)
+    val wmMs = 60 * 60 * 1000L
+    val static = spark.read.schema(RawEventSchema).parquet(path)
+    val maxTsNanos = static.agg(max(col("ts"))).head.getLong(0)
+    val sentinelNanos = maxTsNanos + (gapMs + wmMs + 60 * 60 * 1000L) * 1000000L
+    static.select(col("user_id")).distinct()
+      .select(
+        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"), col("user_id"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+      .write.mode("append").parquet(d.toString)
+    val events = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(d.toString)
+      .select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id").as("userId"), col("event_type").as("eventType"), col("value"))
+      .as[Event]
+    val q = sessionize(events, gapMs, watermark)
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .where(col("sessionStart") < timestamp_micros(lit(sentinelNanos / 1000L)))
+  }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class Session(
