@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * decode/feature/frame-sample operators a training-data pipeline runs
   * over them.
   *
-  * The DECODE step is a clearly-marked STUB (this container has no
-  * image/audio codecs): `decodeStub` produces a deterministic fake
-  * "decoded" feature — a normalized 16-bin byte histogram — so the
-  * Spark-side plumbing (schema, batch iteration via mapPartitions,
-  * partition preservation, fixed-width feature output) is real and
-  * tested while the codec call is swappable.
+  * IMAGE decode is REAL: `decodeImage` runs the JDK's own PNG codec
+  * (`javax.imageio` — no external dependency) and extracts true
+  * width/height plus a normalized luminance histogram;
+  * [[extractFeatures]] uses it for decodable image payloads. AUDIO/VIDEO
+  * decode remains a clearly-marked STUB (`decodeStub`, a deterministic
+  * byte histogram — this container has no audio/video codecs); the
+  * mapPartitions plumbing (schema, batching, fixed-width feature output)
+  * is identical for both, so swapping in a real codec is a one-line
+  * change.
   *
   * Scale stance: payloads never pass through a shuffle — all operators
   * are map-only (mapPartitions / projections); metadata-only queries
@@ -73,9 +76,116 @@ object Multimodal {
     bins
   }
 
+  /** Deterministic grayscale gradient PNG — the ingestion stand-in that
+    * produces REAL encoded image bytes: pixel (x, y) has gray level
+    * `x + y` (callers keep width + height ≤ 257 so the level never wraps,
+    * which gives every per-image statistic a closed form:
+    * mean luminance = (width + height − 2) / 2). */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, x + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class ImageFeatures(
+      width: Int, height: Int, meanLum: Double, lumHist: Array[Float])
+
+  /** REAL image decode (JDK `javax.imageio`, PNG/BMP/GIF/JPEG): true
+    * header width/height plus mean and normalized 16-bin histogram of
+    * per-pixel luminance (ITU-R BT.601 weights for color rasters; the
+    * raw sample for grayscale). Returns None when the bytes are not a
+    * decodable image — callers fall back to [[decodeStub]]. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = img.getColorModel.getNumComponents == 1
+    val hist = new Array[Float](FeatureDim)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum =
+          if (gray) img.getRaster.getSample(x, y, 0).toDouble
+          else {
+            val rgb = img.getRGB(x, y)
+            0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          }
+        sum += lum
+        hist(math.min(lum.toInt, 255) / (256 / FeatureDim)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var j = 0
+    while (j < FeatureDim) { hist(j) /= n; j += 1 }
+    Some(ImageFeatures(w, h, sum / n, hist))
+  }
+
+  /** Media table with REAL PNG payloads: every document becomes an image
+    * row whose payload is a [[syntheticPng]] gradient sized by a closed
+    * form of the id (width = id%32+4, height = id%24+4 — bounded so the
+    * gradient never wraps), so decoded statistics are SQL-expressible.
+    * Map-only; the encode runs on executors (the ingestion shape). */
+  def fromDocumentsPng(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (Math.floorMod(id, 32) + 4).toInt
+        val h = (Math.floorMod(id, 24) + 4).toInt
+        Row(id, "image", syntheticPng(w, h))
+      }
+    }(enc)
+  }
+
+  /** Decode the PNG media table: real `javax.imageio` decode per row →
+    * (media_id, width, height, mean_lum). Map-only, payloads never
+    * shuffle; rows that fail to decode THROW (a corrupt synthesized
+    * payload is a bug, not data). */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        // positional getter: upstream mapPartitions rows carry no schema
+        val f = decodeImage(r.getAs[Array[Byte]](1))
+          .getOrElse(sys.error(s"media_id=$id: payload is not a decodable image"))
+        Row(id, f.width, f.height, f.meanLum)
+      }
+    }(enc)
+  }
+
   /** Decode/feature-extract over the media table: map-only, partition-
-    * preserving, batched per partition (the real-codec slot). Output:
-    * (media_id, kind, features array<float>[16]). */
+    * preserving, batched per partition. Image payloads that the JDK codec
+    * can decode get the REAL luminance histogram; everything else (audio/
+    * video, or opaque stand-in bytes) gets the stub byte histogram.
+    * Output: (media_id, kind, features array<float>[16]). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -86,7 +196,11 @@ object Multimodal {
     media.select("media_id", "kind", "payload").mapPartitions { it =>
       // per-partition (not per-row) setup slot for a real codec context
       it.map { r =>
-        Row(r.getLong(0), r.getString(1), decodeStub(r.getAs[Array[Byte]]("payload")).toSeq)
+        val payload = r.getAs[Array[Byte]](2) // positional: schema-less upstream rows
+        val feats =
+          if (r.getString(1) == "image") decodeImage(payload).map(_.lumHist)
+          else None
+        Row(r.getLong(0), r.getString(1), feats.getOrElse(decodeStub(payload)).toSeq)
       }
     }(enc)
   }

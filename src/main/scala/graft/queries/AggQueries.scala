@@ -533,6 +533,12 @@ object AggQueries {
     // partitioning-independent), so the 3σ accuracy window is a stable
     // verifiable fact: the query emits the EXACT count plus the in-window
     // flag, and the oracle asserts the flag is literally TRUE.
+    // MAINTENANCE: the TRUE is a probabilistic bound frozen against the
+    // current fixture + Spark HLL implementation. If the orders generator,
+    // the column, or Spark's sketch ever changes, a flip here surfaces as a
+    // hash mismatch — re-verify the 3σ window (CoreSpec's "sketch twins"
+    // test reports the observed relative error on the orders column)
+    // rather than chasing a value bug.
     Q("h2_approx_distinct",
       (s, d) => {
         val rsd = 0.05

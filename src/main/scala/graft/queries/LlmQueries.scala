@@ -643,6 +643,24 @@ object LlmQueries {
              |SELECT media_id, kind,
              |  ROUND(CAST(CAST(CAST(n_bin AS FLOAT) / CAST(n AS FLOAT) AS FLOAT) AS DOUBLE), 6) AS bin6,
              |  1.0 AS feat_sum
-             |FROM b ORDER BY media_id""".stripMargin))
+             |FROM b ORDER BY media_id""".stripMargin)),
+
+    // REAL image decode: synthesize a gradient PNG per document on the
+    // executors (javax.imageio encode), decode it back with the same JDK
+    // codec, and emit header dims + decoded mean luminance. The gradient
+    // (pixel = x + y, dims bounded so it never wraps) makes every decoded
+    // statistic closed-form: mean_lum = (w + h - 2) / 2 — so a REAL codec
+    // round-trip is verified against pure SQL on doc_id.
+    Q("mm4_image_decode",
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.fromDocumentsPng(T(s, d, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 32 + 4 AS INT) AS width,
+             |  CAST(doc_id % 24 + 4 AS INT) AS height,
+             |  ROUND(((doc_id % 32 + 4) + (doc_id % 24 + 4) - 2) / 2.0, 6) AS mean_lum
+             |FROM documents ORDER BY 1""".stripMargin))
   )
 }

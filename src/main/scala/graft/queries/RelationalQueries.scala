@@ -220,7 +220,10 @@ object RelationalQueries {
     // the same filter+agg on the UNPARTITIONED table.
     Q("p1_partitioned_sink",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_psink").toString
+        // fixed per-process path + overwrite mode: repeated Verify/Bench
+        // invocations reuse one copy instead of leaking a dir per run
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_psink_orders").toString
         graft.io.Sinks.writeParquetPartitioned(
           T(s, d, "orders"), out, partitionCols = Seq("o_orderstatus"))
         s.read.parquet(out)

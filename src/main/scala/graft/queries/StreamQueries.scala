@@ -40,5 +40,36 @@ object StreamQueries {
       Some(s"""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
               |UPPER(SUBSTRING(event_type, 1, 3)) AS category,
               |COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Stateful streaming sessionization (flatMapGroupsWithState, event-time
+    // timeout) replayed over the bounded events file, reduced to the
+    // session-size histogram — the stream-side twin of st2. The oracle gap
+    // compares MILLISECONDS (the stream state keys sessions off
+    // Timestamp.getTime), unlike st2's second-granularity lag — the two
+    // histograms differ where a gap sits between 1800.000s and 1800.999s.
+    Q("st4_stream_sessions",
+      (s, d) => {
+        val sink = s"st4_sink_${System.nanoTime()}"
+        EventStream.runSessionizeOnce(s, s"$d/events.parquet", sink)
+          .groupBy(col("nEvents").cast("long").as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR date_diff('millisecond', prev_ts, ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             |  FROM f),
+             |per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+             |SELECT n_events, COUNT(*) AS n_sessions FROM per
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -201,11 +201,19 @@ object Correlations {
         acc(tlen) += 1.0
       }
       Iterator.single(acc)
-    }.treeReduce { (a, b) =>
-      var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
-      a
-    }
+    }.treeAggregate(new Array[Double](tlen + 1))(
+      // zero-buffer aggregate (not treeReduce): an empty/zero-partition
+      // input degrades to the zero Gramian instead of throwing
+      { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      },
+      { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
     val n = buf(tlen)
     // row i of the upper triangle starts at i*k - i*(i-1)/2; requires i <= j.
     def gram(i: Int, j: Int): Double = buf(i * k - i * (i - 1) / 2 + (j - i))

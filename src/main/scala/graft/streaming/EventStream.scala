@@ -20,6 +20,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Parse an interval string like "1 hour" / "30 minutes" to millis —
+    * the replay helpers need the watermark delay as a number to size the
+    * sentinel margin, and hardcoding it risks drifting from the caller's
+    * argument. Spark's own interval parser keeps the two in lockstep. */
+  private[streaming] def intervalMs(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv.months == 0, s"month-based watermark '$interval' has no fixed millis length")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   /** Raw footer schema of the driver's events.parquet: ts is INT64
     * TIMESTAMP(NANOS), which Spark only reads as long
     * (`spark.sql.legacy.parquet.nanosAsLong`); converted to a proper
@@ -72,6 +89,8 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // memory sink holds the rows on the driver; the symlink dir is done
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
     spark.table(sinkName)
   }
 
@@ -114,6 +133,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
     spark.table(sinkName)
   }
 
@@ -160,13 +180,15 @@ object EventStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(path)
+    val static = spark.read.schema(RawEventSchema).parquet(path)
+    val maxTsRow = static.agg(max(col("ts"))).head
+    if (maxTsRow.isNullAt(0)) return spark.emptyDataset[Session].toDF
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
     // sentinel file: one max-ts row per user, far enough out to flush all
-    // real sessions (watermark delay hardcoded to 1h below in millis)
-    val wmMs = 60 * 60 * 1000L
-    val static = spark.read.schema(RawEventSchema).parquet(path)
-    val maxTsNanos = static.agg(max(col("ts"))).head.getLong(0)
+    // real sessions (margin = gap + the caller's watermark delay + 1h slack)
+    val wmMs = intervalMs(watermark)
+    val maxTsNanos = maxTsRow.getLong(0)
     val sentinelNanos = maxTsNanos + (gapMs + wmMs + 60 * 60 * 1000L) * 1000000L
     static.select(col("user_id")).distinct()
       .select(
@@ -188,6 +210,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    rmTree(d)
     spark.table(sinkName)
       .where(col("sessionStart") < timestamp_micros(lit(sentinelNanos / 1000L)))
   }

@@ -208,6 +208,14 @@ class CoreSpec extends SparkSpec {
       .collect()(0)
     assert(math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.1)
     assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.1)
+    // h2's frozen oracle (approx_ok = TRUE) rests on this bound: surface the
+    // observed error in the failure message so a future flip is legible.
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val h2 = ord.agg(
+      countDistinct(col("o_custkey")).as("e"),
+      approx_count_distinct(col("o_custkey"), 0.05).as("a")).collect()(0)
+    val h2err = math.abs(h2.getLong(1) - h2.getLong(0)).toDouble / h2.getLong(0)
+    assert(h2err <= 3 * 0.05, s"h2 window: observed relative error $h2err > 3*rsd")
     val Seq(p50, p99) = Relational.quantilesApprox(li, "l_extendedprice", Seq(0.5, 0.99), 1e-4)
     val exactQ = li.agg(
       percentile(col("l_extendedprice"), lit(0.5)),
@@ -232,5 +240,35 @@ class CoreSpec extends SparkSpec {
     assert(feats(1L).length === 16)
     // 'a' = 0x61 → bin 6 gets everything
     assert(math.abs(feats(1L)(6) - 1.0f) < 1e-6f)
+  }
+
+  test("Multimodal: real PNG decode — dims, mean luminance, histogram; stub fallback") {
+    // closed-form gradient: pixel (x,y) = x + y → mean = (w + h - 2) / 2
+    val png = Multimodal.syntheticPng(20, 10)
+    // it IS a PNG (magic bytes), not a raw raster
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte)
+    val f = Multimodal.decodeImage(png).get
+    assert(f.width === 20 && f.height === 10)
+    assert(math.abs(f.meanLum - (20 + 10 - 2) / 2.0) < 1e-9)
+    assert(math.abs(f.lumHist.sum - 1.0f) < 1e-5f)
+    // gradient levels span [0, 28] → bins 0 and 1 only
+    assert(f.lumHist(0) > 0f && f.lumHist(1) > 0f && f.lumHist.drop(2).forall(_ === 0f))
+    // non-image bytes are not decodable → extractFeatures falls back to stub
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (7L, "y"), (30L, "z")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocumentsPng(docs)
+    val decoded = Multimodal.decodeImages(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(decoded(7L).getAs[Int]("width") === 11)   // 7 % 32 + 4
+    assert(decoded(7L).getAs[Int]("height") === 11)  // 7 % 24 + 4
+    assert(math.abs(decoded(7L).getAs[Double]("mean_lum") - 10.0) < 1e-9)
+    assert(decoded(30L).getAs[Int]("height") === 10) // 30 % 24 + 4
+    // extractFeatures takes the REAL decode path for decodable image payloads
+    val real = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Seq[Float]]("features")).toMap
+    assert(real(0L).drop(1).forall(_ === 0f)) // 4x4 gradient: levels ≤ 6 → bin 0 only
+    assert(math.abs(real(0L).sum - 1.0f) < 1e-5f)
   }
 }
