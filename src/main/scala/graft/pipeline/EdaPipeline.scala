@@ -41,6 +41,13 @@ object EdaPipeline {
   def run(spark: SparkSession, inputDir: String, outDir: String): Result = {
     def load(n: String) = spark.read.parquet(s"$inputDir/$n.parquet")
     def out(n: String) = s"$outDir/$n"
+    // per-block wall clock (the scaling-curve instrument, FIXTURES.md):
+    // prints at block END — the delta since the previous tick
+    val tBlock = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def tick(block: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[pipeline] block $block%-28s ${(now - tBlock.getAndSet(now)) / 1e9}%6.1f s")
+    }
 
     val trainMain = load("train_main_features")
     val testMain = load("test_main_features")
@@ -56,6 +63,7 @@ object EdaPipeline {
     val trainRows = trainMain.count()
     val testRows = testMain.count()
 
+    tick("1_sizes")
     // ---- 2: target stats (wide sum → rate → family → sort) -----------------
     val sums = WideAgg.runBatched(trainTarget, targets, c => sum(col(c).cast("long"))).toMap
     val targetStats = targets.map { t =>
@@ -72,12 +80,14 @@ object EdaPipeline {
       .orderBy(col("family"))
     Sinks.writeCsv(familyStats, out("target_family_stats.csv"))
 
+    tick("2_target_stats")
     // ---- 3: opened-targets distribution ------------------------------------
     val opened = trainTarget.withColumn("n_opened", WideAgg.horizontalSum(targets))
     Sinks.writeCsv(
       opened.groupBy(col("n_opened")).agg(count(lit(1)).as("n_customers")).orderBy(col("n_opened")),
       out("opened_targets_distribution.csv"))
 
+    tick("3_opened_dist")
     // ---- 4: pair co-occurrence + lift --------------------------------------
     val pairDf = Correlations.pairLift(trainTarget, targets)
     Sinks.writeCsv(pairDf.orderBy(col("col_a"), col("col_b")), out("target_pair_stats.csv"))
@@ -86,6 +96,7 @@ object EdaPipeline {
         .orderBy(col("pair_lift").desc, col("col_a"), col("col_b")).limit(30),
       out("target_top_pairs.csv"))
 
+    tick("4_pair_lift")
     // ---- 5: 41×41 corr matrix + antagonist slice ---------------------------
     val corrM = Correlations.corrMatrix(trainTarget, targets)
     val corrRows = targets.indices.map { i =>
@@ -129,6 +140,7 @@ object EdaPipeline {
         .orderBy(col("abs_correlation").desc, col("other_target")),
       out("antagonist_profile.csv"))
 
+    tick("5_corr_matrix")
     // ---- 6: clustering on 1−|corr| (k ∈ {3,4,5}) ---------------------------
     val dist = Array.tabulate(targets.size, targets.size)((i, j) => 1.0 - math.abs(corrM(i, j)))
     val byK = Seq(3, 4, 5).map { k =>
@@ -158,6 +170,7 @@ object EdaPipeline {
       out("target_cluster_summary.csv"))
     val largestShare = labels4.groupBy(identity).values.map(_.size).max.toDouble / targets.size
 
+    tick("6_clustering")
     // ---- 7: main-feature missingness ---------------------------------------
     val mainFeats = mainCat.allFeatures
     val mainNulls = WideAgg.nullProfile(trainMain, mainFeats)
@@ -165,6 +178,7 @@ object EdaPipeline {
         when(col("col_name").startsWith("num_"), "numeric").otherwise("categorical"))
       .withColumn("source", lit("main"))
 
+    tick("7_main_missing")
     // ---- 8: extra-feature missingness bands --------------------------------
     val extraNulls = WideAgg.nullProfile(trainExtra, extraCat.numFeatures)
     // the combined summary is main ∪ extra (reference `P:249-267`), plus
@@ -188,6 +202,7 @@ object EdaPipeline {
       banded.groupBy(col("band")).agg(count(lit(1)).as("n_features")).orderBy(col("band")),
       out("extra_missingness_bands.csv"))
 
+    tick("8_extra_bands")
     // ---- 9: filled-extra-count → deciles, AUC, point-biserial --------------
     val filled = trainExtra.select(
       col("customer_id"),
@@ -211,6 +226,7 @@ object EdaPipeline {
     val filledPbP = StatTests.corrPValue(filledPb, pbRow.getAs[Long]("n"))
     joined.unpersist()
 
+    tick("9_filled_deciles")
     // ---- 10: missing-indicator AUC (30% sample) ----------------------------
     val candidates = extraNulls.collect()
       .map(r => r.getString(0) -> r.getDouble(1))
@@ -226,6 +242,7 @@ object EdaPipeline {
         .orderBy(col("abs_auc").desc, col("feature")),
       out("missing_indicator_auc.csv"))
 
+    tick("10_missing_auc")
     // ---- 11: categorical dictionaries + unseen test categories -------------
     // Melted to ONE (feature, value) pass per side + one anti-join — a
     // handful of jobs total instead of ~4 per feature (the reference loops
@@ -271,6 +288,7 @@ object EdaPipeline {
       out("categorical_unseen_categories.csv"))
     val unseenFeatures = catStats.count(_.getLong(3) > 0)
 
+    tick("11_cat_dicts")
     // ---- 12: adversarial shift (20% samples) -------------------------------
     val advCols = mainCat.numFeatures ++ mainCat.catFeatures
     val (advAuc, _, _) = Adversarial.adversarialAuc(
@@ -280,6 +298,7 @@ object EdaPipeline {
     Sinks.writeCsv(Seq(("train_vs_test", advAuc)).toDF("experiment", "auc"),
       out("adversarial_auc.csv"))
 
+    tick("12_adversarial")
     // ---- 13: linear screening (12% sample, impute, cross-corr) -------------
     val screenFeats = mainCat.numFeatures ++
       extraNulls.collect().map(r => r.getString(0) -> r.getDouble(1))
@@ -360,6 +379,7 @@ object EdaPipeline {
       out("golden_linear_top5_selected_targets.csv"))
     screenSample.unpersist()
 
+    tick("13_screening")
     // ---- 14: feature universality ------------------------------------------
     val universality = linear.na.drop(Seq("corr")).groupBy(col("feature"))
       .agg(
@@ -370,6 +390,7 @@ object EdaPipeline {
       .orderBy(col("n_targets_gt05").desc, col("mean_abs_corr").desc, col("feature"))
     Sinks.writeCsv(universality, out("feature_universality.csv"))
 
+    tick("14_universality")
     // ---- 15: whale signals (p99 cut × rare targets, Fisher) ----------------
     val rare = targetStats.filter(_._4 < 0.05).map(_._1).take(8)
     val whaleSample = Sampling.modSample(trainMain, "customer_id", 12)
@@ -434,6 +455,7 @@ object EdaPipeline {
       out("whale_top3_per_target.csv"))
     val whaleSig = whaleRows.count(r => r._5 >= 2.0 && r._6 < 0.05).toLong
 
+    tick("15_whales")
     // ---- 16: summary.json + report.md --------------------------------------
     val rareCount = targetStats.count(_._4 < 0.01)
     val summary = Seq[(String, Any)](
