@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for the 100-TB path: bucketed co-located joins (no
@@ -77,5 +78,88 @@ object Joins {
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Backward as-of join (point-in-time enrichment): every `left` row is
+    * matched to the `right` row with the LARGEST `tsCol` ≤ the left row's
+    * `tsCol` on the same `keys` (inclusive; left outer — unmatched rows
+    * keep null `valueCols`), optionally only when the match is within
+    * `toleranceMs` of the left timestamp.
+    *
+    * Spark has no native as-of join; the naive formulation
+    * (`l.ts >= r.ts` non-equi join + keep-latest) plans as a
+    * BroadcastNestedLoopJoin — O(|L|·|R|) per key and excluded from
+    * codegen. This instead UNIONS the two sides and runs ONE window over
+    * (`keys`, ts): right rows sort before left rows at equal ts, and
+    * `last(value, ignoreNulls)` over the unbounded-preceding frame fills
+    * each left row with the most recent right value — a single shuffle on
+    * `keys`, linear work, the merge-scan shape an as-of join compiles to
+    * in columnar engines (cf. DuckDB ASOF JOIN, which oracles this).
+    *
+    * `valueCols` are right-side columns to attach; their names must not
+    * collide with left columns (alias on the right frame first — also the
+    * way to expose the matched right timestamp: duplicate it as a value
+    * column). Right rows should be unique per (keys, tsCol): collapse
+    * duplicates first, or the attached value among equal timestamps is
+    * tie-order dependent. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      valueCols: Seq[String], toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"asofJoin: value columns ${valueCols.intersect(leftCols)} collide with left columns")
+    val lOthers = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    val rTsType = right.schema(tsCol).dataType
+    val lPart = left.select(
+      keys.map(col) ++ Seq(col(tsCol)) ++ lOthers.map(col) ++
+        Seq(lit(1).as("__side"), lit(null).cast(rTsType).as("__asof_rts")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      keys.map(col) ++ Seq(col(tsCol)) ++
+        lOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("__side"), col(tsCol).as("__asof_rts")) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all last() calls share one window spec → a single WindowExec pass
+    val filled = (valueCols :+ "__asof_rts").foldLeft(lPart.unionByName(rPart)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val gated = toleranceMs match {
+      case None => filled
+      case Some(tol) =>
+        val inTol = col("__asof_rts").isNotNull &&
+          (unix_millis(col(tsCol)) - unix_millis(col("__asof_rts")) <= tol)
+        valueCols.foldLeft(filled)((df, c) =>
+          df.withColumn(c, when(inTol, col(c))))
+    }
+    gated.where(col("__side") === 1).select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Range (band) join: inner-join rows of `fact` to rows of `bands`
+    * where `fact.pointCol ∈ [bands.loCol, bands.hiCol)`. The naive form
+    * is a non-equi BroadcastNestedLoopJoin (O(|F|·|B|), no codegen); this
+    * rewrites it as an EQUI join on a bucket id: every band is exploded
+    * to the `bucketWidth`-sized buckets it overlaps, each fact row maps
+    * to exactly one bucket, and the residual `[lo, hi)` predicate runs
+    * AFTER the hash join — shuffle-hash/SMJ on the bucket key, linear
+    * work when bands are narrow relative to `bucketWidth`. Bands may
+    * overlap (a fact row then matches several bands — true join
+    * semantics, no dedup). */
+  def rangeJoinBuckets(fact: DataFrame, bands: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "rangeJoinBuckets: bucketWidth must be positive")
+    val f = fact.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+    val b = bands.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        // hi is exclusive: a band ending exactly on a bucket edge does not
+        // reach into that bucket
+        greatest(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          ceil(col(hiCol) / bucketWidth).cast("long") - 1))))
+    f.join(b, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
   }
 }

@@ -214,6 +214,30 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment")),
       Some(plainJoinOracleSql)),
 
+    // Range (band) join through the bucket rewrite (Joins.rangeJoinBuckets):
+    // orders prices vs 50 OVERLAPPING price bands — an equi join on the
+    // bucket id plus a residual filter, never a nested-loop join. The
+    // bands are generated identically on both sides (range 0..50).
+    Q("rj1_range_join",
+      (s, d) => {
+        val bands = s.range(0, 50).select(
+          col("id").cast("int").as("band_id"),
+          (col("id") * 10000.0).as("lo"),
+          (col("id") * 10000.0 + 15000.0).as("hi"))
+        Joins.rangeJoinBuckets(
+          T(s, d, "orders").select(col("o_totalprice")), bands,
+          "o_totalprice", "lo", "hi", bucketWidth = 10000.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("band_id"))
+      },
+      Some(s"""SELECT CAST(r.range AS INT) AS band_id, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM range(0, 50) r JOIN orders
+              |  ON o_totalprice >= r.range * 10000.0
+              | AND o_totalprice < r.range * 10000.0 + 15000.0
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hive-partitioned sink round-trip: write orders partitioned by
     // status, re-read with a partition filter (pruning skips the other
     // status directories — locked by SourcesSpec), aggregate. Oracle is

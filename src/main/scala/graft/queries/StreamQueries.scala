@@ -71,5 +71,42 @@ object StreamQueries {
              |  FROM f),
              |per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
              |SELECT n_events, COUNT(*) AS n_sessions FROM per
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAM-STREAM event-time interval join (watermarks both sides,
+    // time-bounded condition — the state-evictable shape), replayed
+    // bounded: each click pairs with the same user's purchases within
+    // 24 h after it; the sink is reduced per user. Oracle: the identical
+    // interval join in batch SQL on epoch micros.
+    Q("st5_stream_interval_join",
+      (s, d) => {
+        val sink = s"st5_sink_${System.nanoTime()}"
+        EventStream.runIntervalJoinOnce(s, s"$d/events.parquet", sink, windowHours = 24)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"), sumExact(col("value")).as("sum_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+              |  WHERE event_type = 'click'),
+              |p AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+              |  WHERE event_type = 'purchase')
+              |SELECT c.user_id, COUNT(*) AS n_pairs,
+              |  ${sumExactSql("p.value")} AS sum_purchase
+              |FROM c JOIN p ON c.user_id = p.user_id
+              |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 86400000000
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming ingest dedup (dropDuplicatesWithinWatermark) with planted
+    // duplicates: the doubled replay must reduce back to EXACTLY the
+    // original table — the full-oracle contract for dedupStream.
+    Q("st6_stream_dedup",
+      (s, d) => {
+        val sink = s"st6_sink_${System.nanoTime()}"
+        EventStream.runDedupOnce(s, s"$d/events.parquet", sink)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

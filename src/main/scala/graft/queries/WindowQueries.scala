@@ -18,7 +18,75 @@ object WindowQueries {
     T(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  import Det._
+
   val all: Seq[Q] = Seq(
+
+    // Backward as-of join (graft.core.Joins.asofJoin): each click joins
+    // the user's latest purchase at-or-before it — ONE shuffle
+    // (union + window), no nested-loop join. Oracle: DuckDB's native
+    // ASOF JOIN on epoch micros (both engines compare at Spark's
+    // microsecond precision; the raw fixture carries nanos).
+    Q("t2_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))  // unique per (user, ts): tie-free as-of
+          .agg(max(col("value")).as("purchase_value"))
+          .withColumn("purchase_ts", col("ts"))
+        graft.core.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+            Seq("purchase_value", "purchase_ts"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("purchase_value")).as("n_matched"),
+            sumExact(col("purchase_value")).as("sum_purchase"),
+            sum(unix_micros(col("ts")) - unix_micros(col("purchase_ts"))).as("gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS purchase_value
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click')
+              |SELECT c.user_id, COUNT(*) AS n_clicks,
+              |  COUNT(p.purchase_value) AS n_matched,
+              |  ${sumExactSql("p.purchase_value")} AS sum_purchase,
+              |  CAST(SUM(c.tsu - p.tsu) AS BIGINT) AS gap_us
+              |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Event-time rolling aggregate: trailing-1-hour count/sum per user
+    // via a RANGE window over epoch micros (value-based frame — tie-safe
+    // across engines, unlike ROWS), reduced to each user's peak burst.
+    // The decimal cast inside the windowed SUM keeps the rolling sum
+    // exact, so MAX over it is cross-engine deterministic.
+    Q("w9_rolling_window",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+          .rangeBetween(-3600L * 1000000L, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+          .select(col("user_id"),
+            count(lit(1)).over(w).as("c"),
+            sum(col("value").cast(DecimalType(27, 6))).over(w).as("sv"))
+          .groupBy(col("user_id"))
+          .agg(max(col("c")).as("peak_events_1h"),
+            max(col("sv")).cast(DoubleType).as("peak_value_1h"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+             |r AS (SELECT user_id,
+             |    COUNT(*) OVER w AS c,
+             |    SUM(CAST(value AS DECIMAL(27,6))) OVER w AS sv
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak_events_1h,
+             |  CAST(MAX(sv) AS DOUBLE) AS peak_value_1h
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("w6_window_funcs",
       (s, d) => {

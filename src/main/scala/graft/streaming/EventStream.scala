@@ -24,7 +24,7 @@ object EventStream {
     * the replay helpers need the watermark delay as a number to size the
     * sentinel margin, and hardcoding it risks drifting from the caller's
     * argument. Spark's own interval parser keeps the two in lockstep. */
-  private[streaming] def intervalMs(interval: String): Long = {
+  private[graft] def intervalMs(interval: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(interval))
     require(iv.months == 0, s"month-based watermark '$interval' has no fixed millis length")
@@ -149,6 +149,80 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"), col(groupCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(groupCol), col("n"))
+
+  /** Bounded replay of a STREAM-STREAM event-time interval join: clicks
+    * and purchases are two independent readStreams over the same events
+    * file; each click inner-joins every purchase by the same user within
+    * `windowHours` AFTER it. Both sides carry watermarks and the join
+    * condition bounds both event-time columns — the only shape under
+    * which Spark can evict join state on an unbounded stream (state per
+    * side ≈ one watermark-window of rows, not the whole history). Inner
+    * join: pairs emit as soon as both rows arrive; no sentinel needed. */
+  def runIntervalJoinOnce(spark: SparkSession, path: String, sinkName: String,
+      windowHours: Int = 24): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    def stream = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
+    spark.table(sinkName)
+  }
+
+  /** Bounded replay of [[dedupStream]] with PLANTED duplicates: every
+    * third event is unioned in twice, the doubled file replays through
+    * `dropDuplicatesWithinWatermark(event_id)`, and the sink must equal
+    * the original table exactly (planted dupes carry identical
+    * timestamps, so they always fall inside the watermark horizon —
+    * the one case streaming dedup guarantees). */
+  def runDedupOnce(spark: SparkSession, path: String, sinkName: String,
+      watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(RawEventSchema).parquet(path)
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    raw.union(raw.where(pmod(col("event_id"), lit(3)) === 0))
+      .write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = dedupStream(stream, watermark, Seq("event_id"))
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(d)
+    spark.table(sinkName)
+  }
 
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
     * repeat within the watermark horizon (e.g. a content hash on a

@@ -62,6 +62,56 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest at-or-before match per key, tolerance, one shuffle, no BNLJ") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(30), "c"),
+      (2L, ts(5), "d"), (3L, ts(50), "e"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), 100.0), (1L, ts(25), 250.0),
+      (2L, ts(6), 60.0), (4L, ts(1), 10.0))
+      .toDF("k", "ts", "v")
+      .withColumn("rts", col("ts"))
+    val out = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("v", "rts"))
+    val byTag = out.collect().map(r => r.getAs[String]("tag") ->
+      (Option(r.getAs[java.lang.Double]("v")))).toMap
+    assert(byTag("a") === Some(100.0)) // equal ts matches (inclusive)
+    assert(byTag("b") === Some(100.0)) // latest at-or-before, not the later 25
+    assert(byTag("c") === Some(250.0))
+    assert(byTag("d") === None)        // right is strictly later → no match
+    assert(byTag("e") === None)        // key absent on right → left outer
+    // tolerance: c's match at 25 is 5s old — a 4s tolerance nulls it
+    val tol = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("v"), toleranceMs = Some(4000L))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(tol("a") === Some(100.0) && tol("c") === None)
+    // plan shape: one Exchange (the window shuffle), no nested-loop join;
+    // AQE echoes the initial plan below the final one — count only the final
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"asofJoin must not BNLJ:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1, s"asofJoin should shuffle once, saw $exchanges:\n$finalPlan")
+  }
+
+  test("rangeJoinBuckets equals the naive range join; equi join, no BNLJ") {
+    import spark.implicits._
+    val fact = (0 until 500).map(i => (i.toLong, i * 7.3 % 400)).toDF("id", "x")
+    // overlapping bands, incl. one empty and one bucket-edge-aligned
+    val bands = Seq((0, 0.0, 50.0), (1, 25.0, 120.0), (2, 100.0, 100.0), (3, 300.0, 400.0))
+      .toDF("band_id", "lo", "hi")
+    val naive = fact.join(bands, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("id", "band_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bucketed = Joins.rangeJoinBuckets(fact, bands, "x", "lo", "hi", bucketWidth = 30.0)
+      .select("id", "band_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bucketed === naive && naive.nonEmpty)
+    val plan = Joins.rangeJoinBuckets(fact, bands, "x", "lo", "hi", 30.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join must not BNLJ:\n$plan")
+  }
+
   test("salted join returns exactly the plain-join rows on skewed data") {
     import spark.implicits._
     // 90% of big rows share one hot key

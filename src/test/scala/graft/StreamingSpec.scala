@@ -125,4 +125,11 @@ class StreamingSpec extends SparkSpec {
     val u2 = out.filter(_.userId == 2L)
     assert(u2.length === 1 && u2(0).nEvents === 1)
   }
+
+  test("intervalMs parses watermark strings; month intervals rejected") {
+    assert(EventStream.intervalMs("1 hour") === 3600000L)
+    assert(EventStream.intervalMs("30 minutes") === 1800000L)
+    assert(EventStream.intervalMs("2 days") === 2 * 86400000L)
+    intercept[IllegalArgumentException] { EventStream.intervalMs("1 month") }
+  }
 }
