@@ -661,6 +661,30 @@ object LlmQueries {
              |  CAST(doc_id % 32 + 4 AS INT) AS width,
              |  CAST(doc_id % 24 + 4 AS INT) AS height,
              |  ROUND(((doc_id % 32 + 4) + (doc_id % 24 + 4) - 2) / 2.0, 6) AS mean_lum
-             |FROM documents ORDER BY 1""".stripMargin))
+             |FROM documents ORDER BY 1""".stripMargin)),
+
+    // Vector AGGREGATE (the other half of the embedding surface next to
+    // ANN search): per-label class centroids — posexplode to (label, dim,
+    // value), one grouped agg. Fully distributed: the shuffle carries
+    // (label, dim) cells, never whole vectors. The mean uses round(…,6)
+    // (not the decimal path): FLOAT elements carry ~1e-7 representation
+    // noise, so a decimal(…,6) cast lands on a rounding tie ~1e-6 of the
+    // time per cell and the two engines break it from different
+    // representations — while the double-mean's fp error (~1e-15) makes
+    // the 1e-6 grid safe (the Det corr/stddev argument).
+    Q("v1_label_centroids",
+      (s, d) => {
+        import org.apache.spark.sql.types.DoubleType
+        T(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("e").cast(DoubleType)), 6).as("centroid"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""SELECT label, CAST(r.range AS INT) AS dim, COUNT(*) AS n,
+             |  ROUND(AVG(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE)), 6) AS centroid
+             |FROM embeddings, range(0, 64) r
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -167,6 +167,24 @@ object WindowQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Full grouping-sets lattice (cube = rollup ∪ cross-slices): the
+    // remaining OLAP grouping shape. Same coalesce-to-'ALL' convention as
+    // w7 so null ordering never differs across engines.
+    Q("w10_cube",
+      (s, d) => T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority")),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  COUNT(*) AS n, ${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("w8_pivot",
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
