@@ -554,6 +554,24 @@ object AggQueries {
       Some("""SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
              |FROM orders""".stripMargin)),
 
+    // GROUPED quantile sketch: percentile_approx per group at an accuracy
+    // far above the per-group distinct count keeps the GK sketch lossless
+    // (no compaction → exact observed-value quantiles, quantile_disc
+    // semantics — the same equivalence h3/w4b rely on), while remaining
+    // the bounded-memory shape that scales to groups of billions of rows
+    // by lowering the accuracy knob.
+    Q("h4_group_quantile",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000000)).as("p90"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  quantile_disc(o_totalprice, 0.5) AS p50,
+             |  quantile_disc(o_totalprice, 0.9) AS p90
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // approxQuantile at relErr 1e-8 is EXACT on any column with fewer
     // distinct values than 1e8 (the GK sketch stores every distinct rank
     // boundary) and returns an observed value — i.e. quantile_disc

@@ -214,6 +214,44 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment")),
       Some(plainJoinOracleSql)),
 
+    // Full outer join: customers with no orders survive on the right side
+    // (observable as segments whose customer count exceeds their order
+    // count); count/countDistinct skip the null side symmetrically in both
+    // engines.
+    Q("j10_full_outer",
+      (s, d) => T(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .join(T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("seg"))
+        .agg(
+          count(col("o_custkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("seg")),
+      Some(s"""SELECT COALESCE(c_mktsegment, 'NO_CUSTOMER') AS seg,
+              |COUNT(o_custkey) AS n_orders,
+              |COUNT(DISTINCT c_custkey) AS n_customers,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Left-semi join as a first-class query (EXISTS shape): customers with
+    // at least one big order, no duplication from multiple matches.
+    Q("j11_semi_join",
+      (s, d) => T(s, d, "customer")
+        .join(
+          T(s, d, "orders").where(col("o_totalprice") > 300000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), avgExact(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+              |${avgExactSql("c_acctbal")} AS avg_bal
+              |FROM customer WHERE EXISTS (
+              |  SELECT 1 FROM orders
+              |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Range (band) join through the bucket rewrite (Joins.rangeJoinBuckets):
     // orders prices vs 50 OVERLAPPING price bands — an equi join on the
     // bucket id plus a residual filter, never a nested-loop join. The
