@@ -101,9 +101,17 @@ object Joins {
     * way to expose the matched right timestamp: duplicate it as a value
     * column). Right rows should be unique per (keys, tsCol): collapse
     * duplicates first, or the attached value among equal timestamps is
-    * tie-order dependent. */
+    * tie-order dependent.
+    *
+    * `direction`: "backward" (default) matches the LATEST right row
+    * at-or-before the left timestamp; "forward" the EARLIEST right row
+    * at-or-after it (same single-shuffle shape with the scan order
+    * reversed). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      valueCols: Seq[String], toleranceMs: Option[Long] = None): DataFrame = {
+      valueCols: Seq[String], toleranceMs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"asofJoin: value columns ${valueCols.intersect(leftCols)} collide with left columns")
@@ -118,8 +126,9 @@ object Joins {
         lOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(0).as("__side"), col(tsCol).as("__asof_rts")) ++
         valueCols.map(col): _*)
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // all last() calls share one window spec → a single WindowExec pass
     val filled = (valueCols :+ "__asof_rts").foldLeft(lPart.unionByName(rPart)) {
@@ -128,8 +137,11 @@ object Joins {
     val gated = toleranceMs match {
       case None => filled
       case Some(tol) =>
-        val inTol = col("__asof_rts").isNotNull &&
-          (unix_millis(col(tsCol)) - unix_millis(col("__asof_rts")) <= tol)
+        val gap =
+          if (direction == "backward")
+            unix_millis(col(tsCol)) - unix_millis(col("__asof_rts"))
+          else unix_millis(col("__asof_rts")) - unix_millis(col(tsCol))
+        val inTol = col("__asof_rts").isNotNull && (gap <= tol)
         valueCols.foldLeft(filled)((df, c) =>
           df.withColumn(c, when(inTol, col(c))))
     }

@@ -57,6 +57,39 @@ object WindowQueries {
               |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // FORWARD as-of: each click joins the user's NEXT purchase at-or-after
+    // it (time-to-conversion shape). Same single-shuffle plan with the
+    // scan order reversed; oracle flips the ASOF inequality.
+    Q("t3_asof_forward",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+          .withColumn("purchase_ts", col("ts"))
+        graft.core.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+            Seq("purchase_value", "purchase_ts"), direction = "forward")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("purchase_value")).as("n_matched"),
+            sumExact(col("purchase_value")).as("sum_purchase"),
+            sum(unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("wait_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS purchase_value
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click')
+              |SELECT c.user_id, COUNT(*) AS n_clicks,
+              |  COUNT(p.purchase_value) AS n_matched,
+              |  ${sumExactSql("p.purchase_value")} AS sum_purchase,
+              |  CAST(SUM(p.tsu - c.tsu) AS BIGINT) AS wait_us
+              |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu <= p.tsu
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Event-time rolling aggregate: trailing-1-hour count/sum per user
     // via a RANGE window over epoch micros (value-based frame — tie-safe
     // across engines, unlike ROWS), reduced to each user's peak burst.

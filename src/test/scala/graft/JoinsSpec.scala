@@ -87,6 +87,20 @@ class JoinsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("tag") ->
         Option(r.getAs[java.lang.Double]("v"))).toMap
     assert(tol("a") === Some(100.0) && tol("c") === None)
+    // forward: earliest at-or-after; d (ts 5) now matches right k=2 at 6
+    val fwd = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("v"), direction = "forward")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(fwd("a") === Some(100.0)) // equal ts still inclusive
+    assert(fwd("b") === Some(250.0)) // next at-or-after 20 is 25
+    assert(fwd("c") === None)        // nothing after 30
+    assert(fwd("d") === Some(60.0))
+    // forward tolerance: b→25 is 5s ahead; 4s tolerance nulls it, d→6 (1s) survives
+    val ftol = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("v"),
+      toleranceMs = Some(4000L), direction = "forward")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(ftol("b") === None && ftol("d") === Some(60.0))
     // plan shape: one Exchange (the window shuffle), no nested-loop join;
     // AQE echoes the initial plan below the final one — count only the final
     val plan = out.queryExecution.executedPlan.toString
