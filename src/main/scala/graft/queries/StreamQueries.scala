@@ -96,6 +96,35 @@ object StreamQueries {
               |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 86400000000
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // LEFT OUTER stream-stream interval join: unmatched clicks emit their
+    // null row only when the watermark closes their join window (sentinel
+    // rows flush the trailing ones — see runIntervalJoinLeftOuterOnce).
+    // Oracle: the identical batch LEFT JOIN; n_unmatched counts the
+    // null-extended rows, proving the outer semantics actually fired.
+    Q("st7_stream_left_outer_join",
+      (s, d) => {
+        val sink = s"st7_sink_${System.nanoTime()}"
+        EventStream.runIntervalJoinLeftOuterOnce(s, s"$d/events.parquet", sink, windowHours = 24)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("value")).as("n_matched"),
+            Det.countIf(col("value").isNull).as("n_unmatched"),
+            sumExact(col("value")).as("sum_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+              |  WHERE event_type = 'click'),
+              |p AS (SELECT user_id AS p_user_id, epoch_us(ts) AS tsu, value FROM events
+              |  WHERE event_type = 'purchase')
+              |SELECT c.user_id, COUNT(*) AS n_rows,
+              |  COUNT(p.value) AS n_matched,
+              |  ${Det.countIfSql("p.value IS NULL")} AS n_unmatched,
+              |  ${sumExactSql("p.value")} AS sum_purchase
+              |FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+              |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 86400000000
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming ingest dedup (dropDuplicatesWithinWatermark) with planted
     // duplicates: the doubled replay must reduce back to EXACTLY the
     // original table — the full-oracle contract for dedupStream.

@@ -214,6 +214,63 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Bounded replay of the stream-stream LEFT OUTER interval join — the
+    * subtlest streaming semantic: an unmatched left row can only emit its
+    * null-extended result once the watermark proves no match can still
+    * arrive (matched pairs emit immediately, like the inner join). On a
+    * finite file the watermark stalls at `max(ts) − delay`, which would
+    * swallow every unmatched click in the trailing `window + delay` —
+    * so the replay plants one sentinel click+purchase pair (user −1) far
+    * enough out that every real click's join window is provably closed,
+    * then filters the sentinel pair back out. Same technique as
+    * [[runSessionizeOnce]]'s session flush. */
+  def runIntervalJoinLeftOuterOnce(spark: SparkSession, path: String, sinkName: String,
+      windowHours: Int = 24, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(RawEventSchema).parquet(path)
+    val maxTsRow = raw.agg(max(col("ts"))).head
+    if (maxTsRow.isNullAt(0))
+      return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, java.lang.Double)]
+        .toDF("user_id", "click_ts", "purchase_ts", "value")
+    val wmMs = intervalMs(watermark)
+    val sentinelNanos = maxTsRow.getLong(0) +
+      (windowHours * 3600000L + 2 * wmMs + 3600000L) * 1000000L
+    val sentinels = Seq(
+      (-1L, sentinelNanos, -1L, "click", 0.0, ""),
+      (-1L, sentinelNanos, -1L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    raw.union(sentinels).write.mode("overwrite").parquet(d.toString)
+    def stream = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    withReplayPartitions(spark) {
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowHours HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    rmTree(d)
+    spark.table(sinkName).where(col("user_id") =!= -1L)
+  }
+
   /** Bounded replay of [[dedupStream]] with PLANTED duplicates: every
     * third event is unioned in twice, the doubled file replays through
     * `dropDuplicatesWithinWatermark(event_id)`, and the sink must equal
