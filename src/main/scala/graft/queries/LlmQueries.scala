@@ -566,9 +566,12 @@ object LlmQueries {
              |  ROUND(COALESCE(ov.n_overlap, 0) / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_rate
              |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id ORDER BY 1""".stripMargin)),
 
-    // Sequence packing: deterministic single-partition order (greedy
-    // packing has no closed SQL form → rows-only; semantics in
-    // CurationSpec). At scale packing runs per-partition in parallel.
+    // Sequence packing, single-partition doc_id order so the greedy fold
+    // is deterministic (at scale packing runs per-partition in parallel).
+    // FULL oracle: the greedy state machine (flush when the next doc would
+    // overflow the budget; close when the pack fills) replayed row-by-row
+    // as a DuckDB recursive CTE carrying (pack, next-pack, next-used) —
+    // same technique as d6's recursive-CTE connected components.
     Q("x7_pack_sequences",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -578,7 +581,29 @@ object LlmQueries {
           .select(col("pack_id"), col("n_docs"), col("total_tokens"))
           .orderBy(col("pack_id"))
       },
-      None),
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             |    len(string_split(text, ' ')) AS ntok
+             |  FROM documents),
+             |st(rn, pack, nextp, nextu) AS (
+             |  SELECT 1, 0,
+             |    CASE WHEN d.ntok >= 512 THEN 1 ELSE 0 END,
+             |    CASE WHEN d.ntok >= 512 THEN 0 ELSE d.ntok END
+             |  FROM docs d WHERE d.rn = 1
+             |  UNION ALL
+             |  SELECT d.rn,
+             |    CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END,
+             |    CASE WHEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) >= 512
+             |      THEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END) + 1
+             |      ELSE (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END) END,
+             |    CASE WHEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) >= 512
+             |      THEN 0
+             |      ELSE (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) END
+             |  FROM st s JOIN docs d ON d.rn = s.rn + 1)
+             |SELECT CAST(st.pack AS BIGINT) AS pack_id, CAST(COUNT(*) AS INT) AS n_docs,
+             |  CAST(SUM(d.ntok) AS INT) AS total_tokens
+             |FROM st JOIN docs d ON d.rn = st.rn
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- multimodal ---------------------------------------------------------
     Q("mm1_meta_stats",
