@@ -106,7 +106,12 @@ object Joins {
     * `direction`: "backward" (default) matches the LATEST right row
     * at-or-before the left timestamp; "forward" the EARLIEST right row
     * at-or-after it (same single-shuffle shape with the scan order
-    * reversed). */
+    * reversed).
+    *
+    * Skew note: like any per-key ordered window, one key's full history
+    * lands on one task. A key hot enough to overwhelm a task needs a
+    * coarse time-bucket added to `keys` (per-epoch as-of with carry-in of
+    * each bucket's last right row) — the standard windowed-merge split. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       valueCols: Seq[String], toleranceMs: Option[Long] = None,
       direction: String = "backward"): DataFrame = {

@@ -110,6 +110,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin equals the brute-force reference on random data, both directions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // small timestamp domain forces key+ts collisions and empty keys
+    val cases = for {
+      nl <- Gen.choose(5, 40); nr <- Gen.choose(0, 40)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    } yield (lrows, rrows)
+    forAll(cases, n = 12) { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "ts", "lid").repartition(3)
+      // unique right rows per (k, ts) — the documented tie-free contract
+      val right = rrows.distinct
+        .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), k * 1000 + t) }
+        .toDF("k", "ts", "rv").repartition(2)
+      val rset = rrows.distinct
+      def brute(backward: Boolean): Map[Long, Option[Long]] =
+        lrows.zipWithIndex.map { case ((k, t), i) =>
+          val cand =
+            if (backward) rset.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+            else rset.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+          i.toLong -> cand.map { case (rk, rt) => rk * 1000 + rt }
+        }.toMap
+      def run(dir: String) = graft.core.Joins
+        .asofJoin(left, right, Seq("k"), "ts", Seq("rv"), direction = dir)
+        .collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.get(r.fieldIndex("rv"))).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(run("backward") === brute(backward = true), "backward mismatch")
+      assert(run("forward") === brute(backward = false), "forward mismatch")
+    }
+  }
+
   test("modSample is deterministic and subset-consistent across pct") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
