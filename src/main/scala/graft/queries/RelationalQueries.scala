@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Joins, Relational, Sampling, WideAgg}
+import graft.core.{Joins, Relational, Sampling, Validation, WideAgg}
 import graft.stats.{Auc, Correlations}
 
 /** One declared query per SURVEY.md §2 operator (the driver's correctness
@@ -213,6 +213,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
         .orderBy(col("c_mktsegment")),
       Some(plainJoinOracleSql)),
+
+    // One-pass data-quality gate (Deequ-style): five constraints in a
+    // SINGLE scan + one referential anti-join, melted to the
+    // (check, metric, passed) report — the validation a pipeline runs
+    // before accepting a new data drop.
+    Q("dq1_constraints",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val report = Validation.constraintReport(orders, Seq(
+          Validation.completeness("o_custkey"),
+          Validation.uniqueness("o_orderkey"),
+          Validation.minBound("o_totalprice", 0.0),
+          Validation.inDomain("o_orderstatus", Seq("F", "O", "P"))))
+        report.unionByName(
+          Validation.referentialCheck(orders, T(s, d, "customer"),
+            "o_custkey", "c_custkey", "referential_o_custkey"))
+          // "check" is a reserved word in DuckDB — expose as check_name
+          .select(col("check").as("check_name"),
+            round(col("metric"), 6).as("metric"), col("passed"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH m AS (SELECT
+             |    AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp,
+             |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey) AS uniq,
+             |    CAST(MIN(o_totalprice) AS DOUBLE) AS minp,
+             |    CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+             |      OR o_orderstatus IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS dom
+             |  FROM orders),
+             |r AS (SELECT CAST(COUNT(*) AS DOUBLE) AS orphans
+             |  FROM orders ANTI JOIN customer ON o_custkey = c_custkey)
+             |SELECT * FROM (
+             |  SELECT 'completeness_o_custkey' AS check_name, ROUND(comp, 6) AS metric,
+             |    comp >= 1.0 AS passed FROM m
+             |  UNION ALL SELECT 'uniqueness_o_orderkey', ROUND(uniq, 6), uniq = 1.0 FROM m
+             |  UNION ALL SELECT 'min_o_totalprice', ROUND(minp, 6), minp >= 0.0 FROM m
+             |  UNION ALL SELECT 'domain_o_orderstatus', ROUND(dom, 6), dom = 0.0 FROM m
+             |  UNION ALL SELECT 'referential_o_custkey', ROUND(orphans, 6), orphans = 0.0 FROM r)
+             |ORDER BY check_name""".stripMargin)),
 
     // Full outer join: customers with no orders survive on the right side
     // (observable as segments whose customer count exceeds their order

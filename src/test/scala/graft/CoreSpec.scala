@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.{FeatureCatalog, Relational, WideAgg}
+import graft.core.{FeatureCatalog, Relational, Validation, WideAgg}
 import graft.llm.{Multimodal, TextStats}
 
 class CoreSpec extends SparkSpec {
@@ -240,6 +240,32 @@ class CoreSpec extends SparkSpec {
     assert(feats(1L).length === 16)
     // 'a' = 0x61 → bin 6 gets everything
     assert(math.abs(feats(1L)(6) - 1.0f) < 1e-6f)
+  }
+
+  test("Validation: one-pass constraint report catches planted violations") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), "A"), (2L, None, "A"), (2L, Some(-5.0), "Z"))
+      .toDF("id", "v", "cat")
+    val rep = Validation.constraintReport(df, Seq(
+      Validation.completeness("v"),
+      Validation.uniqueness("id"),
+      Validation.minBound("v", 0.0),
+      Validation.inDomain("cat", Seq("A", "B"))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!rep("completeness_v")._2 && math.abs(rep("completeness_v")._1 - 2.0 / 3) < 1e-9)
+    assert(!rep("uniqueness_id")._2 && math.abs(rep("uniqueness_id")._1 - 2.0 / 3) < 1e-9)
+    assert(!rep("min_v")._2 && rep("min_v")._1 === -5.0)
+    assert(!rep("domain_cat")._2 && rep("domain_cat")._1 === 1.0)
+    val parent = Seq(Tuple1(1L)).toDF("pid")
+    val ref = Validation.referentialCheck(df, parent, "id", "pid", "ref").collect()(0)
+    assert(ref.getDouble(1) === 2.0 && !ref.getBoolean(2))
+    // a clean frame passes everything
+    val clean = Seq((1L, Some(1.0), "A"), (2L, Some(2.0), "B")).toDF("id", "v", "cat")
+    val ok = Validation.constraintReport(clean, Seq(
+      Validation.completeness("v"), Validation.uniqueness("id"),
+      Validation.minBound("v", 0.0), Validation.inDomain("cat", Seq("A", "B"))))
+      .collect()
+    assert(ok.forall(_.getBoolean(2)))
   }
 
   test("Multimodal: real PNG decode — dims, mean luminance, histogram; stub fallback") {
