@@ -48,6 +48,24 @@ object Dedup {
       sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
       sum(col("n_docs") - 1).as("n_dropped"))
 
+  /** Incremental exact dedup: dedupe a new drop WITHIN itself (keep the
+    * smallest id per text hash) and AGAINST an already-accepted corpus
+    * (anti-join on the hash index) — the shape a rolling ingestion
+    * pipeline runs per batch, where re-deduping the full corpus would be
+    * O(corpus) per drop. The corpus side reduces to a distinct 128-bit
+    * hash column before the join (ids/payloads never shuffle); at scale
+    * that index is a bucketed table on `text_hash`, making every
+    * subsequent drop's anti-join co-located. */
+  def incrementalDedup(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val batch = incoming
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_in_batch"))
+    val index = corpus.select(md5(col(textCol)).as("text_hash")).distinct()
+    batch.join(index, Seq("text_hash"), "left_anti")
+  }
+
   // ---- exact n-gram Jaccard (inverted index) ------------------------------
 
   /** Exact Jaccard-similar pairs via the inverted shingle index:

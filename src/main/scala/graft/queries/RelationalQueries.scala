@@ -290,6 +290,44 @@ object RelationalQueries {
               |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // INTERSECT (set semantics): customers active in BOTH order statuses.
+    // Spark plans intersect as a distinct-aggregated semi join — one
+    // shuffle per side on the key, no row explosion.
+    Q("j12_intersect",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        orders.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(
+            orders.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .agg(count(lit(1)).as("n_both"),
+            min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+      },
+      Some("""WITH both_k AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |SELECT COUNT(*) AS n_both, MIN(o_custkey) AS min_key,
+             |  MAX(o_custkey) AS max_key FROM both_k""".stripMargin)),
+
+    // EXCEPT (set difference): customer keys present in orders but absent
+    // from the customer dimension would be referential orphans; here the
+    // observable difference is segment keys minus high-value keys.
+    Q("j13_except",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        orders.where(col("o_orderstatus") === "P").select(col("o_custkey"))
+          .except(
+            orders.where(col("o_totalprice") > 250000).select(col("o_custkey")))
+          .agg(count(lit(1)).as("n_only"),
+            min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+      },
+      Some("""WITH only_k AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+             |SELECT COUNT(*) AS n_only, MIN(o_custkey) AS min_key,
+             |  MAX(o_custkey) AS max_key FROM only_k""".stripMargin)),
+
     // Range (band) join through the bucket rewrite (Joins.rangeJoinBuckets):
     // orders prices vs 50 OVERLAPPING price bands — an equi join on the
     // bucket id plus a residual filter, never a nested-loop join. The

@@ -218,6 +218,35 @@ object WindowQueries {
               |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Unpivot/melt — the inverse of w8: a wide per-status metrics row
+    // melts to the long (status, measure, value) shape a report/plotting
+    // sink consumes. Spark's native unpivot is a zero-shuffle projection
+    // over the already-aggregated frame (the expensive part, the groupBy,
+    // happened on the wide side).
+    Q("w11_unpivot",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          round(avgExact(col("o_totalprice")), 6).cast("double").as("avg_price"),
+          round(max(col("o_totalprice")), 6).cast("double").as("max_price"))
+        .unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("avg_price"), col("max_price")),
+          "measure", "value")
+        .orderBy(col("o_orderstatus"), col("measure")),
+      Some(s"""WITH wide AS (
+              |  SELECT o_orderstatus,
+              |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+              |    CAST(ROUND(${avgExactSql("o_totalprice")}, 6) AS DOUBLE) AS avg_price,
+              |    CAST(ROUND(MAX(o_totalprice), 6) AS DOUBLE) AS max_price
+              |  FROM orders GROUP BY 1)
+              |SELECT o_orderstatus, measure, value FROM (
+              |  SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide
+              |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+              |  UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM wide)
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("w8_pivot",
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
