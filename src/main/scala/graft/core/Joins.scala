@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** Write `df` as a bucketed+sorted managed table. One-time shuffle so
-    * every later equi-join/aggregation on `keyCol` is exchange-free. */
-  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    * every later equi-join/aggregation on `keyCol` is exchange-free.
+    * Drops any previous table AND its on-disk location first: with the
+    * in-memory catalog a location can survive from an earlier session
+    * while the catalog entry did not, and `saveAsTable` refuses to reuse
+    * such an orphaned directory. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — planner elides
     * both Exchanges (verified by `JoinsSpec`). */

@@ -78,28 +78,39 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int, minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     // the shingle table feeds three consumers (sizes, both join sides) —
-    // persist so the explode runs once, not three times
+    // persist so the explode runs once, not three times. The RESULT (a
+    // thresholded pair list — tiny relative to the shingle explosion) is
+    // materialized eagerly so the shingle cache can be released HERE,
+    // deterministically, instead of leaking for the session (a long-
+    // running service would fill executor storage otherwise). Callers
+    // that consume the pairs more than once (cluster resolution + dedup)
+    // also get the inverted-index join computed once, not per consumer.
+    // localCheckpoint blocks are ContextCleaner-managed (freed on GC); a
+    // cluster deployment with a checkpoint dir would use checkpoint().
     val sh = shingles(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered =
-      if (maxDf == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"), col("jaccard"))
+    try {
+      val filtered =
+        if (maxDf == Long.MaxValue) sh
+        else {
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") > maxDf).select("shingle")
+          sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        }
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val inter = filtered.as("a")
+        .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(blocking = false)
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -151,20 +162,26 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 64, bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, w, k, bands)
+    // same cache discipline as jaccardPairs: shingles persisted for their
+    // three consumers, released deterministically once the (small)
+    // verified-pair result is materialized
     val sh = shingles(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("sa")
-      .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
-      .join(sh.as("sb"), col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "est_jaccard", "jaccard")
+    try {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("sa")
+        .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
+        .join(sh.as("sb"), col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+        .localCheckpoint(true)
+    } finally sh.unpersist(blocking = false)
   }
 
   // ---- duplicate-cluster resolution ---------------------------------------
@@ -179,6 +196,11 @@ object Dedup {
     * Larger edge lists fall back to distributed min-label propagation. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       maxDriverPairs: Long = 1000000L): DataFrame = {
+    // the +1 probe below is an Int limit: a maxDriverPairs near/over
+    // Int.MaxValue would silently wrap and disable the guard entirely
+    require(maxDriverPairs >= 0 && maxDriverPairs < Int.MaxValue,
+      s"dupClusters: maxDriverPairs=$maxDriverPairs must be in [0, ${Int.MaxValue})" +
+        " — larger edge lists belong in dupClustersDistributed")
     val spark = pairs.sparkSession
     val edgeRows = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .limit((maxDriverPairs + 1).toInt).collect()

@@ -107,6 +107,28 @@ object LlmQueries {
              |  (SELECT COUNT(*) FROM documents) -
              |    (SELECT COUNT(*) FROM cc WHERE id <> cluster) AS n_kept""".stripMargin)),
 
+    // Incremental (batch-vs-corpus) exact dedup: the rolling-ingestion
+    // shape — docs with doc_id % 3 == 0 play the incoming drop, the rest
+    // the accepted corpus. Fully SQL-expressible (md5 groupBy + anti-join
+    // on the hash index), so the oracle is exact.
+    Q("d7_incremental_dedup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.incrementalDedup(
+          docs.where(pmod(col("doc_id"), lit(3)) === 0),
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text")
+          .orderBy(col("text_hash"))
+      },
+      Some("""WITH batch AS (
+             |  SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id,
+             |    COUNT(*) AS n_in_batch
+             |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+             |SELECT text_hash, rep_id, n_in_batch FROM batch
+             |WHERE text_hash NOT IN (
+             |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+             |ORDER BY text_hash""".stripMargin)),
+
     // MinHash/SimHash: xxhash64-based — no DuckDB twin; rows-only checks.
     // Their correctness contract is the recall spec vs d2's exact pairs
     // (src/test/scala/graft/DedupSpec.scala).
@@ -374,11 +396,15 @@ object LlmQueries {
         val docs = T(s, d, "documents")
         val gated = graft.llm.Curation.qualityFilter(docs, "text", Seq("en"), 0.4, 8, 1 << 20)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kept = graft.llm.Curation.curateGated(gated, "doc_id", "text",
-          shingleW = 5, minJaccard = 0.8)
-        import s.implicits._
-        Seq((docs.count(), gated.count(), kept.count()))
-          .toDF("n_input", "n_gated", "n_kept")
+        try {
+          val kept = graft.llm.Curation.curateGated(gated, "doc_id", "text",
+            shingleW = 5, minJaccard = 0.8)
+          import s.implicits._
+          // all three counts are terminal actions, so the gate cache can be
+          // released before returning the (local) summary frame
+          Seq((docs.count(), gated.count(), kept.count()))
+            .toDF("n_input", "n_gated", "n_kept")
+        } finally gated.unpersist(blocking = false)
       },
       Some {
         val allMarkers = TextStats.LangMarkers.flatMap(_._2)

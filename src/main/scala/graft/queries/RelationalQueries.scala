@@ -375,6 +375,89 @@ object RelationalQueries {
               |FROM orders WHERE o_orderstatus = 'F'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sink round-trip (S4 CSV + S5 JSON as first-class CORRECTNESS
+    // entries): aggregate → writeCsv/writeJson → read both back → the
+    // result is the re-read data, so any quoting/format drift in the
+    // sinks shows up as an oracle mismatch. Doubles survive exactly:
+    // writeCsv emits Double.toString (shortest round-trip form) and
+    // writeJson the exact BigDecimal expansion — both parse back to the
+    // identical bits.
+    Q("p2_csv_roundtrip",
+      (s, d) => {
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip")
+        val csvPath = base.resolve("priority.csv").toString
+        val jsonPath = base.resolve("summary.json").toString
+        val agg = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+        graft.io.Sinks.writeCsv(agg, csvPath)
+        val tot = T(s, d, "orders")
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("s")).head
+        graft.io.Sinks.writeJson(
+          Seq("n_rows" -> tot.getLong(0), "sum_total" -> tot.getDouble(1)), jsonPath)
+        val back = s.read.option("header", "true")
+          .schema("o_orderpriority STRING, n BIGINT, sum_price DOUBLE")
+          .csv(csvPath)
+        val js = s.read.option("multiLine", "true")
+          .schema("n_rows BIGINT, sum_total DOUBLE")
+          .json(jsonPath)
+        back.crossJoin(broadcast(js)) // 1-row scalar attach
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price,
+              |(SELECT COUNT(*) FROM orders) AS n_rows,
+              |(SELECT ${sumExactSql("o_totalprice")} FROM orders) AS sum_total
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bucketed co-located join as a CORRECTNESS entry: both sides written
+    // bucketed+sorted on the key (one write-side shuffle each), then
+    // joined exchange-free (the zero-Exchange plan itself is locked by
+    // JoinsSpec). Contract: result equals the plain inner join — j1's
+    // oracle verbatim.
+    Q("j14_bucketed_join",
+      (s, d) => {
+        Joins.writeBucketed(
+          T(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+          "graft_q_b_orders", "o_custkey", buckets = 8)
+        Joins.writeBucketed(
+          T(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "graft_q_b_customer", "o_custkey", buckets = 8)
+        Joins.bucketedJoin(s, "graft_q_b_orders", "graft_q_b_customer", "o_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(plainJoinOracleSql)),
+
+    // Partitioned-input heavy join — the 100-TB read path end-to-end: a
+    // directory-partitioned copy is scanned WITH a partition-column
+    // predicate (pruning skips the other status directories; the
+    // PartitionFilters clause is locked by SourcesSpec) and joined to the
+    // broadcast dimension. Oracle = same filter+join on the unpartitioned
+    // table.
+    Q("p3_partitioned_join",
+      (s, d) => {
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_psink_orders_join").toString
+        graft.io.Sinks.writeParquetPartitioned(
+          T(s, d, "orders"), out, partitionCols = Seq("o_orderstatus"))
+        s.read.parquet(out)
+          .where(col("o_orderstatus") === "O")
+          .join(broadcast(T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE o_orderstatus = 'O'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("j2_join_two",
       (s, d) => Sampling.modSample(T(s, d, "orders"), "o_orderkey", 20)
         .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")

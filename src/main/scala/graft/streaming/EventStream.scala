@@ -31,16 +31,29 @@ object EventStream {
     iv.days * 86400000L + iv.microseconds / 1000L
   }
 
+  /** Session conf knob for the bounded-replay state-partition cap (see
+    * [[withReplayPartitions]]). Default 8 suits local bounded replays;
+    * a cluster deployment streaming at rate should RAISE it toward its
+    * executor-core count (state partitions are the parallelism unit of
+    * every stateful operator) — e.g. 200–400 on a 100-executor job —
+    * since the cap only pays off when per-partition state-store commit
+    * overhead dominates, which is a bounded-replay trait, not a
+    * production-stream one. */
+  val ReplayPartitionsKey = "spark.graft.streaming.replayPartitions"
+
   /** Bounded-replay sizing: each stateful operator commits one state
     * store per shuffle partition per micro-batch, so a replay over ~1e5
     * rows pays pure per-partition overhead at 32 partitions (measured 2×
     * on the stream-stream join: 5.6 s → 3.1 s steady at 8). Production
     * streams size `spark.sql.shuffle.partitions` to their rate; replays
-    * cap it at 8 and restore the session value afterwards. */
+    * cap it at `spark.graft.streaming.replayPartitions` (default 8) and
+    * restore the session value afterwards. */
   private def withReplayPartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    val cap = spark.conf.getOption(ReplayPartitionsKey).map(_.toInt).getOrElse(8)
+    require(cap >= 1, s"$ReplayPartitionsKey must be >= 1, got $cap")
+    spark.conf.set(key, math.min(prev.toInt, cap).toString)
     try body finally spark.conf.set(key, prev)
   }
 

@@ -98,6 +98,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: dedups a drop within itself AND against the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma"),   // cross-corpus dup → dropped
+      (11L, "eta theta iota"),     // fresh
+      (12L, "eta theta iota"),     // batch-internal dup of 11 → collapsed
+      (13L, "kappa lambda mu")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("rep_id") -> r.getAs[Long]("n_in_batch")).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("dupClusters rejects a maxDriverPairs that would overflow the Int limit") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(pairs, maxDriverPairs = Int.MaxValue.toLong + 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(pairs, maxDriverPairs = -1L)
+    }
+  }
+
+  test("pair generators leave no DataFrame cache behind (session hygiene)") {
+    spark.catalog.clearCache()
+    Dedup.jaccardPairs(docs, "doc_id", "text", w = 3, minJaccard = 0.5).count()
+    Dedup.minHashNearDup(docs, "doc_id", "text", w = 3, k = 64, bands = 16,
+      minJaccard = 0.8).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardPairs/minHashNearDup must release their shingle caches")
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)

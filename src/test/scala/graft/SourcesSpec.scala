@@ -63,6 +63,27 @@ class SourcesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("p3 shape: partitioned scan + broadcast join keeps partition pruning") {
+    val dir = Files.createTempDirectory("graft_p3").toString
+    graft.io.Sinks.writeParquetPartitioned(orders, dir, Seq("o_orderstatus"))
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val q = spark.read.parquet(dir)
+      .where(col("o_orderstatus") === "O")
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the filter must reach the scan as a PARTITION filter even under the
+    // join — whole directories skipped, not rows
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val expected = orders.where(col("o_orderstatus") === "O")
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet === expected)
+  }
+
   test("maxPartitionBytes shapes scan parallelism") {
     val li = "/root/testdata/sf0.01/lineitem.parquet"
     val defParts = spark.read.parquet(li).rdd.getNumPartitions

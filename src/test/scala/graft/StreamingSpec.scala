@@ -24,6 +24,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("replayPartitions knob caps state partitions and restores the session value") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(EventStream.ReplayPartitionsKey, "2")
+    try {
+      val streamed = EventStream.runWindowedOnce(
+        spark, "/root/testdata/sf0.001/events.parquet", "spec_knob_sink")
+      assert(streamed.count() > 0)
+      // session value untouched after the replay
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === prev)
+      spark.conf.set(EventStream.ReplayPartitionsKey, "0")
+      intercept[IllegalArgumentException] {
+        EventStream.runWindowedOnce(
+          spark, "/root/testdata/sf0.001/events.parquet", "spec_knob_sink2")
+      }
+    } finally spark.conf.unset(EventStream.ReplayPartitionsKey)
+  }
+
   test("stream-static join enriches the stream against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
