@@ -23,6 +23,42 @@ object LlmQueries {
       lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
   }
 
+  /** Recall-vs-brute summary for the approximate ANN queries (n2/n3/n4):
+    * runs the ANN variant and the brute-force truth on the same fixture
+    * split (queries = vec_id < 10), and emits one row whose n_queries /
+    * n_truth are exactly recomputable in SQL while recall_ok pins the
+    * operator's recall floor. */
+  private def annRecallSummary(
+      s: SparkSession, d: String,
+      ann: (DataFrame, DataFrame) => DataFrame, minRecall: Double): DataFrame = {
+    import s.implicits._
+    val emb = T(s, d, "embeddings")
+    val qs = emb.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+    val result = ann(emb, qs)
+    val nTruth = truth.count()
+    val nHit = truth.select("query_id", "corpus_id")
+      .join(result.select("query_id", "corpus_id"),
+        Seq("query_id", "corpus_id"), "left_semi").count()
+    Seq((qs.count(), nTruth, nHit.toDouble / nTruth >= minRecall))
+      .toDF("n_queries", "n_truth", "recall_ok")
+  }
+
+  /** Oracle twin of [[annRecallSummary]]: brute-force truth counts in
+    * SQL, recall floor asserted. */
+  private val annRecallOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, corpus_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+      |  FROM q JOIN c ON query_id <> corpus_id)
+      |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+      |  COUNT(*) AS n_truth, TRUE AS recall_ok
+      |FROM scored WHERE rk <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- dedup --------------------------------------------------------------
@@ -129,16 +165,38 @@ object LlmQueries {
              |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 3 <> 0)
              |ORDER BY text_hash""".stripMargin)),
 
-    // MinHash/SimHash: xxhash64-based — no DuckDB twin; rows-only checks.
-    // Their correctness contract is the recall spec vs d2's exact pairs
-    // (src/test/scala/graft/DedupSpec.scala).
+    // MinHash+LSH near-dup — FULL pair-level oracle: the verified output
+    // (exact Jaccard >= 0.5 over LSH candidates) equals the exhaustive
+    // exact-Jaccard pair set whenever band recall is total, which holds on
+    // every fixture SF (measured sf0.001/0.01/0.1: 0 missed pairs; with
+    // k=64, bands=32 a J=0.5 pair escapes all bands w.p. (1-0.25)^32 ≈
+    // 1e-4). The oracle is therefore d2's exhaustive twin at threshold
+    // 0.5 — ANY future recall loss surfaces as a missing-row mismatch,
+    // which is exactly the tripwire we want. est_jaccard (xxhash-seeded,
+    // no SQL twin) stays in the API and is covered by DedupSpec.
     Q("d3_minhash_lsh",
       (s, d) => Dedup.minHashNearDup(
         T(s, d, "documents"), "doc_id", "text", w = 5, k = 64, bands = 32, minJaccard = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
-          round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("d4_simhash",
       (s, d) => Dedup.simHashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 16)
@@ -189,36 +247,36 @@ object LlmQueries {
              |SELECT query_id, corpus_id, ROUND(cos, 6) AS cos, rk FROM scored
              |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)),
 
-    // LSH/IVF ANN: recall contract vs n1 in the test suite; rows-only here.
+    // Approximate ANN (LSH buckets / IVF probes / PQ codes): the result
+    // rows themselves have no SQL twin (seeded hyperplanes / k-means /
+    // codebooks), so each query emits the recall-vs-brute summary instead:
+    // n_queries and n_truth are EXACT (the oracle recomputes the brute
+    // top-k in SQL — n1's twin), and recall_ok asserts the recall floor
+    // the operator is specced to (observed across sf0.001/0.01/0.1:
+    // lsh 0.93–1.0, ivf 0.53–0.63 at nprobe/nlist=1/4, pq 0.70–0.83 at
+    // refine=22). The exact per-pair behavior stays covered by
+    // SimilaritySpec (recall floors, nprobe=nlist ≡ brute, full-refine ≡
+    // brute). Caveat (h2-style): the booleans are probabilistic bounds
+    // frozen against the deterministic seeds — re-verify on fixture or
+    // seed changes.
     Q("n2_ann_lsh",
-      (s, d) => Similarity.lshTopK(
-        T(s, d, "embeddings"),
-        T(s, d, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3, dim = 64)
-        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, d) => annRecallSummary(s, d,
+        (emb, qs) => Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64),
+        minRecall = 0.9),
+      Some(annRecallOracleSql)),
 
     Q("n3_ann_ivf",
-      (s, d) => Similarity.ivfTopK(
-        T(s, d, "embeddings"),
-        T(s, d, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3, dim = 64)
-        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, d) => annRecallSummary(s, d,
+        (emb, qs) => Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64),
+        minRecall = 0.5),
+      Some(annRecallOracleSql)),
 
-    // PQ/ADC: codes-only scoring + exact rerank; recall + full-refine≡brute
-    // contracts in SimilaritySpec. Rows-only here (xxhash-free but the
-    // codebook fit has no SQL twin).
     Q("n4_ann_pq",
-      (s, d) => Similarity.pqTopK(
-        T(s, d, "embeddings"),
-        T(s, d, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 3, dim = 64, refine = 22)
-        .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos"), col("rk"))
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, d) => annRecallSummary(s, d,
+        (emb, qs) => Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
+          refine = 22),
+        minRecall = 0.6),
+      Some(annRecallOracleSql)),
 
     // ---- text analysis ------------------------------------------------------
     Q("x1_token_stats",
