@@ -40,11 +40,14 @@ object Curation {
       minTokens: Int = 8, maxTokens: Int = 1 << 20,
       shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame =
     curateGated(
-      // persist the gate output: it feeds both the md5 rep-pick and the
-      // keep-first join probe, and the gate itself is regex-heavy — without
-      // the cache the full language/quality scoring runs per consumer
+      // materialize the gate output: it feeds both the md5 rep-pick and
+      // the keep-first join probe, and the gate itself is regex-heavy —
+      // without reuse the full language/quality scoring runs per
+      // consumer. localCheckpoint (not persist) so no session-lifetime
+      // CacheManager entry leaks — blocks are ContextCleaner-freed when
+      // the frame is no longer referenced.
       qualityFilter(df, textCol, langs, minQuality, minTokens, maxTokens)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .localCheckpoint(false),
       idCol, textCol, shingleW, minJaccard)
 
   /** Dedup stages over an already-gated frame (pass a persisted frame to
@@ -52,10 +55,15 @@ object Curation {
   def curateGated(
       gated: DataFrame, idCol: String, textCol: String,
       shingleW: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    // exact dedup: keep the min id per distinct text
-    val reps = gated.groupBy(md5(col(textCol)).as("__h")).agg(min(col(idCol)).as(idCol))
-    val exactKept = gated.join(reps.select(idCol), Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact dedup: keep the min id per distinct text. Reused by the
+    // near-dup pair generation AND the final keep-first probe — shared
+    // via localCheckpoint so no CacheManager entry outlives the call
+    // (blocks are GC/ContextCleaner-scoped; a long-lived service would
+    // persist and own the lifecycle explicitly).
+    val exactKept = {
+      val reps = gated.groupBy(md5(col(textCol)).as("__h")).agg(min(col(idCol)).as(idCol))
+      gated.join(reps.select(idCol), Seq(idCol), "left_semi").localCheckpoint(false)
+    }
     // near-dup resolution on the survivors
     val pairs = Dedup.jaccardPairs(exactKept, idCol, textCol, shingleW, minJaccard)
     Dedup.dedupByClusters(exactKept, idCol, pairs)

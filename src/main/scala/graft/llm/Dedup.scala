@@ -119,8 +119,13 @@ object Dedup {
     * set → (id, sig: array<long>[k]). One explode + one groupBy(id) with
     * k map-side-combined min aggregates. */
   def minHashSignatures(
-      df: DataFrame, idCol: String, textCol: String, w: Int, k: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, w)
+      df: DataFrame, idCol: String, textCol: String, w: Int, k: Int): DataFrame =
+    minHashSignaturesFrom(shingles(df, idCol, textCol, w), k)
+
+  /** Signature aggregation over an existing (id, shingle) frame — lets a
+    * caller that also needs the shingles for verification (the near-dup
+    * pipeline) run the explode once. */
+  private[llm] def minHashSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -133,10 +138,13 @@ object Dedup {
     * ≥ (1/bands)^(bands/k) is found with high probability. */
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    minHashCandidatesFromSigs(minHashSignatures(df, idCol, textCol, w, k), k, bands)
+
+  private[llm] def minHashCandidatesFromSigs(
+      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val sigs = minHashSignatures(df, idCol, textCol, w, k)
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
@@ -161,13 +169,15 @@ object Dedup {
   def minHashNearDup(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 64, bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, w, k, bands)
-    // same cache discipline as jaccardPairs: shingles persisted for their
-    // three consumers, released deterministically once the (small)
-    // verified-pair result is materialized
+    // same cache discipline as jaccardPairs: shingles persisted — and
+    // SHARED between the signature aggregation and the verify join, so
+    // the explode runs once for the whole pipeline — then released
+    // deterministically once the (small) verified-pair result is
+    // materialized
     val sh = shingles(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val cands = minHashCandidatesFromSigs(minHashSignaturesFrom(sh, k), k, bands)
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("sa")
         .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))

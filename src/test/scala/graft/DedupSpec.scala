@@ -129,8 +129,10 @@ class DedupSpec extends SparkSpec {
     Dedup.jaccardPairs(docs, "doc_id", "text", w = 3, minJaccard = 0.5).count()
     Dedup.minHashNearDup(docs, "doc_id", "text", w = 3, k = 64, bands = 16,
       minJaccard = 0.8).count()
+    graft.llm.Curation.curate(docs, "doc_id", "text",
+      langs = Seq("en", "unknown"), minQuality = 0.0, minTokens = 1).count()
     assert(spark.sharedState.cacheManager.isEmpty,
-      "jaccardPairs/minHashNearDup must release their shingle caches")
+      "jaccardPairs/minHashNearDup/curate must release their caches")
   }
 
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
