@@ -212,4 +212,22 @@ object Relational {
             ((col("a") + col("c")).cast("double") / (col("a") + col("b") + col("c") + col("d"))),
           6))
   }
+
+  /** Key-based upsert (last-writer-wins merge): rows of `base` whose key
+    * appears in `updates` are replaced by the update row; update rows
+    * with new keys are inserted; everything else passes through — the
+    * MERGE-INTO shape expressed without a table format (anti-join on the
+    * keys + union).
+    *
+    * Scale stance: one shuffle of `base` on the keys (or none — a small
+    * update batch's distinct-keys side broadcasts, which AQE picks
+    * automatically), then a union that preserves `base`'s partitioning.
+    * On a partitioned 100-TB corpus, pre-filter `base` to the partitions
+    * the batch touches (partition pruning) and write back with dynamic
+    * partition overwrite — the anti-join then only scans affected
+    * partitions. `updates` must be key-unique (dedupe first; this is the
+    * same contract MERGE INTO imposes with multiple matches). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
 }

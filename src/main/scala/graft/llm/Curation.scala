@@ -125,6 +125,27 @@ object Curation {
     * total_tokens). pack_id is globally unique (partition id × 2^40 +
     * local counter); packing is partition-local — repartition upstream
     * to control pack mix. */
+  /** Deterministic distributed corpus shuffle + round-robin sharding —
+    * the step between curation and the training data loader: every epoch
+    * reads the corpus in a pseudo-random but REPRODUCIBLE order, split
+    * into `nShards` equal shards for parallel loaders. The shuffle key is
+    * md5(seed # id) (engine-portable, seed-controlled); the global
+    * position comes from the distributed prefix-sum rank (one range
+    * shuffle — no single-partition window, same machinery as the decile
+    * ranks), and shard = pos % nShards gives perfectly balanced shards
+    * (sizes differ by at most 1). Returns the input columns plus
+    * (shuffle_key, pos [0-based], shard). */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(seed + "#"), col(idCol).cast("string"))))
+    graft.core.Relational.withGlobalRank(
+      keyed, Seq(col("shuffle_key").asc, col(idCol).asc), "pos", "__total")
+      .withColumn("pos", col("pos") - 1)
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
+      .drop("__total")
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String, budget: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -650,6 +650,31 @@ object LlmQueries {
              |  ROUND(COALESCE(ov.n_overlap, 0) / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_rate
              |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id ORDER BY 1""".stripMargin)),
 
+    // Deterministic corpus shuffle + sharding (data-loader prep): global
+    // pseudo-random order from md5(seed#id) via the distributed rank,
+    // round-robin shards. order_checksum = Σ pos·doc_id pins the exact
+    // permutation, not just shard membership.
+    Q("x16_corpus_shuffle",
+      (s, d) => graft.llm.Curation.shuffleShard(
+        T(s, d, "documents"), "doc_id", nShards = 8, seed = "r7")
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sumLong(col("doc_id")).as("sum_ids"),
+          sumLong(col("pos") * col("doc_id")).as("order_checksum"),
+          min(col("shuffle_key")).as("first_key"))
+        .orderBy(col("shard")),
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5('r7#' || CAST(doc_id AS VARCHAR)) AS skey
+             |  FROM documents),
+             |r AS (SELECT doc_id, skey,
+             |  ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS pos FROM k)
+             |SELECT CAST(pos % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum,
+             |  MIN(skey) AS first_key
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sequence packing, single-partition doc_id order so the greedy fold
     // is deterministic (at scale packing runs per-partition in parallel).
     // FULL oracle: the greedy state machine (flush when the next doc would

@@ -458,6 +458,62 @@ object RelationalQueries {
               |WHERE o_orderstatus = 'O'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Key-based upsert (MERGE-INTO shape): the update batch (keys %10 in
+    // 5..9, prices doubled) replaces matching base rows (%10 < 8) and
+    // inserts the new keys (8,9); untouched rows (%10 < 5) pass through.
+    // The oracle replays the anti-join + union literally.
+    Q("u1_upsert",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val base = orders.where(pmod(col("o_orderkey"), lit(10)) < 8)
+        val updates = orders.where(pmod(col("o_orderkey"), lit(10)) >= 5)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        Relational.upsert(base, updates, Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""WITH up AS (
+              |  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+              |  FROM orders WHERE o_orderkey % 10 >= 5),
+              |base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+              |merged AS (
+              |  SELECT * FROM base WHERE NOT EXISTS (
+              |    SELECT 1 FROM up WHERE up.o_orderkey = base.o_orderkey)
+              |  UNION ALL SELECT * FROM up)
+              |SELECT o_orderstatus, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Schema-evolution read — the long-lived-corpus problem: batch v1 was
+    // written before o_orderstatus existed, batch v2 after; a mergeSchema
+    // scan reads both with NULLs filling the missing column. The oracle
+    // replays the union with a typed NULL.
+    Q("p4_schema_evolution",
+      (s, d) => {
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_schema_evo").toString
+        val orders = T(s, d, "orders")
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+          .groupBy(coalesce(col("o_orderstatus"), lit("PRE_SCHEMA")).as("status"))
+          .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+              |  FROM orders WHERE o_orderkey % 2 = 0
+              |  UNION ALL
+              |  SELECT o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1)
+              |SELECT COALESCE(o_orderstatus, 'PRE_SCHEMA') AS status, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("j2_join_two",
       (s, d) => Sampling.modSample(T(s, d, "orders"), "o_orderkey", 20)
         .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")

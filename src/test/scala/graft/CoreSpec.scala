@@ -67,6 +67,17 @@ class CoreSpec extends SparkSpec {
     assert(withNull.where(col("x").isNull).collect().forall(_.isNullAt(1)))
   }
 
+  test("upsert: updates win, inserts land, untouched rows pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "v", "x")
+    val out = graft.core.Relational.upsert(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      1L -> ("a", 10.0), 2L -> ("B", 99.0), 3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+  }
+
   test("unseenValues = left-distinct minus right-distinct") {
     import spark.implicits._
     val l = Seq("a", "b", "c", "c").toDF("k")

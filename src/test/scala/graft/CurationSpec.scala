@@ -90,4 +90,24 @@ class CurationSpec extends SparkSpec {
     val big = packs.find(r => r.getSeq[Long](r.fieldIndex("doc_ids")).contains(1L)).get
     assert(big.getAs[Int]("n_docs") === 1)
   }
+
+  test("shuffleShard: balanced shards, exact permutation, seed-deterministic") {
+    import spark.implicits._
+    val docs = (0L until 100L).toDF("doc_id")
+    val a = Curation.shuffleShard(docs, "doc_id", nShards = 8, seed = "s1").collect()
+    // every row keeps its identity; pos is a permutation of 0..N-1
+    assert(a.map(_.getAs[Long]("pos")).sorted.toSeq === (0L until 100L))
+    // round-robin shards: sizes differ by at most 1
+    val sizes = a.groupBy(_.getAs[Int]("shard")).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1 && sizes.sum === 100)
+    // same seed → identical permutation; different seed → different one
+    val a2 = Curation.shuffleShard(docs, "doc_id", nShards = 8, seed = "s1").collect()
+    def perm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(perm(a) === perm(a2))
+    val b = Curation.shuffleShard(docs, "doc_id", nShards = 8, seed = "s2").collect()
+    assert(perm(b) !== perm(a))
+    // and the order is actually shuffled, not identity
+    assert(perm(a) !== (0L until 100L).map(i => i -> i).toMap)
+  }
 }
