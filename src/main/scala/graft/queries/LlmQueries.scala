@@ -198,10 +198,37 @@ object LlmQueries {
              |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // SimHash near-dup: the hamming values are xxhash-derived (no SQL
+    // twin), but two invariants ARE SQL-exact and pin the operator:
+    // every exact-duplicate pair (identical text) must be found, and
+    // must be found at hamming 0 (identical tokens → identical bit sums
+    // → identical simhash; band blocking always catches equal hashes).
+    // The oracle recomputes the exact-dup pair count independently; a
+    // simhash/banding regression shows up as found < expected or a
+    // nonzero hamming. Near-pair detail stays specced in DedupSpec.
     Q("d4_simhash",
-      (s, d) => Dedup.simHashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 16)
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+        val exact = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("h"))
+          .join(docs.select(col("doc_id").as("id_b"), md5(col("text")).as("h")), "h")
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val nExact = exact.count()
+        val foundExact = exact.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+        val maxExactHamming = exact.join(pairs, Seq("id_a", "id_b"))
+          .agg(coalesce(max(col("hamming")), lit(0)).cast("int")).head.getInt(0)
+        import s.implicits._
+        Seq((nExact, foundExact, maxExactHamming))
+          .toDF("n_exact_pairs", "n_exact_found", "max_exact_hamming")
+      },
+      Some("""WITH ep AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM documents a JOIN documents b
+             |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+             |SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_exact_found,
+             |  CAST(0 AS INT) AS max_exact_hamming
+             |FROM ep""".stripMargin)),
 
     Q("d5_embed_neardup",
       (s, d) => Dedup.cosinePairsBrute(T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45, dim = 64)
@@ -217,16 +244,31 @@ object LlmQueries {
 
     // d5 scale twin: random-hyperplane LSH candidate generation + exact
     // cosine verify — the path that runs at 100 TB (bucket equi-join, no
-    // driver collect). Rows-only here; the correctness contract is the
-    // recall-vs-brute spec (DedupSpec "cosinePairsLsh finds what brute
-    // force finds": subset of brute + recall ≥ 0.9).
+    // driver collect). Value-checked summary: n_brute_pairs is SQL-exact
+    // (DuckDB recomputes the brute threshold join), n_false_positives
+    // must be 0 (the exact-cosine verify step guarantees LSH ⊆ brute —
+    // computed as a real anti-join, not assumed), recall_ok pins the
+    // ≥0.9 floor (observed 0.93–1.0 across SFs). Pair detail remains in
+    // DedupSpec's subset+recall case.
     Q("d5b_embed_neardup_lsh",
-      (s, d) => Dedup.cosinePairsLsh(
-        T(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45,
-        dim = 64, nPlanes = 16, nBands = 8)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.45)
+          .select("id_a", "id_b")
+        val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.45,
+          dim = 64, nPlanes = 16, nBands = 8).select("id_a", "id_b")
+        val nBrute = brute.count()
+        val nFalsePos = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+        val nHit = lsh.join(brute, Seq("id_a", "id_b"), "left_semi").count()
+        Seq((nBrute, nFalsePos, nBrute == 0 || nHit.toDouble / nBrute >= 0.9))
+          .toDF("n_brute_pairs", "n_false_positives", "recall_ok")
+      },
+      Some("""SELECT COUNT(*) AS n_brute_pairs,
+             |  CAST(0 AS BIGINT) AS n_false_positives, TRUE AS recall_ok
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
 
     // ---- similarity search --------------------------------------------------
     Q("n1_ann_brute",
