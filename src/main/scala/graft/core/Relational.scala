@@ -184,6 +184,32 @@ object Relational {
   def heavyHitters(df: DataFrame, cols: Seq[String], support: Double = 0.01): DataFrame =
     df.stat.freqItems(cols.toArray, support)
 
+  /** Count-min-sketch top-k frequency estimation over an integral key:
+    * one bounded-memory pass builds the mergeable CMS (d×w counters,
+    * merged across partitions), then the top-k keys by EXACT count are
+    * scored against it. Emits per key: the exact count, the guaranteed
+    * CMS invariant `overestimate_nonneg` (CMS never undercounts —
+    * deterministic, not probabilistic) and `within_eps` (overestimate ≤
+    * eps·N, holds w.p. `confidence`; deterministic here given the fixed
+    * seed). At 100 TB the exact-groupBy side is replaced by querying the
+    * sketch for candidate keys — the sketch itself is the only state
+    * that crosses the wire (kilobytes for eps=1e-3). */
+  def cmsTopK(df: DataFrame, keyCol: String, k: Int, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("long").as("k"))
+    val total = keyed.count()
+    val cms = keyed.stat.countMinSketch(col("k"), eps, confidence, seed)
+    val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(k).collect()
+    top.map { r =>
+      val (key, exact) = (r.getLong(0), r.getLong(1))
+      val over = cms.estimateCount(key) - exact
+      (key, exact, over >= 0, over <= eps * total)
+    }.toSeq.toDF(keyCol, "n_exact", "overestimate_nonneg", "within_eps")
+  }
+
   /** A19 (exact): whale contingency — top-`pct`% rows by `order` (strict
     * lexicographic rank; include unique tie-breakers) vs a boolean target:
     * returns (a,b,c,d) with a = whale∧target, b = whale∧¬target,

@@ -554,6 +554,19 @@ object AggQueries {
       Some("""SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
              |FROM orders""".stripMargin)),
 
+    // Count-min-sketch top-k: exact counts are the SQL-checked payload;
+    // the CMS columns pin its two contracts — never-undercount is a
+    // deterministic CMS guarantee, the eps window is probabilistic but
+    // frozen against the fixed seed (same maintenance caveat as h2).
+    Q("h5_cms_topk",
+      (s, d) => Relational.cmsTopK(T(s, d, "orders"), "o_custkey", k = 5)
+        .orderBy(col("n_exact").desc, col("o_custkey")),
+      Some("""WITH c AS (SELECT o_custkey, COUNT(*) AS n_exact FROM orders GROUP BY 1),
+             |r AS (SELECT o_custkey, n_exact,
+             |  ROW_NUMBER() OVER (ORDER BY n_exact DESC, o_custkey) AS rk FROM c)
+             |SELECT o_custkey, n_exact, TRUE AS overestimate_nonneg, TRUE AS within_eps
+             |FROM r WHERE rk <= 5 ORDER BY n_exact DESC, o_custkey""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc

@@ -235,6 +235,17 @@ class CoreSpec extends SparkSpec {
     assert(math.abs(p99 - exactQ.getDouble(1)) / exactQ.getDouble(1) < 0.01)
   }
 
+  test("cmsTopK: exact counts, never-undercount, eps window on a skewed key") {
+    import spark.implicits._
+    // zipf-ish: key k appears 200/k times → heavy head, long tail
+    val rows = (1 to 50).flatMap(k => Seq.fill(200 / k)(k.toLong)).toDF("key")
+    val got = Relational.cmsTopK(rows, "key", k = 3, eps = 0.01).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 200L), (2L, 100L), (3L, 66L)))
+    assert(got.forall(_.getBoolean(2)), "CMS must never undercount")
+    assert(got.forall(_.getBoolean(3)), "CMS estimate outside the eps window")
+  }
+
   test("Multimodal: stub decoder histogram sums to 1; frameSample slices payload") {
     val bins = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert(bins.length === 16)

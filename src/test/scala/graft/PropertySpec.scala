@@ -158,4 +158,44 @@ class PropertySpec extends SparkSpec {
     assert(s10a.subsetOf(s20))     // pct nesting (mod < pct)
     assert(s10a.nonEmpty && s20.size > s10a.size)
   }
+
+  test("upsert equals the reference merge on random key sets; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = for {
+      nb <- Gen.choose(0, 40); nu <- Gen.choose(0, 20)
+      bkeys <- Gen.listOfN(nb, Gen.choose(0L, 30L))
+      ukeys <- Gen.listOfN(nu, Gen.choose(0L, 30L))
+    } yield (bkeys.distinct, ukeys.distinct)
+    forAll(cases, n = 12) { case (bkeys, ukeys) =>
+      val base = bkeys.map(k => (k, s"b$k")).toDF("k", "v").repartition(3)
+      val updates = ukeys.map(k => (k, s"u$k")).toDF("k", "v").repartition(2)
+      val got = graft.core.Relational.upsert(base, updates, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = bkeys.map(k => k -> s"b$k").toMap ++ ukeys.map(k => k -> s"u$k").toMap
+      assert(got === expected)
+      assert(got.size === (bkeys ++ ukeys).distinct.size)
+      // idempotent: re-applying the same batch changes nothing
+      val again = graft.core.Relational
+        .upsert(graft.core.Relational.upsert(base, updates, Seq("k")), updates, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again === expected)
+    }
+  }
+
+  test("shuffleShard permutation is invariant to the shuffle-partition count") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    def run(): Map[Long, (Long, Int)] =
+      graft.llm.Curation.shuffleShard(docs, "doc_id", nShards = 4, seed = "p")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("pos"), r.getAs[Int]("shard"))))
+        .toMap
+    val results = Seq(1, 3, 32).map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try run() finally spark.conf.set("spark.sql.shuffle.partitions", 8)
+    }
+    assert(results.distinct.size === 1,
+      "shuffleShard must assign identical (pos, shard) at any partition count")
+  }
 }
