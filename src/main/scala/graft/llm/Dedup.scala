@@ -301,6 +301,71 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ---- fuzzy (edit-distance) record linkage -------------------------------
+
+  /** Per-source-length segment spec for [[fuzzyPairs]]: k+1 contiguous
+    * segments with near-equal lengths (short segments first). */
+  private[llm] def fuzzySegments(len: Int, k: Int): Seq[(Int, Int)] = {
+    val parts = k + 1
+    val base = len / parts
+    val rem = len % parts
+    val lens = Seq.fill(parts - rem)(base) ++ Seq.fill(rem)(base + 1)
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+
+  /** Fuzzy (edit-distance ≤ `maxDist`) self-join over a string column —
+    * record linkage / typo dedup. Candidate generation is PassJoin-style
+    * segment blocking: each string of length L is split into k+1
+    * contiguous segments; by pigeonhole, k edits can corrupt at most k
+    * segments, so any pair within distance k shares one segment VERBATIM,
+    * with its position shifted by at most k (the net indel balance) and
+    * lengths differing by at most k. The index side emits k+1 keys
+    * (L, j, segment) per row; the probe side emits the substrings at the
+    * ±k allowed positions for every candidate source length — O(k³)
+    * short keys per row, an EQUI join, never an all-pairs cross. Strings
+    * shorter than k+1 chars fall back to a per-length-window bucket
+    * (their segment spec degenerates). Exact `levenshtein` verifies the
+    * candidates; only (key, id) pairs ride the shuffles, strings
+    * re-attach by id join before the verify (the d5b plumbing rule).
+    * Completeness is exact — the blocking never loses a true pair —
+    * which is what lets a DuckDB brute-force twin oracle it. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(strCol)).as[(Long, String)]
+      .filter(_._2 != null)
+    val idx = rows.flatMap { case (id, s) =>
+      val L = s.length
+      if (L < k + 1) Seq((L, -1, "", id))
+      else fuzzySegments(L, k).zipWithIndex.map { case ((st, ln), j) =>
+        (L, j, s.substring(st, st + ln), id)
+      }
+    }.toDF("L", "j", "seg", "id_a")
+    val probe = rows.flatMap { case (id, t) =>
+      val M = t.length
+      (math.max(0, M - k) to (M + k)).flatMap { srcL =>
+        if (srcL < k + 1) Seq((srcL, -1, "", id))
+        else fuzzySegments(srcL, k).zipWithIndex.flatMap { case ((st, ln), j) =>
+          (-k to k).iterator.map(st + _)
+            .filter(p => p >= 0 && p + ln <= M)
+            .map(p => (srcL, j, t.substring(p, p + ln), id))
+        }
+      }.distinct
+    }.toDF("L", "j", "seg", "id_b")
+    val cands = idx.join(probe, Seq("L", "j", "seg"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val strs = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    cands
+      .join(strs.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

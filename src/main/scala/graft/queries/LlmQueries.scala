@@ -270,6 +270,41 @@ object LlmQueries {
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |  CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
 
+    // Fuzzy record linkage (typo dedup): part names + planted one-char-
+    // deletion typos, paired by the PassJoin segment blocking + exact
+    // levenshtein verify. The blocking is provably complete (pigeonhole),
+    // so the oracle is the brute-force quadratic twin with the
+    // length-difference prefilter — any blocking bug = missing rows.
+    Q("d8_fuzzy_linkage",
+      (s, d) => {
+        val base = T(s, d, "part")
+          .where(pmod(col("p_partkey"), lit(10)) === 0)
+          .select(col("p_partkey").cast("long").as("rid"), col("p_name").as("name"))
+        val pos = pmod(col("rid"), length(col("name"))) + 1
+        val typos = base.select(
+          (col("rid") + 10000000L).as("rid"),
+          concat(
+            col("name").substr(lit(1), pos - 1),
+            col("name").substr(pos + 1, length(col("name")))).as("name"))
+        Dedup.fuzzyPairs(base.unionByName(typos), "rid", "name", maxDist = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(p_partkey AS BIGINT) AS rid, p_name AS name
+             |  FROM part WHERE p_partkey % 10 = 0),
+             |typos AS (
+             |  SELECT rid + 10000000 AS rid,
+             |    substr(name, 1, CAST(rid % length(name) AS INT))
+             |      || substr(name, CAST(rid % length(name) AS INT) + 2) AS name
+             |  FROM base),
+             |allr AS (SELECT * FROM base UNION ALL SELECT * FROM typos)
+             |SELECT a.rid AS id_a, b.rid AS id_b,
+             |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+             |FROM allr a JOIN allr b
+             |  ON a.rid < b.rid AND abs(length(a.name) - length(b.name)) <= 2
+             |WHERE levenshtein(a.name, b.name) <= 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // ---- similarity search --------------------------------------------------
     Q("n1_ann_brute",
       (s, d) => Similarity.bruteForceTopK(

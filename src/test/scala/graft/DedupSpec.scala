@@ -135,6 +135,36 @@ class DedupSpec extends SparkSpec {
       "jaccardPairs/minHashNearDup/curate must release their caches")
   }
 
+  test("fuzzyPairs equals brute-force levenshtein pairs on random short strings") {
+    import spark.implicits._
+    // random strings over a 3-letter alphabet force plenty of near pairs,
+    // including lengths below k+1 (the degenerate-bucket path)
+    val rnd = new scala.util.Random(11)
+    val strs = (0L until 120L).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i, Array.fill(len)("abc" (rnd.nextInt(3))).mkString)
+    }
+    val df = strs.toDF("id", "s").repartition(4)
+    for (k <- Seq(1, 2)) {
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = lev(sa, sb) if dist <= k
+      } yield (ia, ib, dist)).toSet
+      val got = Dedup.fuzzyPairs(df, "id", "s", maxDist = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expected, s"k=$k: blocking lost or invented pairs")
+    }
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)
