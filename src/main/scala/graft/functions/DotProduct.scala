@@ -73,11 +73,20 @@ case class DotProduct(left: Expression, right: Expression)
   * injects `dot_product` into every session's function registry at
   * build time (the extension-point route for custom expressions). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head)))
+  }
 }
 
 object GraftFunctions {
@@ -86,10 +95,27 @@ object GraftFunctions {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `dot_product` for SQL use in an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column-API entry: Unicode NFC normalization. */
+  def nfc_normalize(s: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(s)))
+
+  /** Column-API entry: accent strip (NFD + drop combining marks). */
+  def strip_accents(s: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(s)))
+
+  /** Register the graft functions for SQL use in an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head))
+  }
 }

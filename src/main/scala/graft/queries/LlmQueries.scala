@@ -752,6 +752,47 @@ object LlmQueries {
              |  MIN(skey) AS first_key
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Unicode normalization via the native codegen expressions
+    // (functions/TextNormalize.scala — Spark ships no `normalize` SQL
+    // function). The fixture text is ASCII, so the query PLANTS the
+    // interesting cases deterministically: composed accents (replace
+    // a→á, e→é) for the strip path and decomposed sequences
+    // (e → e + U+0301 combining acute) for the NFC path. The oracle is
+    // DuckDB's conformant nfc_normalize/strip_accents on the same
+    // construction — string-level hash equality proves the JDK
+    // Normalizer and DuckDB agree codepoint-for-codepoint, and
+    // len_raw > len_nfc pins that composition actually happened.
+    Q("x17_normalize",
+      (s, d) => {
+        import graft.functions.GraftFunctions.{nfc_normalize, strip_accents}
+        T(s, d, "documents")
+          .withColumn("snip", substring(col("text"), 1, 80))
+          .withColumn("decorated",
+            regexp_replace(regexp_replace(col("snip"), "a", "\u00e1"), "e", "\u00e9"))
+          .withColumn("decomposed",
+            regexp_replace(col("snip"), "e", "e\u0301"))
+          .select(
+            col("doc_id"),
+            nfc_normalize(col("decomposed")).as("nfc_text"),
+            strip_accents(col("decorated")).as("stripped"),
+            length(col("decomposed")).cast("long").as("len_raw"),
+            length(nfc_normalize(col("decomposed"))).cast("long").as("len_nfc"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, substr(text, 1, 80) AS snip FROM documents),
+             |d AS (
+             |  SELECT doc_id,
+             |    replace(replace(snip, 'a', chr(225)), 'e', chr(233)) AS decorated,
+             |    replace(snip, 'e', 'e' || chr(769)) AS decomposed
+             |  FROM b)
+             |SELECT doc_id,
+             |  nfc_normalize(decomposed) AS nfc_text,
+             |  strip_accents(decorated) AS stripped,
+             |  CAST(length(decomposed) AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS len_nfc
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing, single-partition doc_id order so the greedy fold
     // is deterministic (at scale packing runs per-partition in parallel).
     // FULL oracle: the greedy state machine (flush when the next doc would
