@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Joins, Relational, Sampling, Validation, WideAgg}
+import graft.core.{Joins, Layout, Relational, Sampling, Validation, WideAgg}
 import graft.stats.{Auc, Correlations}
 
 /** One declared query per SURVEY.md §2 operator (the driver's correctness
@@ -513,6 +513,43 @@ object RelationalQueries {
               |SELECT COALESCE(o_orderstatus, 'PRE_SCHEMA') AS status, COUNT(*) AS n,
               |${sumExactSql("o_totalprice")} AS sum_price
               |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order (Morton) layout: the write-side clustering for 2-D file
+    // skipping (core/Layout.scala). The z-value arithmetic is the whole
+    // contract — the oracle recomputes the identical shift/mask/or fold
+    // in SQL (zValueSql is generated from the same bit positions, so the
+    // two sides cannot drift) and hash-checks per-z-bucket aggregates.
+    // The clustering itself (repartitionByRange + sort) is asserted by
+    // LayoutSpec: disjoint per-partition z-ranges, tighter (x, y)
+    // bounding boxes than a 1-D sort, fewer partitions touched by box
+    // queries. Partition-dependent numbers stay OUT of this query:
+    // RangePartitioner samples with an rdd-id-derived seed, so exact
+    // partition contents are not run-stable — only layout PROPERTIES are.
+    Q("p5_zorder",
+      (s, d) => {
+        val o = T(s, d, "orders")
+          .withColumn("x", pmod(col("o_custkey"), lit(256L)))
+          .withColumn("y", pmod(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).cast("long"), lit(256L)))
+        o.withColumn("z", Layout.zValue(col("x"), col("y"), bits = 8))
+          .groupBy(shiftright(col("z"), 8).as("z_bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("z")).as("z_min"),
+            max(col("z")).as("z_max"),
+            sumLong(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("z_bucket"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT o_orderkey,
+              |    o_custkey % 256 AS x,
+              |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+              |  FROM orders),
+              |z AS (SELECT o_orderkey, ${Layout.zValueSql("x", "y", 8)} AS z FROM b)
+              |SELECT z >> 8 AS z_bucket, COUNT(*) AS n,
+              |  MIN(z) AS z_min, MAX(z) AS z_max,
+              |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("j2_join_two",
       (s, d) => Sampling.modSample(T(s, d, "orders"), "o_orderkey", 20)
