@@ -66,6 +66,45 @@ object Dedup {
     batch.join(index, Seq("text_hash"), "left_anti")
   }
 
+  /** Sub-document (chunk-level) exact dedup: split each doc into
+    * fixed-width word chunks, keep the globally FIRST occurrence of each
+    * distinct chunk (order: doc id, then position), reassemble every doc
+    * from its surviving chunks. This is the pipeline step that strips
+    * boilerplate repeated across a crawl (headers, footers, license
+    * blocks) without dropping whole documents.
+    *
+    * One wide shuffle: the exploded chunk frame hash-partitions on the
+    * chunk's md5 for a `row_number` window — no self-join, no driver
+    * state. A chunk repeated millions of times lands on one reducer
+    * (key skew is the count's nature); the window only counts within the
+    * key, so the reducer does a sort of that key's rows, not a quadratic
+    * pass. Reassembly is a per-doc groupBy (second shuffle, keyed by doc
+    * id) with an in-memory sort of that doc's own chunks only. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val w = chunkWords
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val nCh = ceil(size(col("t")) / lit(w.toDouble)).cast("int")
+    val chunks = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nCh - 1),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " "))))
+      .toDF("doc_id", "idx", "chunk")
+    val marked = chunks.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("idx"))))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk")),
+        " ").as("kept_text"))
+  }
+
   // ---- exact n-gram Jaccard (inverted index) ------------------------------
 
   /** Exact Jaccard-similar pairs via the inverted shingle index:

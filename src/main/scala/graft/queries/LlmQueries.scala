@@ -305,6 +305,29 @@ object LlmQueries {
              |WHERE levenshtein(a.name, b.name) <= 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Sub-document chunk dedup (boilerplate stripping): 5-word chunks on
+    // the tiny-vocab fixture collide heavily across docs, so the
+    // keep-first + reassembly path is exercised hard. Full oracle: the
+    // identical chunking/window/string_agg replayed in DuckDB.
+    Q("d9_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(T(s, d, "documents"), "doc_id", "text", chunkWords = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ch AS (
+             |  SELECT doc_id, i AS idx,
+             |    array_to_string(t[(i*5+1):(i*5+5)], ' ') AS chunk
+             |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/5.0) AS INT))) AS u(i)),
+             |rk AS (
+             |  SELECT doc_id, idx, chunk,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+             |  FROM ch)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')
+             |    AS kept_text
+             |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity search --------------------------------------------------
     Q("n1_ann_brute",
       (s, d) => Similarity.bruteForceTopK(

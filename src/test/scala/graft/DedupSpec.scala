@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
       "jaccardPairs/minHashNearDup/curate must release their caches")
   }
 
+  test("chunkDedup strips repeated chunks globally and within docs, reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),   // both chunks first occurrences
+      (1L, "a b c d e x y"),         // chunk 0 dups doc 0 -> only "x y" survives
+      (2L, "f g h i j"),             // entire doc already seen -> empty
+      (3L, "p q r s t p q r s t")    // within-doc dup -> second copy dropped
+    ).toDF("id", "txt").repartition(3)
+    val got = Dedup.chunkDedup(docs, "id", "txt", chunkWords = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (0L, 2L, 2L, "a b c d e f g h i j"),
+      (1L, 2L, 1L, "x y"),
+      (2L, 1L, 0L, ""),
+      (3L, 2L, 1L, "p q r s t")))
+  }
+
   test("fuzzyPairs equals brute-force levenshtein pairs on random short strings") {
     import spark.implicits._
     // random strings over a 3-letter alphabet force plenty of near pairs,
