@@ -105,6 +105,50 @@ object Dedup {
         " ").as("kept_text"))
   }
 
+  // ---- exact duplicated-span detection ------------------------------------
+
+  /** Exact duplicated-span detection (the character-window analog of
+    * suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): slide a fixed
+    * `width`-char window with `stride` over each text, hash every
+    * window, and mark windows whose exact bytes occur anywhere else in
+    * the corpus (cross-doc or repeated within one doc). Returns one row
+    * per doc: (doc_id, n_windows, n_dup_windows, dup_frac).
+    *
+    * Scale stance: the only shuffle is the groupBy on the window hash
+    * (128-bit md5, map-side combined); texts never ride the shuffle —
+    * each window row carries (hash, doc_id) only. Window count is
+    * len/stride per doc, so the exploded frame is a constant factor of
+    * the corpus, not quadratic. Docs shorter than `width` contribute
+    * zero windows (counted with n_windows = 0). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 32, stride: Int = 8): DataFrame = {
+    require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+    val nWin = when(length(col(textCol)) >= width,
+      floor((length(col(textCol)) - width) / stride).cast("long") + 1L)
+      .otherwise(0L)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("t"),
+      nWin.as("n_windows"))
+    val grams = base.where(col("n_windows") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("n_windows") - 1L),
+          k => substring(col("t"), (k * stride + 1).cast("int"), lit(width))))
+          .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    // global occurrence count per window hash, joined back per doc
+    val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+    val perDoc = grams.join(counts, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    base.select(col("doc_id"), col("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows") / col("n_windows"), 6)).otherwise(0.0))
+  }
+
   // ---- exact n-gram Jaccard (inverted index) ------------------------------
 
   /** Exact Jaccard-similar pairs via the inverted shingle index:
@@ -568,5 +612,60 @@ object Dedup {
       .withColumn("cos", cosine(col("va"), col("vb"), dim))
       .where(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * k-means clustering of embeddings + within-cluster greedy cosine
+    * pruning. Items are visited in ascending-id order inside each
+    * cluster; an item is DROPPED when its cosine to an already-kept
+    * item of the same cluster is ≥ `minCos` (the kept item is its
+    * semantic representative). Returns (id, cluster, kept).
+    *
+    * Scale stance: the quadratic work is within-cluster against the
+    * KEPT prefix only, and `nClusters` bounds cluster size (at corpus
+    * scale pick nClusters ∝ N/target-cluster-size, exactly as the paper
+    * does with k=11k clusters for LAION). The greedy fold is
+    * sequential per cluster, so clusters must fit one executor's heap —
+    * that is the operator's documented contract, same as the paper's
+    * per-cluster GPU pass. Cross-cluster near-dups are missed by
+    * design (that is SemDeDup's recall/cost trade).
+    *
+    * Determinism: KMeans with a fixed seed on a fixed input is
+    * deterministic, and the greedy visit order is total (ascending id),
+    * so the kept set is reproducible run-over-run. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCos: Double = 0.95, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster").setMaxIter(10)
+    val model = km.fit(c)
+    model.transform(c)
+      .select(col("id"), col("v"), col("cluster"))
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (cl: Int, it: Iterator[(Long, Array[Double], Int)]) =>
+        val items = it.map { case (id, v, _) => (id, v) }.toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val keptNorm = scala.collection.mutable.ArrayBuffer.empty[Double]
+        items.iterator.map { case (id, v) =>
+          val n = math.sqrt(dotArr(v, v))
+          var dup = false
+          var i = 0
+          while (!dup && i < kept.length) {
+            val denom = n * keptNorm(i)
+            if (denom > 0 && dotArr(v, kept(i)) / denom >= minCos) dup = true
+            i += 1
+          }
+          if (!dup) { kept += v; keptNorm += n }
+          (id, cl, !dup)
+        }
+      }
+      .toDF("id", "cluster", "kept")
   }
 }

@@ -507,6 +507,49 @@ object AggQueries {
               |${sumExactSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Weekly cohort retention — the canonical 100-TB product-analytics
+    // shape: cohort = each user's first active day, retention = distinct
+    // users active in week-offset k over cohort size. Shuffles: distinct
+    // (user, day), groupBy user (cohort), groupBy (cohort_day, offset);
+    // the cohort frame is user-cardinality and broadcast by AQE under the
+    // re-join. Week offset is integer day-arithmetic (no engine
+    // week-start semantics to disagree on).
+    Q("t4_retention",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val days = T(s, d, "events")
+          .select(col("user_id"),
+            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          .distinct()
+        val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val act = days.join(cohort, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            floor(datediff(col("day"), col("cohort_day")) / 7.0).cast("int")
+              .as("week_offset"))
+          .distinct()
+        val sizes = cohort.groupBy(col("cohort_day"))
+          .agg(countDistinct(col("user_id")).as("cohort_users"))
+        act.groupBy(col("cohort_day"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cohort_day")
+          .select(
+            date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            col("week_offset"), col("n_active"), col("cohort_users"),
+            round(col("n_active") / col("cohort_users"), 6).as("retention"))
+          .orderBy(col("cohort_day"), col("week_offset"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1),
+             |act AS (SELECT DISTINCT d.user_id, c.cohort_day,
+             |    CAST(FLOOR(date_diff('day', c.cohort_day, d.day) / 7.0) AS INT) AS week_offset
+             |  FROM days d JOIN cohort c ON d.user_id = c.user_id),
+             |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM cohort GROUP BY 1)
+             |SELECT STRFTIME(a.cohort_day, '%Y-%m-%d') AS cohort_day, a.week_offset,
+             |  COUNT(DISTINCT a.user_id) AS n_active, s.cohort_users,
+             |  ROUND(COUNT(DISTINCT a.user_id) / s.cohort_users, 6) AS retention
+             |FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+             |GROUP BY 1, 2, s.cohort_users ORDER BY 1, 2""".stripMargin)),
+
     // ---- H: sketch operators, oracled through their guarantees --------------
     // freqItems guarantees NO FALSE NEGATIVES above the support fraction
     // (false positives possible), so sketch → semi-join exact counts →

@@ -328,6 +328,71 @@ object LlmQueries {
              |    AS kept_text
              |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Exact duplicated-span detection (Dedup.duplicatedSpans): 32-char
+    // windows at stride 8, a window is "duplicated" when its exact bytes
+    // occur anywhere else in the corpus. Full per-doc oracle.
+    Q("d10_substring_dedup",
+      (s, d) => Dedup.duplicatedSpans(T(s, d, "documents"), "doc_id", "text",
+          width = 32, stride = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN length(text) >= 32
+             |      THEN CAST(FLOOR((length(text) - 32) / 8) AS BIGINT) + 1
+             |      ELSE 0 END AS n_windows
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, substring(text, CAST(1 + 8*k AS INT), 32) AS gram
+             |  FROM base, LATERAL unnest(range(0, n_windows)) AS u(k)
+             |  WHERE n_windows > 0),
+             |occ AS (SELECT gram, COUNT(*) AS occ FROM g GROUP BY 1),
+             |pd AS (
+             |  SELECT doc_id, SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup
+             |  FROM g JOIN occ USING (gram) GROUP BY 1)
+             |SELECT b.doc_id, b.n_windows,
+             |  CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+             |  CASE WHEN b.n_windows > 0
+             |    THEN ROUND(COALESCE(pd.n_dup, 0) / b.n_windows, 6)
+             |    ELSE 0.0 END AS dup_frac
+             |FROM base b LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup (Dedup.semDedup): k-means semantic clustering + greedy
+    // within-cluster cosine prune. The kept SET depends on the k-means
+    // seed, so the oracle pins the operator's two construction
+    // invariants (checked EXHAUSTIVELY in-query over all within-cluster
+    // pairs): no two kept items of one cluster are ≥ minCos similar, and
+    // every dropped item has a kept representative ≥ minCos in its
+    // cluster. n_total is SQL-exact; per-item behavior is DedupSpec's.
+    Q("d11_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val res = Dedup.semDedup(emb, "vec_id", "embedding",
+          nClusters = 16, minCos = 0.45)
+        val vecs = emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        val kv = res.join(vecs, "id")
+          .select(col("id"), col("cluster"), col("kept"), col("v"))
+          .persist()
+        try {
+          val keptV = kv.where(col("kept"))
+          val droppedV = kv.where(!col("kept"))
+          val viol = keptV.as("a").join(keptV.as("b"),
+              col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+            .where(Dedup.cosine(col("a.v"), col("b.v")) >= 0.45).count()
+          val nDropped = droppedV.count()
+          val covered = droppedV.as("a").join(keptV.as("b"),
+              col("a.cluster") === col("b.cluster"))
+            .where(Dedup.cosine(col("a.v"), col("b.v")) >= 0.45)
+            .select(col("a.id")).distinct().count()
+          Seq((emb.count(), viol == 0L, covered == nDropped))
+            .toDF("n_total", "no_kept_dups", "dropped_covered")
+        } finally { kv.unpersist() }
+      },
+      Some("""SELECT COUNT(*) AS n_total, TRUE AS no_kept_dups,
+             |  TRUE AS dropped_covered FROM embeddings""".stripMargin)),
+
     // ---- similarity search --------------------------------------------------
     Q("n1_ann_brute",
       (s, d) => Similarity.bruteForceTopK(
@@ -815,6 +880,52 @@ object LlmQueries {
              |  CAST(length(decomposed) AS BIGINT) AS len_raw,
              |  CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS len_nfc
              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition gates (TextStats.gopherGates): top-bigram char
+    // fraction and duplicated-trigram char fraction per doc, with the
+    // published thresholds (0.18 / 0.30). Full per-doc oracle — the
+    // deterministic tie-break (lexicographically smallest max-count
+    // bigram) makes the metric itself hash-comparable.
+    Q("x18_gopher_gates",
+      (s, d) => TextStats.gopherGates(T(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS t
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, n_chars, array_to_string(t[i:i+1], ' ') AS g
+             |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+             |  WHERE len(t) >= 2),
+             |bc AS (SELECT doc_id, n_chars, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+             |bm AS (SELECT doc_id, MAX(c) AS cmax FROM bc GROUP BY 1),
+             |topbi AS (
+             |  SELECT bc.doc_id,
+             |    ROUND(LEAST(1.0, MAX(c) * length(MIN(g)) / MAX(n_chars)), 6)
+             |      AS top_bigram_frac
+             |  FROM bc JOIN bm ON bc.doc_id = bm.doc_id AND bc.c = bm.cmax
+             |  GROUP BY bc.doc_id),
+             |tri AS (
+             |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+             |  FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 3),
+             |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+             |td AS (
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+             |  FROM tc GROUP BY 1),
+             |fin AS (
+             |  SELECT k.doc_id, CAST(k.n_chars AS BIGINT) AS n_chars,
+             |    COALESCE(topbi.top_bigram_frac, 0.0) AS top_bigram_frac,
+             |    ROUND(LEAST(1.0, COALESCE(td.dup_chars, 0) / k.n_chars), 6)
+             |      AS dup_trigram_frac
+             |  FROM toks k
+             |  LEFT JOIN topbi ON k.doc_id = topbi.doc_id
+             |  LEFT JOIN td ON k.doc_id = td.doc_id)
+             |SELECT doc_id, n_chars, top_bigram_frac, dup_trigram_frac,
+             |  CASE WHEN top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30
+             |    THEN 1 ELSE 0 END AS gopher_pass
+             |FROM fin ORDER BY doc_id""".stripMargin)),
 
     // Sequence packing, single-partition doc_id order so the greedy fold
     // is deterministic (at scale packing runs per-partition in parallel).

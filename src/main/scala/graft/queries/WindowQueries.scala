@@ -121,6 +121,53 @@ object WindowQueries {
              |  CAST(MAX(sv) AS DOUBLE) AS peak_value_1h
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exponentially weighted moving average per user over daily value
+    // sums — expressed CLOSED-FORM with two running sums instead of a
+    // recursive scan (which Spark has no operator for):
+    //   ewma_i = Σ_j≤i x_j·w^(i-j) / Σ_j≤i w^(i-j)
+    //          = cumsum(x_j·w^(-j)) / cumsum(w^(-j))   (w^i cancels)
+    // One shuffle (user partition) and an ordered running frame — the
+    // same plan shape at any scale. The w^(-j) terms grow as the series
+    // lengthens (j ≤ 29 on this fixture: 0.8^-29 ≈ 6.4e2); unbounded
+    // series need segment-wise renormalization, noted here for the
+    // 100-TB reader. Both engines accumulate the identical sequence in
+    // the identical order, so round(...,6) is safely cross-engine.
+    Q("w12_ewma",
+      (s, d) => {
+        val wgt = 0.8 // = 1 - alpha, alpha = 0.2, pandas ewm adjust=True
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sumExact(col("value")).as("x"))
+        val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("i"))
+        val scored = daily
+          .withColumn("i", row_number().over(byDay) - 1)
+          .withColumn("nume", sum(col("x") * pow(lit(wgt), -col("i"))).over(cum))
+          .withColumn("deno", sum(pow(lit(wgt), -col("i"))).over(cum))
+          .select(col("user_id"), col("i"),
+            round(col("nume") / col("deno"), 6).as("ewma"))
+        scored.groupBy(col("user_id"))
+          .agg((max(col("i")) + 1).cast("long").as("n_days"),
+            expr("max_by(ewma, i)").as("ewma_last"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    ${sumExactSql("value")} AS x
+              |  FROM events GROUP BY 1, 2),
+              |r AS (SELECT user_id, x,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+              |  FROM daily),
+              |c AS (SELECT user_id, i,
+              |    SUM(x * POWER(0.8, -i)) OVER (PARTITION BY user_id ORDER BY i) AS nume,
+              |    SUM(POWER(0.8, -i)) OVER (PARTITION BY user_id ORDER BY i) AS deno
+              |  FROM r),
+              |lastrow AS (SELECT user_id, MAX(i) AS imax FROM c GROUP BY 1)
+              |SELECT c.user_id, CAST(l.imax + 1 AS BIGINT) AS n_days,
+              |  ROUND(nume / deno, 6) AS ewma_last
+              |FROM c JOIN lastrow l ON c.user_id = l.user_id AND c.i = l.imax
+              |ORDER BY c.user_id""".stripMargin)),
+
     Q("w6_window_funcs",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))

@@ -179,6 +179,32 @@ class CoreSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - 1.0 / 3) < 1e-12 && math.abs(out(3L)._3 - 2.0 / 3) < 1e-12)
   }
 
+  test("TextStats.gopherGates: hand-computed n-gram fractions and pass flags") {
+    import spark.implicits._
+    val df = Seq(
+      // "ab ab ab ab": bigrams "ab ab"×3 → top_bigram_frac = 3*5/11 (cap 1.0 → 1.0)
+      // trigrams "ab ab ab"×2 → dup chars 2*8=16 → 16/11 capped to 1.0
+      (1L, "ab ab ab ab"),
+      // all-distinct words: top bigram count 1, no dup trigrams
+      (2L, "one two three four five"),
+      // single word: no bigrams/trigrams at all → 0.0 / 0.0, passes
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherGates(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("top_bigram_frac"), r.getAs[Double]("dup_trigram_frac"),
+          r.getAs[Int]("gopher_pass"))).toMap
+    assert(out(1L) === ((1.0, 1.0, 0)))
+    // doc 2: top bigram "five four"? no — min lexicographic among count-1
+    // ties; any has len 9? bigrams: "one two"(7) "two three"(9) "three four"(10)
+    // "four five"(9); min lexicographic = "four five" (len 9), frac = 9/23
+    assert(math.abs(out(2L)._1 - math.round(9.0 / 23 * 1e6) / 1e6) < 1e-12)
+    // 9/23 ≈ 0.39 > 0.18: the Gopher top-bigram gate is aggressive on
+    // tiny docs — doc 2 fails it despite having no repetition at all
+    assert(out(2L)._2 === 0.0 && out(2L)._3 === 0)
+    assert(out(3L) === ((0.0, 0.0, 1)))
+  }
+
   test("TextStats: tokens, langId, fingerprint determinism") {
     import spark.implicits._
     val df = Seq(

@@ -184,6 +184,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans: planted shared span is flagged, short docs count zero windows") {
+    import spark.implicits._
+    // width 10, stride 5 → windows at offsets 0,5,10,... the planted
+    // 20-char block "AAAAABBBBBCCCCCDDDDD" is shared verbatim by docs 1
+    // and 2 at aligned offsets, so its aligned windows collide.
+    val shared = "AAAAABBBBBCCCCCDDDDD"
+    val df = Seq(
+      (1L, shared + "unique-tail-one-xxxx"),
+      (2L, shared + "other-ending-yyyyyyy"),
+      (3L, "completely different text here!!"),
+      (4L, "tiny")). // < width → 0 windows
+      toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(df, "doc_id", "text", width = 10, stride = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("n_dup_windows"))).toMap
+    // len 40 → (40-10)/5+1 = 7 windows; offsets 0 and 5 fall inside the
+    // shared 20-char prefix (windows [0,10) and [5,15)) → 3 shared-prefix
+    // windows? window at 10 spans [10,20) = "CCCCCDDDDD" also shared.
+    assert(r(1L)._1 === 7L && r(2L)._1 === 7L)
+    assert(r(1L)._2 === 3L && r(2L)._2 === 3L) // offsets 0, 5, 10
+    assert(r(3L) === (5L, 0L))
+    assert(r(4L) === (0L, 0L))
+  }
+
+  test("semDedup: exact planted dup loses to its lowest-id twin, distinct items survive") {
+    import spark.implicits._
+    // two well-separated directions (→ 2 k-means clusters); within each,
+    // distinct members have pairwise cos ≈ 0.84 < 0.99 (all kept), and
+    // one planted EXACT duplicate (cos 1.0 ≥ 0.99) must lose to its twin
+    val a1 = Seq(1.0, 0.3, 0.0, 0.0)
+    val b1 = Seq(0.0, 0.0, 1.0, 0.3)
+    val rows = Seq(
+      (1L, a1), (2L, Seq(1.0, -0.3, 0.0, 0.0)), (10L, a1),          // 10 dups 1
+      (3L, b1), (4L, Seq(0.0, 0.0, 1.0, -0.3)), (11L, b1))          // 11 dups 3
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(df, "vec_id", "embedding", nClusters = 2, minCos = 0.99)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got(1L) && got(2L) && got(3L) && got(4L), "distinct items must be kept")
+    assert(!got(10L) && !got(11L), "exact dups must be dropped")
+    // clusters must separate the two directions for the assertions above
+    // to be meaningful — sanity: dup and twin always share a cluster
+    val cl = Dedup.semDedup(df, "vec_id", "embedding", nClusters = 2, minCos = 0.99)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cluster")).toMap
+    assert(cl(1L) === cl(10L) && cl(3L) === cl(11L))
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)

@@ -198,4 +198,33 @@ class PropertySpec extends SparkSpec {
     assert(results.distinct.size === 1,
       "shuffleShard must assign identical (pos, shard) at any partition count")
   }
+
+  test("w12 EWMA closed form equals the sequential recursion on random series") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wgt = 0.8
+    val series = for {
+      n <- Gen.choose(1, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+    } yield xs
+    forAll(series, n = 20) { xs =>
+      // reference: pandas ewm(alpha=0.2, adjust=True) recursion
+      var num = 0.0; var den = 0.0
+      val expected = xs.map { x =>
+        num = num * wgt + x; den = den * wgt + 1.0; num / den
+      }.last
+      val df = xs.zipWithIndex.map { case (x, i) => (1L, i, x) }
+        .toDF("user_id", "i", "x")
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("i"))
+      val got = df
+        .withColumn("nume", sum(col("x") * pow(lit(wgt), -col("i"))).over(cum))
+        .withColumn("deno", sum(pow(lit(wgt), -col("i"))).over(cum))
+        .where(col("i") === xs.size - 1)
+        .select(col("nume") / col("deno"))
+        .head.getDouble(0)
+      assert(math.abs(got - expected) <= 1e-9 * math.max(1.0, math.abs(expected)),
+        s"closed-form EWMA drifted: got $got expected $expected n=${xs.size}")
+    }
+  }
 }
