@@ -31,17 +31,23 @@ object LlmQueries {
   private def annRecallSummary(
       s: SparkSession, d: String,
       ann: (DataFrame, DataFrame) => DataFrame, minRecall: Double): DataFrame = {
-    import s.implicits._
     val emb = T(s, d, "embeddings")
     val qs = emb.where(col("vec_id") < 10)
     val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
     val result = ann(emb, qs)
-    val nTruth = truth.count()
-    val nHit = truth.select("query_id", "corpus_id")
-      .join(result.select("query_id", "corpus_id"),
-        Seq("query_id", "corpus_id"), "left_semi").count()
-    Seq((qs.count(), nTruth, nHit.toDouble / nTruth >= minRecall))
-      .toDF("n_queries", "n_truth", "recall_ok")
+    // single pass: truth ⟕ result then one aggregate — the brute truth
+    // and the ANN variant each execute exactly once (the first cut ran
+    // the brute kernel once per driver-side count)
+    val hits = truth.select(col("query_id"), col("corpus_id"))
+      .join(result.select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1)),
+        Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+    qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"),
+        when(col("n_truth") === 0, lit(true))
+          .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
   }
 
   /** Oracle twin of [[annRecallSummary]]: brute-force truth counts in
@@ -214,13 +220,14 @@ object LlmQueries {
           .join(docs.select(col("doc_id").as("id_b"), md5(col("text")).as("h")), "h")
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
-        val nExact = exact.count()
-        val foundExact = exact.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
-        val maxExactHamming = exact.join(pairs, Seq("id_a", "id_b"))
-          .agg(coalesce(max(col("hamming")), lit(0)).cast("int")).head.getInt(0)
-        import s.implicits._
-        Seq((nExact, foundExact, maxExactHamming))
-          .toDF("n_exact_pairs", "n_exact_found", "max_exact_hamming")
+        // one pass: left join the exact-dup pairs against the simhash
+        // pairs and aggregate all three facts in a single job (the first
+        // cut ran the full simhash pipeline once per driver-side count)
+        exact.join(pairs, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact_pairs"),
+            count(col("hamming")).as("n_exact_found"),
+            coalesce(max(col("hamming")), lit(0)).cast("int")
+              .as("max_exact_hamming"))
       },
       Some("""WITH ep AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -252,17 +259,25 @@ object LlmQueries {
     // DedupSpec's subset+recall case.
     Q("d5b_embed_neardup_lsh",
       (s, d) => {
-        import s.implicits._
         val emb = T(s, d, "embeddings")
         val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.45)
-          .select("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), lit(1).as("in_b"))
         val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.45,
-          dim = 64, nPlanes = 16, nBands = 8).select("id_a", "id_b")
-        val nBrute = brute.count()
-        val nFalsePos = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
-        val nHit = lsh.join(brute, Seq("id_a", "id_b"), "left_semi").count()
-        Seq((nBrute, nFalsePos, nBrute == 0 || nHit.toDouble / nBrute >= 0.9))
-          .toDF("n_brute_pairs", "n_false_positives", "recall_ok")
+          dim = 64, nPlanes = 16, nBands = 8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_l"))
+        // full-outer + one aggregate: the O(n²) brute kernel and the LSH
+        // pipeline each run exactly once (the first cut ran brute 3×,
+        // once per driver-side count)
+        brute.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(col("in_b")).as("n_brute_pairs"),
+            sum(when(col("in_l").isNotNull && col("in_b").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_false_positives"),
+            sum(when(col("in_l").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("n_hit"))
+          .select(col("n_brute_pairs"), col("n_false_positives"),
+            (col("n_brute_pairs") === 0 ||
+              col("n_hit") / col("n_brute_pairs") >= 0.9).as("recall_ok"))
       },
       Some("""SELECT COUNT(*) AS n_brute_pairs,
              |  CAST(0 AS BIGINT) AS n_false_positives, TRUE AS recall_ok
