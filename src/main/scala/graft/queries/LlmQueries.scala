@@ -110,16 +110,22 @@ object LlmQueries {
     Q("d6_dedup_resolve",
       (s, d) => {
         val docs = T(s, d, "documents")
+        // the inverted-index pair generation is the expensive stage and
+        // has two consumers (cluster resolution + keep-set anti-join) —
+        // cache the small pair frame so it executes once
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
-        val clusters = Dedup.dupClusters(pairs)
-        val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
-        val nDocs = docs.count()
-        val inClusters = clusters.count()
-        val nClusters = clusters.select("cluster").distinct().count()
-        val nKept = kept.count()
-        import s.implicits._
-        Seq((nDocs, inClusters, nClusters, nKept))
-          .toDF("n_docs", "n_in_dup_clusters", "n_clusters", "n_kept")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val clusters = Dedup.dupClusters(pairs)
+          val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+          val nDocs = docs.count()
+          val inClusters = clusters.count()
+          val nClusters = clusters.select("cluster").distinct().count()
+          val nKept = kept.count()
+          import s.implicits._
+          Seq((nDocs, inClusters, nClusters, nKept))
+            .toDF("n_docs", "n_in_dup_clusters", "n_clusters", "n_kept")
+        } finally pairs.unpersist(blocking = false)
       },
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
