@@ -1,6 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Materialize EVERY column through the noop v2 sink. A bare `count()`
+    * lets Catalyst prune the projection — a pure project+sort query
+    * degenerates to a parquet row-count and reports fantasy numbers
+    * (x18 read 0.16 s while its gram scan actually costs ~2 s). The
+    * noop write executes the full plan and discards the rows. */
+  def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,17 +29,17 @@ object Bench {
     // produced phantom round-over-round regressions: x11 5.5 s cold vs
     // 1.8 s steady, round-6 verdict). Disable with SPARK_GRAFT_COLD=1
     // for the old cold-run behavior; the JSON reports which mode ran.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val warm = !sys.env.contains("SPARK_GRAFT_COLD")
     if (warm) {
       queries.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }

@@ -16,8 +16,8 @@ object DevTime {
     if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val cnt = fn(spark, sfDir).count()
-      println(f"[devtime] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+      graft.Bench.exec(fn(spark, sfDir))
+      println(f"[devtime] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
