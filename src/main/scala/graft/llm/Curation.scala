@@ -119,6 +119,40 @@ object Curation {
       .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))
   }
 
+  /** [[contamination]] with a Bloom-filter pre-prune — the 100-TB path.
+    *
+    * The exact version semi-joins EVERY corpus shingle against the eval
+    * dictionary: at corpus scale that is a shuffle (or a broadcast probe)
+    * of the full exploded shingle stream. Benchmarks are small and fixed,
+    * so instead build one Bloom filter over the eval shingles on the
+    * driver (~1.2 MB per million shingles at 1% fpp), broadcast it, and
+    * drop non-candidate shingles BEFORE the semi join — the join then
+    * only sees true overlaps plus the fpp leak. The surviving candidates
+    * are EXACTLY verified against the eval dictionary, so Bloom false
+    * positives cannot reach the output: the result equals
+    * [[contamination]] row-for-row (same DuckDB oracle), only the
+    * pre-shuffle volume changes. Bloom filters admit no false negatives,
+    * so no overlap is ever lost. */
+  def contaminationBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, w: Int = 5,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, w)
+    val evalSh = Dedup.shingles(evalSet, idCol, textCol, w)
+      .select(col("shingle")).distinct()
+    val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val overlaps = corpusSh.where(mightContain(col("shingle")))
+      .join(evalSh, Seq("shingle"), "left_semi") // exact verify: kills Bloom FPs
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlaps, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))
+  }
+
   /** Greedy per-partition sequence packing: assign documents to packs so
     * each pack's token total stays ≤ `budget` (docs larger than the
     * budget get their own pack). Returns (pack_id, doc ids, n_docs,

@@ -836,6 +836,37 @@ object LlmQueries {
              |  ROUND(COALESCE(ov.n_overlap, 0) / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_rate
              |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id ORDER BY 1""".stripMargin)),
 
+    // Bloom-pruned decontamination — the 100-TB variant of x11: a
+    // broadcast Bloom filter over the eval shingles drops non-candidate
+    // corpus shingles BEFORE the semi join; survivors are exactly
+    // verified, so the output (and hence the oracle) is IDENTICAL to
+    // x11's — what changes is the pre-shuffle volume, not the answer.
+    Q("x19_bloom_decontaminate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        graft.llm.Curation.contaminationBloom(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", w = 5)
+          .select(col("id"), col("n_shingles"), col("n_overlap"),
+            round(col("overlap_rate"), 6).as("overlap_rate"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks, source FROM documents),
+             |sh AS (SELECT doc_id, source, CASE WHEN len(toks) < 5 THEN [text]
+             |  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> array_to_string(toks[i:i+4], ' '))) END AS shl FROM t),
+             |ex AS (SELECT doc_id, source, unnest(shl) AS shingle FROM sh),
+             |ev AS (SELECT DISTINCT shingle FROM ex WHERE source = 'src0'),
+             |co AS (SELECT doc_id, shingle FROM ex WHERE source <> 'src0'),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM co GROUP BY 1),
+             |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM co
+             |  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1)
+             |SELECT tot.doc_id AS id, tot.n_shingles,
+             |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  ROUND(COALESCE(ov.n_overlap, 0) / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_rate
+             |FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id ORDER BY 1""".stripMargin)),
+
     // Deterministic corpus shuffle + sharding (data-loader prep): global
     // pseudo-random order from md5(seed#id) via the distributed rank,
     // round-robin shards. order_checksum = Σ pos·doc_id pins the exact

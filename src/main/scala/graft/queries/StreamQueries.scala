@@ -137,5 +137,32 @@ object StreamQueries {
           .orderBy(col("event_type"))
       },
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
-              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Arbitrary-state streaming (Spark 4 transformWithState, RocksDB
+    // state store): per-user running profile — ValueState totals (count +
+    // long-micro value sum, accumulation-order-proof) and a ListState of
+    // the 5 most recent event ids by (ts, id). The replayed cumulative
+    // profile equals the batch answer; sums stay in integer micros so the
+    // hash compare is exact.
+    Q("st8_stream_profile",
+      (s, d) => {
+        val sink = s"st8_sink_${System.nanoTime()}"
+        EventStream.runProfileOnce(s, s"$d/events.parquet", sink)
+          .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+            col("sumMicros").as("sum_micros"), col("recent5"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |    CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+             |r AS (SELECT user_id, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM e),
+             |t AS (SELECT user_id,
+             |    STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS recent5
+             |  FROM r WHERE rn <= 5 GROUP BY user_id),
+             |a AS (SELECT user_id, COUNT(*) AS n_events, SUM(vmic) AS sum_micros
+             |  FROM e GROUP BY user_id)
+             |SELECT a.user_id, a.n_events, CAST(a.sum_micros AS BIGINT) AS sum_micros, t.recent5
+             |FROM a JOIN t USING (user_id) ORDER BY a.user_id""".stripMargin)))
 }

@@ -382,6 +382,108 @@ object EventStream {
       .where(col("sessionStart") < timestamp_micros(lit(sentinelNanos / 1000L)))
   }
 
+  final case class ProfileEvent(userId: Long, eventId: Long, tsNanos: Long, valueMicros: Long)
+  final case class ProfileTotals(nEvents: Long, sumMicros: Long)
+  final case class UserProfile(userId: Long, nEvents: Long, sumMicros: Long, recent5: String)
+
+  /** Arbitrary-state streaming aggregation via Spark 4's
+    * `transformWithState` (the successor API to mapGroupsWithState,
+    * RocksDB-backed, multiple named state variables per key): maintains a
+    * per-user running profile — event count + exact value sum (long
+    * micros, so accumulation order can't perturb the result) in a
+    * `ValueState`, and the 5 most recent event ids (by event time, id
+    * ties) in a `ListState` trimmed every batch. Bounded state per key by
+    * construction — the shape a 100-TB feature-store stream needs: state
+    * size tracks ACTIVE users × O(1), never history length. Emits the
+    * cumulative profile each time a user receives rows (Update mode). */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ProfileEvent, UserProfile] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[ProfileTotals] = _
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      totals = getHandle.getValueState[ProfileTotals](
+        "totals", enc.product[ProfileTotals], TTLConfig.NONE)
+      recent = getHandle.getListState[(Long, Long)](
+        "recent", enc.tuple(enc.scalaLong, enc.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ProfileEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserProfile] = {
+      var n = 0L; var sum = 0L
+      val incoming = Seq.newBuilder[(Long, Long)]
+      rows.foreach { e => n += 1; sum += e.valueMicros; incoming += ((e.tsNanos, e.eventId)) }
+      val prev = Option(totals.get()).getOrElse(ProfileTotals(0L, 0L))
+      val next = ProfileTotals(prev.nEvents + n, prev.sumMicros + sum)
+      totals.update(next)
+      // merge this batch's arrivals into the stored top-5-by-recency;
+      // ordering is on (ts, id) so replays/partitionings agree on ties
+      val merged = (recent.get().toSeq ++ incoming.result())
+        .sortBy { case (ts, id) => (-ts, -id) }.take(5)
+      recent.put(merged.toArray)
+      Iterator(UserProfile(key, next.nEvents, next.sumMicros,
+        merged.map(_._2).mkString(",")))
+    }
+  }
+
+  /** Bounded replay of [[UserProfileProcessor]] (same scaffolding as the
+    * other replays; state store forced to RocksDB, which
+    * transformWithState requires, and restored afterwards). Update-mode
+    * emissions are cumulative, so the final profile per user is its
+    * max-nEvents row — with a single available-now batch, the only row. */
+  def runProfileOnce(spark: SparkSession, path: String, sinkName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val events = spark.readStream
+      .schema(RawEventSchema)
+      .parquet(dir)
+      .select(
+        col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts").as("tsNanos"),
+        round(col("value") * lit(1000000L)).cast("long").as("valueMicros"))
+      .as[ProfileEvent]
+    try {
+      withReplayPartitions(spark) {
+        val q = events
+          .groupByKey(_.userId)
+          .transformWithState(new UserProfileProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .writeStream
+          .queryName(sinkName)
+          .outputMode(OutputMode.Update())
+          .format("memory")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
+    // keep each user's final (cumulative) emission
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("nEvents").desc)
+    spark.table(sinkName)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class Session(

@@ -66,6 +66,25 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L))) // whole-text shingle, no overlap
   }
 
+  test("contaminationBloom equals exact contamination (verify step kills Bloom FPs)") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog indeed"),
+      (2L, "completely different content with no shared phrases at all here"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))).toMap
+    val exact = rows(Curation.contamination(corpus, evalSet, "doc_id", "text", w = 5))
+    // tiny expectedShingles + high fpp forces a dense, FP-prone filter —
+    // the exact verify must still reproduce the exact answer
+    val bloom = rows(Curation.contaminationBloom(corpus, evalSet, "doc_id", "text",
+      w = 5, expectedShingles = 8L, fpp = 0.5))
+    assert(bloom === exact, s"bloom=$bloom exact=$exact")
+  }
+
   test("packSequences respects the budget and covers every doc exactly once") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")

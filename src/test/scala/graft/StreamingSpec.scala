@@ -144,6 +144,28 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length === 1 && u2(0).nEvents === 1)
   }
 
+  test("transformWithState profile replay equals the batch per-user aggregate") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamed = EventStream.runProfileOnce(
+      spark, "/root/testdata/sf0.001/events.parquet", "spec_profile_sink")
+      .select("userId", "nEvents", "sumMicros", "recent5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("vmic", round(col("value") * lit(1000000L)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("vmic")).as("s"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") <= 5,
+            struct(col("rn"), col("event_id"))))),
+          x => x.getField("event_id").cast("string")), ",").as("recent5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed === batch,
+      s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("intervalMs parses watermark strings; month intervals rejected") {
     assert(EventStream.intervalMs("1 hour") === 3600000L)
     assert(EventStream.intervalMs("30 minutes") === 1800000L)
