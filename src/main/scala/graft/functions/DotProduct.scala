@@ -86,6 +86,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (children: Seq[Expression]) => StripAccents(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_run_stats"),
+      new ExpressionInfo(classOf[NGramRunStats].getName, "ngram_run_stats"),
+      (children: Seq[Expression]) => NGramRunStats(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -117,5 +122,10 @@ object GraftFunctions {
       FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (children: Seq[Expression]) => StripAccents(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_run_stats"),
+      new ExpressionInfo(classOf[NGramRunStats].getName, "ngram_run_stats"),
+      (children: Seq[Expression]) => NGramRunStats(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -201,78 +201,27 @@ object TextStats {
     *     over-approximation of Gopher's span-union measure).
     * A document passes when top_bigram_frac ≤ 0.18 and
     * dup_trigram_frac ≤ 0.30 (Gopher's published thresholds for n=2
-    * top-n-gram and n=3 dup-n-gram). Two explode+group shuffles on
-    * (id, gram) then id — same distributed shape as [[wordRepetition]];
+    * top-n-gram and n=3 dup-n-gram). Entirely map-side — one native
+    * expression per n ([[graft.functions.NGramRunStats]]), no shuffle,
     * no driver-side state. Returns
     * (id, n_chars, top_bigram_frac, dup_trigram_frac, gopher_pass). */
   def gopherGates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Per-doc n-gram counting needs NO shuffle — and no per-gram Catalyst
+    // lambdas either: the run-length scan over the sorted gram array is
+    // the native [[graft.functions.NGramRunStats]] expression (the first
+    // cut exploded to an (id, gram) shuffle; the second was an
+    // `aggregate()` higher-order fold, which Catalyst evaluates
+    // interpreted — ~24M struct-allocating lambda calls at sf0.1, the
+    // single most expensive query in the bench at 6.9 s warm).
     val toks = tokens(col(textCol))
-    def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-
-    // Per-doc n-gram counting needs NO shuffle: run-length scan over the
-    // SORTED gram array as one `aggregate` expression — max-count gram
-    // (ties resolve to the lexicographically smallest, which the sort
-    // order meets first, so strictly-greater keeps it) plus the chars
-    // covered by grams occurring more than once. Pure codegen'd
-    // expression, map-side only — the first cut of this operator
-    // exploded to an (id, gram) shuffle and was 100× slower at sf0.1
-    // for a metric that never needed cross-row state.
-    def runScan(gramArr: Column): Column = {
-      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best_c"), lit("").as("best_g"), lit(0L).as("dup"))
-      def close(st: Column): Column = {
-        val better = st.getField("run") > st.getField("best_c")
-        struct(
-          when(better, st.getField("run")).otherwise(st.getField("best_c")).as("best_c"),
-          when(better, st.getField("prev")).otherwise(st.getField("best_g")).as("best_g"),
-          (st.getField("dup") + when(st.getField("run") > 1,
-            st.getField("run") * length(st.getField("prev")).cast("long"))
-            .otherwise(0L)).as("dup"))
-      }
-      aggregate(
-        array_sort(gramArr),
-        zero,
-        (st, e) => {
-          val closed = close(st)
-          when(st.getField("run") === 0L,
-            struct(e.as("prev"), lit(1L).as("run"),
-              st.getField("best_c").as("best_c"),
-              st.getField("best_g").as("best_g"),
-              st.getField("dup").as("dup")))
-          .when(e === st.getField("prev"),
-            struct(st.getField("prev").as("prev"),
-              (st.getField("run") + 1L).as("run"),
-              st.getField("best_c").as("best_c"),
-              st.getField("best_g").as("best_g"),
-              st.getField("dup").as("dup")))
-          .otherwise(
-            struct(e.as("prev"), lit(1L).as("run"),
-              closed.getField("best_c").as("best_c"),
-              closed.getField("best_g").as("best_g"),
-              closed.getField("dup").as("dup")))
-        },
-        st => {
-          val closed = close(st)
-          when(st.getField("run") === 0L,
-            struct(lit(0L).as("best_c"), lit("").as("best_g"), lit(0L).as("dup")))
-          .otherwise(struct(
-            closed.getField("best_c").as("best_c"),
-            closed.getField("best_g").as("best_g"),
-            closed.getField("dup").as("dup")))
-        })
-    }
-
     df.select(col(idCol).as("id"),
         length(col(textCol)).cast("long").as("n_chars"),
-        runScan(grams(2)).as("bi"), runScan(grams(3)).as("tri"))
+        graft.functions.NGramRunStats.ngram_run_stats(toks, 2).as("bi"),
+        graft.functions.NGramRunStats.ngram_run_stats(toks, 3).as("tri"))
       .select(col("id"), col("n_chars"),
         when(col("bi.best_c") > 0,
           round(least(lit(1.0),
-            col("bi.best_c") * length(col("bi.best_g")) / col("n_chars")), 6))
+            col("bi.best_c") * col("bi.best_len") / col("n_chars")), 6))
           .otherwise(0.0).as("top_bigram_frac"),
         round(least(lit(1.0), col("tri.dup") / col("n_chars")), 6)
           .as("dup_trigram_frac"))
