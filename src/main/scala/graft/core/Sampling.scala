@@ -47,4 +47,27 @@ object Sampling {
     }
     df.filter(pmod(col(keyCol), lit(100L)) < pct.cast("long"))
   }
+
+  /** Exact-k per-stratum deterministic sample: within each stratum keep
+    * the k rows with the smallest md5(seed#key) — "exactly k examples per
+    * domain", the draw an eval-set builder or per-domain probe needs
+    * (rate-based sampling can't hit an exact count). The key is
+    * engine-portable (md5 over a string), so the kept SET is fully
+    * oracle-checkable, and re-running with the same seed reproduces it.
+    *
+    * Scale shape: rank-within-stratum is the `WindowGroupLimit` pattern —
+    * Spark pushes the k-limit into each partition's sort (top-k heap per
+    * stratum partition, then top-k of those), so no stratum ever
+    * materializes a full global sort. One shuffle on the stratum. */
+  def exactKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__skey"), col(keyCol))
+    df.withColumn("__skey",
+        md5(concat(lit(seed + "#"), col(keyCol).cast("string"))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__skey", "__rn")
+  }
 }

@@ -91,6 +91,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[NGramRunStats].getName, "ngram_run_stats"),
       (children: Seq[Expression]) => NGramRunStats(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    // bound full-DP levenshtein evaluations that feed a distance filter
+    ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
   }
 }
 

@@ -451,8 +451,11 @@ object Dedup {
     cands
       .join(strs.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
       .join(strs.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .where(col("dist") <= k)
+      // thresholded form: banded DP, early-exit above k (O(k·min-len)
+      // per pair instead of O(|a|·|b|)); returns -1 when above, so the
+      // kept rows carry the true distance
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

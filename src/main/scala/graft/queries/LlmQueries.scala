@@ -807,6 +807,23 @@ object LlmQueries {
              |  WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 20 END)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact-k per-stratum sample: exactly 50 docs per source, chosen by
+    // smallest md5(seed#id) within the stratum — eval-set construction.
+    // The full kept SET is the query output (strong oracle: any rank or
+    // tie-break drift flips the hash). Plan shape: WindowGroupLimit.
+    Q("x20_exact_k_sample",
+      (s, d) => graft.core.Sampling.exactKPerStratum(
+        T(s, d, "documents"), "doc_id", "source", k = 50, seed = "r7")
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH k AS (SELECT source, doc_id,
+             |    md5('r7#' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+             |r AS (SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+             |  FROM k)
+             |SELECT source, doc_id FROM r WHERE rn <= 50
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Benchmark decontamination: n-gram overlap of each corpus doc against
     // an eval set (src0 plays the benchmark); full DuckDB twin replicating
     // the shingle semantics (distinct per doc, whole-text when < w tokens).

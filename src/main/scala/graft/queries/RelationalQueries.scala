@@ -412,6 +412,33 @@ object RelationalQueries {
               |(SELECT ${sumExactSql("o_totalprice")} FROM orders) AS sum_total
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ORC round-trip: the second columnar format (predicate pushdown +
+    // column pruning, like parquet, but a different reader/writer stack).
+    // Write orders to ORC, read it back, aggregate — the oracle computes
+    // the same aggregate on the SOURCE parquet, so a green hash proves the
+    // ORC write+read is value-lossless for long/double/string/date cols.
+    Q("p6_orc_roundtrip",
+      (s, d) => {
+        val orcPath = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").toString
+        T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .write.mode("overwrite").orc(orcPath)
+        s.read.orc(orcPath)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("o_totalprice")).as("sum_price"),
+            max(col("o_orderdate")).as("max_date"),
+            countDistinct(col("o_orderpriority")).as("n_prio"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price,
+              |MAX(o_orderdate) AS max_date,
+              |COUNT(DISTINCT o_orderpriority) AS n_prio
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bucketed co-located join as a CORRECTNESS entry: both sides written
     // bucketed+sorted on the key (one write-side shuffle each), then
     // joined exchange-free (the zero-Exchange plan itself is locked by

@@ -85,6 +85,28 @@ class CurationSpec extends SparkSpec {
     assert(bloom === exact, s"bloom=$bloom exact=$exact")
   }
 
+  test("exactKPerStratum: exact counts, determinism, seed sensitivity, group-limit plan") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = graft.core.Sampling.exactKPerStratum(df, "doc_id", "source", k = 10, seed = "s1")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ === 10L) && bySrc.size === 4)
+    // deterministic: same seed reproduces the identical set
+    val again = graft.core.Sampling.exactKPerStratum(df, "doc_id", "source", k = 10, seed = "s1")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ===
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // different seed draws a different set (overwhelming probability)
+    val other = graft.core.Sampling.exactKPerStratum(df, "doc_id", "source", k = 10, seed = "s2")
+    assert(out.collect().map(_.getLong(0)).toSet !==
+      other.collect().map(_.getLong(0)).toSet)
+    // small stratum: keeps all rows when size < k
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(graft.core.Sampling.exactKPerStratum(tiny, "doc_id", "source", 10, "s").count() === 3L)
+    // rank limit is pushed into the sort (WindowGroupLimit), no full-stratum window
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("packSequences respects the budget and covers every doc exactly once") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")

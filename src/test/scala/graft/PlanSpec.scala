@@ -79,6 +79,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("ThresholdedLevenshtein rule: rewrites to the banded form, preserves results, idempotent") {
+    import spark.implicits._
+    // reference distances computed in Scala; strings include equal-length,
+    // wildly-different-length, and null cases
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    def rs(): String = Seq.fill(rnd.nextInt(7))("ab" (rnd.nextInt(2))).mkString
+    val pairs = (1 to 120).map(i => (i.toLong, rs(), rs())) :+ ((121L, null, "ab")): Seq[(Long, String, String)]
+    // go through parquet so ConvertToLocalRelation can't pre-evaluate the filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    pairs.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val expected = pairs.filter(p => p._2 != null && p._3 != null && lev(p._2, p._3) <= 2)
+      .map(_._1).toSet
+    val plain = src.where(levenshtein(col("a"), col("b")) <= 2)
+    assert(plain.collect().map(_.getLong(0)).toSet === expected)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.ThresholdedLevenshtein
+    try {
+      val ruled = src.where(levenshtein(col("a"), col("b")) <= 2)
+      val opt = ruled.queryExecution.optimizedPlan
+      assert(opt.toString.contains("Some(2)) >= 0"), opt)        // thresholded form present
+      assert(opt.toString.contains("abs((length(a"), opt)        // length guard injected
+      assert(ruled.collect().map(_.getLong(0)).toSet === expected)
+      // strict bound too (< 3 ≡ <= 2)
+      val strict = src.where(levenshtein(col("a"), col("b")) < 3)
+      assert(strict.collect().map(_.getLong(0)).toSet === expected)
+      // idempotent: reapplying rewrites nothing
+      val once = graft.plans.ThresholdedLevenshtein(opt)
+      assert(once fastEquals graft.plans.ThresholdedLevenshtein(once))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("a17: AUC has no unpartitioned window over the data path") {
     val df = SparkEntry.queries("a17_auc")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
