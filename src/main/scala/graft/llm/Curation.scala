@@ -153,6 +153,61 @@ object Curation {
       .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))
   }
 
+  /** Within-document line dedup (C4/FineWeb-style "remove duplicated
+    * lines, keep first occurrence"): split on `sep`, drop every repeat of
+    * an already-seen line, reassemble in original order. Returns
+    * (id, n_lines, n_kept, text_dedup).
+    *
+    * Scale shape: one posexplode + one (id, line)-keyed window + one
+    * groupBy(id) reassembly — all keyed by doc id, so partitioning by id
+    * carries through; no cross-document state. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("line")).orderBy(col("pos"))
+    lines
+      .withColumn("__occ", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__occ") === 1,
+            struct(col("pos"), col("line"))))),
+          e => e.getField("line"))).as("text_dedup"))
+  }
+
+  /** Per-stratum token-budget cap: walk each stratum's documents in
+    * deterministic pseudo-random order (md5(seed#key)) and keep documents
+    * while the running token total stays ≤ `budget` — the "sample this
+    * domain down to N tokens" primitive of a pretraining mixture.
+    * Prefix semantics: the kept set is the longest prefix of the walk
+    * whose cumulative token total fits the budget (the running sum is
+    * monotone, so everything after the first overflow is out) — a plain
+    * cumulative-sum window filter, and therefore fully SQL-oracle-able.
+    *
+    * Scale shape: one shuffle on the stratum + a per-stratum ordered
+    * cumulative sum. Strata are domains (bounded count, possibly large) —
+    * a single stratum sorts within its partitions via WindowExec; for a
+    * pathologically hot stratum, pre-aggregate per (stratum, key-range)
+    * or split the stratum upstream. */
+  def tokenBudgetCap(df: DataFrame, keyCol: String, strataCol: String,
+      nTokensCol: String, budget: Long, seed: String): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__skey"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__skey",
+        md5(concat(lit(seed + "#"), col(keyCol).cast("string"))))
+      .withColumn("__cum", sum(col(nTokensCol).cast("long")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__skey", "__cum")
+  }
+
   /** Greedy per-partition sequence packing: assign documents to packs so
     * each pack's token total stays ≤ `budget` (docs larger than the
     * budget get their own pack). Returns (pack_id, doc ids, n_docs,

@@ -807,6 +807,53 @@ object LlmQueries {
              |  WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 20 END)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Within-doc line dedup (C4/FineWeb "drop repeated lines, keep first").
+    // Fixture text has no newlines, so the query PLANTS them: ' the ' →
+    // '\n' gives multi-line docs, then doc+doc guarantees every line is
+    // duplicated once — the dedup must reduce back to exactly the planted
+    // lines, pinned per doc by an md5 twin of the reassembled text.
+    Q("x21_line_dedup",
+      (s, d) => {
+        val planted = T(s, d, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), lit(" the "), lit("\n")).as("r"))
+          .select(col("doc_id"),
+            concat(col("r"), lit("\n"), col("r")).as("txt"))
+        graft.llm.Curation.dedupLines(planted, "doc_id", "txt")
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_dedup")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS r FROM documents),
+             |t2 AS (SELECT doc_id, r || chr(10) || r AS txt FROM t),
+             |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lns FROM t2),
+             |l AS (SELECT doc_id, i AS pos, lns[i] AS line
+             |  FROM ls, LATERAL unnest(range(1, len(lns) + 1)) AS u(i)),
+             |o AS (SELECT doc_id, pos, line,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ FROM l)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(string_agg(CASE WHEN occ = 1 THEN line END, chr(10) ORDER BY pos)) AS text_md5
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-source token-budget cap: keep each domain's deterministic
+    // pseudo-random prefix while cumulative tokens fit the budget — the
+    // "sample this domain down to N tokens" mixture primitive. Output is
+    // the full kept set (rank or cumsum drift flips the hash).
+    Q("x22_token_budget",
+      (s, d) => graft.llm.Curation.tokenBudgetCap(
+        T(s, d, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " "))),
+        "doc_id", "source", "n_tokens", budget = 20000L, seed = "r7")
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH dx AS (SELECT source, doc_id, len(string_split(text, ' ')) AS nt,
+             |    md5('r7#' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+             |c AS (SELECT source, doc_id,
+             |  SUM(nt) OVER (PARTITION BY source ORDER BY skey, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dx)
+             |SELECT source, doc_id FROM c WHERE cum <= 20000
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Exact-k per-stratum sample: exactly 50 docs per source, chosen by
     // smallest md5(seed#id) within the stratum — eval-set construction.
     // The full kept SET is the query output (strong oracle: any rank or

@@ -85,6 +85,48 @@ class CurationSpec extends SparkSpec {
     assert(bloom === exact, s"bloom=$bloom exact=$exact")
   }
 
+  test("dedupLines keeps first occurrence in original order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"), // dups out of order
+      (2L, "solo"),                            // single line
+      (3L, "x\nx\nx")                          // all same
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("text_dedup")))).toMap
+    assert(out(1L) === ((5L, 3L, "alpha\nbeta\ngamma")))
+    assert(out(2L) === ((1L, 1L, "solo")))
+    assert(out(3L) === ((3L, 1L, "x")))
+  }
+
+  test("tokenBudgetCap keeps the maximal fitting prefix per stratum, deterministic by seed") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"src${i % 2}", 10L + (i % 5)))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Curation.tokenBudgetCap(docs, "doc_id", "source", "n_tokens",
+      budget = 120L, seed = "t")
+    // per stratum: total tokens within budget, and adding the next doc in
+    // walk order would overflow (maximality)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("__skey"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val walk = docs.withColumn("__skey",
+        md5(concat(lit("t#"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum"))).groupBy(_._1)
+    val keptIds = kept.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    walk.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      val expect = sorted.takeWhile(_._3 <= 120L).map(_._2).toSet
+      assert(sorted.filter(r => keptIds.contains(r._2)).map(_._2).toSet === expect)
+    }
+    // deterministic across invocations
+    val again = Curation.tokenBudgetCap(docs, "doc_id", "source", "n_tokens", 120L, "t")
+    assert(again.collect().map(_.getAs[Long]("doc_id")).toSet === keptIds)
+  }
+
   test("exactKPerStratum: exact counts, determinism, seed sensitivity, group-limit plan") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
