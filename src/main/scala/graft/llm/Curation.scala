@@ -139,15 +139,22 @@ object Curation {
     val corpusSh = Dedup.shingles(corpus, idCol, textCol, w)
     val evalSh = Dedup.shingles(evalSet, idCol, textCol, w)
       .select(col("shingle")).distinct()
+    val totalsOnly = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // stat.bloomFilter NPEs on a zero-row frame (bloom_filter_agg yields
+    // null); an empty eval set means no contamination by definition
+    if (evalSh.isEmpty) {
+      return totalsOnly
+        .select(col("id"), col("n_shingles"), lit(0L).as("n_overlap"))
+        .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))
+    }
     val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bc.value.mightContainString(s))
-    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val overlaps = corpusSh.where(mightContain(col("shingle")))
       .join(evalSh, Seq("shingle"), "left_semi") // exact verify: kills Bloom FPs
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
-    totals.join(overlaps, Seq("id"), "left")
+    totalsOnly.join(overlaps, Seq("id"), "left")
       .select(col("id"), col("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("overlap_rate", col("n_overlap") / col("n_shingles"))

@@ -22,6 +22,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
   }
 
+  test("round-7 curation ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    // empty corpus against a non-empty eval set, and vice versa
+    val evalSet = Seq((1L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    assert(Curation.contaminationBloom(emptyDocs, evalSet, "doc_id", "text").count() === 0)
+    val full = Curation.contaminationBloom(evalSet, emptyDocs, "doc_id", "text").collect()
+    assert(full.length === 1 && full(0).getAs[Long]("n_overlap") === 0L)
+    assert(Curation.dedupLines(emptyDocs, "doc_id", "text").count() === 0)
+    val emptyTok = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tokens")
+    assert(Curation.tokenBudgetCap(emptyTok, "doc_id", "source", "n_tokens", 10L, "s").count() === 0)
+    // budget 0 keeps nothing (any positive doc overflows immediately)
+    val one = Seq((1L, "a", 5L)).toDF("doc_id", "source", "n_tokens")
+    assert(Curation.tokenBudgetCap(one, "doc_id", "source", "n_tokens", 0L, "s").count() === 0)
+    assert(Sampling.exactKPerStratum(
+      emptyDocs.withColumnRenamed("text", "source"), "doc_id", "source", 3, "s").count() === 0)
+  }
+
   test("AUC on empty input returns no-signal row, not an exception") {
     import spark.implicits._
     val r = graft.stats.Auc.aucDf(
