@@ -165,24 +165,28 @@ object Curation {
     * an already-seen line, reassemble in original order. Returns
     * (id, n_lines, n_kept, text_dedup).
     *
-    * Scale shape: one posexplode + one (id, line)-keyed window + one
-    * groupBy(id) reassembly — all keyed by doc id, so partitioning by id
-    * carries through; no cross-document state. */
+    * Scale shape: ONE data shuffle. The window partitions by id and
+    * orders by (line, pos), so "first occurrence" is just "line differs
+    * from the previous row's" (lag) — and the downstream groupBy(id)
+    * reuses the id hash partitioning instead of paying a second
+    * Exchange (the (id, line)-keyed row_number formulation costs two).
+    * No cross-document state. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"), col("line")).orderBy(col("pos"))
+      .partitionBy(col("id")).orderBy(col("line"), col("pos"))
     lines
-      .withColumn("__occ", row_number().over(w))
+      .withColumn("__keep",
+        lag(col("line"), 1).over(w).isNull || col("line") =!= lag(col("line"), 1).over(w))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("__occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(sep, transform(
-          array_sort(collect_list(when(col("__occ") === 1,
+          array_sort(collect_list(when(col("__keep"),
             struct(col("pos"), col("line"))))),
           e => e.getField("line"))).as("text_dedup"))
   }
