@@ -181,6 +181,76 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL nearest-neighbor image resize through the JDK codec: decode,
+    * sample dst(x, y) = src(x·srcW/dstW, y·srcH/dstH) (integer floor —
+    * the standard NN mapping, exact and engine-independent), re-encode as
+    * PNG. Grayscale rasters copy the raw sample; color collapses to
+    * BT.601 luminance first (same convention as [[decodeImage]]).
+    * Returns None for undecodable payloads. */
+  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW >= 1 && dstH >= 1, s"resize target must be positive, got ${dstW}x$dstH")
+    if (payload == null || payload.isEmpty) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = img.getColorModel.getNumComponents == 1
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = out.getRaster
+    var y = 0
+    while (y < dstH) {
+      val sy = y * h / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * w / dstW
+        val lum =
+          if (gray) img.getRaster.getSample(sx, sy, 0)
+          else {
+            val rgb = img.getRGB(sx, sy)
+            math.round(0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF)
+              + 0.114 * (rgb & 0xFF)).toInt
+          }
+        raster.setSample(x, y, 0, lum)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Some(bos.toByteArray)
+  }
+
+  /** Resize the media table and re-decode the RESIZED payloads — the
+    * whole decode → resize → encode → decode loop runs through the real
+    * codec, proving the resized bytes are themselves valid images.
+    * Map-only like [[decodeImages]]; payloads never shuffle. Output:
+    * (media_id, src_w, src_h, dst_w, dst_h, mean_lum of the resize). */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("src_w", IntegerType, nullable = false),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("dst_w", IntegerType, nullable = false),
+      StructField("dst_h", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val src = decodeImage(r.getAs[Array[Byte]](1))
+          .getOrElse(sys.error(s"media_id=$id: payload is not a decodable image"))
+        val resized = resizeImage(r.getAs[Array[Byte]](1), dstW, dstH)
+          .getOrElse(sys.error(s"media_id=$id: resize failed"))
+        val f = decodeImage(resized)
+          .getOrElse(sys.error(s"media_id=$id: resized payload failed to decode"))
+        Row(id, src.width, src.height, f.width, f.height, f.meanLum)
+      }
+    }(enc)
+  }
+
   /** Decode/feature-extract over the media table: map-only, partition-
     * preserving, batched per partition. Image payloads that the JDK codec
     * can decode get the REAL luminance histogram; everything else (audio/

@@ -1165,6 +1165,27 @@ object LlmQueries {
              |  ROUND(((doc_id % 32 + 4) + (doc_id % 24 + 4) - 2) / 2.0, 6) AS mean_lum
              |FROM documents ORDER BY 1""".stripMargin)),
 
+    // REAL image resize: decode → nearest-neighbor resample → PNG encode
+    // → re-decode, all through javax.imageio. The synthetic gradient
+    // (pixel = x + y, sizes a closed form of the id) makes the resized
+    // mean SQL-computable: NN picks src (x·w/8, y·h/8) with integer
+    // floor, so mean = (Σ_x floor(x·w/8))/8 + (Σ_y floor(y·h/8))/8.
+    Q("mm5_image_resize",
+      (s, d) => Multimodal.resizeImages(
+        Multimodal.fromDocumentsPng(T(s, d, "documents")), dstW = 8, dstH = 8)
+        .select(col("media_id"), col("src_w"), col("src_h"),
+          col("dst_w"), col("dst_h"), round(col("mean_lum"), 6).as("mean_lum"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 32 + 4 AS INT) AS src_w,
+             |  CAST(doc_id % 24 + 4 AS INT) AS src_h,
+             |  CAST(8 AS INT) AS dst_w, CAST(8 AS INT) AS dst_h,
+             |  ROUND(
+             |    list_sum(list_transform(range(8), x -> (x * (doc_id % 32 + 4)) // 8)) / 8.0 +
+             |    list_sum(list_transform(range(8), y -> (y * (doc_id % 24 + 4)) // 8)) / 8.0,
+             |  6) AS mean_lum
+             |FROM documents ORDER BY 1""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

@@ -345,4 +345,20 @@ class CoreSpec extends SparkSpec {
     assert(real(0L).drop(1).forall(_ === 0f)) // 4x4 gradient: levels ≤ 6 → bin 0 only
     assert(math.abs(real(0L).sum - 1.0f) < 1e-5f)
   }
+
+  test("Multimodal: nearest-neighbor resize — exact pixels, round-trips the codec") {
+    // 4x4 gradient (pixel = x+y) resized to 2x2: NN picks src (x*4/2, y*4/2)
+    // = (0,0),(2,0),(0,2),(2,2) → values 0,2,2,4 → mean 2.0
+    val png = Multimodal.syntheticPng(4, 4)
+    val resized = Multimodal.resizeImage(png, 2, 2).get
+    val f = Multimodal.decodeImage(resized).get
+    assert(f.width === 2 && f.height === 2)
+    assert(math.abs(f.meanLum - 2.0) < 1e-9)
+    // upscale 2x2 -> 4x4 repeats each pixel 2x2: mean is preserved
+    val small = Multimodal.syntheticPng(2, 2) // pixels 0,1,1,2 → mean 1.0
+    val up = Multimodal.decodeImage(Multimodal.resizeImage(small, 4, 4).get).get
+    assert(up.width === 4 && math.abs(up.meanLum - 1.0) < 1e-9)
+    // undecodable input → None, not an exception
+    assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 2, 2).isEmpty)
+  }
 }
