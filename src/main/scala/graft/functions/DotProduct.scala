@@ -91,6 +91,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[NGramRunStats].getName, "ngram_run_stats"),
       (children: Seq[Expression]) => NGramRunStats(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      (children: Seq[Expression]) => DistinctShingles(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     // bound full-DP levenshtein evaluations that feed a distance filter
     ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
   }
@@ -128,6 +133,11 @@ object GraftFunctions {
       FunctionIdentifier("ngram_run_stats"),
       new ExpressionInfo(classOf[NGramRunStats].getName, "ngram_run_stats"),
       (children: Seq[Expression]) => NGramRunStats(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      (children: Seq[Expression]) => DistinctShingles(children(0),
         children(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -20,15 +20,16 @@ object Dedup {
   // ---- shingling ----------------------------------------------------------
 
   /** Distinct `w`-token shingles per row: (id, shingle). Documents with
-    * fewer than `w` tokens contribute their whole text as one shingle. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) < w, array(col(textCol))).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w))))))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
-  }
+    * fewer than `w` tokens contribute their whole text as one shingle.
+    * The gram builder is the native zero-copy
+    * [[graft.functions.DistinctShingles]] kernel (bit-identical to the
+    * previous `array_distinct(transform(...))` lambda chain, which
+    * Catalyst evaluated interpreted — `DistinctShinglesSpec` locks the
+    * parity). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.DistinctShingles.distinct_shingles(col(textCol), w))
+        .as("shingle"))
 
   // ---- exact dedup --------------------------------------------------------
 
