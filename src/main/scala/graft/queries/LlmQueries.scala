@@ -807,6 +807,35 @@ object LlmQueries {
              |  WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 20 END)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BPE training's distributed kernel: corpus word counting + the
+    // round-0 adjacent symbol-pair frequencies (what the first merge
+    // maximizes), restricted to ascii-alnum words so char slicing is
+    // engine-portable. The merge LOOP itself runs vocabulary-scale on the
+    // driver (llm/Bpe.train, BpeSpec hand-computed sequence); this query
+    // oracles the corpus-scale half. (total, pair) is a total order, so
+    // the LIMIT boundary is deterministic.
+    Q("x23_bpe_pairs",
+      (s, d) => graft.llm.Bpe.wordCounts(T(s, d, "documents"), "text")
+        // length >= 2: single-char words have no pairs — and Spark's
+        // sequence(1, 0) would generate a DESCENDING [1, 0], not empty
+        .where(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sumLong(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(30),
+      Some(s"""WITH w AS (
+              |  SELECT t.word AS word, COUNT(*) AS n FROM documents,
+              |    LATERAL unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS t(word)
+              |  GROUP BY 1),
+              |f AS (SELECT word, n FROM w
+              |  WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2),
+              |p AS (SELECT substr(word, i, 2) AS pair, n
+              |  FROM f, LATERAL unnest(range(1, length(word))) AS u(i))
+              |SELECT pair, CAST(SUM(n) AS BIGINT) AS total FROM p
+              |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30""".stripMargin)),
+
     // Within-doc line dedup (C4/FineWeb "drop repeated lines, keep first").
     // Fixture text has no newlines, so the query PLANTS them: ' the ' →
     // '\n' gives multi-line docs, then doc+doc guarantees every line is
