@@ -439,6 +439,39 @@ object RelationalQueries {
               |COUNT(DISTINCT o_orderpriority) AS n_prio
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // JSON-Lines round-trip: the dominant raw-corpus interchange format
+    // in LLM data pipelines (one JSON object per line). Write the
+    // documents table as JSONL, read it back with an explicit schema,
+    // aggregate — the oracle computes the same on the source parquet, so
+    // a green hash proves JSON escaping round-trips the text exactly
+    // (min/max text are full binary-collation string comparisons).
+    Q("p7_jsonl_roundtrip",
+      (s, d) => {
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_jsonl_roundtrip").toString
+        T(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(path)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(path)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sumLong(col("n_chars")).as("sum_chars"),
+            sumLong(length(col("text"))).as("sum_text_len"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("text")).as("min_text"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+              |${sumLongSql("n_chars")} AS sum_chars,
+              |${sumLongSql("length(text)")} AS sum_text_len,
+              |COUNT(DISTINCT lang) AS n_langs,
+              |MIN(text) AS min_text,
+              |MAX(doc_id) AS max_id
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bucketed co-located join as a CORRECTNESS entry: both sides written
     // bucketed+sorted on the key (one write-side shuffle each), then
     // joined exchange-free (the zero-Exchange plan itself is locked by
