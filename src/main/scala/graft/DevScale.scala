@@ -19,18 +19,17 @@ object DevScale {
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
+    val linearOps = Seq("x18_gopher_gates", "d10_substring_dedup", "d1_exact_dedup",
+      "x1_token_stats", "x2_lang_id", "x21_line_dedup", "x23_bpe_pairs")
     val queriesPerMult: Map[Int, Seq[String]] = Map(
-      1 -> Seq("x18_gopher_gates", "d10_substring_dedup", "d1_exact_dedup",
-        "x1_token_stats", "x2_lang_id", "d3_minhash_lsh"),
-      10 -> Seq("x18_gopher_gates", "d10_substring_dedup", "d1_exact_dedup",
-        "x1_token_stats", "x2_lang_id", "d3_minhash_lsh"),
+      1 -> (linearOps :+ "d3_minhash_lsh"),
+      10 -> (linearOps :+ "d3_minhash_lsh"),
       // ×100: pairwise-output dedup is intentionally excluded — a corpus
       // where every doc has 99 near-twins makes the PAIR OUTPUT itself
       // quadratic in dup multiplicity (24.7M true pairs); that is the
       // operator's contract, not a scaling defect. The linear-output ops
       // are the curve.
-      100 -> Seq("x18_gopher_gates", "d10_substring_dedup", "d1_exact_dedup",
-        "x1_token_stats", "x2_lang_id"))
+      100 -> linearOps)
 
     queriesPerMult.keys.toSeq.sorted.foreach { mult =>
       val dir = s"/tmp/graft_scale_x$mult"
