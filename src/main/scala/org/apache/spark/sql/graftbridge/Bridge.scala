@@ -12,4 +12,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test-only visibility shims: `SparkSessionExtensions`' build methods
+    * are `private[sql]`, so the spec that proves `GraftExtensions`
+    * actually injects its functions and optimizer rule goes through
+    * here. */
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+
+  def injectedFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    // registerFunctions folds the injected entries into a registry; use a
+    // throwaway clone of the session's registry to observe what lands
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val before = reg.listFunction().map(_.unquotedString).toSet
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.unquotedString).filterNot(before).sorted
+  }
 }

@@ -118,6 +118,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("GraftExtensions injects all functions and the optimizer rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val fns = org.apache.spark.sql.graftbridge.Bridge.injectedFunctionNames(ext)
+    assert(fns === Seq("distinct_shingles", "dot_product", "ngram_run_stats",
+      "nfc_normalize", "strip_accents").sorted, fns)
+    val rules = org.apache.spark.sql.graftbridge.Bridge.builtOptimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.ThresholdedLevenshtein), rules)
+  }
+
   test("a17: AUC has no unpartitioned window over the data path") {
     val df = SparkEntry.queries("a17_auc")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
