@@ -433,7 +433,8 @@ object EventStream {
     * transformWithState requires, and restored afterwards). Update-mode
     * emissions are cumulative, so the final profile per user is its
     * max-nEvents row — with a single available-now batch, the only row. */
-  def runProfileOnce(spark: SparkSession, path: String, sinkName: String): DataFrame = {
+  def runProfileOnce(spark: SparkSession, path: String, sinkName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -448,8 +449,14 @@ object EventStream {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d.toString
       }
-    val events = spark.readStream
-      .schema(RawEventSchema)
+    // maxFilesPerTrigger splits a multi-file input into several
+    // micro-batches — the cross-batch state-accumulation path (specs
+    // drive it; the single-file bounded replay runs one batch)
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(RawEventSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val events = reader
       .parquet(dir)
       .select(
         col("user_id").as("userId"), col("event_id").as("eventId"),

@@ -166,6 +166,28 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("transformWithState accumulates across micro-batches (multi-file replay)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // split the events file into 4 parquet parts; maxFilesPerTrigger=1
+    // forces one micro-batch per part, so per-user state must carry
+    // across batches (totals add up, recent-5 merges across batches)
+    val raw = spark.read
+      .schema(EventStream.RawEventSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_profile_multi").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val multi = EventStream.runProfileOnce(spark, dir, "spec_profile_multi",
+      maxFilesPerTrigger = Some(1))
+      .select("userId", "nEvents", "sumMicros", "recent5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val single = EventStream.runProfileOnce(
+      spark, "/root/testdata/sf0.001/events.parquet", "spec_profile_single")
+      .select("userId", "nEvents", "sumMicros", "recent5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(multi.nonEmpty && multi === single,
+      s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
+  }
+
   test("intervalMs parses watermark strings; month intervals rejected") {
     assert(EventStream.intervalMs("1 hour") === 3600000L)
     assert(EventStream.intervalMs("30 minutes") === 1800000L)
