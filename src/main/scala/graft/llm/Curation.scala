@@ -191,6 +191,33 @@ object Curation {
           e => e.getField("line"))).as("text_dedup"))
   }
 
+  /** Span-level quality trim (FineWeb-style "filter inside the
+    * document"): split on `sep`, score every line with
+    * [[TextStats.qualityScore]], drop lines under `minScore`, reassemble
+    * the survivors in original order. Whole-document gates throw away
+    * salvageable text; this keeps the good spans. Returns
+    * (id, n_lines, n_kept, text_trimmed).
+    *
+    * Scale shape: one posexplode + per-line scoring (pure expressions,
+    * map-side) + one groupBy(id) reassembly — a single shuffle, no
+    * cross-document state. */
+  def qualityTrim(df: DataFrame, idCol: String, textCol: String,
+      minScore: Double, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    lines
+      .withColumn("__keep", TextStats.qualityScore(col("line")) >= minScore)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          e => e.getField("line"))).as("text_trimmed"))
+  }
+
   /** Per-stratum token-budget cap: walk each stratum's documents in
     * deterministic pseudo-random order (md5(seed#key)) and keep documents
     * while the running token total stays ≤ `budget` — the "sample this

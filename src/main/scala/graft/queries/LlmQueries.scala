@@ -864,6 +864,41 @@ object LlmQueries {
              |  md5(string_agg(CASE WHEN occ = 1 THEN line END, chr(10) ORDER BY pos)) AS text_md5
              |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Span-level quality trim: same planted-newline construction as x21,
+    // but lines are FILTERED by the quality score instead of deduped —
+    // the keep-good-spans half of within-document curation. The oracle
+    // replays the full quality formula per line in SQL (x3's twin).
+    Q("x24_quality_trim",
+      (s, d) => {
+        val planted = T(s, d, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), lit(" the "), lit("\n")).as("txt"))
+        graft.llm.Curation.qualityTrim(planted, "doc_id", "txt", minScore = 0.5)
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_trimmed")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
+          .map(m => s"'$m'").mkString("(", ",", ")")
+        val q =
+          s"""LEAST(len(string_split(line,' ')) / 64.0, 1.0) * 0.35
+             | + (CASE WHEN (length(line) - (len(string_split(line,' ')) - 1.0)) / len(string_split(line,' '))
+             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
+             | + LEAST(len(list_filter(string_split(line,' '), t -> t IN $allMarkers)) * 8.0
+             |      / GREATEST(len(string_split(line,' ')), 1), 1.0) * 0.2
+             | + length(regexp_replace(line, '[^A-Za-z0-9一-鿿]', '', 'g'))
+             |      / GREATEST(length(line), 1.0) * 0.3""".stripMargin
+        s"""WITH t AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS txt FROM documents),
+           |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lns FROM t),
+           |l AS (SELECT doc_id, i AS pos, lns[i] AS line
+           |  FROM ls, LATERAL unnest(range(1, len(lns) + 1)) AS u(i)),
+           |sc AS (SELECT doc_id, pos, line, ROUND($q, 6) AS qv FROM l)
+           |SELECT doc_id, COUNT(*) AS n_lines,
+           |  CAST(SUM(CASE WHEN qv >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  md5(COALESCE(string_agg(CASE WHEN qv >= 0.5 THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // Per-source token-budget cap: keep each domain's deterministic
     // pseudo-random prefix while cumulative tokens fit the budget — the
     // "sample this domain down to N tokens" mixture primitive. Output is

@@ -100,6 +100,20 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((3L, 1L, "x")))
   }
 
+  test("qualityTrim drops low-quality lines, keeps order; all-dropped gives empty text") {
+    import spark.implicits._
+    val good = "the cat and the dog is here and the day is good for a walk"
+    val docs = Seq(
+      (1L, s"$good\nzz\n$good"),  // junk line between two good ones
+      (2L, "x\n!")                // nothing survives
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityTrim(docs, "doc_id", "text", minScore = 0.5).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("text_trimmed")))).toMap
+    assert(out(1L) === ((3L, 2L, s"$good\n$good")))
+    assert(out(2L) === ((2L, 0L, "")))
+  }
+
   test("tokenBudgetCap keeps the maximal fitting prefix per stratum, deterministic by seed") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, s"src${i % 2}", 10L + (i % 5)))
