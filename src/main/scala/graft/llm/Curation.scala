@@ -191,6 +191,43 @@ object Curation {
           e => e.getField("line"))).as("text_dedup"))
   }
 
+  /** Cross-document boilerplate removal (the C4 rule: any line occurring
+    * in at least `minDocs` distinct documents is template boilerplate —
+    * navigation, headers, license footers — and is stripped from every
+    * document). Returns (id, n_lines, n_kept, text_clean).
+    *
+    * Scale shape: one (line)-keyed distinct-count aggregation over the
+    * exploded lines (map-side combined), one equi join of the lines back
+    * to the (small — only lines crossing the threshold) boilerplate set
+    * as a left anti, one groupBy(id) reassembly. Hot lines ARE the
+    * boilerplate here, so the skew is in the aggregation (combiner
+    * handles it), never a row explosion. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy("line")
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("line")
+    lines
+      .join(boilerplate, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        sum(lit(1L)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          e => e.getField("line"))).as("text_clean"))
+      // docs whose EVERY line was boilerplate vanish from the anti join —
+      // restore them with empty text (they were all template)
+      .join(lines.groupBy("id").agg(count(lit(1)).as("n_lines")), Seq("id"), "right")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Span-level quality trim (FineWeb-style "filter inside the
     * document"): split on `sep`, score every line with
     * [[TextStats.qualityScore]], drop lines under `minScore`, reassemble

@@ -864,6 +864,36 @@ object LlmQueries {
              |  md5(string_agg(CASE WHEN occ = 1 THEN line END, chr(10) ORDER BY pos)) AS text_md5
              |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Cross-document boilerplate removal (the C4 "line in >= 3 docs"
+    // rule): planted newlines plus an identical footer line appended to
+    // EVERY doc — the rule must strip the footer corpus-wide (and any
+    // naturally shared lines) while doc-specific lines survive.
+    Q("x25_boilerplate",
+      (s, d) => {
+        val planted = T(s, d, "documents").select(col("doc_id"),
+          concat(regexp_replace(col("text"), lit(" the "), lit("\n")),
+            lit("\nCOPYRIGHT FOOTER ALL RIGHTS RESERVED")).as("txt"))
+        graft.llm.Curation.removeBoilerplate(planted, "doc_id", "txt", minDocs = 3)
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_clean")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    replace(text, ' the ', chr(10)) || chr(10) || 'COPYRIGHT FOOTER ALL RIGHTS RESERVED' AS txt
+             |  FROM documents),
+             |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lns FROM t),
+             |l AS (SELECT doc_id, i AS pos, lns[i] AS line
+             |  FROM ls, LATERAL unnest(range(1, len(lns) + 1)) AS u(i)),
+             |bp AS (SELECT line FROM
+             |  (SELECT line, COUNT(DISTINCT doc_id) AS dfreq FROM l GROUP BY 1)
+             |  WHERE dfreq >= 3),
+             |f AS (SELECT doc_id, pos, line,
+             |  CASE WHEN line IN (SELECT line FROM bp) THEN 1 ELSE 0 END AS bpflag FROM l)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |  CAST(SUM(CASE WHEN bpflag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(COALESCE(string_agg(CASE WHEN bpflag = 0 THEN line END, chr(10) ORDER BY pos), '')) AS text_md5
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Span-level quality trim: same planted-newline construction as x21,
     // but lines are FILTERED by the quality score instead of deduped —
     // the keep-good-spans half of within-document curation. The oracle

@@ -100,6 +100,25 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((3L, 1L, "x")))
   }
 
+  test("removeBoilerplate strips corpus-wide lines, keeps doc-specific ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nFOOTER\nmore one"),
+      (2L, "unique two\nFOOTER"),
+      (3L, "unique three\nFOOTER\nshared tail"),
+      (4L, "shared tail\nFOOTER"), // "shared tail" in only 2 docs → kept
+      (5L, "FOOTER")               // all-boilerplate doc → empty text
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text", minDocs = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) === ((3L, 2L, "unique one\nmore one")))
+    assert(out(2L) === ((2L, 1L, "unique two")))
+    assert(out(3L) === ((3L, 2L, "unique three\nshared tail")))
+    assert(out(4L) === ((2L, 1L, "shared tail")))
+    assert(out(5L) === ((1L, 0L, "")))
+  }
+
   test("qualityTrim drops low-quality lines, keeps order; all-dropped gives empty text") {
     import spark.implicits._
     val good = "the cat and the dog is here and the day is good for a walk"
