@@ -31,8 +31,11 @@ object DevRecall {
       val lsh = pairsOf(Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3, dim = 64))
       val ivf = pairsOf(Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 3, dim = 64))
       val pq = pairsOf(Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 3, dim = 64, refine = 22))
+      val ivfpq = pairsOf(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 3, dim = 64,
+        nlist = 16, nprobe = 8, refine = 22))
       def rec(s: Set[(Long, Long)]) = f"${s.intersect(truth).size.toDouble / truth.size}%.4f"
       println(s"[recall] $sf n_truth=${truth.size} lsh=${rec(lsh)} ivf=${rec(ivf)} pq=${rec(pq)}" +
+        s" ivfpq=${rec(ivfpq)}" +
         s" lsh_eq=${lsh == truth} ivf_eq=${ivf == truth} pq_eq=${pq == truth}")
 
       // d3: are ALL exact-J>=0.5 pairs inside the minhash candidate set?

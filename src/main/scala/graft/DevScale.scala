@@ -52,6 +52,31 @@ object DevScale {
         println(f"[scale] x$mult%-4d $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+
+    // ANN two-level reduction evidence: the per-query top-k window must
+    // see ≤ partitions×|Q|×k rows regardless of corpus size (pre-r8 it
+    // saw |corpus|×|Q|). Replicate embeddings ×1/×10/×100 and count the
+    // rows the pre-window stage actually emits.
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val queries10 = embBase.where(col("vec_id") < 10)
+    import graft.llm.Similarity
+    Seq(1, 10, 100).foreach { mult =>
+      val reps = (0 until mult).map { i =>
+        embBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val corpus = reps.reduce(_ unionByName _).repartition(32)
+      val nCorpus = corpus.count()
+      val scored = Similarity.bruteScoredLocalTopK(corpus, queries10,
+        "vec_id", "embedding", k = 3)
+      val windowInput = scored.count()
+      val bound = 32L * 10 * 3 // partitions × |Q| × k
+      val t0 = System.nanoTime()
+      Bench.exec(Similarity.bruteForceTopK(corpus, queries10, "vec_id", "embedding", k = 3))
+      println(f"[ann-scale] x$mult%-4d corpus=$nCorpus%9d window_input=$windowInput%6d " +
+        f"bound=$bound (naive=${nCorpus * 10}%10d) brute_topk=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"ok=${windowInput <= bound}")
+    }
     spark.stop()
   }
 }

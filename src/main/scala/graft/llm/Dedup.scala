@@ -637,15 +637,20 @@ object Dedup {
     * scale pick nClusters ∝ N/target-cluster-size, exactly as the paper
     * does with k=11k clusters for LAION). The greedy fold is
     * sequential per cluster, so clusters must fit one executor's heap —
-    * that is the operator's documented contract, same as the paper's
-    * per-cluster GPU pass. Cross-cluster near-dups are missed by
-    * design (that is SemDeDup's recall/cost trade).
+    * `maxClusterSize` ENFORCES that contract: a cluster that
+    * materializes more than this many vectors fails fast with the
+    * resize recipe instead of silently building a giant executor-heap
+    * array (same discipline as [[dupClusters]]'s edge guard). The
+    * output carries `cluster_size` so callers can histogram the
+    * distribution and tune nClusters. Cross-cluster near-dups are
+    * missed by design (that is SemDeDup's recall/cost trade).
     *
     * Determinism: KMeans with a fixed seed on a fixed input is
     * deterministic, and the greedy visit order is total (ascending id),
     * so the kept set is reproducible run-over-run. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 16, minCos: Double = 0.95, seed: Long = 42L): DataFrame = {
+      nClusters: Int = 16, minCos: Double = 0.95, seed: Long = 42L,
+      maxClusterSize: Int = 1 << 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -661,7 +666,17 @@ object Dedup {
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .flatMapGroups { (cl: Int, it: Iterator[(Long, Array[Double], Int)]) =>
-        val items = it.map { case (id, v, _) => (id, v) }.toArray.sortBy(_._1)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (id, v, _) =>
+          buf += ((id, v))
+          if (buf.length > maxClusterSize) throw new IllegalArgumentException(
+            s"semDedup cluster $cl exceeds maxClusterSize=$maxClusterSize vectors; " +
+              s"the per-cluster greedy must fit one executor's heap — raise nClusters " +
+              s"(pick nClusters ~ N / targetClusterSize, as SemDeDup does) or raise " +
+              s"maxClusterSize if the executors have the memory")
+        }
+        val items = buf.toArray.sortBy(_._1)
+        val size = items.length
         val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val keptNorm = scala.collection.mutable.ArrayBuffer.empty[Double]
         items.iterator.map { case (id, v) =>
@@ -674,9 +689,9 @@ object Dedup {
             i += 1
           }
           if (!dup) { kept += v; keptNorm += n }
-          (id, cl, !dup)
+          (id, cl, !dup, size)
         }
       }
-      .toDF("id", "cluster", "kept")
+      .toDF("id", "cluster", "kept", "cluster_size")
   }
 }

@@ -20,6 +20,49 @@ object Similarity {
 
   import Dedup.{cosine, dot}
 
+  /** Bounded top-k accumulator under the total order (score DESC,
+    * id ASC) — the same order every ANN kernel's final `row_number`
+    * window ranks by. Worst-first binary heap over parallel primitive
+    * arrays (no boxing in the hot loop). Exact top-k under a total
+    * order is merge-associative, so emitting each partition's local
+    * top-k and merging in the window is bit-identical to ranking every
+    * scored pair — but the window input drops from |corpus|×|queries|
+    * rows to ≤ partitions×|queries|×k. */
+  private[graft] final class TopKHeap(k: Int) {
+    private val ids = new Array[Long](k)
+    private val sc = new Array[Double](k)
+    private var n = 0
+    // true iff (sa, ia) ranks WORSE than (sb, ib) under (score desc, id asc)
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+    def offer(id: Long, score: Double): Unit = {
+      if (n < k) {
+        ids(n) = id; sc(n) = score; n += 1
+        var i = n - 1
+        while (i > 0) { // sift up
+          val p = (i - 1) >> 1
+          if (worse(sc(i), ids(i), sc(p), ids(p))) { swap(i, p); i = p } else return
+        }
+      } else if (worse(sc(0), ids(0), score, id)) {
+        ids(0) = id; sc(0) = score
+        var i = 0
+        while (true) { // sift down
+          val l = 2 * i + 1; val r = l + 1
+          var w = i
+          if (l < n && worse(sc(l), ids(l), sc(w), ids(w))) w = l
+          if (r < n && worse(sc(r), ids(r), sc(w), ids(w))) w = r
+          if (w == i) return
+          swap(i, w); i = w
+        }
+      }
+    }
+    private def swap(a: Int, b: Int): Unit = {
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+      val ts = sc(a); sc(a) = sc(b); sc(b) = ts
+    }
+    def drain: Iterator[(Long, Double)] = (0 until n).iterator.map(i => (ids(i), sc(i)))
+  }
+
   /** Brute-force cosine top-k: broadcast the query set against the
     * corpus, rank per query. Exact; cost = |corpus| × |queries| dots,
     * fully parallel over the corpus (the right baseline even at scale
@@ -27,30 +70,50 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
-    // Query set broadcast as primitive arrays; the corpus streams through
-    // a mapPartitions dense kernel (a query⨯corpus non-equi join would be
-    // an interpreted BroadcastNestedLoopJoin — ~30× slower measured).
+    val scored = bruteScoredLocalTopK(corpus, queries, idCol, vecCol, k)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
+  /** The pre-window stage of [[bruteForceTopK]], exposed so DevScale can
+    * count the rows that actually enter the per-query window. Query set
+    * broadcast as primitive arrays; the corpus streams through a
+    * mapPartitions dense kernel (a query⨯corpus non-equi join would be
+    * an interpreted BroadcastNestedLoopJoin — ~30× slower measured).
+    * Two-level reduction: each partition keeps a size-k heap per query
+    * and emits only its local top-k, so the per-query window merges
+    * ≤ partitions×k rows instead of sorting the whole corpus's scores
+    * in one reducer per query. */
+  private[graft] def bruteScoredLocalTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
       .map { case (id, v) => (id, v, math.sqrt(Dedup.dotArr(v, v))) }
     val bc = spark.sparkContext.broadcast(qArr)
-    val scored = corpus
+    corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        it.flatMap { case (cid, cv) =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new TopKHeap(k))
+        it.foreach { case (cid, cv) =>
           val nc = math.sqrt(Dedup.dotArr(cv, cv))
-          bc.value.iterator
-            .filter(_._1 != cid)
-            .map { case (qid, qv, nq) => (qid, cid, Dedup.dotArr(qv, cv) / (nq * nc)) }
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv, nq) = qs(i)
+            if (qid != cid) heaps(i).offer(cid, Dedup.dotArr(qv, cv) / (nq * nc))
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.drain.map { case (cid, s) => (qs(i)._1, cid, s) }
         }
       }.toDF("query_id", "corpus_id", "cos")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rk", row_number().over(w).cast("int"))
-      .where(col("rk") <= k)
-      .select("query_id", "corpus_id", "cos", "rk")
   }
 
   /** Random-hyperplane LSH top-k: corpus bucketed by sign-bit signature
@@ -189,17 +252,21 @@ object Similarity {
     best
   }
 
-  /** Product-quantization top-k — the memory-bound ANN shape for
-    * billion-vector corpora: the (normalized) corpus is encoded as `m`
-    * byte codes per vector (dim×8 bytes → m bytes), queries score
-    * candidates by asymmetric distance computation (ADC: per query an
-    * m×ksub table of subspace dots, scoring = m table lookups, no
-    * original vectors touched), and the approx top `k·refine` get an
-    * EXACT cosine rerank against the original vectors (candidate set is
-    * tiny by then). Codebooks are Lloyd-fit on a guarded driver-side
-    * sample and broadcast — exactly FAISS's train/encode/search split.
-    * With `refine` large enough to cover the corpus the result equals
-    * brute force (SimilaritySpec pins this). */
+  /** Product-quantization top-k — the memory-bound ANN shape: the
+    * (normalized) corpus is encoded as `m` byte codes per vector
+    * (dim×8 bytes → m bytes), queries score candidates by asymmetric
+    * distance computation (ADC: per query an m×ksub table of subspace
+    * dots, scoring = m table lookups, no original vectors touched), and
+    * the approx top `k·refine` get an EXACT cosine rerank against the
+    * original vectors (candidate set is tiny by then). Codebooks are
+    * Lloyd-fit on a guarded driver-side sample and broadcast — exactly
+    * FAISS's train/encode/search split. With `refine` large enough to
+    * cover the corpus the result equals brute force (SimilaritySpec
+    * pins this).
+    *
+    * Standalone PQ still ADC-scans every code per query (memory-bound,
+    * not scan-bound); for the billion-vector shape that also prunes the
+    * scan to nprobe/nlist of the codes per query, use [[ivfPqTopK]]. */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
@@ -257,23 +324,43 @@ object Similarity {
       }
     val bcQ = spark.sparkContext.broadcast(qArr)
 
-    // ADC scoring: approx cosine = Σ_s lut(s, code_s)
+    // ADC scoring: approx cosine = Σ_s lut(s, code_s). Two-level
+    // reduction: per-partition heaps emit only the local top k·refine
+    // per query, so the shortlist window never sees all |corpus| codes.
+    val shortlistK = k * refine
     val approx = encoded.mapPartitions { it =>
       val qs = bcQ.value
-      it.flatMap { case (cid, codes) =>
-        qs.iterator.filter(_._1 != cid).map { case (qid, lut) =>
-          var s = 0; var score = 0.0
-          while (s < codes.length) { score += lut(s * ksub + codes(s)); s += 1 }
-          (qid, cid, score)
+      val heaps = Array.fill(qs.length)(new TopKHeap(shortlistK))
+      it.foreach { case (cid, codes) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut) = qs(qi)
+          if (qid != cid) {
+            var s = 0; var score = 0.0
+            while (s < codes.length) { score += lut(s * ksub + codes(s)); s += 1 }
+            heaps(qi).offer(cid, score)
+          }
+          qi += 1
         }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.drain.map { case (cid, s) => (qs(qi)._1, cid, s) }
       }
     }.toDF("query_id", "corpus_id", "approx")
     val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id"))
     val shortlist = approx.withColumn("ark", row_number().over(wa))
-      .where(col("ark") <= k * refine)
+      .where(col("ark") <= shortlistK)
       .select("query_id", "corpus_id")
 
-    // exact rerank of the shortlist against ORIGINAL vectors
+    exactRerank(shortlist, corpusVec, queries, idCol, vecCol, k)
+  }
+
+  /** Exact cosine rerank of an ANN shortlist against the ORIGINAL
+    * vectors: join back the corpus rows (equi join on id — the
+    * shortlist is tiny by now), broadcast the query vectors, rank. */
+  private def exactRerank(
+      shortlist: DataFrame, corpusVec: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val qVec = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val reranked = shortlist
@@ -284,6 +371,131 @@ object Similarity {
     reranked.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
       .select("query_id", "corpus_id", "cos", "rk")
+  }
+
+  /** IVF+PQ composed top-k — the billion-vector ANN shape (the FAISS
+    * `IVFx,PQy` index): a coarse k-means quantizer routes every corpus
+    * vector to one of `nlist` cells, the PQ codebooks encode the
+    * RESIDUAL (v − centroid) as `m` byte codes, and each query
+    * ADC-scans only its `nprobe` nearest cells — so the scan fraction
+    * is ~nprobe/nlist of the codes, on top of PQ's dim×8→m
+    * bytes-per-vector memory bound. approx cos = dot(q, centroid_cell)
+    * + Σ_s lut_s(code_s), because v ≈ centroid + Σ_s codeword_s on the
+    * normalized corpus. The top k·refine then get the same exact
+    * cosine rerank as [[pqTopK]]. Training (coarse centroids +
+    * residual codebooks) happens on one guarded driver-side sample and
+    * is broadcast once. At cluster scale the encoded table persists
+    * bucketed/partitioned by `cell` (see [[graft.core.Layout]]) so the
+    * probe prune becomes a partition prune rather than a row filter —
+    * here it is a row filter ahead of the per-partition heaps, which
+    * already keeps the shuffle at ≤ partitions×|queries|×k·refine rows.
+    *
+    * With nprobe = nlist every cell is probed, and with `refine`
+    * covering the corpus the result equals brute force regardless of
+    * codebook quality (SimilaritySpec pins this). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      trainMax: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub <= 127, "codes are stored as bytes")
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe must be in [1, nlist=$nlist]")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusVec = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val corpusNorm = corpusVec.as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
+
+    // train on ONE driver-side sample: coarse centroids first, then PQ
+    // codebooks on the residuals v − centroid(v)
+    val sample = corpusNorm.limit(trainMax).collect().map(_._2)
+    if (sample.isEmpty) { // empty corpus: no index, no neighbors
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rk"))
+        .limit(0)
+    }
+    val cents = lloyd(sample, nlist, iters = 10, seed)
+    val nCells = cents.length
+    def residualOf(v: Array[Double], cell: Int, cs: Array[Array[Double]]): Array[Double] = {
+      val r = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { r(j) = v(j) - cs(cell)(j); j += 1 }
+      r
+    }
+    val resSample = sample.map(v => residualOf(v, nearestCode(cents, v), cents))
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => lloyd(resSample.map(subVec(_, s, dsub)), ksub, iters = 10, seed + s))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    // encode: cell + m byte codes of the residual, per corpus vector
+    val encoded = corpusNorm.mapPartitions { it =>
+      val cs = bcCents.value; val bks = bcBooks.value
+      it.map { case (id, v) =>
+        val cell = nearestCode(cs, v)
+        val r = residualOf(v, cell, cs)
+        (id, cell, Array.tabulate(m)(s => nearestCode(bks(s), subVec(r, s, dsub)).toByte))
+      }
+    }
+
+    // queries: broadcast (id, residual ADC table, probe mask, per-cell
+    // bias dot(q, centroid)); cells ranked by centroid dot, nprobe kept
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, qv) =>
+        val qn = l2normalize(qv)
+        val cellDot = Array.tabulate(nCells)(c => Dedup.dotArr(qn, cents(c)))
+        val probedCells = (0 until nCells).sortBy(c => (-cellDot(c), c)).take(nprobe)
+        val probe = new Array[Boolean](nCells)
+        probedCells.foreach(probe(_) = true)
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          val qs = subVec(qn, s, dsub)
+          var c = 0
+          while (c < books(s).length) {
+            lut(s * ksub + c) = Dedup.dotArr(qs, books(s)(c))
+            c += 1
+          }
+          s += 1
+        }
+        (qid, lut, probe, cellDot)
+      }
+    val bcQ = spark.sparkContext.broadcast(qArr)
+
+    val shortlistK = k * refine
+    val approx = encoded.mapPartitions { it =>
+      val qs = bcQ.value
+      val heaps = Array.fill(qs.length)(new TopKHeap(shortlistK))
+      it.foreach { case (cid, cell, codes) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut, probe, cellDot) = qs(qi)
+          if (qid != cid && probe(cell)) {
+            var s = 0; var score = cellDot(cell)
+            while (s < codes.length) { score += lut(s * ksub + codes(s)); s += 1 }
+            heaps(qi).offer(cid, score)
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.drain.map { case (cid, s) => (qs(qi)._1, cid, s) }
+      }
+    }.toDF("query_id", "corpus_id", "approx")
+    val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id"))
+    val shortlist = approx.withColumn("ark", row_number().over(wa))
+      .where(col("ark") <= shortlistK)
+      .select("query_id", "corpus_id")
+
+    exactRerank(shortlist, corpusVec, queries, idCol, vecCol, k)
   }
 
   /** Recall@k of an ANN result against the brute-force truth: fraction

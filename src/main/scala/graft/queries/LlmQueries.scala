@@ -464,6 +464,19 @@ object LlmQueries {
         minRecall = 0.6),
       Some(annRecallOracleSql)),
 
+    // IVF+PQ composed (FAISS IVFx,PQy): coarse cells prune the ADC scan
+    // to nprobe/nlist of the codes, residual PQ bounds memory — the
+    // billion-vector shape. Recall observed across sf0.001/0.01/0.1
+    // with nlist=16, nprobe=8, refine=22: 0.70/0.80/0.57 (DevRecall);
+    // exactness when nprobe=nlist ∧ refine→∞ is pinned by
+    // SimilaritySpec.
+    Q("n5_ann_ivfpq",
+      (s, d) => annRecallSummary(s, d,
+        (emb, qs) => Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
+          nlist = 16, nprobe = 8, refine = 22),
+        minRecall = 0.5),
+      Some(annRecallOracleSql)),
+
     // ---- text analysis ------------------------------------------------------
     Q("x1_token_stats",
       (s, d) => T(s, d, "documents")

@@ -230,6 +230,30 @@ class DedupSpec extends SparkSpec {
     assert(cl(1L) === cl(10L) && cl(3L) === cl(11L))
   }
 
+  test("semDedup enforces maxClusterSize and reports cluster_size") {
+    import spark.implicits._
+    // 8 near-identical vectors in direction A, 2 in direction B → one
+    // k-means cluster of 8 exceeds a cap of 4 and the greedy must refuse
+    // rather than build the giant executor-heap array
+    val rows = (1L to 8L).map(i => (i, Seq(1.0, 0.001 * i, 0.0, 0.0))) ++
+      Seq((9L, Seq(0.0, 0.0, 1.0, 0.001)), (10L, Seq(0.0, 0.0, 1.0, 0.002)))
+    val df = rows.toDF("vec_id", "embedding")
+    // local mode may surface the guard raw or wrapped in SparkException
+    val e = intercept[Exception] {
+      Dedup.semDedup(df, "vec_id", "embedding", nClusters = 2, minCos = 0.999,
+        maxClusterSize = 4).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("maxClusterSize")), messages.mkString(" | "))
+    // under the cap: every row reports its own cluster's true size
+    val ok = Dedup.semDedup(df, "vec_id", "embedding", nClusters = 2, minCos = 0.999,
+      maxClusterSize = 10).collect()
+    val bySize = ok.groupBy(_.getAs[Int]("cluster")).values
+    assert(bySize.forall(rs => rs.forall(_.getAs[Int]("cluster_size") === rs.length)))
+    assert(bySize.map(_.length).toSeq.sorted === Seq(2, 8))
+  }
+
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.4)

@@ -56,6 +56,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a === t)
   }
 
+  test("ivfPqTopK recall@3 vs brute force; nprobe=nlist + full refine equals brute") {
+    val ann = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      dim = 64, nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 22)
+    val recall = Similarity.recallAtK(ann, truth)
+    assert(recall >= 0.6, s"IVFPQ recall@3 = $recall")
+    // probe every cell + refine covering the corpus → exact rerank over
+    // everything → identical to brute force regardless of codebooks
+    val full = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      dim = 64, nlist = 8, nprobe = 8, m = 8, ksub = 16, refine = 1000)
+    val a = full.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val t = truth.select("query_id", "corpus_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === t)
+  }
+
+  test("TopKHeap keeps exactly the top-k under (score desc, id asc), ties included") {
+    val heap = new Similarity.TopKHeap(4)
+    // ties at 0.5 must resolve by smaller id; worst elements evicted
+    val items = Seq((7L, 0.5), (1L, 0.9), (2L, 0.5), (3L, 0.1), (4L, 0.5),
+      (5L, 0.99), (6L, 0.5), (8L, 0.2))
+    items.foreach { case (id, s) => heap.offer(id, s) }
+    val kept = heap.drain.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(kept === Seq((5L, 0.99), (1L, 0.9), (2L, 0.5), (4L, 0.5)))
+  }
+
   test("ANN results never invent pairs: every ANN hit has the true cosine") {
     val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
     // nprobe = nlist → exhaustive scan → must equal brute force exactly
