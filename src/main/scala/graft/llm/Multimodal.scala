@@ -105,13 +105,19 @@ object Multimodal {
     * per-pixel luminance (ITU-R BT.601 weights for color rasters; the
     * raw sample for grayscale). Returns None when the bytes are not a
     * decodable image — callers fall back to [[decodeStub]]. */
-  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+  /** One codec pass: bytes → BufferedImage, or None when undecodable.
+    * Shared by [[decodeImage]] / [[resizeImage]] / [[resizeImages]] so
+    * no caller pays the codec twice for one payload. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (payload == null || payload.isEmpty) return None
     javax.imageio.ImageIO.setUseCache(false)
-    val img =
+    Option(
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
+      catch { case _: java.io.IOException => null })
+  }
+
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    val img = readImage(payload).getOrElse(return None)
     val (w, h) = (img.getWidth, img.getHeight)
     val gray = img.getColorModel.getNumComponents == 1
     val hist = new Array[Float](FeatureDim)
@@ -187,14 +193,14 @@ object Multimodal {
     * PNG. Grayscale rasters copy the raw sample; color collapses to
     * BT.601 luminance first (same convention as [[decodeImage]]).
     * Returns None for undecodable payloads. */
-  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] =
+    readImage(payload).map(resizeDecoded(_, dstW, dstH))
+
+  /** The resize kernel over an already-decoded raster — callers that
+    * need both source dims and the resize decode ONCE and reuse. */
+  private def resizeDecoded(
+      img: java.awt.image.BufferedImage, dstW: Int, dstH: Int): Array[Byte] = {
     require(dstW >= 1 && dstH >= 1, s"resize target must be positive, got ${dstW}x$dstH")
-    if (payload == null || payload.isEmpty) return None
-    javax.imageio.ImageIO.setUseCache(false)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     val gray = img.getColorModel.getNumComponents == 1
     val out = new java.awt.image.BufferedImage(
@@ -220,7 +226,7 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
-    Some(bos.toByteArray)
+    bos.toByteArray
   }
 
   /** Resize the media table and re-decode the RESIZED payloads — the
@@ -240,13 +246,14 @@ object Multimodal {
     media.select("media_id", "payload").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val src = decodeImage(r.getAs[Array[Byte]](1))
+        // ONE decode of the source payload: src dims and the resize both
+        // come from the same BufferedImage (the codec is the cost here)
+        val src = readImage(r.getAs[Array[Byte]](1))
           .getOrElse(sys.error(s"media_id=$id: payload is not a decodable image"))
-        val resized = resizeImage(r.getAs[Array[Byte]](1), dstW, dstH)
-          .getOrElse(sys.error(s"media_id=$id: resize failed"))
+        val resized = resizeDecoded(src, dstW, dstH)
         val f = decodeImage(resized)
           .getOrElse(sys.error(s"media_id=$id: resized payload failed to decode"))
-        Row(id, src.width, src.height, f.width, f.height, f.meanLum)
+        Row(id, src.getWidth, src.getHeight, f.width, f.height, f.meanLum)
       }
     }(enc)
   }

@@ -41,17 +41,22 @@ object ThresholdedLevenshtein extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val rewritten = cond.transformUp {
+        // k.value != null guards against Literal(null, IntegerType):
+        // null.asInstanceOf[Int] unboxes to 0, which would rewrite the
+        // always-null comparison into one that keeps equal strings.
+        // NullPropagation normally folds the null form first, but that
+        // ordering is not contractual under extraOptimizations.
         case LessThanOrEqual(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType))
-            if intVal(k) >= 0 =>
+            if k.value != null && intVal(k) >= 0 =>
           bounded(lev, intVal(k))
         case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None))
-            if intVal(k) >= 0 =>
+            if k.value != null && intVal(k) >= 0 =>
           bounded(lev, intVal(k))
         case LessThan(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType))
-            if intVal(k) >= 1 =>
+            if k.value != null && intVal(k) >= 1 =>
           bounded(lev, intVal(k) - 1)
         case GreaterThan(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None))
-            if intVal(k) >= 1 =>
+            if k.value != null && intVal(k) >= 1 =>
           bounded(lev, intVal(k) - 1)
       }
       if (rewritten fastEquals cond) f else f.copy(condition = rewritten)

@@ -23,6 +23,13 @@ object RelationalQueries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
+  /** Per-session scratch path for sink round-trips: keyed by the Spark
+    * application id so two concurrent sessions on one machine never
+    * overwrite each other's round-trip files mid-read. */
+  private def scratch(s: SparkSession, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${s.sparkContext.applicationId}", name)
+
   /** Shared oracle for j1 / j8 / j9: the salted and bloom-pruned joins'
     * contract IS "result equals the plain inner join". */
   private lazy val plainJoinOracleSql: String =
@@ -384,8 +391,7 @@ object RelationalQueries {
     // identical bits.
     Q("p2_csv_roundtrip",
       (s, d) => {
-        val base = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip")
+        val base = scratch(s, "sink_roundtrip")
         val csvPath = base.resolve("priority.csv").toString
         val jsonPath = base.resolve("summary.json").toString
         val agg = T(s, d, "orders")
@@ -419,8 +425,7 @@ object RelationalQueries {
     // ORC write+read is value-lossless for long/double/string/date cols.
     Q("p6_orc_roundtrip",
       (s, d) => {
-        val orcPath = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_orc_roundtrip").toString
+        val orcPath = scratch(s, "orc_roundtrip").toString
         T(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderpriority"))
@@ -447,8 +452,7 @@ object RelationalQueries {
     // (min/max text are full binary-collation string comparisons).
     Q("p7_jsonl_roundtrip",
       (s, d) => {
-        val path = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_jsonl_roundtrip").toString
+        val path = scratch(s, "jsonl_roundtrip").toString
         T(s, d, "documents")
           .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").json(path)
@@ -471,6 +475,56 @@ object RelationalQueries {
               |MIN(text) AS min_text,
               |MAX(doc_id) AS max_id
               |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S6 markdown-report round-trip: render a small aggregate through the
+    // report sink (Sinks.pretty fixed-width block + writeText, the same
+    // path EdaPipeline block 16 uses — reference `public_eda_pipeline
+    // .py:717-905`), re-read the FILE, parse the table's numbers back,
+    // and emit the parsed rows. The oracle computes the aggregate
+    // directly, so a green hash proves the report renders every value
+    // faithfully (no truncation, no column drift). Floats ride as
+    // DECIMAL(27,6) — the report's exact-display convention (pretty's
+    // %.6g double path is display-only) — so the parse-back is
+    // bit-exact across engines.
+    Q("p8_report_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val mdPath = scratch(s, "report_roundtrip").resolve("report.md")
+        val agg = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(27,6)")).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+        val report =
+          s"""# Orders report
+             |
+             |## Totals by priority
+             |
+             |${graft.io.Sinks.pretty(agg, 10)}
+             |""".stripMargin
+        graft.io.Sinks.writeText(report, mdPath.toString)
+        // parse the rendered table back: the block after the "## Totals"
+        // header; first line is the header row, data rows are
+        // whitespace-separated right-aligned cells
+        val lines = java.nio.file.Files.readAllLines(mdPath).toArray.map(_.toString)
+        val tableStart = lines.indexWhere(_.startsWith("## Totals")) + 2
+        val header = lines(tableStart).trim.split("\\s+")
+        require(header.sameElements(Array("o_orderpriority", "n", "sum_price")),
+          s"report header drifted: ${header.mkString(",")}")
+        // string keys may contain spaces ("4-NOT SPECIFIED"), so take the
+        // two numeric cells from the END and rejoin the rest as the key
+        val parsed = lines.drop(tableStart + 1).takeWhile(_.trim.nonEmpty).map { ln =>
+          val cells = ln.trim.split("\\s+")
+          (cells.dropRight(2).mkString(" "),
+            cells(cells.length - 2).toLong,
+            BigDecimal(cells.last).toDouble)
+        }
+        parsed.toSeq.toDF("o_orderpriority", "n", "sum_price")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Bucketed co-located join as a CORRECTNESS entry: both sides written
     // bucketed+sorted on the key (one write-side shuffle each), then

@@ -130,8 +130,13 @@ object WindowQueries {
     // same plan shape at any scale. The w^(-j) terms grow as the series
     // lengthens (j ≤ 29 on this fixture: 0.8^-29 ≈ 6.4e2); unbounded
     // series need segment-wise renormalization, noted here for the
-    // 100-TB reader. Both engines accumulate the identical sequence in
-    // the identical order, so round(...,6) is safely cross-engine.
+    // 100-TB reader. Cross-engine note: both engines sum the identical
+    // term sequence, but DuckDB evaluates windowed SUM with a segment
+    // tree (pairwise combine), not strictly sequentially — so the fp
+    // error patterns can differ. With the inputs decimal-exact and the
+    // ~650× weight spread of this fixture, the residual error sits far
+    // below the round(...,6) grid; an adversarial series could in
+    // principle straddle a rounding boundary (h2-style caveat).
     Q("w12_ewma",
       (s, d) => {
         val wgt = 0.8 // = 1 - alpha, alpha = 0.2, pandas ewm adjust=True

@@ -116,6 +116,23 @@ class PlanSpec extends SparkSpec {
       val once = graft.plans.ThresholdedLevenshtein(opt)
       assert(once fastEquals graft.plans.ThresholdedLevenshtein(once))
     } finally spark.experimental.extraOptimizations = prev
+    // a NULL threshold literal must NOT rewrite: `lev <= NULL` is
+    // always null (drops every row) while the banded form with the
+    // unboxed-0 threshold would keep equal strings. NullPropagation
+    // usually folds the null form first, but that ordering is not
+    // contractual under extraOptimizations, so the rule itself refuses.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{
+        LessThanOrEqual, Levenshtein => CatLev, Literal => CatLit}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => CatFilter}
+      import org.apache.spark.sql.types.IntegerType
+      val base = src.queryExecution.analyzed
+      val a = base.output.find(_.name == "a").get
+      val b = base.output.find(_.name == "b").get
+      val plan = CatFilter(
+        LessThanOrEqual(CatLev(a, b, None), CatLit(null, IntegerType)), base)
+      assert(graft.plans.ThresholdedLevenshtein(plan) fastEquals plan)
+    }
   }
 
   test("GraftExtensions injects all functions and the optimizer rule") {
