@@ -42,48 +42,125 @@ object Bpe {
   /** Train `numMerges` BPE merges from a corpus. Words start as codepoint
     * symbol sequences; each round merges the globally most frequent
     * adjacent symbol pair (count desc, then pair asc). Stops early when
-    * no pair occurs at least `minPairCount` times. */
+    * no pair occurs at least `minPairCount` times.
+    *
+    * The merge loop maintains pair counts INCREMENTALLY (the standard
+    * trainer optimization): each round touches only the words that
+    * contain the merged pair (tracked by an inverted pair→word index
+    * with lazy staleness checks), subtracting their old adjacencies and
+    * re-adding the new ones, instead of rescanning the whole vocabulary.
+    * Best-pair selection is a lazy max-heap — stale entries (count
+    * changed since push) are dropped or re-pushed with the live count on
+    * pop, so a round costs O(touched words + log-heap), not O(vocab).
+    * The merge sequence is IDENTICAL to the naive recompute-per-round
+    * trainer (BpeSpec pins this property on random corpora).
+    *
+    * Real web corpora exceed `maxVocabWords` distinct words; the
+    * standard recipe is frequency pre-filtering — set `minWordCount`
+    * ≥ 2 to drop hapax legomena before the cap check (tokenizer
+    * trainers do exactly this; the dropped tail contributes ~nothing to
+    * merge counts but dominates the distinct-word count). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxVocabWords: Long = 1000000L, minPairCount: Long = 2L): BpeModel = {
+      maxVocabWords: Long = 1000000L, minPairCount: Long = 2L,
+      minWordCount: Long = 1L): BpeModel = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    val wc = wordCounts(df, textCol)
+    val wc = wordCounts(df, textCol).where(col("n") >= minWordCount)
     val vocabSize = wc.count()
     require(vocabSize <= maxVocabWords,
       s"word vocabulary $vocabSize exceeds maxVocabWords=$maxVocabWords; " +
-        "raise the cap or pre-filter the corpus")
+        "raise the cap or pre-filter the corpus (minWordCount >= 2 drops " +
+        "the hapax tail)")
     // vocabulary-scale from here on: (symbols, freq) pairs on the driver
-    var words: Array[(Array[String], Long)] = wc.collect().map { r =>
+    val words: Array[(Array[String], Long)] = wc.collect().map { r =>
       (r.getString(0).codePoints().toArray
         .map(cp => new String(Character.toChars(cp))), r.getLong(1))
     }
+
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    // pair → indices of words that contained the pair at SOME point;
+    // entries go stale (append-only) and are re-verified against the
+    // word's live symbols on use
+    val index = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.ArrayBuffer[Int]]
+    // lazy max-heap over (count desc, pair asc); every count INCREASE
+    // pushes an exact entry, decreases are reconciled on pop
+    final case class Entry(a: String, b: String, count: Long)
+    val heap = new java.util.PriorityQueue[Entry](11,
+      new java.util.Comparator[Entry] {
+        def compare(x: Entry, y: Entry): Int = {
+          val c = java.lang.Long.compare(y.count, x.count) // desc
+          if (c != 0) c
+          else {
+            val ca = x.a.compareTo(y.a)
+            if (ca != 0) ca else x.b.compareTo(y.b)
+          }
+        }
+      })
+
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val (syms, f) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nc = counts.getOrElse(p, 0L) + sign * f
+        if (nc == 0L) counts.remove(p) else counts.update(p, nc)
+        if (sign > 0) {
+          index.getOrElseUpdate(p, scala.collection.mutable.ArrayBuffer.empty) += wi
+          heap.add(Entry(p._1, p._2, nc))
+        }
+        i += 1
+      }
+    }
+    words.indices.foreach(addWordPairs(_, 1L))
+
+    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) return true
+        i += 1
+      }
+      false
+    }
+
+    /** Pop the true maximum: drop entries for vanished pairs, re-push
+      * with the live count when stale (classic lazy-deletion heap — the
+      * live count of every pair always has an entry at or above its
+      * true heap position, so the first verified pop is the max). */
+    def popBest(): Option[(Pair, Long)] = {
+      while (!heap.isEmpty) {
+        val e = heap.poll()
+        val cur = counts.getOrElse((e.a, e.b), 0L)
+        if (cur == e.count) return Some(((e.a, e.b), cur))
+        else if (cur > 0L) heap.add(Entry(e.a, e.b, cur))
+      }
+      None
+    }
+
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) done = true
-      else {
-        var best: ((String, String), Long) = null
-        counts.foreach { case (p, c) =>
-          if (best == null || c > best._2 || (c == best._2 &&
-              (p._1 < best._1._1 || (p._1 == best._1._1 && p._2 < best._1._2))))
-            best = (p, c)
-        }
-        if (best._2 < minPairCount) done = true
-        else {
-          val (a, b) = best._1
+      popBest() match {
+        case None => done = true
+        case Some((_, c)) if c < minPairCount => done = true
+        case Some(((a, b), c)) =>
           merges += ((a, b))
-          words = words.map { case (syms, f) => (mergePair(syms, a, b), f) }
+          // touch ONLY the words that (may) contain the merged pair
+          val touched = index.remove((a, b)).getOrElse(
+            scala.collection.mutable.ArrayBuffer.empty)
+          val seen = new java.util.HashSet[Int]()
+          touched.foreach { wi =>
+            if (seen.add(wi)) {
+              val (syms, f) = words(wi)
+              if (containsPair(syms, a, b)) {
+                addWordPairs(wi, -1L)
+                words(wi) = (mergePair(syms, a, b), f)
+                addWordPairs(wi, 1L)
+              }
+            }
+          }
           round += 1
-        }
       }
     }
     BpeModel(merges.result())

@@ -264,23 +264,49 @@ object Curation {
     * monotone, so everything after the first overflow is out) — a plain
     * cumulative-sum window filter, and therefore fully SQL-oracle-able.
     *
-    * Scale shape: one shuffle on the stratum + a per-stratum ordered
-    * cumulative sum. Strata are domains (bounded count, possibly large) —
-    * a single stratum sorts within its partitions via WindowExec; for a
-    * pathologically hot stratum, pre-aggregate per (stratum, key-range)
-    * or split the stratum upstream. */
+    * Scale shape (two-level cumulative sum — no per-stratum reducer):
+    * rows range-partition on (stratum, walk-key), so a hot stratum
+    * spreads over many consecutive partitions instead of landing on one
+    * reducer. Level 1 computes the running sum within each (partition,
+    * stratum) slice — bounded by partition size regardless of stratum
+    * skew. Level 2 computes each slice's starting offset from the tiny
+    * per-(partition, stratum) totals table (≤ partitions + strata rows;
+    * broadcast back). cum = slice-local running sum + slice offset. The
+    * price is one extra data shuffle vs the naive per-stratum window;
+    * the win is that NO reducer ever sorts a whole stratum — the same
+    * trade [[graft.core.Relational.withGlobalRank]] makes for global
+    * ranks. */
   def tokenBudgetCap(df: DataFrame, keyCol: String, strataCol: String,
       nTokensCol: String, budget: Long, seed: String): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(col("__skey"), col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("__skey",
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .withColumn("__skey",
         md5(concat(lit(seed + "#"), col(keyCol).cast("string"))))
-      .withColumn("__cum", sum(col(nTokensCol).cast("long")).over(w))
-      .where(col("__cum") <= budget)
-      .drop("__skey", "__cum")
+      .repartitionByRange(nPart, col(strataCol), col("__skey"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    // tiny side: token total per (partition, stratum) slice → prefix
+    // offset of each slice within its stratum (slices of one stratum are
+    // consecutive partitions under the range partitioning)
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col(strataCol))
+      .agg(sum(col(nTokensCol).cast("long")).as("__ptok"))
+      .withColumn("__off", coalesce(sum("__ptok").over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid"), col(strataCol).as("__ostr"), col("__off"))
+    // slice-local running sum: window groups are (partition, stratum) —
+    // bounded by partition size, never a whole stratum
+    val wLoc = Window.partitionBy(col("__pid"), col(strataCol))
+      .orderBy(col("__skey"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("__lcum", sum(col(nTokensCol).cast("long")).over(wLoc))
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(strataCol) <=> col("__ostr"))
+      .where(col("__lcum") + col("__off") <= budget)
+      .drop("__skey", "__pid", "__lcum", "__opid", "__ostr", "__off")
   }
 
   /** Greedy per-partition sequence packing: assign documents to packs so

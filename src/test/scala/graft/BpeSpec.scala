@@ -53,4 +53,62 @@ class BpeSpec extends SparkSpec {
     val m2 = Bpe.train(docs.repartition(13), "text", numMerges = 8)
     assert(m1.merges === m2.merges && m1.merges.length === 8)
   }
+
+  test("incremental trainer equals the naive recompute-per-round reference") {
+    import spark.implicits._
+    // naive reference: recount every pair over every word each round —
+    // the O(vocab x merges) loop the incremental trainer replaces
+    def merge1(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def naive(wordFreqs: Seq[(String, Long)], numMerges: Int,
+        minPairCount: Long): Seq[(String, String)] = {
+      var words = wordFreqs.map { case (w, f) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+      }
+      val out = Seq.newBuilder[(String, String)]
+      var done = false
+      var round = 0
+      while (round < numMerges && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.indices.dropRight(1).foreach { i =>
+            val p = (syms(i), syms(i + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((a, b), c)) if c >= minPairCount =>
+            out += ((a, b))
+            words = words.map { case (syms, f) => (merge1(syms, a, b), f) }
+            round += 1
+          case _ => done = true
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      // random corpus over a tiny alphabet → dense pair collisions, ties,
+      // overlapping pairs ("aaa"), multi-merge cascades
+      val docs = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(6) + 1)(
+          Seq.fill(rnd.nextInt(8) + 1)("abc" (rnd.nextInt(3))).mkString).mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val wf = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val expected = naive(wf, numMerges = 12, minPairCount = 2L)
+      val got = Bpe.train(df, "text", numMerges = 12).merges
+      assert(got === expected, s"trial $trial: incremental drifted from naive")
+    }
+  }
 }

@@ -158,6 +158,17 @@ class CurationSpec extends SparkSpec {
     // deterministic across invocations
     val again = Curation.tokenBudgetCap(docs, "doc_id", "source", "n_tokens", 120L, "t")
     assert(again.collect().map(_.getAs[Long]("doc_id")).toSet === keptIds)
+    // maximal skew: ONE stratum spanning every range partition — the
+    // two-level offsets must stitch the slice-local running sums into
+    // the same prefix a sequential walk produces
+    val one = (1L to 500L).map(i => (i, "only", 7L)).toDF("doc_id", "source", "n_tokens")
+    val oneKept = Curation.tokenBudgetCap(one, "doc_id", "source", "n_tokens",
+      budget = 700L, seed = "t").collect().map(_.getAs[Long]("doc_id")).toSet
+    val oneWalk = one.withColumn("__skey",
+        md5(concat(lit("t#"), col("doc_id").cast("string"))))
+      .orderBy(col("__skey"), col("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(oneKept === oneWalk.take(100).toSet) // 700 / 7 = first 100 of the walk
   }
 
   test("exactKPerStratum: exact counts, determinism, seed sensitivity, group-limit plan") {
