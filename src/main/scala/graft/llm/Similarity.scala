@@ -136,11 +136,16 @@ object Similarity {
         .select(col(id), col(vec), col("bk.band").as("band"), col("bk.key").as("key"))
     val cb = banded(corpus, "corpus_id", "cv")
     val qb = banded(queries, "query_id", "qv")
+    // cosine BEFORE the pair dedup: the band-bucket join is map-side
+    // (broadcast), so scoring there means the dropDuplicates shuffle
+    // carries only (query_id, corpus_id, cos) scalars — never the
+    // vectors (duplicate pairs from different bands score identically,
+    // so deduping after is equivalent)
     val cands = cb.join(broadcast(qb), Seq("band", "key"))
       .where(col("query_id") =!= col("corpus_id"))
-      .select("query_id", "qv", "corpus_id", "cv")
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cos", cosine(col("qv"), col("cv"), dim))
+      .select("query_id", "corpus_id", "cos")
+      .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     cands.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
