@@ -155,42 +155,70 @@ object Similarity {
   /** IVF top-k: k-means coarse quantizer (nlist cells, fixed seed) over
     * the corpus; each query scans only its `nprobe` nearest cells. The
     * classic ANN shape: centroid table is tiny (broadcast), the corpus
-    * is hash-partitioned by cell. */
+    * is hash-partitioned by cell. Queries ride a broadcast with a
+    * per-query probe-cell mask; the corpus streams through the same
+    * per-partition [[TopKHeap]] kernel as [[bruteForceTopK]], so the
+    * final per-query window merges ≤ partitions×|queries|×k rows — the
+    * cell mask prunes the dot products, the heap prunes the shuffle. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, dim: Int = 0): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
 
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell").setMaxIter(10) // coarse quantizer: 10 iters is plenty
     val model = km.fit(c)
     val assigned = model.transform(c).select("corpus_id", "cv", "cell")
 
-    // Tiny centroid table → broadcast; each query ranks cells by
-    // centroid distance and keeps nprobe.
+    // Driver-side probe selection (centroid table is tiny): each query
+    // ranks cells by centroid cosine (desc, cell asc tiebreak) and
+    // probes the top nprobe.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val qCells = q.crossJoin(broadcast(cents))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid"), dim))
-    val wq = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
-    val probes = qCells.withColumn("crk", row_number().over(wq))
-      .where(col("crk") <= nprobe)
-      .select("query_id", "qv", "cell")
+    val cents = model.clusterCenters.map(_.toArray)
+    val nCells = cents.length
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, qv) =>
+        val nq = math.sqrt(Dedup.dotArr(qv, qv))
+        val cellCos = Array.tabulate(nCells) { i =>
+          val ncent = math.sqrt(Dedup.dotArr(cents(i), cents(i)))
+          Dedup.dotArr(qv, cents(i)) / (nq * ncent)
+        }
+        val probe = new Array[Boolean](nCells)
+        (0 until nCells).sortBy(i => (-cellCos(i), i)).take(nprobe)
+          .foreach(probe(_) = true)
+        (qid, qv, nq, probe)
+      }
+    val bcQ = spark.sparkContext.broadcast(qArr)
 
-    val cands = assigned.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
+    val scored = assigned
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val heaps = Array.fill(qs.length)(new TopKHeap(k))
+        it.foreach { case (cid, cv, cell) =>
+          lazy val nc = math.sqrt(Dedup.dotArr(cv, cv))
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv, nq, probe) = qs(i)
+            if (qid != cid && probe(cell))
+              heaps(i).offer(cid, Dedup.dotArr(qv, cv) / (nq * nc))
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.drain.map { case (cid, s) => (qs(i)._1, cid, s) }
+        }
+      }.toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
-    cands.withColumn("rk", row_number().over(w).cast("int"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
       .select("query_id", "corpus_id", "cos", "rk")
   }
