@@ -144,10 +144,25 @@ object Similarity {
     val cands = cb.join(broadcast(qb), Seq("band", "key"))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", cosine(col("qv"), col("cv"), dim))
-      .select("query_id", "corpus_id", "cos")
+      .select(col("query_id").cast("long"), col("corpus_id").cast("long"), col("cos"))
       .dropDuplicates("query_id", "corpus_id")
+    // local top-k per partition AFTER the dedup (before it, a pair seen
+    // in two bands could occupy two heap slots and evict a true
+    // neighbor) — the window merges ≤ partitions×|queries|×k rows even
+    // when a hot bucket floods one query with candidates
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val localTop = cands.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap.empty[Long, TopKHeap]
+      it.foreach { case (qid, cid, cos) =>
+        heaps.getOrElseUpdate(qid, new TopKHeap(k)).offer(cid, cos)
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.drain.map { case (cid, s) => (qid, cid, s) }
+      }
+    }.toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
-    cands.withColumn("rk", row_number().over(w).cast("int"))
+    localTop.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
       .select("query_id", "corpus_id", "cos", "rk")
   }
