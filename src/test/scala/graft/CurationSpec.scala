@@ -169,6 +169,33 @@ class CurationSpec extends SparkSpec {
       .orderBy(col("__skey"), col("doc_id"))
       .collect().map(_.getAs[Long]("doc_id"))
     assert(oneKept === oneWalk.take(100).toSet) // 700 / 7 = first 100 of the walk
+    // plan lock: no DATA-PATH window partitioned by the stratum alone.
+    // A stratum-only window is legal only on the tiny offsets side,
+    // which sits above the per-(slice, stratum) aggregate — so any
+    // WindowExec keyed solely by the stratum must have an aggregate
+    // below it; the raw-row window must carry the slice id too.
+    val root = Curation.tokenBudgetCap(one, "doc_id", "source", "n_tokens", 700L, "t")
+      .queryExecution.executedPlan
+    val plan = root match { // AQE wraps the real tree; unwrap for typed collect
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val stratumOnly = w.partitionSpec.length == 1 &&
+        w.partitionSpec.head.references.exists(_.name == "source")
+      if (stratumOnly) {
+        val hasAggBelow = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }.nonEmpty
+        assert(hasAggBelow, s"whole-stratum window on the data path: ${w.partitionSpec}")
+      }
+    }
   }
 
   test("exactKPerStratum: exact counts, determinism, seed sensitivity, group-limit plan") {

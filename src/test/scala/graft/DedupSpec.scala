@@ -252,6 +252,12 @@ class DedupSpec extends SparkSpec {
     val bySize = ok.groupBy(_.getAs[Int]("cluster")).values
     assert(bySize.forall(rs => rs.forall(_.getAs[Int]("cluster_size") === rs.length)))
     assert(bySize.map(_.length).toSeq.sorted === Seq(2, 8))
+    // auto-sizing: N=10 / target=5 → k=2, same result as explicit k=2
+    val auto = Dedup.semDedupAuto(df, "vec_id", "embedding",
+        targetClusterSize = 5, minCos = 0.999)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    val explicit = ok.map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(auto === explicit)
   }
 
   test("cosinePairsLsh finds what brute force finds (fixture embeddings)") {

@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a === t)
   }
 
+  test("edge cases: k past corpus size ranks everything; empty corpus yields no rows") {
+    import spark.implicits._
+    val tiny = Seq((1L, Seq.fill(64)(0.5)), (2L, Seq.fill(64)(0.25)),
+      (3L, (0 until 64).map(i => if (i < 32) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val q1 = tiny.where(col("vec_id") === 1L)
+    // k = 10 over a 3-vector corpus → both non-self rows, ranks 1..2
+    val big = Similarity.bruteForceTopK(tiny, q1, "vec_id", "embedding", k = 10)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(big.map(_.getAs[Long]("corpus_id")).toSeq === Seq(2L, 3L))
+    assert(big.map(_.getAs[Int]("rk")).toSeq === Seq(1, 2))
+    val emptyCorpus = tiny.where(col("vec_id") > 100L)
+    assert(Similarity.bruteForceTopK(emptyCorpus, q1, "vec_id", "embedding", k = 3)
+      .count() === 0L)
+    assert(Similarity.ivfPqTopK(emptyCorpus, q1, "vec_id", "embedding", k = 3,
+      dim = 64).count() === 0L)
+  }
+
   test("TopKHeap keeps exactly the top-k under (score desc, id asc), ties included") {
     val heap = new Similarity.TopKHeap(4)
     // ties at 0.5 must resolve by smaller id; worst elements evicted
