@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility: LLM-operator scaling curve. Replicates the sf0.1
@@ -17,6 +17,17 @@ object DevScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional section filter: `runMain graft.DevScale skew` runs only
+    // the skew section; no args = everything.
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains
+    if (want("llm")) llmSection(spark)
+    if (want("ann")) annSection(spark)
+    if (want("skew")) skewSection(spark)
+    spark.stop()
+  }
+
+  private def llmSection(spark: SparkSession): Unit = {
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
     val linearOps = Seq("x18_gopher_gates", "d10_substring_dedup", "d1_exact_dedup",
@@ -52,7 +63,9 @@ object DevScale {
         println(f"[scale] x$mult%-4d $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+  }
 
+  private def annSection(spark: SparkSession): Unit = {
     // ANN two-level reduction evidence: the per-query top-k window must
     // see ≤ partitions×|Q|×k rows regardless of corpus size (pre-r8 it
     // saw |corpus|×|Q|). Replicate embeddings ×1/×10/×100 and count the
@@ -77,6 +90,77 @@ object DevScale {
         f"bound=$bound (naive=${nCorpus * 10}%10d) brute_topk=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
         f"ok=${windowInput <= bound}")
     }
-    spark.stop()
+  }
+
+  /** j8 salting evidence: a hot-key join where 90% of the big side
+    * lands on ONE key. The small side (100k keys) models a dim too
+    * large to broadcast at the 100-TB analogue (a 100M-row dim), so
+    * broadcast is disabled for every run and the shapes compared are
+    * all shuffle joins: (a) plain with AQE skew-split ON — note the
+    * ~140 MB hot partition sits BELOW AQE's 256 MB
+    * skewedPartitionThresholdInBytes default, so Spark's own runtime
+    * mitigation does not even trigger here; (b) plain with AQE OFF —
+    * the naive shape, one reducer sorts the 18M hot-key rows; (c)
+    * [[graft.core.Joins.saltedJoin]] (salts=32) — the manual
+    * mitigation j8 ships, which spreads the hot key across all
+    * reducers regardless of thresholds and also covers the shapes AQE
+    * can't re-split (stateful aggs over the join key, pre-AQE
+    * clusters).
+    *
+    * Wall-clock on one shared-memory box understates the win (all 32
+    * threads contend for the same bandwidth, and the map-side exchange
+    * is common to every variant), so the headline number is
+    * STRUCTURAL: rows landing on the hottest reducer under the exact
+    * partitioning Spark uses (pmod(murmur3, parts) — what
+    * HashPartitioning evaluates). On a real cluster the hot reducer is
+    * the stage's critical path, so wall tracks this ratio directly.
+    * Results → PLANS.md / FIXTURES.md skew section. */
+  private def skewSection(spark: SparkSession): Unit = {
+    val parts = 32
+    val salts = 32
+    val big = spark.range(0, 20000000L, 1, 32)
+      .select(
+        when(col("id") % 10 < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(100000L))).as("k"),
+        (col("id") % 997).cast("double").as("v"))
+    val small = spark.range(0, 100000L, 1, 8)
+      .select(col("id").as("k"), (col("id") % 31).cast("double").as("w"))
+
+    // structural: max reducer load under plain vs salted partitioning
+    // (same salt expression saltedJoin assigns)
+    def maxReducer(keyed: DataFrame, exprs: Seq[org.apache.spark.sql.Column]): Long =
+      keyed.groupBy(pmod(hash(exprs: _*), lit(parts)).as("__p"))
+        .count().agg(max(col("count"))).head().getLong(0)
+    val plainMax = maxReducer(big, Seq(col("k")))
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedMax = maxReducer(saltedBig, Seq(col("k"), col("__salt")))
+    println(f"[skew] hottest-reducer rows: plain=$plainMax%9d salted=$saltedMax%9d " +
+      f"(ideal=${20000000L / parts}, ratio=${plainMax.toDouble / saltedMax}%.1fx)")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(label: String, aqe: Boolean, salted: Boolean): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        val joined =
+          if (salted) graft.core.Joins.saltedJoin(big, small, "k", salts = salts)
+          else big.join(small, Seq("k"))
+        val out = joined.agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("dot"))
+        Bench.exec(out) // warm: plan/codegen absorbed
+        val t0 = System.nanoTime()
+        val row = out.collect().head
+        println(f"[skew] $label%-14s n=${row.getLong(0)}%9d dot=${row.getDouble(1)}%18.1f " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      run("plain_aqe", aqe = true, salted = false)
+      run("plain_noaqe", aqe = false, salted = false)
+      run("salted_noaqe", aqe = false, salted = true)
+      run("salted_aqe", aqe = true, salted = true)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 }
