@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance: latest-wins merge (the MERGE INTO / upsert a
+  * lakehouse table format runs on every ingest cycle, expressed as a
+  * pure batch operator). The reference pipeline reads immutable drops;
+  * a 100-TB production corpus instead receives daily update batches —
+  * new docs, re-crawls, takedowns — and the engine needs the merge
+  * primitive to apply them without rewriting history by hand.
+  *
+  * Semantics: rows from `snapshot` and `updates` are unioned by name;
+  * within each `key` group the row with the highest `versionCol` wins,
+  * with ties going to `updates` (so re-applying a batch is idempotent
+  * even when versions collide). Within ONE batch, (key, version) must
+  * be unique — two same-version rows for a key in the same input tie
+  * on both sort keys and the survivor is partition-order dependent;
+  * that is a caller contract, not something the operator can repair.
+  * Rows whose `deletedCol` is true are
+  * tombstones: they win their key like any other row (suppressing older
+  * versions) and are then dropped from the output — a takedown deletes
+  * the document.
+  *
+  * Scale shape: ONE hash shuffle on `key`; the keep-latest window is
+  * `row_number() <= 1` over (key → version DESC), which Spark compiles
+  * to WindowGroupLimit — a per-partition top-1 heap on each map side
+  * before the shuffle, so the exchange carries at most one surviving
+  * row per (partition, key), not every historical version. At real
+  * scale the big win sits one level up: updates touch few partitions,
+  * so partition-prune the snapshot side by the update batch's key range
+  * (or bucket both sides on `key` — j14's layout — and the merge
+  * becomes shuffle-free); the operator is that inner merge step.
+  */
+object Merge {
+
+  def latestWins(snapshot: DataFrame, updates: DataFrame, key: String,
+      versionCol: String, deletedCol: Option[String] = None): DataFrame = {
+    val tagged = snapshot.withColumn("__side", lit(0))
+      .unionByName(updates.withColumn("__side", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col("__side").desc)
+    val latest = tagged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__side")
+    deletedCol.map(d => latest.filter(!col(d)).drop(d)).getOrElse(latest)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.llm
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Exact corpus heavy hitters without a vocabulary-sized shuffle — the
+  * two-pass Misra–Gries shape (candidates sketch, then exact recount of
+  * candidates only). A plain `groupBy(term).count()` over a 100-TB
+  * corpus shuffles the ENTIRE vocabulary (web-scale: billions of
+  * distinct tokens, heavy skew); this operator shuffles nothing in pass
+  * one (the sketch is per-partition, driver never involved) and in pass
+  * two only the candidate tokens — at most `partitions × k` terms —
+  * survive the map-side broadcast filter, so the recount shuffle is
+  * bounded by the sketch size, not the vocabulary.
+  *
+  * Exactness guarantee (why this is oracle-checkable, unlike a plain
+  * sketch): Misra–Gries with k counters on a partition retains every
+  * term with partition frequency > n_p/(k+1). If a term has GLOBAL
+  * frequency > N/k, then by pigeonhole some partition has local
+  * frequency > n_p/k > n_p/(k+1), so the term is a candidate in at
+  * least one partition. The exact recount then gives true counts for
+  * all candidates, and the final `count·k > N` filter returns EXACTLY
+  * the set a full count would — false candidates are eliminated by
+  * their true counts, true heavy hitters can never be missed.
+  */
+object Frequency {
+
+  /** Classic Misra–Gries: k counters over a token stream. Total work is
+    * O(n): each decrement-all sweep cancels k prior increments. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): mutable.HashMap[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          val dead = mutable.ArrayBuffer.empty[String]
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.foreach { case (key, c) => if (c == 0) dead += key }
+          dead.foreach(m.remove)
+      }
+    }
+    m
+  }
+
+  /** All tokens with corpus frequency strictly greater than N/k, with
+    * their EXACT counts and the exact corpus token total N.
+    *
+    * Output: (term, n, n_total) ordered by (n DESC, term ASC).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = docs.sparkSession
+
+    val toks = docs.select(
+      explode(Retrieval.tokenize(col(textCol))).as("term"))
+
+    // Pass 1: per-partition sketch → candidate terms (≤ partitions×k).
+    val candidates = toks.select(col("term")).as[String](Encoders.STRING)
+      .mapPartitions(it => misraGries(it, k).keysIterator)(Encoders.STRING)
+      .toDF("term").distinct()
+
+    // Pass 2: exact recount of candidates only (broadcast semi-filter
+    // before the shuffle) + the exact token total as a broadcast scalar.
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("n_total"))
+      .orderBy(col("n").desc, col("term").asc)
+  }
+
+  /** Oracle twin of [[heavyHitters]]: the full count-and-filter the
+    * two-pass form provably equals. */
+  def heavyHittersOracleSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT t AS term
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+       |total AS (SELECT COUNT(*) AS n_total FROM toks)
+       |SELECT term, n, n_total FROM counts CROSS JOIN total
+       |WHERE n * $k > n_total
+       |ORDER BY n DESC, term ASC""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Frequency, Importance, Multimodal, Retrieval, Similarity, TextStats}
 
 /** LLM-training-data-pipeline queries (dedup, similarity search, text
   * analysis, multimodal) over the documents/embeddings fixtures, with
@@ -1315,6 +1315,40 @@ object LlmQueries {
       Some("""SELECT label, CAST(r.range AS INT) AS dim, COUNT(*) AS n,
              |  ROUND(AVG(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE)), 6) AS centroid
              |FROM embeddings, range(0, 64) r
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Lexical retrieval: Okapi BM25 top-5 for a fixed 3-query batch —
+    // the inverted-index probe shape (query-term dictionary broadcast,
+    // postings-only shuffle; see Retrieval scaladoc). Fully SQL-
+    // expressible, so the whole scoring chain (tf, df, idf, length
+    // normalization, ranking) is oracle-checked end to end.
+    Q("x26_bm25",
+      (s, d) => {
+        import s.implicits._
+        val qs = Retrieval.QueryFixture.toDF("query_id", "term")
+        Retrieval.bm25TopK(T(s, d, "documents"), qs, "doc_id", "text", k = 5)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(Retrieval.bm25OracleSql(Retrieval.QueryFixture, k = 5))),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // target/raw likelihood-ratio weights over md5 buckets (engine-
+    // portable), deterministic top-100 selection. The full chain —
+    // hashing, smoothing, per-doc weight sum, global rank — is oracle-
+    // checked; target domain = lang='en'.
+    Q("x27_dsir",
+      (s, d) => Importance.dsirSelect(T(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", keep = 100),
+      Some(Importance.dsirOracleSql("en", keep = 100))),
+
+    // Exact heavy hitters (freq > N/40) via the two-pass Misra–Gries
+    // shape: per-partition sketch → bounded candidate recount. The
+    // oracle is the full count-and-filter the two-pass form provably
+    // equals (guarantee argued in the Frequency scaladoc); the sketch's
+    // eviction path is exercised in FrequencySpec on a skewed stream
+    // (the fixture's 31-word vocabulary never overflows 40 counters).
+    Q("x28_heavy_hitters",
+      (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
+      Some(Frequency.heavyHittersOracleSql(k = 40)))
   )
 }

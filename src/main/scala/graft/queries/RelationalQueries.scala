@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Joins, Layout, Relational, Sampling, Validation, WideAgg}
+import graft.core.{Joins, Layout, Merge, Relational, Sampling, Validation, WideAgg}
 import graft.stats.{Auc, Correlations}
 
 /** One declared query per SURVEY.md §2 operator (the driver's correctness
@@ -365,10 +365,10 @@ object RelationalQueries {
     // the same filter+agg on the UNPARTITIONED table.
     Q("p1_partitioned_sink",
       (s, d) => {
-        // fixed per-process path + overwrite mode: repeated Verify/Bench
-        // invocations reuse one copy instead of leaking a dir per run
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_psink_orders").toString
+        // session-scoped path + overwrite mode: repeated Verify/Bench
+        // invocations within a session reuse one copy, and concurrent
+        // sessions on one machine cannot clobber each other's dirs
+        val out = scratch(s, "psink_orders").toString
         graft.io.Sinks.writeParquetPartitioned(
           T(s, d, "orders"), out, partitionCols = Seq("o_orderstatus"))
         s.read.parquet(out)
@@ -526,6 +526,52 @@ object RelationalQueries {
               |${sumExactSql("o_totalprice")} AS sum_price
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Latest-wins snapshot merge (MERGE INTO / upsert): base = all
+    // orders at version 1; the update batch bumps prices on keys %10=0,
+    // tombstones keys %100=51, and inserts fresh keys (+10M offset) for
+    // %100=7. The oracle replays the same union + keep-latest +
+    // tombstone-drop in SQL, row-level over the full merged table —
+    // every update applied, every delete suppressed, every untouched
+    // row intact. Mechanics + 100-TB notes in [[graft.core.Merge]].
+    Q("p9_merge_upsert",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val base = o.select(col("o_orderkey"), col("o_totalprice"),
+          lit(1).as("version"), lit(false).as("deleted"))
+        val updates =
+          o.where(pmod(col("o_orderkey"), lit(10)) === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+              lit(2).as("version"), lit(false).as("deleted"))
+          .unionByName(o.where(pmod(col("o_orderkey"), lit(100)) === 51)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              lit(2).as("version"), lit(true).as("deleted")))
+          .unionByName(o.where(pmod(col("o_orderkey"), lit(100)) === 7)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice"),
+              lit(2).as("version"), lit(false).as("deleted")))
+        Merge.latestWins(base, updates, "o_orderkey", "version", Some("deleted"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice, 1 AS version, FALSE AS deleted, 0 AS side
+             |  FROM orders),
+             |upd AS (
+             |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+             |    2 AS version, FALSE AS deleted, 1 AS side
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, 2, TRUE, 1
+             |  FROM orders WHERE o_orderkey % 100 = 51
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_totalprice, 2, FALSE, 1
+             |  FROM orders WHERE o_orderkey % 100 = 7),
+             |latest AS (
+             |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+             |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+             |    ORDER BY version DESC, side DESC) = 1)
+             |SELECT o_orderkey, o_totalprice, version
+             |FROM latest WHERE NOT deleted
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Bucketed co-located join as a CORRECTNESS entry: both sides written
     // bucketed+sorted on the key (one write-side shuffle each), then
     // joined exchange-free (the zero-Exchange plan itself is locked by
@@ -533,13 +579,16 @@ object RelationalQueries {
     // oracle verbatim.
     Q("j14_bucketed_join",
       (s, d) => {
+        // session-unique table names: the warehouse dir is shared per
+        // cwd, so a fixed name would collide across concurrent sessions
+        val sid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
         Joins.writeBucketed(
           T(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
-          "graft_q_b_orders", "o_custkey", buckets = 8)
+          s"graft_q_b_orders_$sid", "o_custkey", buckets = 8)
         Joins.writeBucketed(
           T(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-          "graft_q_b_customer", "o_custkey", buckets = 8)
-        Joins.bucketedJoin(s, "graft_q_b_orders", "graft_q_b_customer", "o_custkey")
+          s"graft_q_b_customer_$sid", "o_custkey", buckets = 8)
+        Joins.bucketedJoin(s, s"graft_q_b_orders_$sid", s"graft_q_b_customer_$sid", "o_custkey")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_price"))
           .orderBy(col("c_mktsegment"))
@@ -554,8 +603,7 @@ object RelationalQueries {
     // table.
     Q("p3_partitioned_join",
       (s, d) => {
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_psink_orders_join").toString
+        val out = scratch(s, "psink_orders_join").toString
         graft.io.Sinks.writeParquetPartitioned(
           T(s, d, "orders"), out, partitionCols = Seq("o_orderstatus"))
         s.read.parquet(out)
@@ -605,8 +653,7 @@ object RelationalQueries {
     // replays the union with a typed NULL.
     Q("p4_schema_evolution",
       (s, d) => {
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_schema_evo").toString
+        val out = scratch(s, "schema_evo").toString
         val orders = T(s, d, "orders")
         orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
           .select(col("o_orderkey"), col("o_totalprice"))
