@@ -152,4 +152,34 @@ object Retrieval {
        |QUALIFY rk <= $k
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse per-query
+    * rankings from heterogeneous retrievers (lexical BM25, dense ANN)
+    * by summing 1/(c + rank) per document and re-ranking. Rank-based,
+    * so the retrievers' incomparable score scales never meet.
+    *
+    * Each input frame is (query_id, doc_id, rk). Scale: inputs are
+    * already top-k-bounded (≤ |queries|·k rows each — the upstream
+    * operators did the corpus-scale work), so the fusion is one tiny
+    * groupBy + a WindowGroupLimit re-rank; cost is independent of
+    * corpus size by construction.
+    *
+    * Determinism: rrf is round(·, 6) (a sum of ≤ |rankings| exact
+    * doubles — both engines compute identical IEEE values) and ties
+    * break by doc_id ASC, so the fused ranking is reproducible
+    * cross-engine.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (lit(c) + col("rk"))).as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -1349,6 +1349,56 @@ object LlmQueries {
     // (the fixture's 31-word vocabulary never overflows 40 counters).
     Q("x28_heavy_hitters",
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
-      Some(Frequency.heavyHittersOracleSql(k = 40)))
+      Some(Frequency.heavyHittersOracleSql(k = 40))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of BM25 (x26's fixture
+    // queries over documents) and dense cosine (the same query ids'
+    // embeddings over the aligned vec_id space) — the standard RAG
+    // two-tower shape. Pool depth 20 per retriever, fused top-5. The
+    // dense side excludes the query's own vector (as n1 does); the
+    // lexical side can still surface it, mirrored in the oracle. Fully
+    // SQL-expressible, so the whole fusion chain is oracle-checked.
+    Q("x29_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val qs = Retrieval.QueryFixture.toDF("query_id", "term")
+        val lex = Retrieval.bm25TopK(T(s, d, "documents"), qs, "doc_id", "text", k = 20)
+          .select(col("query_id"), col("doc_id"), col("rk"))
+        val emb = T(s, d, "embeddings")
+        val dense = Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id").isin(1L, 2L, 3L)),
+          "vec_id", "embedding", k = 20, dim = 64)
+          .select(col("query_id").cast("int").as("query_id"),
+            col("corpus_id").as("doc_id"), col("rk"))
+        Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some {
+        val bm25 = Retrieval.bm25OracleSql(Retrieval.QueryFixture, k = 20)
+        s"""WITH lex AS (SELECT query_id, doc_id, rk FROM ($bm25)),
+           |dense AS (
+           |  SELECT query_id, doc_id, rk FROM (
+           |    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           |    c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+           |    SELECT CAST(query_id AS INT) AS query_id, doc_id,
+           |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY list_cosine_similarity(qv, cv) DESC, doc_id) AS INT) AS rk
+           |    FROM q JOIN c ON query_id <> doc_id
+           |    QUALIFY rk <= 20)),
+           |unioned AS (
+           |  SELECT query_id, doc_id, 1.0 / (60 + rk) AS contrib FROM lex
+           |  UNION ALL
+           |  SELECT query_id, doc_id, 1.0 / (60 + rk) FROM dense),
+           |fused AS (
+           |  SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS rrf
+           |  FROM unioned GROUP BY 1, 2)
+           |SELECT query_id, doc_id, rrf,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rk
+           |FROM fused
+           |QUALIFY rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+      })
   )
 }

@@ -107,6 +107,37 @@ object MlQueries {
            |ROUND(SUM(ABS(r)), 6) AS sum_abs_corr,
            |'in_range' AS dist_band, 'in_range' AS sil_band
            |FROM ($pairSelects)""".stripMargin
-      })
+      }),
+
+    // Model-based quality filter (weak-supervision distillation): a
+    // deterministic heuristic gate (token count >= 56, the fixture
+    // median) labels the id%4!=0 slice; hashed-unigram logistic
+    // regression must RECOVER the gate from text alone on the held-out
+    // slice. The gate is deliberately SQL-expressible so DuckDB
+    // recomputes the split/label counts exactly; auc_band='separable'
+    // is the pinned model contract (the gate is a linear functional of
+    // the TF vector — sum of counts — so a linear model can represent
+    // it exactly; band floor 0.85 absorbs hash/regularization noise).
+    // Exact-AUC behavior on planted fixtures is MlSpec's job.
+    Q("m3_quality_classifier",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val label = size(graft.llm.Retrieval.tokenize(col("text"))) >= 56
+        val (auc, _) = graft.ml.QualityModel.distillFilter(
+          docs, "doc_id", "text", label)
+        val counts = docs.select(
+          count(when(pmod(col("doc_id"), lit(4)) =!= 0, 1)).as("n_train"),
+          count(when(pmod(col("doc_id"), lit(4)) === 0, 1)).as("n_eval"),
+          count(when(pmod(col("doc_id"), lit(4)) === 0 && label, 1)).as("n_pos_eval"))
+        counts.withColumn("auc_band", lit(graft.ml.QualityModel.aucBand(auc)))
+      },
+      Some("""SELECT
+             |  CAST(COUNT(*) FILTER (WHERE doc_id % 4 <> 0) AS BIGINT) AS n_train,
+             |  CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 0) AS BIGINT) AS n_eval,
+             |  CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 0
+             |    AND len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             |            t -> t <> '')) >= 56) AS BIGINT) AS n_pos_eval,
+             |  'separable' AS auc_band
+             |FROM documents""".stripMargin))
   )
 }

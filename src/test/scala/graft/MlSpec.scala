@@ -72,4 +72,53 @@ class MlSpec extends SparkSpec {
       a, b, Seq("o_totalprice", "o_custkey"), maxIter = 8, maxDepth = 3)
     assert(auc > 0.8, s"shifted AUC $auc should be high")
   }
+
+  test("quality classifier recovers a planted lexical gate (separable band)") {
+    import spark.implicits._
+    // positives carry a marker vocabulary; negatives a disjoint one —
+    // exactly the "trusted-domain vs crawl" separable case.
+    val docs = (
+      (1 to 200).map(i => (i.toLong, s"good clean prose sample n$i", true)) ++
+      (201 to 400).map(i => (i.toLong, s"spam noise garbage blob n$i", false))
+    ).toDF("doc_id", "text", "lab")
+    val (auc, scored) = graft.ml.QualityModel.distillFilter(
+      docs, "doc_id", "text", col("lab"))
+    assert(graft.ml.QualityModel.aucBand(auc) == "separable", s"auc=$auc")
+    // scored frame covers exactly the held-out quarter, and the filter
+    // score orders it: every positive's p1 above every negative's
+    val rows = scored.collect()
+    assert(rows.length == docs.where(pmod(col("doc_id"), lit(4)) === 0).count())
+    val minPos = rows.filter(_.getDouble(1) == 1.0).map(_.getDouble(2)).min
+    val maxNeg = rows.filter(_.getDouble(1) == 0.0).map(_.getDouble(2)).max
+    assert(minPos > maxNeg, s"p1 must separate classes: $minPos vs $maxNeg")
+  }
+
+  test("quality classifier reports no signal on text-independent labels") {
+    import spark.implicits._
+    // label = a multiplicative hash of the id over a SHARED vocabulary:
+    // nothing lexical to learn (and the label is independent of the
+    // id%4 eval split, unlike plain parity which would leave the
+    // held-out slice single-class), so held-out AUC must sit near 0.5.
+    val docs = (1 to 400).map { i =>
+      (i.toLong, s"alpha beta gamma delta w${i % 7}", (i * 31) % 97 < 48)
+    }.toDF("doc_id", "text", "lab")
+    val (auc, _) = graft.ml.QualityModel.distillFilter(
+      docs, "doc_id", "text", col("lab"))
+    assert(auc < 0.85, s"text-independent label must not be separable, auc=$auc")
+  }
+
+  test("quality classifier learns a length gate (the m3 contract shape)") {
+    import spark.implicits._
+    // token count >= 6 is a linear functional of the hashed TF vector;
+    // the model must recover it from text alone.
+    val words = Array("lorem", "ipsum", "dolor", "sit", "amet", "sed", "magna")
+    val docs = (1 to 400).map { i =>
+      val n = 2 + (i * 13 % 9) // 2..10 tokens, deterministic
+      val txt = (0 until n).map(j => words((i + j) % words.length)).mkString(" ")
+      (i.toLong, txt, n >= 6)
+    }.toDF("doc_id", "text", "lab")
+    val (auc, _) = graft.ml.QualityModel.distillFilter(
+      docs, "doc_id", "text", col("lab"))
+    assert(auc > 0.9, s"length gate must be recoverable, auc=$auc")
+  }
 }

@@ -145,6 +145,39 @@ class PlanSpec extends SparkSpec {
     assert(rules.contains(graft.plans.ThresholdedLevenshtein), rules)
   }
 
+  test("x26: bm25 broadcasts the query dictionary; top-k is WindowGroupLimit") {
+    val p = plan("x26_bm25")
+    // the term-dictionary prune and the df/stats/query reattach joins
+    // are all broadcast; nothing plans a nested-loop or cartesian join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the broadcast of the 1-row
+    // (n_docs, avgdl) scalar frame — never a data×data loop
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+    // rk<=k over the window compiles to per-partition k-heaps, so the
+    // candidate set is never fully sorted
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("x28: heavy-hitter recount joins the broadcast candidate set, partial-aggregated") {
+    val p = plan("x28_heavy_hitters")
+    // pass-2 recount: candidates broadcast (the shuffle carries only
+    // candidate tokens), counts map-side partial before the exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p9: merge keeps one key-partitioned window, no unpartitioned stage") {
+    val df = SparkEntry.queries("p9_merge_upsert")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // latest-wins resolves via a window PARTITIONED BY the merge key
+    assert(p.contains("windowspecdefinition(o_orderkey"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("a17: AUC has no unpartitioned window over the data path") {
     val df = SparkEntry.queries("a17_auc")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString

@@ -51,6 +51,28 @@ class RetrievalSpec extends SparkSpec {
     assert(res(1) > res(2), s"rare-term hit must outscore common-term hit: $res")
   }
 
+  // --------------------------------------------------------------- RRF
+
+  test("rrf: a doc ranked by both retrievers outranks single-source docs") {
+    // doc 10 is rank-2 in BOTH rankings; docs 1/2 are rank-1 in one
+    // ranking each. 2/(60+2) > 1/(60+1), so consensus wins.
+    val lex = Seq((1, 1L, 1), (1, 10L, 2)).toDF("query_id", "doc_id", "rk")
+    val dense = Seq((1, 2L, 1), (1, 10L, 2)).toDF("query_id", "doc_id", "rk")
+    val res = Retrieval.rrfFuse(Seq(lex, dense), k = 3)
+      .orderBy(col("rk")).collect()
+    assert(res.head.getLong(res.head.fieldIndex("doc_id")) == 10L,
+      s"consensus doc must fuse to rank 1: ${res.toSeq}")
+    assert(res.map(_.getInt(res.head.fieldIndex("rk"))).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrf: ties at equal contribution break by doc_id, capped at k") {
+    val a = Seq((1, 5L, 1), (1, 3L, 2), (1, 9L, 3)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((1, 3L, 1), (1, 5L, 2), (1, 7L, 3)).toDF("query_id", "doc_id", "rk")
+    // docs 3 and 5 both score 1/61+1/62; tie breaks to doc 3 first
+    val res = Retrieval.rrfFuse(Seq(a, b), k = 2).orderBy(col("rk")).collect()
+    assert(res.map(_.getLong(res.head.fieldIndex("doc_id"))).toSeq == Seq(3L, 5L))
+  }
+
   // -------------------------------------------------------------- DSIR
 
   test("dsir: target-vocabulary docs outweigh off-target docs") {
