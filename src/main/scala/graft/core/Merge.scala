@@ -46,4 +46,30 @@ object Merge {
       .drop("__rk", "__side")
     deletedCol.map(d => latest.filter(!col(d)).drop(d)).getOrElse(latest)
   }
+
+  /** SCD-2 history reconstruction from a change log: given the full
+    * event stream (key, versionCol, attrs…), emit one row per event
+    * with its validity interval — `valid_from` = the event's version,
+    * `valid_to` = the NEXT version for that key (null while current),
+    * `is_current` = no successor. This is the "rebuild the dimension
+    * history from CDC events" batch job every lakehouse runs after
+    * backfills or compliance rewrites.
+    *
+    * Caller contract mirrors [[latestWins]]: (key, version) unique in
+    * the input — duplicate versions would make `lead` order-dependent.
+    *
+    * Scale shape: ONE hash shuffle on `key`; `lead` needs each key's
+    * events sorted together, and a key's history is bounded by its
+    * change count (ingest cadence), never by corpus size — so group
+    * skew is structurally bounded. At real scale the changelog is
+    * already key-bucketed by the ingest layout and the shuffle
+    * disappears (j14's discipline).
+    */
+  def scd2FromChangelog(events: DataFrame, key: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).asc)
+    events
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

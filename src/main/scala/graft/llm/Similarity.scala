@@ -546,6 +546,56 @@ object Similarity {
     exactRerank(shortlist, corpusVec, queries, idCol, vecCol, k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query, the k most-similar corpus vectors with a DIFFERENT label —
+    * near the query in embedding space but semantically wrong, the
+    * negatives that actually teach a ranker. Same kernel discipline as
+    * [[bruteForceTopK]]: queries (with their labels) broadcast as
+    * primitive arrays, ONE corpus scan serves every label (the label
+    * mask is a per-pair comparison inside the loop — never a per-label
+    * re-scan), per-partition per-query heaps bound the window input to
+    * ≤ partitions×|queries|×k. Same-id pairs are excluded implicitly
+    * (same id ⇒ same label).
+    *
+    * Output: (query_id, corpus_id, cos, rk), rk 1-based per query.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col(labelCol).cast("int"))
+      .as[(Long, Array[Double], Int)].collect()
+      .map { case (id, v, l) => (id, v, l, math.sqrt(Dedup.dotArr(v, v))) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col(labelCol).cast("int"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new TopKHeap(k))
+        it.foreach { case (cid, cv, cl) =>
+          val nc = math.sqrt(Dedup.dotArr(cv, cv))
+          var i = 0
+          while (i < qs.length) {
+            val (_, qv, ql, nq) = qs(i)
+            if (ql != cl) heaps(i).offer(cid, Dedup.dotArr(qv, cv) / (nq * nc))
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.drain.map { case (cid, s) => (qs(i)._1, cid, s) }
+        }
+      }.toDF("query_id", "corpus_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
   /** Recall@k of an ANN result against the brute-force truth: fraction
     * of (query, corpus) truth pairs the ANN result recovered. */
   def recallAtK(ann: DataFrame, truth: DataFrame): Double = {

@@ -1351,6 +1351,32 @@ object LlmQueries {
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
       Some(Frequency.heavyHittersOracleSql(k = 40))),
 
+    // Hard-negative mining: per query, the 3 most-similar vectors with
+    // a DIFFERENT label — the contrastive-training negative sampler.
+    // One corpus scan serves all labels (label mask inside the heap
+    // kernel); fully SQL-expressible, so pairs/cosines/ranks are
+    // oracle-checked like n1.
+    Q("n6_hard_negatives",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.hardNegatives(
+          emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label", k = 3)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cos"), 6).as("cos"), col("rk"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             |    label AS ql FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv,
+             |    label AS cl FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS INTEGER) AS rk
+             |  FROM q JOIN c ON ql <> cl)
+             |SELECT query_id, corpus_id, ROUND(cos, 6) AS cos, rk FROM scored
+             |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)),
+
     // Hybrid retrieval: reciprocal-rank fusion of BM25 (x26's fixture
     // queries over documents) and dense cosine (the same query ids'
     // embeddings over the aligned vec_id space) — the standard RAG

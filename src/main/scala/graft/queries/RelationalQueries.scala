@@ -572,6 +572,40 @@ object RelationalQueries {
              |FROM latest WHERE NOT deleted
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // SCD-2 history reconstruction: a three-version synthetic changelog
+    // over orders (v1 = every key; v2 = keys %10=0 re-priced; v3 = keys
+    // %100=0 re-priced again) rebuilt into validity intervals. The
+    // oracle replays the LEAD window row-for-row over the full history:
+    // every interval's open/close version and the is_current flag are
+    // hash-compared. Mechanics + 100-TB notes in
+    // [[graft.core.Merge.scd2FromChangelog]].
+    Q("p10_scd2_history",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val log = o.select(col("o_orderkey"), col("o_totalprice"), lit(1).as("version"))
+          .unionByName(o.where(pmod(col("o_orderkey"), lit(10)) === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+              lit(2).as("version")))
+          .unionByName(o.where(pmod(col("o_orderkey"), lit(100)) === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") * 1.21).as("o_totalprice"),
+              lit(3).as("version")))
+        Merge.scd2FromChangelog(log, "o_orderkey", "version")
+          .select(col("o_orderkey"), col("o_totalprice"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy(col("o_orderkey"), col("valid_from"))
+      },
+      Some("""WITH log AS (
+             |  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice * 1.1, 2 FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice * 1.21, 3 FROM orders WHERE o_orderkey % 100 = 0)
+             |SELECT o_orderkey, o_totalprice, version AS valid_from,
+             |  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to,
+             |  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL AS is_current
+             |FROM log
+             |ORDER BY o_orderkey, valid_from""".stripMargin)),
+
     // Bucketed co-located join as a CORRECTNESS entry: both sides written
     // bucketed+sorted on the key (one write-side shuffle each), then
     // joined exchange-free (the zero-Exchange plan itself is locked by

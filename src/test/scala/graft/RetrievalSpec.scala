@@ -170,4 +170,22 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(res(2L) == "rewritten")
   }
+
+  test("scd2: intervals chain, exactly one current row per key") {
+    val log = Seq(
+      (1L, "a", 1), (1L, "b", 3), (1L, "c", 7), // three versions
+      (2L, "x", 2)                              // single version
+    ).toDF("k", "payload", "version")
+    val res = Merge.scd2FromChangelog(log, "k", "version")
+      .orderBy(col("k"), col("valid_from")).collect()
+    val k1 = res.filter(_.getLong(0) == 1L).map(r =>
+      (r.getAs[Int]("valid_from"), Option(r.getAs[Integer]("valid_to")),
+        r.getAs[Boolean]("is_current")))
+    assert(k1.toSeq == Seq((1, Some(3), false), (3, Some(7), false), (7, None, true)))
+    val k2 = res.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && k2.head.getAs[Boolean]("is_current"))
+    // global invariant: per key, exactly one open interval
+    assert(res.filter(_.getAs[Boolean]("is_current")).map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 2L))
+  }
 }

@@ -23,6 +23,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: never a same-label pair, and equals the filtered brute truth") {
+    val hn = Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", k = 3)
+    val rows = hn.collect()
+    assert(rows.nonEmpty)
+    // label constraint holds pairwise
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val c = r.getAs[Long]("corpus_id")
+      assert(labels(q) != labels(c), s"same-label pair ($q,$c)")
+    }
+    // the one-pass label-masked kernel must equal brute top-k computed
+    // per label over the label-filtered corpus (the naive |labels|-scan
+    // formulation)
+    val perLabel = queries.select("label").distinct().collect().map(_.getInt(0)).flatMap { l =>
+      Similarity.bruteForceTopK(
+        emb.where(col("label") =!= l), queries.where(col("label") === l),
+        "vec_id", "embedding", k = 3).collect()
+    }
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) -> r.getAs[Long]("corpus_id")
+    assert(rows.map(key).toMap === perLabel.map(key).toMap)
+  }
+
   test("lshTopK recall@3 vs brute force") {
     val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3,
       dim = 64, nPlanes = 16, nBands = 8)
