@@ -24,7 +24,44 @@ object DevScale {
     if (want("llm")) llmSection(spark)
     if (want("ann")) annSection(spark)
     if (want("skew")) skewSection(spark)
+    if (want("hh")) hhSection(spark)
     spark.stop()
+  }
+
+  /** x28 heavy-hitters evidence: the recount exchange must be bounded
+    * by the SKETCH (≤ partitions×k candidate terms), not the
+    * vocabulary. Each replica row gains a UNIQUE hapax token (the
+    * realistic web-corpus shape: vocabulary grows linearly with corpus
+    * size while the head distribution stays put), so a naive
+    * groupBy(term) exchange carries ~partitions×|vocab| post-combine
+    * rows while the two-pass recount carries ≤ partitions×|candidates|
+    * — candidates provably ≤ partitions×k however large the corpus. */
+  private def hhSection(spark: SparkSession): Unit = {
+    import graft.llm.{Frequency, Retrieval}
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val k = 40
+    Seq(1, 10, 100).foreach { mult =>
+      val reps = (0 until mult).map { i =>
+        val id = col("doc_id") + lit(i.toLong * 10000000L)
+        base.select(id.as("doc_id"),
+          concat(col("text"), lit(" u"), id.cast("string")).as("text"))
+      }
+      val docs = reps.reduce(_ unionByName _).repartition(32)
+      val toks = docs.select(explode(Retrieval.tokenize(col("text"))).as("term"))
+      val nToks = toks.count()
+      val vocab = toks.distinct().count()
+      import org.apache.spark.sql.Encoders
+      val candidates = toks.select(col("term")).as[String](Encoders.STRING)
+        .mapPartitions(it => Frequency.misraGries(it, k).keysIterator)(Encoders.STRING)
+        .toDF("term").distinct()
+      val nCand = candidates.count()
+      val t0 = System.nanoTime()
+      Bench.exec(Frequency.heavyHitters(docs, "text", k))
+      println(f"[hh-scale] x$mult%-4d tokens=$nToks%11d vocab=$vocab%9d " +
+        f"candidates=$nCand%5d cand_bound=${32 * k} " +
+        f"naive_exchange~${32L * vocab}%11d recount_exchange~${32L * nCand}%8d " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s ok=${nCand <= 32L * k}")
+    }
   }
 
   private def llmSection(spark: SparkSession): Unit = {

@@ -1345,7 +1345,7 @@ object LlmQueries {
     // shape: per-partition sketch → bounded candidate recount. The
     // oracle is the full count-and-filter the two-pass form provably
     // equals (guarantee argued in the Frequency scaladoc); the sketch's
-    // eviction path is exercised in FrequencySpec on a skewed stream
+    // eviction path is exercised in RetrievalSpec on a skewed stream
     // (the fixture's 31-word vocabulary never overflows 40 counters).
     Q("x28_heavy_hitters",
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),

@@ -145,6 +145,21 @@ object StreamQueries {
     // the 5 most recent event ids by (ts, id). The replayed cumulative
     // profile equals the batch answer; sums stay in integer micros so the
     // hash compare is exact.
+    // Continuous-ingest merge: the changelog streamed in 4 micro-batches
+    // upserts a key-latest state table (foreachBatch + latestWins, the
+    // lakehouse MERGE loop). Final state ≡ batch latest-per-key — the
+    // oracle replays it as one QUALIFY window.
+    Q("st9_stream_merge",
+      (s, d) => EventStream.runMergeOnce(s, s"$d/events.parquet")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  event_type AS last_type, value AS last_value
+             |FROM events
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
     Q("st8_stream_profile",
       (s, d) => {
         val sink = s"st8_sink_${System.nanoTime()}"

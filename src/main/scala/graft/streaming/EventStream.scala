@@ -315,6 +315,68 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Bounded replay of the continuous-ingest MERGE maintenance loop:
+    * the events changelog, chunked into `nChunks` files and streamed
+    * one file per micro-batch (`maxFilesPerTrigger=1`), upserts a
+    * persistent key-latest state table via `foreachBatch` +
+    * [[graft.core.Merge.latestWins]] — the read-merge-write cycle a
+    * lakehouse ingest job runs on every trigger.
+    *
+    * Why this is oracle-checkable: with version = event_id,
+    * max-version-wins is associative and commutative over batches, so
+    * the final state equals the batch latest-per-key answer REGARDLESS
+    * of batch boundaries or file arrival order — stream ≡ batch parity
+    * like every other st query.
+    *
+    * State lives in alternating parquet generations (read gen i, merge,
+    * write gen i+1): at scale the sink would be a table format's
+    * transactional commit, and the snapshot side of each merge would be
+    * partition-pruned by the batch's key range (see Merge scaladoc) —
+    * the generation swap here is the same shape minus the manifest.
+    * The final collect is bounded by |distinct keys| (S7 discipline;
+    * the production result IS the final parquet generation, never a
+    * driver frame). */
+  def runMergeOnce(spark: SparkSession, path: String, nChunks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    val srcDir = work.resolve("src").toString
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(RawEventSchema).parquet(path)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(stateSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val state =
+            if (gen == 0) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+            else spark.read.parquet(work.resolve(s"state_$gen").toString)
+          graft.core.Merge.latestWins(state, batch, "user_id", "event_id")
+            .write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"merge replay must run multiple micro-batches, ran $gen")
+    val rows = spark.read.parquet(work.resolve(s"state_$gen").toString).collect()
+    rmTree(work)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), stateSchema)
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
     * repeat within the watermark horizon (e.g. a content hash on a
     * document stream). `dropDuplicatesWithinWatermark` expires dedup state

@@ -188,6 +188,27 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
   }
 
+  test("streaming merge state is independent of micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    def state(n: Int) = graft.streaming.EventStream.runMergeOnce(spark, path, nChunks = n)
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    val a = state(2)
+    val b = state(5)
+    assert(a == b, "final merged state must not depend on chunking")
+    // and it equals the batch latest-per-key answer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read
+      .schema(graft.streaming.EventStream.RawEventSchema).parquet(path)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val expected = batch.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    assert(a == expected)
+  }
+
   test("intervalMs parses watermark strings; month intervals rejected") {
     assert(EventStream.intervalMs("1 hour") === 3600000L)
     assert(EventStream.intervalMs("30 minutes") === 1800000L)
