@@ -183,6 +183,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("latestWins over random batch splits equals one-shot; scd2 partitions the history") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random changelog: (key, version) unique by construction
+    val cases = for {
+      n <- Gen.choose(1, 30)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
+      split <- Gen.choose(1, 5)
+    } yield (keys.zipWithIndex.map { case (k, v) => (k, v + 1) }, split)
+    forAll(cases, n = 8) { case (log, split) =>
+      val expected = log.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      // apply in `split` version-interleaved batches via latestWins
+      val batches = log.zipWithIndex.groupBy(_._2 % split).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val empty = Seq.empty[(Long, Int)].toDF("k", "version")
+      val finalState = batches.foldLeft(empty) { (st, b) =>
+        graft.core.Merge.latestWins(st, b.toDF("k", "version"), "k", "version")
+      }
+      val got = finalState.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"log=$log split=$split")
+      // scd2 invariants on the same log: per key, intervals chain over
+      // the sorted versions and exactly the max version is current
+      val hist = graft.core.Merge.scd2FromChangelog(log.toDF("k", "version"), "k", "version")
+        .collect().map(r => (r.getLong(0), r.getAs[Int]("valid_from"),
+          Option(r.getAs[Integer]("valid_to")).map(_.toInt), r.getAs[Boolean]("is_current")))
+      log.groupBy(_._1).foreach { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val rows = hist.filter(_._1 == k).sortBy(_._2)
+        assert(rows.map(_._2).toSeq == sorted)
+        assert(rows.map(_._3).toSeq == sorted.drop(1).map(Some(_)) :+ None)
+        assert(rows.count(_._4) == 1 && rows.last._4)
+      }
+    }
+  }
+
   test("shuffleShard permutation is invariant to the shuffle-partition count") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
