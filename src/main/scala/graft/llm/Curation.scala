@@ -361,4 +361,70 @@ object Curation {
         out.iterator
       }.toDF("pack_id", "doc_ids", "n_docs", "total_tokens")
   }
+
+  /** Temperature-reweighted domain mixing (the multinomial mixture
+    * reweighting of multilingual/multi-domain pretraining — raising
+    * rare domains, damping dominant ones): target share q_i ∝ p_i^τ
+    * over observed domain shares p_i, per-domain keep rate
+    * r_i = min(1, budget·q_i / n_i), applied as the deterministic
+    * basis-point mod-sample `id % 10000 < floor(10000·r_i)`.
+    * τ = 1 reproduces the observed mix; τ → 0 approaches uniform.
+    *
+    * No re-normalization after the min(1,·) clip — a clipped domain
+    * simply yields fewer rows than its target (documented contract;
+    * iterate with a larger budget if exact totals matter).
+    *
+    * Scale shape: ONE map-side-combined count per domain (the domain
+    * table is tiny), keep rates broadcast back onto the scan as a
+    * map-side filter — the data path is a pure projection+filter, no
+    * data shuffle at all. Output is the per-domain summary
+    * (domain, n_docs, keep_bp, n_kept).
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, domainCol: String,
+      tau: Double, budget: Long): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", pow(col("n_docs"), tau))
+    val norm = counts.agg(sum(col("share")).as("z"))
+    // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels)
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("keep_bp", least(lit(10000L),
+        floor(lit(10000.0) * lit(budget.toDouble) * col("share") / col("z")
+          / col("n_docs"))).cast("long"))
+      .select(col("domain"), col("n_docs"), col("keep_bp"))
+    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), Seq("domain"))
+      .where(pmod(col("id"), lit(10000L)) < col("keep_bp"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("keep_bp"), col("n_kept"))
+  }
+
+  /** GPT-3-style Pareto quality sampling (Brown et al. 2020, App. A):
+    * keep a document iff  1 − quality < x  where x is a Pareto(α)
+    * draw — low-quality docs survive occasionally (distributional
+    * smoothing instead of a hard threshold). The draw is derandomized
+    * through the md5-bucket uniform (u = (bucket(id)+0.5)/4096, x =
+    * (1−u)^(−1/α) − 1), so the kept set is deterministic and
+    * engine-portable — the same md5 trick as the DSIR features.
+    * Both comparison sides are round(·,6) so the boundary is stable
+    * cross-engine. Map-only projection+filter; pushes to the scan.
+    *
+    * Output: (doc_id, quality, kept), ordered by doc_id.
+    */
+  def paretoQualityKeep(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 9.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val u = (Importance.bucket(col(idCol).cast("string")) + lit(0.5)) / lit(4096.0)
+    val x = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    docs.select(col(idCol).as("doc_id"),
+        round(TextStats.qualityScore(col(textCol)), 6).as("quality"),
+        round(x, 6).as("__x"))
+      .withColumn("kept", round(lit(1.0) - col("quality"), 6) < col("__x"))
+      .select(col("doc_id"), col("quality"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -70,6 +70,19 @@ object TextStats {
     round(lenScore * 0.35 + tokLenScore * 0.15 + stopScore * 0.2 + alnumScore * 0.3, 6)
   }
 
+  /** DuckDB twin of [[qualityScore]] (shared by the x3/x31 oracles):
+    * identical blend, engine-portable constructs only. */
+  def qualityScoreSql(textExpr: String = "text"): String = {
+    val allMarkers = LangMarkers.flatMap(_._2).map(m => s"'$m'").mkString("(", ",", ")")
+    s"""LEAST(len(string_split($textExpr,' ')) / 64.0, 1.0) * 0.35
+       | + (CASE WHEN (length($textExpr) - (len(string_split($textExpr,' ')) - 1.0)) / len(string_split($textExpr,' '))
+       |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
+       | + LEAST(len(list_filter(string_split($textExpr,' '), t -> t IN $allMarkers)) * 8.0
+       |      / GREATEST(len(string_split($textExpr,' ')), 1), 1.0) * 0.2
+       | + length(regexp_replace($textExpr, '[^A-Za-z0-9一-鿿]', '', 'g'))
+       |      / GREATEST(length($textExpr), 1.0) * 0.3""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum
     * md5 over all `w`-char sliding windows of the text. Documents
     * sharing any window can collide to the same fingerprint → cheap

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Frequency, Importance, Multimodal, Retrieval, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Frequency, Importance, Multimodal, Retrieval, Similarity, TextStats}
 
 /** LLM-training-data-pipeline queries (dedup, similarity search, text
   * analysis, multimodal) over the documents/embeddings fixtures, with
@@ -525,16 +525,7 @@ object LlmQueries {
           countIf(col("quality") >= 0.75).as("n_high"))
         .orderBy(col("lang")),
       Some {
-        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
-          .map(m => s"'$m'").mkString("(", ",", ")")
-        val q =
-          s"""LEAST(len(string_split(text,' ')) / 64.0, 1.0) * 0.35
-             | + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1.0)) / len(string_split(text,' '))
-             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
-             | + LEAST(len(list_filter(string_split(text,' '), t -> t IN $allMarkers)) * 8.0
-             |      / GREATEST(len(string_split(text,' ')), 1), 1.0) * 0.2
-             | + length(regexp_replace(text, '[^A-Za-z0-9一-鿿]', '', 'g'))
-             |      / GREATEST(length(text), 1.0) * 0.3""".stripMargin
+        val q = TextStats.qualityScoreSql("text")
         s"""WITH scored AS (SELECT lang, ROUND($q, 6) AS quality FROM documents)
            |SELECT lang, COUNT(*) AS n_docs, ROUND(${avgExactSql("quality")}, 4) AS avg_quality,
            |${countIfSql("quality >= 0.75")} AS n_high
@@ -664,8 +655,6 @@ object LlmQueries {
         } finally gated.unpersist(blocking = false)
       },
       Some {
-        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
-          .map(m => s"'$m'").mkString("(", ",", ")")
         val scores = markerSql.map { case (lang, inList) =>
           s"len(list_filter(string_split(text, ' '), t -> t IN $inList)) AS s_$lang"
         }.mkString(", ")
@@ -674,14 +663,7 @@ object LlmQueries {
         val pick = markerSql.map { case (lang, _) =>
           s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
         }.mkString(" ")
-        val q =
-          s"""LEAST(len(string_split(text,' ')) / 64.0, 1.0) * 0.35
-             | + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1.0)) / len(string_split(text,' '))
-             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
-             | + LEAST(len(list_filter(string_split(text,' '), t -> t IN $allMarkers)) * 8.0
-             |      / GREATEST(len(string_split(text,' ')), 1), 1.0) * 0.2
-             | + length(regexp_replace(text, '[^A-Za-z0-9一-鿿]', '', 'g'))
-             |      / GREATEST(length(text), 1.0) * 0.3""".stripMargin
+        val q = TextStats.qualityScoreSql("text")
         s"""WITH RECURSIVE scored AS (
            |  SELECT doc_id, text, $scores, ROUND($q, 6) AS quality FROM documents),
            |m AS (SELECT *, $maxExpr AS mx FROM scored),
@@ -921,16 +903,7 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val allMarkers = TextStats.LangMarkers.flatMap(_._2)
-          .map(m => s"'$m'").mkString("(", ",", ")")
-        val q =
-          s"""LEAST(len(string_split(line,' ')) / 64.0, 1.0) * 0.35
-             | + (CASE WHEN (length(line) - (len(string_split(line,' ')) - 1.0)) / len(string_split(line,' '))
-             |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
-             | + LEAST(len(list_filter(string_split(line,' '), t -> t IN $allMarkers)) * 8.0
-             |      / GREATEST(len(string_split(line,' ')), 1), 1.0) * 0.2
-             | + length(regexp_replace(line, '[^A-Za-z0-9一-鿿]', '', 'g'))
-             |      / GREATEST(length(line), 1.0) * 0.3""".stripMargin
+        val q = TextStats.qualityScoreSql("line")
         s"""WITH t AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS txt FROM documents),
            |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lns FROM t),
            |l AS (SELECT doc_id, i AS pos, lns[i] AS line
@@ -1350,6 +1323,49 @@ object LlmQueries {
     Q("x28_heavy_hitters",
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
       Some(Frequency.heavyHittersOracleSql(k = 40))),
+
+    // Temperature-reweighted domain mixing (τ=0.7, budget 300): target
+    // shares ∝ n_i^τ, per-domain keep rates applied as a deterministic
+    // basis-point mod-sample. The whole chain — counts, power shares,
+    // clipped rates, kept counts — is engine-portable SQL.
+    Q("x30_temperature_mix",
+      (s, d) => Curation.temperatureMix(
+        T(s, d, "documents"), "doc_id", "source", tau = 0.7, budget = 300L)
+        .orderBy(col("domain")),
+      Some("""WITH counts AS (
+             |  SELECT source AS domain, COUNT(*) AS n_docs,
+             |    POW(COUNT(*), 0.7) AS share
+             |  FROM documents GROUP BY 1),
+             |norm AS (SELECT SUM(share) AS z FROM counts),
+             |rates AS (
+             |  SELECT domain, n_docs,
+             |    LEAST(10000, CAST(FLOOR(10000.0 * 300 * share / z / n_docs) AS BIGINT))
+             |      AS keep_bp
+             |  FROM counts CROSS JOIN norm),
+             |kept AS (
+             |  SELECT d.source AS domain, COUNT(*) AS n_kept
+             |  FROM documents d JOIN rates r ON d.source = r.domain
+             |  WHERE d.doc_id % 10000 < r.keep_bp GROUP BY 1)
+             |SELECT domain, n_docs, keep_bp, n_kept
+             |FROM kept JOIN rates USING (domain)
+             |ORDER BY domain""".stripMargin)),
+
+    // GPT-3-style Pareto quality sampling (α=9, Brown et al. 2020
+    // App. A), derandomized through the md5-bucket uniform so the kept
+    // set is deterministic — per-doc quality, threshold, and keep flag
+    // all row-compared against the oracle.
+    Q("x31_pareto_quality",
+      (s, d) => Curation.paretoQualityKeep(T(s, d, "documents"), "doc_id", "text"),
+      Some {
+        val u = s"((${graft.llm.Importance.BucketSql("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4096.0"
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    ROUND(${TextStats.qualityScoreSql("text")}, 6) AS quality,
+           |    ROUND(POW(1.0 - ($u), -1.0/9.0) - 1.0, 6) AS x
+           |  FROM documents)
+           |SELECT doc_id, quality, ROUND(1.0 - quality, 6) < x AS kept
+           |FROM q ORDER BY doc_id""".stripMargin
+      }),
 
     // Hard-negative mining: per query, the 3 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative sampler.

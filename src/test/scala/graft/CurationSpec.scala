@@ -264,4 +264,39 @@ class CurationSpec extends SparkSpec {
     // and the order is actually shuffled, not identity
     assert(perm(a) !== (0L until 100L).map(i => i -> i).toMap)
   }
+
+  test("temperatureMix: τ=1 is proportional; lower τ shifts share to rare domains") {
+    import spark.implicits._
+    // 900 'big' docs vs 100 'small' docs
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def bp(tau: Double): Map[String, Long] =
+      Curation.temperatureMix(docs, "doc_id", "source", tau, budget = 500L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("keep_bp")).toMap
+    val t1 = bp(1.0)
+    // τ=1: keep rate = budget/N for every domain (share cancels)
+    assert(t1.values.toSet == Set(5000L), t1.toString)
+    val t03 = bp(0.3)
+    // low τ: the rare domain's keep rate rises, the dominant one falls
+    assert(t03("small") > t1("small") && t03("big") < t1("big"), t03.toString)
+    // rates are valid basis points
+    assert(t03.values.forall(v => v >= 0 && v <= 10000))
+  }
+
+  test("paretoQualityKeep: perfect quality always survives; keep rate grows with quality") {
+    import spark.implicits._
+    val hi = "the of and is in to it for on as" // stopword-dense, alnum, good length band
+    val lo = "%%% ### !!!"                      // punctuation soup
+    val docs = (0L until 400L).map { i =>
+      (i, if (i < 200) (hi + " ") * 6 + hi else lo)
+    }.toDF("doc_id", "text")
+    val res = Curation.paretoQualityKeep(docs, "doc_id", "text").collect()
+    val byKept = res.groupBy(_.getLong(0) < 200)
+    val hiRate = byKept(true).count(_.getBoolean(2)).toDouble / 200
+    val loRate = byKept(false).count(_.getBoolean(2)).toDouble / 200
+    assert(hiRate > loRate, s"hi=$hiRate lo=$loRate")
+    assert(loRate > 0.0, "Pareto smoothing must keep SOME low-quality docs")
+    // quality == 1 implies kept (1 - q = 0 < x for every draw)
+    res.filter(_.getDouble(1) == 1.0).foreach(r => assert(r.getBoolean(2)))
+  }
 }
