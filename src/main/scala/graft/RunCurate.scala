@@ -50,10 +50,17 @@ object RunCurate {
       .select(col("id").as("doc_id"), col("text_trimmed").as("text"))
     val docs = meta.join(trimmed, "doc_id")
 
-    // 3-4. document gate + exact/near-dup dedup
+    // 3-4. document gate, then Pareto quality smoothing (GPT-3 App. A:
+    // a derandomized Pareto(9) draw lets borderline docs through in
+    // proportion to quality instead of a second hard cut), then
+    // exact/near-dup dedup
     val gated = Curation.qualityFilter(docs, "text", Seq("en"), minQ, 8, 1 << 20)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deduped = Curation.curateGated(gated, "doc_id", "text")
+    val sampled = gated.join(
+      Curation.paretoQualityKeep(gated, "doc_id", "text")
+        .where(col("kept")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val deduped = Curation.curateGated(sampled, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. optional per-source token budget (mixture control)
@@ -73,6 +80,7 @@ object RunCurate {
     packs.write.mode("overwrite").parquet(s"$out/packs.parquet")
 
     val nGated = gated.count()
+    val nSampled = sampled.count()
     val nKept = deduped.count()
     val nFinal = sharded.count()
     val packStats = packs.agg(
@@ -81,7 +89,8 @@ object RunCurate {
       avg(col("total_tokens")).as("avg_fill")).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
     Sinks.writeJson(Seq(
-      "input_docs" -> nInput, "gated_docs" -> nGated, "deduped_docs" -> nKept,
+      "input_docs" -> nInput, "gated_docs" -> nGated,
+      "pareto_sampled_docs" -> nSampled, "deduped_docs" -> nKept,
       "final_docs" -> nFinal,
       "drop_rate" -> (1.0 - nFinal.toDouble / math.max(1, nInput)),
       "n_packs" -> packStats.getLong(0),
@@ -90,7 +99,7 @@ object RunCurate {
       "token_budget" -> budget,
       "tokens_per_source" -> tokensPerSource,
       "seconds" -> secs), s"$out/curation_stats.json")
-    println(f"[curate] $nInput%d -> $nGated%d gated -> $nKept%d deduped -> " +
+    println(f"[curate] $nInput%d -> $nGated%d gated -> $nSampled%d sampled -> $nKept%d deduped -> " +
       f"$nFinal%d final; ${packStats.getLong(0)}%d packs, " +
       f"fill ${packStats.getDouble(2) / budget}%.2f, $secs%.1f s")
     gated.unpersist(blocking = false)

@@ -382,6 +382,18 @@ object Curation {
     */
   def temperatureMix(docs: DataFrame, idCol: String, domainCol: String,
       tau: Double, budget: Long): DataFrame = {
+    val rates = temperatureMixRates(docs, idCol, domainCol, tau, budget)
+    applyMixRates(docs, idCol, domainCol, rates)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("keep_bp"), col("n_kept"))
+  }
+
+  /** The rate table half of [[temperatureMix]]: (domain, n_docs,
+    * keep_bp). Tiny (one row per domain) — always broadcast. */
+  def temperatureMixRates(docs: DataFrame, idCol: String, domainCol: String,
+      tau: Double, budget: Long): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val counts = docs.groupBy(col(domainCol).as("domain"))
@@ -389,19 +401,22 @@ object Curation {
       .withColumn("share", pow(col("n_docs"), tau))
     val norm = counts.agg(sum(col("share")).as("z"))
     // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels)
-    val rates = counts.crossJoin(broadcast(norm))
+    counts.crossJoin(broadcast(norm))
       .withColumn("keep_bp", least(lit(10000L),
         floor(lit(10000.0) * lit(budget.toDouble) * col("share") / col("z")
           / col("n_docs"))).cast("long"))
       .select(col("domain"), col("n_docs"), col("keep_bp"))
-    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
-      .join(broadcast(rates), Seq("domain"))
-      .where(pmod(col("id"), lit(10000L)) < col("keep_bp"))
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_kept"))
-      .join(broadcast(rates), Seq("domain"))
-      .select(col("domain"), col("n_docs"), col("keep_bp"), col("n_kept"))
   }
+
+  /** Row-level application of a mix-rate table: keep the rows whose id
+    * mod-sample falls under their domain's basis-point rate. Broadcast
+    * join + filter on the scan — no data shuffle. */
+  def applyMixRates(docs: DataFrame, idCol: String, domainCol: String,
+      rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates.select(col("domain").as(domainCol), col("keep_bp"))),
+        Seq(domainCol))
+      .where(pmod(col(idCol), lit(10000L)) < col("keep_bp"))
+      .drop("keep_bp")
 
   /** GPT-3-style Pareto quality sampling (Brown et al. 2020, App. A):
     * keep a document iff  1 − quality < x  where x is a Pareto(α)
