@@ -282,6 +282,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a decoded image:
+    * nearest-neighbor resample to 8×8 luminance, bit = pixel > mean,
+    * emitted as a 64-char '0'/'1' string (row-major y-outer) — a string
+    * so the hash is sign-free and engine-portable for the oracle.
+    * Shares the NN convention with [[resizeDecoded]] (src pixel
+    * (x·w/8, y·h/8), integer floor). */
+  def aHash(img: java.awt.image.BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = img.getColorModel.getNumComponents == 1
+    val px = new Array[Int](64)
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8
+        px(i) =
+          if (gray) img.getRaster.getSample(sx, sy, 0)
+          else {
+            val rgb = img.getRGB(sx, sy)
+            math.round(0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF)
+              + 0.114 * (rgb & 0xFF)).toInt
+          }
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val mean = px.sum / 64.0
+    val sb = new java.lang.StringBuilder(64)
+    px.foreach(v => sb.append(if (v > mean) '1' else '0'))
+    sb.toString
+  }
+
+  /** Image dedup by perceptual hash (the LAION-style image-dedup shape:
+    * decode → aHash → group — images that are perceptually identical
+    * collapse to one representative). Decode + hash run map-only in
+    * `mapPartitions` (payloads never shuffle — only the 64-char hash and
+    * the id ride the exchange); the group step is ONE hash shuffle, and
+    * the representative is deterministic (min media_id). Near-dup
+    * (Hamming ≤ r) extends this by banding the 64 bits exactly as
+    * [[Dedup]]'s SimHash path bands its signatures — same machinery,
+    * byte-for-byte.
+    *
+    * Output: (ahash, n_images, rep_id) ordered by (n_images DESC,
+    * ahash) — the dup-cluster inventory. */
+  def imageDedup(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val hashed = media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+          .getOrElse(sys.error(s"media_id=$id: payload is not a decodable image"))
+        Row(id, aHash(img))
+      }
+    }(enc)
+    hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("rep_id"))
+      .orderBy(col("n_images").desc, col("ahash"))
+  }
+
   /** Frame-sample: slice the payload into `n` evenly-spaced fixed-width
     * binary frames (video keyframe-sampling shape). Pure projection. */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {

@@ -1266,6 +1266,29 @@ object LlmQueries {
              |  6) AS mean_lum
              |FROM documents ORDER BY 1""".stripMargin)),
 
+    // Perceptual-hash image dedup: REAL JDK decode → 8×8 NN aHash →
+    // one hash-shuffle group (LAION-shape image dedup). The synthetic
+    // gradient (pixel = x+y, sizes closed forms of the id) makes the
+    // full 64-bit hash SQL-computable: NN picks (⌊x·w/8⌋, ⌊y·h/8⌋), so
+    // bit(y,x) = (⌊x·w/8⌋+⌊y·h/8⌋ > mean). Docs sharing (w,h) — ids
+    // congruent mod lcm(32,24)=96 — collapse to one representative.
+    Q("mm6_image_phash_dedup",
+      (s, d) => Multimodal.imageDedup(
+        Multimodal.fromDocumentsPng(T(s, d, "documents"))),
+      Some("""WITH px AS (
+             |  SELECT doc_id, y, x,
+             |    ((x * (doc_id % 32 + 4)) // 8) + ((y * (doc_id % 24 + 4)) // 8) AS v
+             |  FROM documents, range(8) rx(x), range(8) ry(y)),
+             |m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY 1),
+             |h AS (
+             |  SELECT p.doc_id,
+             |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+             |      ORDER BY y, x) AS ahash
+             |  FROM px p JOIN m USING (doc_id) GROUP BY 1)
+             |SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS rep_id
+             |FROM h GROUP BY 1
+             |ORDER BY n_images DESC, ahash""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

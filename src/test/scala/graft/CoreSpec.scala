@@ -361,4 +361,28 @@ class CoreSpec extends SparkSpec {
     // undecodable input → None, not an exception
     assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 2, 2).isEmpty)
   }
+
+  test("Multimodal: aHash — hand-computed bits, identity, and sensitivity") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    // 8x8 gradient hashes directly: v = x+y, mean 7.0, bit = (x+y) > 7
+    val img8 = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticPng(8, 8)))
+    val h8 = Multimodal.aHash(img8)
+    val expected = (for (y <- 0 until 8; x <- 0 until 8)
+      yield if (x + y > 7) '1' else '0').mkString
+    assert(h8 === expected)
+    assert(h8.length === 64 && h8.count(_ == '1') === 28) // strict upper triangle of 8x8
+    // perceptually identical payloads → identical hash
+    val again = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticPng(8, 8)))
+    assert(Multimodal.aHash(again) === h8)
+    // a 16x8 gradient NN-samples v = 2x+y (mean 10.5) — e.g. bit(0,7)
+    // flips vs the 8x8 pattern, so the hashes must differ
+    val img16 = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticPng(16, 8)))
+    val h16 = Multimodal.aHash(img16)
+    assert(h16.length === 64)
+    assert(h16 !== h8)
+    val expected16 = (for (y <- 0 until 8; x <- 0 until 8)
+      yield if (2 * x + y > 10.5) '1' else '0').mkString
+    assert(h16 === expected16)
+  }
 }
