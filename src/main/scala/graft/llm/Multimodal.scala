@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -316,24 +316,15 @@ object Multimodal {
     sb.toString
   }
 
-  /** Image dedup by perceptual hash (the LAION-style image-dedup shape:
-    * decode → aHash → group — images that are perceptually identical
-    * collapse to one representative). Decode + hash run map-only in
-    * `mapPartitions` (payloads never shuffle — only the 64-char hash and
-    * the id ride the exchange); the group step is ONE hash shuffle, and
-    * the representative is deterministic (min media_id). Near-dup
-    * (Hamming ≤ r) extends this by banding the 64 bits exactly as
-    * [[Dedup]]'s SimHash path bands its signatures — same machinery,
-    * byte-for-byte.
-    *
-    * Output: (ahash, n_images, rep_id) ordered by (n_images DESC,
-    * ahash) — the dup-cluster inventory. */
-  def imageDedup(media: DataFrame): DataFrame = {
+  /** Decode + aHash, map-only: (media_id, ahash). Payloads never
+    * shuffle — only the 64-char hash and the id leave the scan stage.
+    * Shared front half of [[imageDedup]] / [[imageNearDupClasses]]. */
+  private def aHashes(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("ahash", StringType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val hashed = media.select("media_id", "payload").mapPartitions { it =>
+    media.select("media_id", "payload").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val img = readImage(r.getAs[Array[Byte]](1))
@@ -341,9 +332,73 @@ object Multimodal {
         Row(id, aHash(img))
       }
     }(enc)
-    hashed.groupBy(col("ahash"))
+  }
+
+  /** Image dedup by perceptual hash (the LAION-style image-dedup shape:
+    * decode → aHash → group — images that are perceptually identical
+    * collapse to one representative). Decode + hash run map-only in
+    * `mapPartitions` (payloads never shuffle — only the 64-char hash and
+    * the id ride the exchange); the group step is ONE hash shuffle, and
+    * the representative is deterministic (min media_id). Near-dup
+    * (Hamming ≤ r) is [[imageNearDupClasses]].
+    *
+    * Output: (ahash, n_images, rep_id) ordered by (n_images DESC,
+    * ahash) — the dup-cluster inventory. */
+  def imageDedup(media: DataFrame): DataFrame =
+    aHashes(media).groupBy(col("ahash"))
       .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("rep_id"))
       .orderBy(col("n_images").desc, col("ahash"))
+
+  /** Image NEAR-dup by perceptual hash: pairs of distinct aHash classes
+    * within Hamming ≤ `maxHamming`, found by banding the 64 bits into
+    * `nBands` equal substrings and equi-joining on any matching band —
+    * the same blocking [[Dedup.simHashPairs]] uses for text, applied to
+    * the image hash. By pigeonhole the blocking is EXACT for
+    * maxHamming ≤ nBands−1 (a pair differing in ≤ nBands−1 bits must
+    * agree on some band), which the `require` pins, so the result
+    * equals the all-pairs filter without ever forming all pairs.
+    *
+    * Scale stance: the join runs over DISTINCT hash classes, not
+    * images — exact dedup collapses the corpus first (one hash
+    * shuffle, same as [[imageDedup]]), so a billion images with 10M
+    * distinct hashes band-join 10M rows of (hash, band, key), and the
+    * verify is a codegen'd conv/xor/bit_count on the 64-bit hash —
+    * no payloads, no decode, no quadratic candidate set (hot bands
+    * are bounded by the class-frequency histogram, not corpus size).
+    *
+    * Output: (hash_a, hash_b, hamming, n_a, n_b) with hash_a < hash_b,
+    * n_* = image counts of each class, ordered by (hash_a, hash_b). */
+  def imageNearDupClasses(
+      media: DataFrame, maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0, s"nBands $nBands must divide 64")
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"band blocking is exact only for maxHamming <= nBands-1 " +
+        s"(got maxHamming=$maxHamming, nBands=$nBands)")
+    val r = 64 / nBands
+    val classes = aHashes(media).groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n"))
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"), substring(col("ahash"), b * r + 1, r).as("key"))
+    }: _*)
+    val banded = classes.select(col("ahash"), col("n"), explode(bandArr).as("bk"))
+      .select(col("ahash"), col("n"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Hamming over the '0'/'1' hash strings: four 16-bit chunks through
+    // conv(·,2,10) → xor → bit_count, all codegen'd builtins
+    def ham(a: Column, b: Column): Column =
+      (0 until 4).map { c =>
+        bit_count(conv(substring(a, c * 16 + 1, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(b, c * 16 + 1, 16), 2, 10).cast("long")))
+      }.reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("hash_a"), col("b.ahash").as("hash_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .dropDuplicates("hash_a", "hash_b")
+      .withColumn("hamming", ham(col("hash_a"), col("hash_b")).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("hash_a", "hash_b", "hamming", "n_a", "n_b")
+      .orderBy("hash_a", "hash_b")
   }
 
   /** Frame-sample: slice the payload into `n` evenly-spaced fixed-width

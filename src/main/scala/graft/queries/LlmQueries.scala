@@ -1289,6 +1289,36 @@ object LlmQueries {
              |FROM h GROUP BY 1
              |ORDER BY n_images DESC, ahash""".stripMargin)),
 
+    // Perceptual NEAR-dup (Hamming ≤ 3 between distinct aHash classes):
+    // 4-band blocking is pigeonhole-EXACT at this radius, so the Spark
+    // band-join result must equal DuckDB's honest all-pairs filter over
+    // the ≤96 distinct classes — a full equivalence oracle for the
+    // blocking + conv/xor/bit_count verify, not just a recall check.
+    Q("mm7_image_phash_neardup",
+      (s, d) => Multimodal.imageNearDupClasses(
+        Multimodal.fromDocumentsPng(T(s, d, "documents")), maxHamming = 3),
+      Some("""WITH px AS (
+             |  SELECT doc_id, y, x,
+             |    ((x * (doc_id % 32 + 4)) // 8) + ((y * (doc_id % 24 + 4)) // 8) AS v
+             |  FROM documents, range(8) rx(x), range(8) ry(y)),
+             |m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY 1),
+             |h AS (
+             |  SELECT p.doc_id,
+             |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+             |      ORDER BY y, x) AS ahash
+             |  FROM px p JOIN m USING (doc_id) GROUP BY 1),
+             |cls AS (SELECT ahash, COUNT(*) AS n FROM h GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.ahash AS hash_a, b.ahash AS hash_b,
+             |    length(list_filter(range(1, 65),
+             |      i -> substring(a.ahash, i, 1) <> substring(b.ahash, i, 1)))
+             |      AS hamming,
+             |    a.n AS n_a, b.n AS n_b
+             |  FROM cls a JOIN cls b ON a.ahash < b.ahash)
+             |SELECT hash_a, hash_b, CAST(hamming AS INTEGER) AS hamming, n_a, n_b
+             |FROM pairs WHERE hamming <= 3
+             |ORDER BY hash_a, hash_b""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

@@ -385,4 +385,27 @@ class CoreSpec extends SparkSpec {
       yield if (2 * x + y > 10.5) '1' else '0').mkString
     assert(h16 === expected16)
   }
+
+  test("Multimodal: imageNearDupClasses banded join equals brute all-pairs at r<=3") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.fromDocumentsPng(docs)
+    val banded = Multimodal.imageNearDupClasses(media, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute truth: all-pairs over distinct classes, driver-side hamming
+    val classes = Multimodal.imageDedup(media)
+      .select("ahash", "n_images").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      (ha, na) <- classes; (hb, nb) <- classes if ha < hb
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 3
+    } yield (ha, hb, d, na, nb)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the synthetic classes do contain near-dups
+    // blocking that cannot be exact at the radius must refuse
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupClasses(media, maxHamming = 4, nBands = 4)
+    }
+  }
 }
