@@ -1420,6 +1420,29 @@ object LlmQueries {
            |FROM q ORDER BY doc_id""".stripMargin
       }),
 
+    // URL-level dedup (CCNet/RefinedWeb stage 0): synthetic URLs in
+    // closed form of (doc_id, source) — mixed-case host, default port,
+    // utm_*/ref tracking params, fragment — canonicalized with REAL
+    // parsing (parse_url + higher-order filters, all codegen) on the
+    // Spark side; DuckDB regenerates the expected canonical from the
+    // closed form independently. doc_id % 7 plants dup classes that
+    // appear only after canonicalization (utm_content differs per doc).
+    Q("x32_url_dedup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.llm.Web.syntheticUrl(col("doc_id"), col("source")).as("url"))
+        graft.llm.Web.urlDedup(docs, "doc_id", "url")
+      },
+      Some("""SELECT
+             |  'https://' || lower(source) || '.example.com/articles/' ||
+             |    CAST(doc_id % 7 AS VARCHAR) || '?id=' ||
+             |    CAST(doc_id % 7 AS VARCHAR) AS canon_url,
+             |  'example.com' AS domain,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+             |FROM documents GROUP BY 1, 2
+             |ORDER BY canon_url""".stripMargin)),
+
     // Hard-negative mining: per query, the 3 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative sampler.
     // One corpus scan serves all labels (label mask inside the heap
