@@ -442,4 +442,62 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
+    * deterministic token spans with `<extra_id_K>` sentinels in the
+    * input and emit the masked spans behind their sentinels as the
+    * target — the pretraining-example constructor for encoder-decoder
+    * denoising.
+    *
+    * Mask rule (derandomized so the oracle can replay it): token i of
+    * doc d is masked iff (d + i) % `period` < `span` — mean span
+    * length `span`, corruption rate span/period (defaults 3/20 = 15%,
+    * the T5 recipe), runs phased by doc id. The whole transform is ONE
+    * `aggregate` fold over the token array per row — map-only, no
+    * explode, no shuffle, stays in WholeStageCodegen; a 100-TB corpus
+    * pays exactly one scan and the output is written partition-local.
+    *
+    * Output: (doc_id, input_text, target_text); target ends with a
+    * closing sentinel iff at least one span was masked (docs too short
+    * to hit a mask window pass through with an empty target). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      period: Int = 20, span: Int = 3): DataFrame = {
+    require(span >= 1 && span < period,
+      s"need 1 <= span < period, got span=$span period=$period")
+    val d = col(idCol).cast("long")
+    val toks = split(col(textCol), " ")
+    // fold state: (inp, tgt, k = spans started, prev = last token masked)
+    val init = struct(lit("").as("inp"), lit("").as("tgt"),
+      lit(0).as("k"), lit(false).as("prev"))
+    val folded = aggregate(
+      sequence(lit(0), size(toks) - 1),
+      init,
+      (acc, i) => {
+        val tok = element_at(toks, i + 1)
+        val masked = (d + i) % period < span
+        val runStart = masked && !acc.getField("prev")
+        val k = acc.getField("k")
+        val sentinel = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+        struct(
+          when(masked && runStart, concat(acc.getField("inp"), lit(" "), sentinel))
+            .when(masked, acc.getField("inp"))
+            .otherwise(concat(acc.getField("inp"), lit(" "), tok)).as("inp"),
+          when(masked && runStart,
+              concat(acc.getField("tgt"), lit(" "), sentinel, lit(" "), tok))
+            .when(masked, concat(acc.getField("tgt"), lit(" "), tok))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          when(runStart, k + 1).otherwise(k).as("k"),
+          masked.as("prev"))
+      },
+      acc => struct(
+        ltrim(acc.getField("inp")).as("inp"),
+        when(acc.getField("k") > 0,
+            concat(ltrim(acc.getField("tgt")), lit(" <extra_id_"),
+              acc.getField("k").cast("string"), lit(">")))
+          .otherwise(lit("")).as("tgt")))
+    docs.select(d.as("doc_id"),
+        folded.getField("inp").as("input_text"),
+        folded.getField("tgt").as("target_text"))
+      .orderBy("doc_id")
+  }
 }

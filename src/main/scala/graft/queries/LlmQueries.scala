@@ -1443,6 +1443,44 @@ object LlmQueries {
              |FROM documents GROUP BY 1, 2
              |ORDER BY canon_url""".stripMargin)),
 
+    // T5 span corruption: deterministic 15% masking in mean-3-token
+    // runs ((doc_id+i) % 20 < 3), sentinel construction, span targets.
+    // Spark side is ONE aggregate() fold per row (map-only, no explode
+    // shuffle); DuckDB replays it relationally (unnest + run-id window
+    // + ordered string_agg) — two independent formulations, row-equal.
+    Q("x33_span_corruption",
+      (s, d) => Curation.spanCorrupt(T(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lst[i] AS tok, i - 1 AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |       UNNEST(range(1, len(lst) + 1)) AS t(i)),
+             |m AS (
+             |  SELECT doc_id, tok, i,
+             |    ((doc_id + i) % 20) < 3 AS masked,
+             |    CASE WHEN ((doc_id + i) % 20) < 3
+             |           AND (i = 0 OR ((doc_id + i - 1) % 20) >= 3)
+             |         THEN 1 ELSE 0 END AS run_start
+             |  FROM tok),
+             |r AS (
+             |  SELECT *, SUM(run_start) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+             |  FROM m),
+             |agg AS (
+             |  SELECT doc_id,
+             |    COALESCE(string_agg(
+             |      CASE WHEN NOT masked THEN tok
+             |           WHEN run_start = 1 THEN '<extra_id_' || k || '>' END,
+             |      ' ' ORDER BY i), '') AS input_text,
+             |    string_agg(
+             |      CASE WHEN masked AND run_start = 1
+             |             THEN '<extra_id_' || k || '> ' || tok
+             |           WHEN masked THEN tok END, ' ' ORDER BY i) AS tgt,
+             |    MAX(k) AS maxk
+             |  FROM r GROUP BY doc_id)
+             |SELECT doc_id, input_text,
+             |  CASE WHEN maxk >= 0 THEN tgt || ' <extra_id_' || (maxk + 1) || '>'
+             |       ELSE '' END AS target_text
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Hard-negative mining: per query, the 3 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative sampler.
     // One corpus scan serves all labels (label mask inside the heap

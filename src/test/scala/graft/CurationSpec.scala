@@ -299,4 +299,35 @@ class CurationSpec extends SparkSpec {
     // quality == 1 implies kept (1 - q = 0 < x for every draw)
     res.filter(_.getDouble(1) == 1.0).foreach(r => assert(r.getBoolean(2)))
   }
+
+  test("spanCorrupt: hand-checked masks, mid-run doc start, no-mask passthrough") {
+    import spark.implicits._
+    // period=4, span=2: doc 0 masks i%4 in {0,1}; doc 3 masks (3+i)%4 in
+    // {0,1} i.e. i in {1,2}, {5,6}...; doc 2 with 2 tokens masks i=2? no —
+    // (2+i)%4<2 → i ∈ {2,3} — out of range, so nothing masked.
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5"),
+      (3L, "t0 t1 t2 t3 t4 t5"),
+      (2L, "t0 t1"),
+      (1L, "t0 t1")  // (1+i)%4<2 → i=3 (absent) or i=0? (1)%4=1<2 yes → i=0; i=3 masked too? (4)%4=0<2 but absent
+    ).toDF("doc_id", "text")
+    val got = Curation.spanCorrupt(docs, "doc_id", "text", period = 4, span = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // doc 0: mask {0,1},{4,5} → input "<e0> t2 t3 <e1>", target "<e0> t0 t1 <e1> t4 t5 <e2>"
+    assert(got(0L) === ("<extra_id_0> t2 t3 <extra_id_1>",
+      "<extra_id_0> t0 t1 <extra_id_1> t4 t5 <extra_id_2>"))
+    // doc 3: mask {1,2},{5} → trailing run truncated by doc end
+    assert(got(3L) === ("t0 <extra_id_0> t3 t4 <extra_id_1>",
+      "<extra_id_0> t1 t2 <extra_id_1> t5 <extra_id_2>"))
+    // doc 2: nothing masked → passthrough input, empty target
+    assert(got(2L) === ("t0 t1", ""))
+    // doc 1: i=0 starts MID-run (phase 1 of a span begun "before" the doc)
+    assert(got(1L) === ("<extra_id_0> t1", "<extra_id_0> t0 <extra_id_1>"))
+    // default T5 rate: corrupted fraction of a long doc ≈ span/period
+    val many = Seq((0L, (0 until 400).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = Curation.spanCorrupt(many, "doc_id", "text").collect()(0).getString(2)
+    val maskedTokens = t.split(" ").count(!_.startsWith("<extra_id_"))
+    assert(maskedTokens === 60) // 400 * 3/20
+  }
 }
