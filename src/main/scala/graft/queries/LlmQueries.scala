@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import graft.llm.{Curation, Dedup, Frequency, Importance, Multimodal, Retrieval, Similarity, TextStats}
 
 /** LLM-training-data-pipeline queries (dedup, similarity search, text
@@ -1480,6 +1481,44 @@ object LlmQueries {
              |  CASE WHEN maxk >= 0 THEN tgt || ' <extra_id_' || (maxk + 1) || '>'
              |       ELSE '' END AS target_text
              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM (SentencePiece) tokenizer training: corpus-scale word
+    // counting distributed, EM + pruning vocabulary-scale on the driver
+    // (Bpe discipline). Hybrid oracle in the m2 style: n_pretokens /
+    // n_char_pieces are DuckDB-exact over the same pre-token regex —
+    // n_char_pieces doubles as the trainer invariant "every alphabet
+    // codepoint survives as a piece" — vocab_size pins the exact-size
+    // prune contract, probs_ok the normalization contract. Planted-
+    // corpus recovery / Viterbi / determinism are UnigramSpec's job.
+    Q("x34_unigram_vocab",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val m = graft.llm.Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 6)
+        val nPretokens = graft.llm.Bpe.wordCounts(docs, "text").count()
+        val schema = StructType(Seq(
+          StructField("n_pretokens", LongType, nullable = false),
+          StructField("n_char_pieces", LongType, nullable = false),
+          StructField("vocab_size", IntegerType, nullable = false),
+          StructField("probs_ok", StringType, nullable = false)))
+        val probsOk =
+          if (math.abs(m.logProb.values.map(math.exp).sum - 1.0) < 1e-6) "ok"
+          else "unnormalized"
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(Seq(Row(
+          nPretokens,
+          m.logProb.keys.count(_.length == 1).toLong,
+          m.logProb.size,
+          probsOk)).asJava, schema)
+      },
+      Some("""WITH w AS (
+             |  SELECT DISTINCT unnest(
+             |    regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS word
+             |  FROM documents),
+             |ch AS (
+             |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS c FROM w)
+             |SELECT (SELECT COUNT(*) FROM w) AS n_pretokens,
+             |       (SELECT COUNT(*) FROM ch) AS n_char_pieces,
+             |       64 AS vocab_size, 'ok' AS probs_ok""".stripMargin)),
 
     // Hard-negative mining: per query, the 3 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative sampler.
