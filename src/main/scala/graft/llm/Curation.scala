@@ -443,6 +443,40 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    * (Inf. Proc. Letters 2006): draw `k` rows with inclusion odds
+    * proportional to a weight column by giving every row the key
+    * u^(1/w) (u uniform in (0,1)) and keeping the k largest keys —
+    * the one-pass, merge-friendly way to sample documents ∝ quality
+    * at corpus scale (sampling proportional-to-quality is the
+    * selection step between scoring and mixing in a pretraining
+    * pipeline). The draw is derandomized through the md5-bucket
+    * uniform u = (bucket(seed#id)+0.5)/4096 (the same trick as the
+    * DSIR features and Pareto sampling), weights are clamped at
+    * 0.001 so zero-weight rows get a valid (tiny) key, and the key
+    * is round(·,6) with an id tiebreak so the kept set is
+    * deterministic and engine-portable.
+    *
+    * Scale shape: the key is a map-side projection, and the top-k
+    * compiles to `TakeOrderedAndProject` — every partition keeps its
+    * local k, the driver merges ≤ partitions×k rows, and NO global
+    * sort exchange ever materializes (PlanSpec locks this). At 100 TB
+    * the cost is one scan plus a k-row merge, independent of corpus
+    * size.
+    *
+    * Output: the input columns plus `skey`, the k kept rows ordered by
+    * (skey desc, id). */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (Importance.bucket(concat(lit(seed + "#"), col(idCol).cast("string")))
+      + lit(0.5)) / lit(Importance.DefaultBuckets.toDouble)
+    val w = greatest(col(weightCol).cast("double"), lit(0.001))
+    df.withColumn("skey", round(pow(u, lit(1.0) / w), 6))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
     * deterministic token spans with `<extra_id_K>` sentinels in the
     * input and emit the masked spans behind their sentinels as the

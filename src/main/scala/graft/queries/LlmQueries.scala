@@ -1520,6 +1520,34 @@ object LlmQueries {
              |       (SELECT COUNT(*) FROM ch) AS n_char_pieces,
              |       64 AS vocab_size, 'ok' AS probs_ok""".stripMargin)),
 
+    // Efraimidis–Spirakis weighted sampling without replacement: 200
+    // documents drawn ∝ quality score via the key u^(1/w) on the
+    // md5-bucket uniform. Map-side key + TakeOrderedAndProject (local
+    // k per partition, k-row driver merge — no global sort exchange;
+    // PlanSpec locks the shape). Both engines compute the identical
+    // rounded key, so the kept set is row-compared, not statistical.
+    Q("x35_weighted_sample",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          round(graft.llm.TextStats.qualityScore(col("text")), 6).as("quality"))
+        Curation.weightedSampleK(docs, "doc_id", "quality", 200, "ws8")
+          .select("doc_id", "quality", "skey")
+      },
+      Some {
+        val u = s"((${graft.llm.Importance.BucketSql("'ws8#' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4096.0"
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    ROUND(${TextStats.qualityScoreSql("text")}, 6) AS quality,
+           |    $u AS u
+           |  FROM documents),
+           |kq AS (
+           |  SELECT doc_id, quality,
+           |    ROUND(POW(u, 1.0 / GREATEST(quality, 0.001)), 6) AS skey
+           |  FROM q)
+           |SELECT doc_id, quality, skey FROM kq
+           |ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin
+      }),
+
     // Hard-negative mining: per query, the 3 most-similar vectors with
     // a DIFFERENT label — the contrastive-training negative sampler.
     // One corpus scan serves all labels (label mask inside the heap

@@ -300,6 +300,37 @@ class CurationSpec extends SparkSpec {
     res.filter(_.getDouble(1) == 1.0).foreach(r => assert(r.getBoolean(2)))
   }
 
+  test("weightedSampleK equals the local Efraimidis–Spirakis reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i => (i, math.round(rnd.nextDouble() * 1e6) / 1e6))
+    val df = rows.toDF("doc_id", "w").repartition(8)
+    val got = Curation.weightedSampleK(df, "doc_id", "w", k = 40, seed = "t")
+      .select("doc_id", "skey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // local reference: identical bucket/uniform/key formula, top-40
+    def bucket(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Integer.parseInt(md.digest(s.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString.take(3), 16)
+    }
+    val exp = rows.map { case (id, w) =>
+      val u = (bucket(s"t#$id") + 0.5) / 4096.0
+      val key = BigDecimal(math.pow(u, 1.0 / math.max(w, 0.001)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, key)
+    }.sortBy { case (id, key) => (-key, id) }.take(40)
+    assert(got.toSeq === exp)
+    // k larger than the input: everything comes back
+    assert(Curation.weightedSampleK(df, "doc_id", "w", 1000, "t").count() === 300)
+    // weight monotonicity: doubling one row's weight never drops it from
+    // the sample (same u, larger w ⇒ larger key u^(1/w) for u<1)
+    val heavy = df.withColumn("w",
+      when(col("doc_id") === exp.head._1, col("w") * 2).otherwise(col("w")))
+    val still = Curation.weightedSampleK(heavy, "doc_id", "w", 40, "t")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(still.contains(exp.head._1))
+  }
+
   test("spanCorrupt: hand-checked masks, mid-run doc start, no-mask passthrough") {
     import spark.implicits._
     // period=4, span=2: doc 0 masks i%4 in {0,1}; doc 3 masks (3+i)%4 in
