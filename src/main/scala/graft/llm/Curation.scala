@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -486,10 +486,18 @@ object Curation {
     * Mask rule (derandomized so the oracle can replay it): token i of
     * doc d is masked iff (d + i) % `period` < `span` — mean span
     * length `span`, corruption rate span/period (defaults 3/20 = 15%,
-    * the T5 recipe), runs phased by doc id. The whole transform is ONE
-    * `aggregate` fold over the token array per row — map-only, no
-    * explode, no shuffle, stays in WholeStageCodegen; a 100-TB corpus
-    * pays exactly one scan and the output is written partition-local.
+    * the T5 recipe), runs phased by doc id. The periodicity makes the
+    * run structure CLOSED-FORM per position — with phase r(i) =
+    * (d+i) % period, a run starts at i>0 iff r(i) == 0 (span >= 1
+    * masks it and r(i-1) = period-1 >= span unmasks its predecessor),
+    * plus a mid-run doc opening at i=0 when 1 <= r(0) < span — so each
+    * token's sentinel index is O(1) arithmetic and the whole transform
+    * is two `transform` + `filter` + one `concat_ws` per row: map-only,
+    * no explode, no shuffle, no fold accumulator (the previous
+    * `aggregate` fold re-copied the growing output string per token —
+    * O(len²) char copies on long docs), stays in WholeStageCodegen; a
+    * 100-TB corpus pays exactly one scan, O(tokens) per doc, and the
+    * output is written partition-local.
     *
     * Output: (doc_id, input_text, target_text); target ends with a
     * closing sentinel iff at least one span was masked (docs too short
@@ -500,38 +508,42 @@ object Curation {
       s"need 1 <= span < period, got span=$span period=$period")
     val d = col(idCol).cast("long")
     val toks = split(col(textCol), " ")
-    // fold state: (inp, tgt, k = spans started, prev = last token masked)
-    val init = struct(lit("").as("inp"), lit("").as("tgt"),
-      lit(0).as("k"), lit(false).as("prev"))
-    val folded = aggregate(
-      sequence(lit(0), size(toks) - 1),
-      init,
-      (acc, i) => {
-        val tok = element_at(toks, i + 1)
-        val masked = (d + i) % period < span
-        val runStart = masked && !acc.getField("prev")
-        val k = acc.getField("k")
-        val sentinel = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
-        struct(
-          when(masked && runStart, concat(acc.getField("inp"), lit(" "), sentinel))
-            .when(masked, acc.getField("inp"))
-            .otherwise(concat(acc.getField("inp"), lit(" "), tok)).as("inp"),
-          when(masked && runStart,
-              concat(acc.getField("tgt"), lit(" "), sentinel, lit(" "), tok))
-            .when(masked, concat(acc.getField("tgt"), lit(" "), tok))
-            .otherwise(acc.getField("tgt")).as("tgt"),
-          when(runStart, k + 1).otherwise(k).as("k"),
-          masked.as("prev"))
-      },
-      acc => struct(
-        ltrim(acc.getField("inp")).as("inp"),
-        when(acc.getField("k") > 0,
-            concat(ltrim(acc.getField("tgt")), lit(" <extra_id_"),
-              acc.getField("k").cast("string"), lit(">")))
-          .otherwise(lit("")).as("tgt")))
-    docs.select(d.as("doc_id"),
-        folded.getField("inp").as("input_text"),
-        folded.getField("tgt").as("target_text"))
+    val p = lit(period.toLong)
+    val sp = lit(span.toLong)
+    val r0 = pmod(d, p)
+    val off = pmod(p - r0, p) // first in-doc position with phase 0
+    val midStart = r0 >= lit(1L) && r0 < sp // doc opens inside a run
+    // runs started at positions <= i: multiples of `period` hit by the
+    // phase in [0..i], plus the mid-run opening. `i` is a within-doc
+    // position (small int), so the double division under floor is exact.
+    def runsUpTo(i: Column): Column =
+      when(off <= i, floor((i - off) / p) + lit(1L)).otherwise(lit(0L)) +
+        when(midStart, lit(1L)).otherwise(lit(0L))
+    def sentinelAt(i: Column): Column =
+      concat(lit("<extra_id_"), (runsUpTo(i) - lit(1L)).cast("string"), lit(">"))
+    def maskedRunStart(i: Column): (Column, Column) = {
+      val ph = pmod(d + i, p)
+      (ph < sp, (ph === lit(0L)) || (i === lit(0) && ph < sp))
+    }
+    val inpToks = transform(toks, (tok, i) => {
+      val (masked, runStart) = maskedRunStart(i)
+      when(runStart, sentinelAt(i))
+        .when(masked, lit(null).cast("string"))
+        .otherwise(tok)
+    })
+    val tgtToks = transform(toks, (tok, i) => {
+      val (masked, runStart) = maskedRunStart(i)
+      when(runStart, concat(sentinelAt(i), lit(" "), tok))
+        .when(masked, tok)
+        .otherwise(lit(null).cast("string"))
+    })
+    val k = when(size(toks) > 0, runsUpTo(size(toks) - 1)).otherwise(lit(0L))
+    val inp = concat_ws(" ", filter(inpToks, t => t.isNotNull))
+    val tgt = when(k > lit(0L),
+        concat(concat_ws(" ", filter(tgtToks, t => t.isNotNull)),
+          lit(" <extra_id_"), k.cast("string"), lit(">")))
+      .otherwise(lit(""))
+    docs.select(d.as("doc_id"), inp.as("input_text"), tgt.as("target_text"))
       .orderBy("doc_id")
   }
 }

@@ -1446,9 +1446,10 @@ object LlmQueries {
 
     // T5 span corruption: deterministic 15% masking in mean-3-token
     // runs ((doc_id+i) % 20 < 3), sentinel construction, span targets.
-    // Spark side is ONE aggregate() fold per row (map-only, no explode
-    // shuffle); DuckDB replays it relationally (unnest + run-id window
-    // + ordered string_agg) — two independent formulations, row-equal.
+    // Spark side is closed-form per-position arithmetic (transform +
+    // concat_ws, map-only, no explode shuffle, O(tokens) per doc);
+    // DuckDB replays it relationally (unnest + run-id window + ordered
+    // string_agg) — two independent formulations, row-equal.
     Q("x33_span_corruption",
       (s, d) => Curation.spanCorrupt(T(s, d, "documents"), "doc_id", "text"),
       Some("""WITH tok AS (

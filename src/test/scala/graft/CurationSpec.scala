@@ -361,4 +361,28 @@ class CurationSpec extends SparkSpec {
     val maskedTokens = t.split(" ").count(!_.startsWith("<extra_id_"))
     assert(maskedTokens === 60) // 400 * 3/20
   }
+
+  test("spanCorrupt: 50k-token doc is linear-time (no quadratic accumulator)") {
+    import spark.implicits._
+    // One long document: the closed-form construction pays O(tokens);
+    // the old fold paid O(tokens^2) char copies (~10^9 at this size) and
+    // would blow well past this bound.
+    val n = 50000
+    val long = Seq((7L, (0 until n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = Curation.spanCorrupt(long, "doc_id", "text").collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"50k-token doc took $secs s — accumulator regressed?")
+    // structural checks: 15% masked, runs phased by d=7, counts exact
+    val inp = row.getString(1).split(" ")
+    val tgt = row.getString(2).split(" ")
+    assert(tgt.count(!_.startsWith("<extra_id_")) === n * 3 / 20)
+    assert(inp.count(!_.startsWith("<extra_id_")) === n - n * 3 / 20)
+    // sentinels are consecutive and shared between input and target
+    val runs = inp.count(_.startsWith("<extra_id_"))
+    assert(tgt.count(_.startsWith("<extra_id_")) === runs + 1)
+    assert(inp.filter(_.startsWith("<extra_id_")).toSeq ===
+      (0 until runs).map(k => s"<extra_id_$k>"))
+  }
 }
