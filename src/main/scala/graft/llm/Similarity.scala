@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,14 +63,35 @@ object Similarity {
     def drain: Iterator[(Long, Double)] = (0 until n).iterator.map(i => (ids(i), sc(i)))
   }
 
+  /** Every ANN kernel broadcasts the query set and gives each executor
+    * partition a size-k heap per query, so the per-partition footprint
+    * is |Q|×k×16 B (two primitive arrays per heap) plus the broadcast
+    * vectors themselves (|Q|×dim×8 B). The scaladoc contract "queries
+    * small" is enforced: collecting more than this many query rows is a
+    * loud `require` failure on the driver instead of a silent executor
+    * OOM. The guard collects at most maxQueries+1 rows, so an oversized
+    * query set never materializes on the driver either. */
+  val DefaultMaxQueries = 10000
+
+  private def collectQueriesBounded[T](ds: Dataset[T], maxQueries: Int, k: Int): Array[T] = {
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val arr = ds.limit(maxQueries + 1).collect()
+    require(arr.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries: each executor partition holds a " +
+        s"size-$k heap per query (|Q|*k*16B plus |Q| broadcast vectors) — keep the " +
+        "query side small (that is what makes it a search) or raise maxQueries")
+    arr
+  }
+
   /** Brute-force cosine top-k: broadcast the query set against the
     * corpus, rank per query. Exact; cost = |corpus| × |queries| dots,
     * fully parallel over the corpus (the right baseline even at scale
     * for ≤ a few hundred queries). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
-    val scored = bruteScoredLocalTopK(corpus, queries, idCol, vecCol, k)
+      idCol: String, vecCol: String, k: Int, dim: Int = 0,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    val scored = bruteScoredLocalTopK(corpus, queries, idCol, vecCol, k, maxQueries)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rk", row_number().over(w).cast("int"))
       .where(col("rk") <= k)
@@ -88,11 +109,14 @@ object Similarity {
     * in one reducer per query. */
   private[graft] def bruteScoredLocalTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qArr = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
+    val qArr = collectQueriesBounded(
+        queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .as[(Long, Array[Double])], maxQueries, k)
       .map { case (id, v) => (id, v, math.sqrt(Dedup.dotArr(v, v))) }
     val bc = spark.sparkContext.broadcast(qArr)
     corpus
@@ -123,6 +147,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       dim: Int, nPlanes: Int = 16, nBands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(nPlanes % nBands == 0)
     val planes = Dedup.hyperplanes(nPlanes, dim, seed)
     val r = nPlanes / nBands
@@ -178,7 +203,9 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, dim: Int = 0): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, dim: Int = 0,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -197,9 +224,9 @@ object Similarity {
     import spark.implicits._
     val cents = model.clusterCenters.map(_.toArray)
     val nCells = cents.length
-    val qArr = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
+    val qArr = collectQueriesBounded(queries
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])], maxQueries, k)
       .map { case (qid, qv) =>
         val nq = math.sqrt(Dedup.dotArr(qv, qv))
         val cellCos = Array.tabulate(nCells) { i =>
@@ -248,10 +275,32 @@ object Similarity {
   private def subVec(v: Array[Double], s: Int, dsub: Int): Array[Double] =
     java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
 
+  /** Deterministic hash-bucket training sample for codebook fits:
+    * orders the corpus by md5(seed#id) and keeps the first `trainMax`
+    * rows — a uniform sample without replacement that is INDEPENDENT of
+    * the corpus's physical row order. `limit(trainMax)` alone would take
+    * the FIRST rows, and a corpus sorted or clustered by domain (the
+    * normal case after curation) would train codebooks on one domain
+    * and quantize the rest badly — recall silently degrades at scale
+    * while staying green on shuffled fixtures (SimilaritySpec pins the
+    * failure mode). Compiles to `TakeOrderedAndProject`: each partition
+    * keeps its local trainMax rows by hash order and the driver merges
+    * ≤ partitions×trainMax — no count pass, no global sort exchange. */
+  private[graft] def trainingSample(
+      corpusNorm: Dataset[(Long, Array[Double])], trainMax: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(trainMax >= 1, s"trainMax must be >= 1, got $trainMax")
+    corpusNorm
+      .orderBy(md5(concat_ws("#", lit(seed), col("_1")).cast("binary")), col("_1"))
+      .limit(trainMax)
+      .collect()
+      .map(_._2)
+  }
+
   /** Plain deterministic Lloyd k-means on a driver-side sample (the
     * FAISS-style codebook fit: codebooks are trained in memory on a
     * sample, never distributed). Empty clusters keep their old center. */
-  private[llm] def lloyd(data: Array[Array[Double]], k: Int, iters: Int,
+  private[graft] def lloyd(data: Array[Array[Double]], k: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
     require(data.nonEmpty)
     val rnd = new scala.util.Random(seed)
@@ -319,7 +368,9 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       m: Int = 8, ksub: Int = 16, refine: Int = 4,
-      trainMax: Int = 10000, seed: Long = 42L): DataFrame = {
+      trainMax: Int = 10000, seed: Long = 42L,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(ksub <= 127, "codes are stored as bytes")
     val dsub = dim / m
@@ -331,8 +382,8 @@ object Similarity {
     val corpusNorm = corpusVec.as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
 
-    // train codebooks on a driver-side sample
-    val sample = corpusNorm.limit(trainMax).collect().map(_._2)
+    // train codebooks on a deterministic hash-bucket driver-side sample
+    val sample = trainingSample(corpusNorm, trainMax, seed)
     if (sample.isEmpty) { // empty corpus: no codebooks, no neighbors
       return spark.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
@@ -352,9 +403,9 @@ object Similarity {
     }
 
     // queries: broadcast (id, ADC lookup table m×ksub)
-    val qArr = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
+    val qArr = collectQueriesBounded(queries
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])], maxQueries, k)
       .map { case (qid, qv) =>
         val qn = l2normalize(qv)
         val lut = new Array[Double](m * ksub)
@@ -446,7 +497,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16, refine: Int = 4,
-      trainMax: Int = 10000, seed: Long = 42L): DataFrame = {
+      trainMax: Int = 10000, seed: Long = 42L,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(ksub <= 127, "codes are stored as bytes")
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe must be in [1, nlist=$nlist]")
@@ -459,9 +512,9 @@ object Similarity {
     val corpusNorm = corpusVec.as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
 
-    // train on ONE driver-side sample: coarse centroids first, then PQ
-    // codebooks on the residuals v − centroid(v)
-    val sample = corpusNorm.limit(trainMax).collect().map(_._2)
+    // train on ONE deterministic hash-bucket driver-side sample: coarse
+    // centroids first, then PQ codebooks on the residuals v − centroid(v)
+    val sample = trainingSample(corpusNorm, trainMax, seed)
     if (sample.isEmpty) { // empty corpus: no index, no neighbors
       return spark.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
@@ -494,9 +547,9 @@ object Similarity {
 
     // queries: broadcast (id, residual ADC table, probe mask, per-cell
     // bias dot(q, centroid)); cells ranked by centroid dot, nprobe kept
-    val qArr = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
+    val qArr = collectQueriesBounded(queries
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])], maxQueries, k)
       .map { case (qid, qv) =>
         val qn = l2normalize(qv)
         val cellDot = Array.tabulate(nCells)(c => Dedup.dotArr(qn, cents(c)))
@@ -561,13 +614,14 @@ object Similarity {
     */
   def hardNegatives(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qArr = queries.select(col(idCol).cast("long"),
+    val qArr = collectQueriesBounded(queries.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"), col(labelCol).cast("int"))
-      .as[(Long, Array[Double], Int)].collect()
+      .as[(Long, Array[Double], Int)], maxQueries, k)
       .map { case (id, v, l) => (id, v, l, math.sqrt(Dedup.dotArr(v, v))) }
     val bc = spark.sparkContext.broadcast(qArr)
     val scored = corpus

@@ -439,9 +439,10 @@ object LlmQueries {
     // codebooks), so each query emits the recall-vs-brute summary instead:
     // n_queries and n_truth are EXACT (the oracle recomputes the brute
     // top-k in SQL — n1's twin), and recall_ok asserts the recall floor
-    // the operator is specced to (observed across sf0.001/0.01/0.1:
-    // lsh 0.93–1.0, ivf 0.53–0.63 at nprobe/nlist=1/4, pq 0.70–0.83 at
-    // refine=22). The exact per-pair behavior stays covered by
+    // the operator is specced to (observed across sf0.001/0.01/0.1 with
+    // the hash-bucket codebook sample: lsh 0.93–1.0, ivf 0.53–0.63 at
+    // nprobe/nlist=1/4, pq 0.77–0.87 at refine=22). The exact per-pair
+    // behavior stays covered by
     // SimilaritySpec (recall floors, nprobe=nlist ≡ brute, full-refine ≡
     // brute). Caveat (h2-style): the booleans are probabilistic bounds
     // frozen against the deterministic seeds — re-verify on fixture or
@@ -468,7 +469,9 @@ object LlmQueries {
     // IVF+PQ composed (FAISS IVFx,PQy): coarse cells prune the ADC scan
     // to nprobe/nlist of the codes, residual PQ bounds memory — the
     // billion-vector shape. Recall observed across sf0.001/0.01/0.1
-    // with nlist=16, nprobe=8, refine=22: 0.70/0.80/0.57 (DevRecall);
+    // with nlist=16, nprobe=8, refine=22: 0.70/0.83/0.80 (DevRecall,
+    // hash-bucket codebook sample — the order-independent sample also
+    // LIFTED sf0.1 recall from 0.57);
     // exactness when nprobe=nlist ∧ refine→∞ is pinned by
     // SimilaritySpec.
     Q("n5_ann_ivfpq",

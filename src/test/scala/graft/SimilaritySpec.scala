@@ -81,8 +81,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfPqTopK recall@3 vs brute force; nprobe=nlist + full refine equals brute") {
+    // production config (n5): nlist=16, nprobe=8 — the same ½-probe
+    // ratio; observed 0.70/0.83/0.80 across SFs with the hash-bucket
+    // codebook sample (DevRecall)
     val ann = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
-      dim = 64, nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 22)
+      dim = 64, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 22)
     val recall = Similarity.recallAtK(ann, truth)
     assert(recall >= 0.6, s"IVFPQ recall@3 = $recall")
     // probe every cell + refine covering the corpus → exact rerank over
@@ -122,6 +125,64 @@ class SimilaritySpec extends SparkSpec {
     items.foreach { case (id, s) => heap.offer(id, s) }
     val kept = heap.drain.toSeq.sortBy { case (id, s) => (-s, id) }
     assert(kept === Seq((5L, 0.99), (1L, 0.9), (2L, 0.5), (4L, 0.5)))
+  }
+
+  test("codebook training sample is order-independent on a domain-sorted corpus") {
+    import spark.implicits._
+    // two domains on disjoint axes, each split into 4 well-separated
+    // clusters of 50 near-identical vectors; the corpus is SORTED by
+    // domain — the normal physical layout after curation
+    def vec(i: Int): Array[Double] = {
+      val cluster = (i / 200) * 4 + i % 4
+      Array.tabulate(8) { d =>
+        val h = (i * 31 + d) * 2654435761L % 1000
+        0.01 * (h - 500) / 500.0 + (if (d == cluster) 1.0 else 0.0)
+      }
+    }
+    val rows = (0 until 400).map(i => (i.toLong, vec(i)))
+    val ds = rows.toDS // (_1, _2) tuple layout, as pqTopK's corpusNorm
+    // the hazard, demonstrated: limit() on the sorted corpus sees ONLY
+    // domain 0 (no vector with mass on coords 4..7)
+    val limitSample = ds.limit(200).collect().map(_._2)
+    assert(limitSample.forall(_.slice(4, 8).forall(_ < 0.5)),
+      "limit-sample on a sorted corpus must expose the single-domain hazard")
+    // the fix: the md5-bucket sample draws from both domains regardless
+    // of physical order
+    val bucketSample = Similarity.trainingSample(ds, 200, seed = 42L)
+    assert(bucketSample.length === 200)
+    val dom1 = bucketSample.count(_.slice(4, 8).exists(_ > 0.5))
+    assert(dom1 > 50 && dom1 < 150,
+      s"bucket sample should mix domains, got $dom1/200 from domain 1")
+    // end-to-end: PQ codebooks trained with trainMax = half the corpus
+    // still rank domain-1 queries correctly even though every domain-1
+    // row sits in the second half of the physical order
+    val sorted = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val qs = sorted.where(col("vec_id") >= 396)
+    val truthSorted = Similarity.bruteForceTopK(sorted, qs, "vec_id", "embedding", k = 3)
+    val ann = Similarity.pqTopK(sorted, qs, "vec_id", "embedding", k = 3,
+      dim = 8, m = 4, ksub = 16, refine = 50, trainMax = 200)
+    val recall = Similarity.recallAtK(ann, truthSorted)
+    assert(recall >= 0.9, s"domain-sorted PQ recall@3 = $recall")
+  }
+
+  test("ANN query-side misuse fails loudly: oversize query sets and k=0 rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3, maxQueries = 10)
+    }
+    assert(ex.getMessage.contains("maxQueries"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", k = 3, dim = 64, maxQueries = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, emb, "vec_id", "embedding", "label", k = 3, maxQueries = 10)
+    }
+    // k = 0 is rejected on the driver, not by an executor heap crash
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 0)
+    }
   }
 
   test("ANN results never invent pairs: every ANN hit has the true cosine") {
