@@ -625,6 +625,23 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** [[semDedup]] with `nClusters` auto-sized from the corpus — the
+    * paper's own recipe (k ∝ N; 11k clusters for LAION-440M ≈ 40k
+    * vectors per cluster): nClusters = clamp(ceil(N / targetClusterSize),
+    * 2, 65536). The enforcement cap is 64× the target, so natural
+    * cluster-size skew passes but a degenerate clustering (everything
+    * in one cell) still fails fast instead of melting one executor. */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int = 4096, minCos: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1, got $targetClusterSize")
+    val n = df.count()
+    val k = math.max(2L, math.min(65536L,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    semDedup(df, idCol, vecCol, nClusters = k, minCos = minCos, seed = seed,
+      maxClusterSize = math.min(Int.MaxValue.toLong, targetClusterSize.toLong * 64).toInt)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     * k-means clustering of embeddings + within-cluster greedy cosine
     * pruning. Items are visited in ascending-id order inside each
@@ -648,23 +665,6 @@ object Dedup {
     * Determinism: KMeans with a fixed seed on a fixed input is
     * deterministic, and the greedy visit order is total (ascending id),
     * so the kept set is reproducible run-over-run. */
-  /** [[semDedup]] with `nClusters` auto-sized from the corpus — the
-    * paper's own recipe (k ∝ N; 11k clusters for LAION-440M ≈ 40k
-    * vectors per cluster): nClusters = clamp(ceil(N / targetClusterSize),
-    * 2, 65536). The enforcement cap is 64× the target, so natural
-    * cluster-size skew passes but a degenerate clustering (everything
-    * in one cell) still fails fast instead of melting one executor. */
-  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
-      targetClusterSize: Int = 4096, minCos: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
-    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1, got $targetClusterSize")
-    val n = df.count()
-    val k = math.max(2L, math.min(65536L,
-      (n + targetClusterSize - 1) / targetClusterSize)).toInt
-    semDedup(df, idCol, vecCol, nClusters = k, minCos = minCos, seed = seed,
-      maxClusterSize = math.min(Int.MaxValue.toLong, targetClusterSize.toLong * 64).toInt)
-  }
-
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, minCos: Double = 0.95, seed: Long = 42L,
       maxClusterSize: Int = 1 << 20): DataFrame = {

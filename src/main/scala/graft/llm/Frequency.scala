@@ -47,23 +47,40 @@ object Frequency {
   /** All tokens with corpus frequency strictly greater than N/k, with
     * their EXACT counts and the exact corpus token total N.
     *
+    * Exactly TWO tokenize scans of the corpus: pass 1 emits the sketch
+    * candidates AND a per-partition token total from the same
+    * `mapPartitions` (a `(null, n_p)` sentinel row per partition — the
+    * stream length falls out of the sketch consuming it), so the exact
+    * corpus total is the sum of sentinels and needs no separate
+    * `count()` scan. The pass-1 output is bounded (≤ partitions×(k+1)
+    * rows), so checkpointing it is cheap and lets the candidate filter
+    * and the total read it without re-tokenizing.
+    *
     * Output: (term, n, n_total) ordered by (n DESC, term ASC).
     */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val spark = docs.sparkSession
 
     val toks = docs.select(
       explode(Retrieval.tokenize(col(textCol))).as("term"))
 
-    // Pass 1: per-partition sketch → candidate terms (≤ partitions×k).
-    val candidates = toks.select(col("term")).as[String](Encoders.STRING)
-      .mapPartitions(it => misraGries(it, k).keysIterator)(Encoders.STRING)
-      .toDF("term").distinct()
+    // Pass 1 (tokenize scan #1): per-partition sketch → candidate terms
+    // (≤ partitions×k) plus one (null, n_p) total sentinel per partition.
+    val pass1 = toks.select(col("term")).as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        var np = 0L
+        val sketch = misraGries(it.map { t => np += 1; t }, k)
+        sketch.keysIterator.map((_, 0L)) ++ Iterator((null: String, np))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("term", "np")
+      .localCheckpoint()
 
-    // Pass 2: exact recount of candidates only (broadcast semi-filter
-    // before the shuffle) + the exact token total as a broadcast scalar.
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val candidates = pass1.where(col("term").isNotNull).select("term").distinct()
+    val total = pass1.where(col("term").isNull)
+      .agg(coalesce(sum(col("np")), lit(0L)).cast("long").as("n_total"))
+
+    // Pass 2 (tokenize scan #2): exact recount of candidates only
+    // (broadcast semi-filter before the shuffle).
     toks.join(broadcast(candidates), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

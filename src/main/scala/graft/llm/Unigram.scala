@@ -204,8 +204,13 @@ object Unigram {
 
   /** Viterbi encode one word: the max-log-prob segmentation. DP over
     * end positions; ties prefer the LONGER final piece (deterministic).
-    * Codepoints outside the model's alphabet segment as single-char
-    * pieces at `unkLogProb`. */
+    * Codepoints outside the model's alphabet segment as single-CODEPOINT
+    * pieces at `unkLogProb` — an unknown astral codepoint becomes one
+    * 2-char surrogate-pair piece (mirroring the codepoint-based training
+    * alphabet), never two lone-surrogate invalid strings: the pair piece
+    * costs one `unkLogProb` where the split costs two, so the DP always
+    * prefers it. Lone surrogates (malformed UTF-16 input) keep the
+    * single-char fallback so every input still has a segmentation. */
   def encodeWord(model: UnigramModel, word: String): Seq[String] = {
     if (word.isEmpty) return Seq.empty
     val n = word.length
@@ -213,14 +218,18 @@ object Unigram {
     val bestLen = new Array[Int](n + 1)
     java.util.Arrays.fill(best, Double.NegativeInfinity)
     best(0) = 0.0
+    // the surrogate-pair unk path needs l=2 even for a 1-char-piece model
+    val maxL = math.max(model.maxPieceLen, 2)
     var j = 1
     while (j <= n) {
       var l = 1
-      while (l <= model.maxPieceLen && l <= j) {
+      while (l <= maxL && l <= j) {
         if (best(j - l) != Double.NegativeInfinity) {
           val piece = word.substring(j - l, j)
+          val isOneCodepoint = l == 1 ||
+            (l == 2 && Character.isSurrogatePair(piece.charAt(0), piece.charAt(1)))
           val lp = model.logProb.getOrElse(piece,
-            if (l == 1) model.unkLogProb else Double.NegativeInfinity)
+            if (isOneCodepoint) model.unkLogProb else Double.NegativeInfinity)
           if (lp != Double.NegativeInfinity) {
             val cand = best(j - l) + lp
             if (cand > best(j) || (cand == best(j) && l > bestLen(j))) {

@@ -37,6 +37,22 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.encodeWord(m, "") === Seq.empty)
   }
 
+  test("unknown astral codepoint segments as ONE surrogate-pair piece") {
+    val m = Unigram.UnigramModel(
+      Map("a" -> math.log(0.5), "b" -> math.log(0.5)),
+      maxPieceLen = 1, unkLogProb = math.log(1e-9))
+    val rocket = new String(Character.toChars(0x1F680)) // U+1F680, 2 chars
+    // one 2-char pair piece (1×unk), never two lone surrogates (2×unk)
+    assert(Unigram.encodeWord(m, s"a${rocket}b") === Seq("a", rocket, "b"))
+    // every emitted piece is a valid UTF-16 string (no lone surrogates)
+    Unigram.encodeWord(m, rocket + rocket).foreach { p =>
+      assert(p === rocket, s"expected whole pair piece, got ${p.length} chars")
+    }
+    // malformed input (a lone surrogate) still segments rather than crash
+    val lone = "\uD83D"
+    assert(Unigram.encodeWord(m, s"a${lone}b") === Seq("a", lone, "b"))
+  }
+
   test("trained model is bit-identical across partitionings") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
