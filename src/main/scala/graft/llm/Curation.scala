@@ -422,9 +422,11 @@ object Curation {
     * keep a document iff  1 − quality < x  where x is a Pareto(α)
     * draw — low-quality docs survive occasionally (distributional
     * smoothing instead of a hard threshold). The draw is derandomized
-    * through the md5-bucket uniform (u = (bucket(id)+0.5)/4096, x =
-    * (1−u)^(−1/α) − 1), so the kept set is deterministic and
-    * engine-portable — the same md5 trick as the DSIR features.
+    * through the fine md5-bucket uniform (u = (bucket6(id)+0.5)/16^6,
+    * x = (1−u)^(−1/α) − 1), so the kept set is deterministic and
+    * engine-portable — the same md5 trick as the DSIR features, at
+    * 16.7M levels so per-row draws are effectively unique (no
+    * equal-u bands).
     * Both comparison sides are round(·,6) so the boundary is stable
     * cross-engine. Map-only projection+filter; pushes to the scan.
     *
@@ -433,7 +435,8 @@ object Curation {
   def paretoQualityKeep(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 9.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
-    val u = (Importance.bucket(col(idCol).cast("string")) + lit(0.5)) / lit(4096.0)
+    val u = (Importance.bucket6(col(idCol).cast("string")) + lit(0.5)) /
+      lit(Importance.FineBuckets.toDouble)
     val x = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
     docs.select(col(idCol).as("doc_id"),
         round(TextStats.qualityScore(col(textCol)), 6).as("quality"),
@@ -450,12 +453,14 @@ object Curation {
     * the one-pass, merge-friendly way to sample documents ∝ quality
     * at corpus scale (sampling proportional-to-quality is the
     * selection step between scoring and mixing in a pretraining
-    * pipeline). The draw is derandomized through the md5-bucket
-    * uniform u = (bucket(seed#id)+0.5)/4096 (the same trick as the
-    * DSIR features and Pareto sampling), weights are clamped at
-    * 0.001 so zero-weight rows get a valid (tiny) key, and the key
-    * is round(·,6) with an id tiebreak so the kept set is
-    * deterministic and engine-portable.
+    * pipeline). The draw is derandomized through the fine md5-bucket
+    * uniform u = (bucket6(seed#id)+0.5)/16^6 (the same trick as the
+    * DSIR features and Pareto sampling, at 16.7M levels so per-row
+    * keys are effectively unique — no equal-key bands whose id
+    * tiebreak would bias inclusion toward low ids), weights are
+    * clamped at 0.001 so zero-weight rows get a valid (tiny) key,
+    * and the key is round(·,6) with an id tiebreak so the kept set
+    * is deterministic and engine-portable.
     *
     * Scale shape: the key is a map-side projection, and the top-k
     * compiles to `TakeOrderedAndProject` — every partition keeps its
@@ -469,8 +474,8 @@ object Curation {
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = (Importance.bucket(concat(lit(seed + "#"), col(idCol).cast("string")))
-      + lit(0.5)) / lit(Importance.DefaultBuckets.toDouble)
+    val u = (Importance.bucket6(concat(lit(seed + "#"), col(idCol).cast("string")))
+      + lit(0.5)) / lit(Importance.FineBuckets.toDouble)
     val w = greatest(col(weightCol).cast("double"), lit(0.001))
     df.withColumn("skey", round(pow(u, lit(1.0) / w), 6))
       .orderBy(col("skey").desc, col(idCol).asc)

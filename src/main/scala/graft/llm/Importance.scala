@@ -40,14 +40,32 @@ object Importance {
 
   val DefaultBuckets = 4096 // 16^3 — first 3 md5 hex chars
 
+  /** 16^6 — first 6 md5 hex chars: the DRAW-KEY granularity. Feature
+    * hashing (DSIR) wants a small dense table, so it stays at 4096;
+    * per-row uniforms (Pareto keep, Efraimidis–Spirakis keys) want
+    * effectively-unique values, so they use this — at 16.7M levels the
+    * probability of ANY collision among 10^5 rows is < 0.3‰, killing
+    * the equal-key bands whose id tiebreak skewed inclusion odds. */
+  val FineBuckets = 16777216 // 16^6
+
   /** md5-prefix bucket in [0, 4096): engine-portable hashed feature. */
   def bucket(term: Column): Column =
     conv(substring(md5(term.cast("binary")), 1, 3), 16, 10).cast("int")
 
-  val BucketSql: String => String = t =>
-    s"""((instr('0123456789abcdef', substr(md5($t), 1, 1)) - 1) * 256 +
-       | (instr('0123456789abcdef', substr(md5($t), 2, 1)) - 1) * 16 +
-       | (instr('0123456789abcdef', substr(md5($t), 3, 1)) - 1))""".stripMargin
+  /** md5-prefix bucket in [0, 16^6): engine-portable fine uniform. */
+  def bucket6(term: Column): Column =
+    conv(substring(md5(term.cast("binary")), 1, 6), 16, 10).cast("int")
+
+  private def bucketSqlN(t: String, n: Int): String =
+    (1 to n).map { i =>
+      val p = math.pow(16, n - i).toLong
+      s"(instr('0123456789abcdef', substr(md5($t), $i, 1)) - 1) * $p"
+    }.mkString("(", " +\n ", ")")
+
+  val BucketSql: String => String = bucketSqlN(_, 3)
+
+  /** DuckDB twin of [[bucket6]]. */
+  val Bucket6Sql: String => String = bucketSqlN(_, 6)
 
   /** Per-document DSIR log importance weights + deterministic top-`keep`
     * selection flag. `targetPred` marks the target-domain rows (e.g.

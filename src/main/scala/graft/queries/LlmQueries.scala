@@ -1414,7 +1414,7 @@ object LlmQueries {
     Q("x31_pareto_quality",
       (s, d) => Curation.paretoQualityKeep(T(s, d, "documents"), "doc_id", "text"),
       Some {
-        val u = s"((${graft.llm.Importance.BucketSql("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4096.0"
+        val u = s"((${graft.llm.Importance.Bucket6Sql("CAST(doc_id AS VARCHAR)")}) + 0.5) / 16777216.0"
         s"""WITH q AS (
            |  SELECT doc_id,
            |    ROUND(${TextStats.qualityScoreSql("text")}, 6) AS quality,
@@ -1538,7 +1538,7 @@ object LlmQueries {
           .select("doc_id", "quality", "skey")
       },
       Some {
-        val u = s"((${graft.llm.Importance.BucketSql("'ws8#' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4096.0"
+        val u = s"((${graft.llm.Importance.Bucket6Sql("'ws8#' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 16777216.0"
         s"""WITH q AS (
            |  SELECT doc_id,
            |    ROUND(${TextStats.qualityScoreSql("text")}, 6) AS quality,

@@ -308,13 +308,18 @@ class CurationSpec extends SparkSpec {
     val got = Curation.weightedSampleK(df, "doc_id", "w", k = 40, seed = "t")
       .select("doc_id", "skey").collect().map(r => (r.getLong(0), r.getDouble(1)))
     // local reference: identical bucket/uniform/key formula, top-40
-    def bucket(s: String): Int = {
+    def bucket6(s: String): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
       Integer.parseInt(md.digest(s.getBytes("UTF-8"))
-        .take(2).map("%02x".format(_)).mkString.take(3), 16)
+        .take(3).map("%02x".format(_)).mkString, 16)
     }
+    val us = rows.map { case (id, _) => bucket6(s"t#$id") }
+    // the fine (16^6-level) uniform gives every row a distinct draw at
+    // this scale — no equal-u bands for the id tiebreak to bias
+    assert(us.distinct.size === rows.size,
+      "16^6-bucket draws must be collision-free at fixture scale")
     val exp = rows.map { case (id, w) =>
-      val u = (bucket(s"t#$id") + 0.5) / 4096.0
+      val u = (bucket6(s"t#$id") + 0.5) / 16777216.0
       val key = BigDecimal(math.pow(u, 1.0 / math.max(w, 0.001)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, key)
