@@ -232,16 +232,26 @@ object Dedup {
       w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
     minHashCandidatesFromSigs(minHashSignatures(df, idCol, textCol, w, k), k, bands)
 
-  private[llm] def minHashCandidatesFromSigs(
-      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Banded signature rows (id, sig, band, band_hash): each doc's LSH
+    * bucket memberships — bands bands of k/bands contiguous signature
+    * rows, each hashed to one 64-bit bucket key. Persisted (bucketed on
+    * (band, band_hash)) this IS the near-dup index a rolling ingestion
+    * pipeline maintains; [[minHashCandidatesFromSigs]] self-joins it,
+    * [[incrementalNearDup]] probes it with a new batch. */
+  private[llm] def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val banded = sigs.select(
+    sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * lit(r) + 1, lit(r))))))
         .as(Seq("band", "band_hash")))
+  }
+
+  private[llm] def minHashCandidatesFromSigs(
+      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = bandedSignatures(sigs, k, bands)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
