@@ -8,6 +8,14 @@ object Bench {
     * noop write executes the full plan and discards the rows. */
   def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Median of an odd-sized sample; for even sizes the lower-middle
+    * element (conservative — never interpolates a time nobody measured). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,34 +26,49 @@ object Bench {
       // default 8 (state-store commit overhead dominates; see
       // EventStream.ReplayPartitionsKey scaladoc for cluster sizing)
       .config(graft.streaming.EventStream.ReplayPartitionsKey, "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed warm pass of every query AT
-    // THE TARGET SF, then the timed pass. The warm pass absorbs plan
-    // analysis, codegen/JIT, and AQE first-run re-planning — fixed
-    // per-process costs that are noise on a long-running 100-TB job but
-    // were up to 30% of a cold per-query number at fixture scale (and
-    // produced phantom round-over-round regressions: x11 5.5 s cold vs
-    // 1.8 s steady, round-6 verdict). Disable with SPARK_GRAFT_COLD=1
-    // for the old cold-run behavior; the JSON reports which mode ran.
+    // THE TARGET SF, then THREE timed passes reported as the per-query
+    // and total MEDIAN. The warm pass absorbs plan analysis, codegen/JIT,
+    // and AQE first-run re-planning; the median kills single-shot host
+    // noise (round 9's committed bench showed d8 at 8.7 s that steady
+    // re-runs measured at 3.2–3.5 s — a phantom 2.8× regression).
+    // SPARK_GRAFT_COLD=1 restores the old single cold pass;
+    // SPARK_GRAFT_BENCH_RUNS overrides the timed-pass count.
     try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val warm = !sys.env.contains("SPARK_GRAFT_COLD")
-    if (warm) {
+    val cold = sys.env.contains("SPARK_GRAFT_COLD")
+    val nRuns = if (cold) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    if (!cold) {
       queries.foreach { case (_, fn) =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
-    val results = queries.map { case (name, fn) =>
+    // A failing query must be a LOUD "errors" entry, not a ~0.06 s phantom
+    // time silently deflating the total (8 queries vanished that way in
+    // round 9): errored queries are excluded from times/total entirely.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warm,"queries":$qs,"sf":"$sfDir"}"""
+    val passes = (1 to nRuns).map(_ => timedPass())
+    val ok = queries.map(_._1).filterNot(errors.contains)
+    val results = ok.map(name => name -> median(passes.map(_(name))))
+    val runTotals = passes.map(p => ok.map(p).sum)
+    val total = median(runTotals)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runsJson = runTotals.mkString("[", ",", "]")
+    val errJson = Verify.jsonObj(errors)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":${!cold},""" +
+      s""""runs":$runsJson,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout gets wrapped in the sbt banner and can truncate long lines —
     // also write the JSON to a file so it stays machine-parseable

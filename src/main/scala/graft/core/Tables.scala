@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver corpus (TESTDATA.md) and for
   * reference-schema analog inputs.
@@ -19,6 +21,43 @@ object Tables {
     * `collect_schema().names()`). */
   def columnNames(spark: SparkSession, dir: String, name: String): Seq[String] =
     load(spark, dir, name).schema.fieldNames.toSeq
+
+  /** Type-adaptive events loader: `dir/events.parquet` with `ts`
+    * normalized to a proper TIMESTAMP (microsecond precision, UTC session
+    * contract) REGARDLESS of how the producer encoded it. Real corpora mix
+    * encodings — pandas/pyarrow and Spark default to TIMESTAMP(MICROS),
+    * while nanosecond producers emit INT64 TIMESTAMP(NANOS), which Spark
+    * can only surface as a long (`spark.sql.legacy.parquet.nanosAsLong`) —
+    * so the reader sniffs the resolved footer type instead of hardcoding
+    * one encoding. See [[normalizeEventTs]] for the per-type rules. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsPath(spark, s"$dir/events.parquet")
+
+  /** [[readEvents]] for a full file/dir path rather than a corpus dir. */
+  def readEventsPath(spark: SparkSession, path: String): DataFrame = {
+    // harmless when ts is already a timestamp; required to even resolve
+    // the footer when it is INT64 TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(path))
+  }
+
+  /** Normalize an events frame's `ts` column to TimestampType (micros,
+    * session-UTC instant). Branches on the RESOLVED Spark type:
+    *  - LongType — the nanosAsLong rendering of INT64 TIMESTAMP(NANOS):
+    *    integer-div to micros (exact truncation, matching DuckDB's native
+    *    nanosecond cast) and stamp as timestamp.
+    *  - TimestampNTZType — parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    *    (pandas/pyarrow default): reinterpret the wall-clock as UTC via a
+    *    cast under the repo-wide UTC session contract.
+    *  - TimestampType — already an instant; pass through.
+    * Works on batch and streaming frames alike (pure column rewrite). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => raw
+    case other =>
+      throw new IllegalArgumentException(s"unsupported events ts encoding: $other")
+  }
 }
 
 /** Column-role discovery by name prefix, the reference's schema system

@@ -295,6 +295,84 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** The persistable near-dup index: [[bandedSignatures]] over a corpus —
+    * (id, sig, band, band_hash), one row per (doc, band). Stored bucketed
+    * on (band, band_hash) this is what a rolling ingestion pipeline keeps
+    * at rest; [[incrementalNearDup]] probes it per batch, and appending
+    * the batch's own banded rows (same function over the batch) rolls the
+    * index forward. */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    bandedSignatures(minHashSignatures(df, idCol, textCol, w, k), k, bands)
+
+  /** Incremental MinHash-LSH near-dup: probe a persisted [[nearDupIndex]]
+    * with a new batch instead of re-running LSH over the whole corpus.
+    * Candidates = (index ⋈ batch on (band, band_hash)) ∪ (batch ⋈ batch) —
+    * equi joins both, never all-pairs — then verified with exact
+    * shingle-set Jaccard like [[minHashNearDup]]. Returns exactly the
+    * pairs touching the batch that a full-corpus run over corpus∪batch
+    * would return (signatures are per-doc, so banding is
+    * batch-invariant); old-old pairs were already emitted when THEIR
+    * batch arrived.
+    *
+    * `corpus` supplies text only for verification and only candidate ids
+    * are shingled (semi-join pushdown): per batch, work is
+    * O(batch + matched index rows), not O(corpus) — at 100 TB the index
+    * probe is a bucket-pruned join against the at-rest (band, band_hash)
+    * layout and the corpus re-read touches only candidate docs. Ids must
+    * be unique across corpus∪batch. */
+  def incrementalNearDup(corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, w: Int = 3, k: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val shB = shingles(batch, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandedB = bandedSignatures(minHashSignaturesFrom(shB, k), k, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // est_jaccard is symmetric, so pairs can be id-ordered after the
+        // join regardless of which side came from the index
+        def pairsOf(j: DataFrame): DataFrame = j.select(
+          least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"),
+          (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+            p => p)).cast("double") / k).as("est_jaccard"))
+        val probe = index.as("a").join(bandedB.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.id") =!= col("b.id"))
+        val internal = bandedB.as("a").join(bandedB.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.id") < col("b.id"))
+        val cands = pairsOf(probe).union(pairsOf(internal))
+          .dropDuplicates("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // exact-Jaccard verify over ONLY the docs that appear in a
+          // candidate pair: semi-join the corpus down before shingling
+          val candIds = cands.select(col("id_a").as(idCol))
+            .union(cands.select(col("id_b").as(idCol))).distinct()
+          val shC = shingles(
+            corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, w)
+          val shAll = shC.union(shB)
+          val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
+          val inter = shAll.as("sa")
+            .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
+            .join(shAll.as("sb"),
+              col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+          cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn("jaccard",
+              col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+            .where(col("jaccard") >= minJaccard)
+            .select("id_a", "id_b", "est_jaccard", "jaccard")
+            .localCheckpoint(true)
+        } finally cands.unpersist(blocking = false)
+      } finally bandedB.unpersist(blocking = false)
+    } finally shB.unpersist(blocking = false)
+  }
+
   // ---- duplicate-cluster resolution ---------------------------------------
 
   /** Connected components over near-dup pairs → (id, cluster) with

@@ -493,12 +493,11 @@ object AggQueries {
     // ---- Events (timestamp handling) ----------------------------------------
     Q("t1_events_daily",
       (s, d) => {
-        // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-        // rejects by default; read nanos as long and convert exactly
-        // (integer div → micros), matching DuckDB's native ns handling.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        T(s, d, "events")
-          .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        // events.ts encoding varies by producer (INT64 TIMESTAMP(NANOS)
+        // vs TIMESTAMP(MICROS)); Tables.readEvents sniffs the footer and
+        // normalizes to a micros TIMESTAMP either way.
+        graft.core.Tables.readEvents(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
           .groupBy(col("day"), col("event_type"))
           .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
           .orderBy(col("day"), col("event_type"))
@@ -516,10 +515,8 @@ object AggQueries {
     // week-start semantics to disagree on).
     Q("t4_retention",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val days = T(s, d, "events")
-          .select(col("user_id"),
-            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        val days = graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
           .distinct()
         val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
         val act = days.join(cohort, "user_id")

@@ -178,6 +178,45 @@ object LlmQueries {
              |  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 3 <> 0)
              |ORDER BY text_hash""".stripMargin)),
 
+    // Incremental NEAR-dup: the rolling-ingestion LSH shape — the corpus
+    // (doc_id % 3 <> 0) is held as a persisted banded-signature index,
+    // the batch (doc_id % 3 = 0) probes it + self-joins, candidates are
+    // verified with exact Jaccard. Same total-recall argument as d3
+    // (k=64/bands=32 at J>=0.5 misses a pair w.p. ~1e-4), so the oracle
+    // is the exhaustive exact-Jaccard pair set RESTRICTED to pairs
+    // touching the batch — precisely the incremental contract: full-run
+    // pairs minus the old-old pairs already emitted in prior batches.
+    Q("d12_incremental_neardup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        val index = Dedup.nearDupIndex(corpus, "doc_id", "text", w = 5, k = 64, bands = 32)
+        Dedup.incrementalNearDup(corpus, index, batch, "doc_id", "text",
+            w = 5, k = 64, bands = 32, minJaccard = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+             |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // MinHash+LSH near-dup — FULL pair-level oracle: the verified output
     // (exact Jaccard >= 0.5 over LSH candidates) equals the exhaustive
     // exact-Jaccard pair set whenever band recall is total, which holds on

@@ -13,10 +13,8 @@ object WindowQueries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.core.Tables.readEvents(s, d)
 
   import Det._
 

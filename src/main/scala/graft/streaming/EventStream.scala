@@ -63,14 +63,19 @@ object EventStream {
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
-  /** Raw footer schema of the driver's events.parquet: ts is INT64
-    * TIMESTAMP(NANOS), which Spark only reads as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`); converted to a proper
-    * timestamp right after the scan. */
-  val RawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Footer-derived raw schema of an events parquet path — `readStream`
+    * requires an explicit schema, and hardcoding one breaks the moment the
+    * producer changes `ts` encoding (INT64 TIMESTAMP(NANOS) surfaces as
+    * LongType under `nanosAsLong`; TIMESTAMP(MICROS) as TIMESTAMP_NTZ or
+    * TIMESTAMP). One batch footer read per replay — no data scan. Every
+    * stream normalizes `ts` right after the scan via
+    * [[graft.core.Tables.normalizeEventTs]]. */
+  def rawEventSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
+
+  private def normTs(df: DataFrame): DataFrame = graft.core.Tables.normalizeEventTs(df)
 
   /** Tumbling-window count/sum per event_type with a watermark. The sum
     * is decimal-accumulated then emitted as double (the repo-wide `Det`
@@ -92,7 +97,7 @@ object EventStream {
     * the stream/batch parity surface. */
   def runWindowedOnce(spark: SparkSession, path: String, sinkName: String,
       window: String = "1 day"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawEventSchema(spark, path)
     // FileStreamSource wants a directory; the corpus ships single files —
     // expose one via a symlink in a temp dir (no data copied).
     val src = java.nio.file.Paths.get(path)
@@ -103,10 +108,7 @@ object EventStream {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d.toString
       }
-    val stream = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
     withReplayPartitions(spark) {
       val q = windowedAgg(stream, window)
         .writeStream
@@ -131,7 +133,7 @@ object EventStream {
     * stream-static join. */
   def runEnrichedOnce(spark: SparkSession, path: String, sinkName: String,
       window: String = "1 day"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawEventSchema(spark, path)
     val src = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(src)) path
@@ -140,13 +142,10 @@ object EventStream {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d.toString
       }
-    val dim = spark.read.schema(RawEventSchema).parquet(dir)
+    val dim = spark.read.schema(schema).parquet(dir)
       .select(col("event_type")).distinct()
       .withColumn("category", upper(substring(col("event_type"), 1, 3)))
-    val stream = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
     withReplayPartitions(spark) {
       val q = stream
         .withWatermark("ts", "1 hour")
@@ -190,7 +189,7 @@ object EventStream {
     * join: pairs emit as soon as both rows arrive; no sentinel needed. */
   def runIntervalJoinOnce(spark: SparkSession, path: String, sinkName: String,
       windowHours: Int = 24): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawEventSchema(spark, path)
     val src = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(src)) path
@@ -199,10 +198,7 @@ object EventStream {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d.toString
       }
-    def stream = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream = normTs(spark.readStream.schema(schema).parquet(dir))
     val clicks = stream.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -240,25 +236,26 @@ object EventStream {
   def runIntervalJoinLeftOuterOnce(spark: SparkSession, path: String, sinkName: String,
       windowHours: Int = 24, watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(RawEventSchema).parquet(path)
-    val maxTsRow = raw.agg(max(col("ts"))).head
+    // normalize ts in batch first (type-adaptive), so the rewritten temp
+    // file always carries a proper timestamp regardless of source encoding
+    val raw = graft.core.Tables.readEventsPath(spark, path)
+    val maxTsRow = raw.agg(max(unix_micros(col("ts")))).head
     if (maxTsRow.isNullAt(0))
       return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, java.lang.Double)]
         .toDF("user_id", "click_ts", "purchase_ts", "value")
     val wmMs = intervalMs(watermark)
-    val sentinelNanos = maxTsRow.getLong(0) +
-      (windowHours * 3600000L + 2 * wmMs + 3600000L) * 1000000L
+    val sentinelMicros = maxTsRow.getLong(0) +
+      (windowHours * 3600000L + 2 * wmMs + 3600000L) * 1000L
     val sentinels = Seq(
-      (-1L, sentinelNanos, -1L, "click", 0.0, ""),
-      (-1L, sentinelNanos, -1L, "purchase", 0.0, ""))
+      (-1L, sentinelMicros, -1L, "click", 0.0, ""),
+      (-1L, sentinelMicros, -1L, "purchase", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
-    raw.union(sentinels).write.mode("overwrite").parquet(d.toString)
-    def stream = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(d.toString)
+    def stream = normTs(spark.readStream
+      .schema(rawEventSchema(spark, d.toString))
+      .parquet(d.toString))
     val clicks = stream.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
@@ -292,15 +289,13 @@ object EventStream {
     * the one case streaming dedup guarantees). */
   def runDedupOnce(spark: SparkSession, path: String, sinkName: String,
       watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(RawEventSchema).parquet(path)
+    val raw = graft.core.Tables.readEventsPath(spark, path)
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
     raw.union(raw.where(pmod(col("event_id"), lit(3)) === 0))
       .write.mode("overwrite").parquet(d.toString)
-    val stream = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream
+      .schema(rawEventSchema(spark, d.toString))
+      .parquet(d.toString))
     withReplayPartitions(spark) {
       val q = dedupStream(stream, watermark, Seq("event_id"))
         .writeStream
@@ -338,13 +333,12 @@ object EventStream {
     * driver frame). */
   def runMergeOnce(spark: SparkSession, path: String, nChunks: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = java.nio.file.Files.createTempDirectory("graft_stream_merge")
     val srcDir = work.resolve("src").toString
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType)))
-    spark.read.schema(RawEventSchema).parquet(path)
+    graft.core.Tables.readEventsPath(spark, path)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .repartitionByRange(nChunks, col("event_id"))
       .write.mode("overwrite").parquet(srcDir)
@@ -405,28 +399,29 @@ object EventStream {
   def runSessionizeOnce(spark: SparkSession, path: String, sinkName: String,
       gapMs: Long = 30 * 60 * 1000L, watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(path)
-    val static = spark.read.schema(RawEventSchema).parquet(path)
-    val maxTsRow = static.agg(max(col("ts"))).head
+    // normalize in batch and rewrite into the replay dir: the sentinel file
+    // must carry the SAME ts encoding as the data files, and writing both
+    // ourselves (typed timestamps) guarantees that for any source encoding
+    val static = graft.core.Tables.readEventsPath(spark, path)
+    val maxTsRow = static.agg(max(unix_micros(col("ts")))).head
     if (maxTsRow.isNullAt(0)) return spark.emptyDataset[Session].toDF
     val d = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+    static.write.mode("overwrite").parquet(d.toString)
     // sentinel file: one max-ts row per user, far enough out to flush all
     // real sessions (margin = gap + the caller's watermark delay + 1h slack)
     val wmMs = intervalMs(watermark)
-    val maxTsNanos = maxTsRow.getLong(0)
-    val sentinelNanos = maxTsNanos + (gapMs + wmMs + 60 * 60 * 1000L) * 1000000L
+    val sentinelMicros = maxTsRow.getLong(0) + (gapMs + wmMs + 60 * 60 * 1000L) * 1000L
     static.select(col("user_id")).distinct()
       .select(
-        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"), col("user_id"),
-        lit("__sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+        lit(-1L).as("event_id"), timestamp_micros(lit(sentinelMicros)).as("ts"),
+        col("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
       .write.mode("append").parquet(d.toString)
-    val events = spark.readStream
-      .schema(RawEventSchema)
-      .parquet(d.toString)
+    val events = normTs(spark.readStream
+      .schema(rawEventSchema(spark, d.toString))
+      .parquet(d.toString))
       .select(
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("ts"),
         col("user_id").as("userId"), col("event_type").as("eventType"), col("value"))
       .as[Event]
     withReplayPartitions(spark) {
@@ -441,10 +436,10 @@ object EventStream {
     }
     rmTree(d)
     spark.table(sinkName)
-      .where(col("sessionStart") < timestamp_micros(lit(sentinelNanos / 1000L)))
+      .where(col("sessionStart") < timestamp_micros(lit(sentinelMicros)))
   }
 
-  final case class ProfileEvent(userId: Long, eventId: Long, tsNanos: Long, valueMicros: Long)
+  final case class ProfileEvent(userId: Long, eventId: Long, tsMicros: Long, valueMicros: Long)
   final case class ProfileTotals(nEvents: Long, sumMicros: Long)
   final case class UserProfile(userId: Long, nEvents: Long, sumMicros: Long, recent5: String)
 
@@ -476,7 +471,7 @@ object EventStream {
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserProfile] = {
       var n = 0L; var sum = 0L
       val incoming = Seq.newBuilder[(Long, Long)]
-      rows.foreach { e => n += 1; sum += e.valueMicros; incoming += ((e.tsNanos, e.eventId)) }
+      rows.foreach { e => n += 1; sum += e.valueMicros; incoming += ((e.tsMicros, e.eventId)) }
       val prev = Option(totals.get()).getOrElse(ProfileTotals(0L, 0L))
       val next = ProfileTotals(prev.nEvents + n, prev.sumMicros + sum)
       totals.update(next)
@@ -498,7 +493,7 @@ object EventStream {
   def runProfileOnce(spark: SparkSession, path: String, sinkName: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawEventSchema(spark, path)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -515,14 +510,13 @@ object EventStream {
     // micro-batches — the cross-batch state-accumulation path (specs
     // drive it; the single-file bounded replay runs one batch)
     val reader = maxFilesPerTrigger.foldLeft(
-      spark.readStream.schema(RawEventSchema)) {
+      spark.readStream.schema(schema)) {
       (r, n) => r.option("maxFilesPerTrigger", n)
     }
-    val events = reader
-      .parquet(dir)
+    val events = normTs(reader.parquet(dir))
       .select(
         col("user_id").as("userId"), col("event_id").as("eventId"),
-        col("ts").as("tsNanos"),
+        unix_micros(col("ts")).as("tsMicros"),
         round(col("value") * lit(1000000L)).cast("long").as("valueMicros"))
       .as[ProfileEvent]
     try {

@@ -53,6 +53,35 @@ class DedupSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("incrementalNearDup replay equals the full-corpus run restricted to the batch") {
+    // split the corpus in two, index the first part, probe with the second:
+    // the planted dups straddle the split (100/102 even → batch; 101 odd →
+    // corpus), so probe pairs, batch-internal pairs, and absent old-old
+    // pairs are all exercised
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val index = Dedup.nearDupIndex(corpus, "doc_id", "text", w = 3, k = 64, bands = 16)
+    val inc = Dedup.incrementalNearDup(corpus, index, batch, "doc_id", "text",
+        w = 3, k = 64, bands = 16, minJaccard = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val full = Dedup.minHashNearDup(docs, "doc_id", "text", w = 3, k = 64, bands = 16,
+        minJaccard = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val fullTouchingBatch = full.filter { case ((a, b), _) => a % 2 == 0 || b % 2 == 0 }
+    assert(inc.keySet === fullTouchingBatch.keySet,
+      s"missing=${fullTouchingBatch.keySet diff inc.keySet} extra=${inc.keySet diff fullTouchingBatch.keySet}")
+    inc.foreach { case (k, j) => assert(math.abs(j - fullTouchingBatch(k)) < 1e-12) }
+    // the probe (index-vs-batch) and batch-internal shapes both fired
+    assert(inc.contains((100L, 101L)) && math.abs(inc((100L, 101L)) - 1.0) < 1e-12) // probe
+    assert(inc.contains((100L, 102L))) // batch-internal
+    // old-old pairs are NOT re-emitted
+    assert(inc.keySet.forall { case (a, b) => a % 2 == 0 || b % 2 == 0 })
+  }
+
   test("simHash: identical texts collide, near texts are close, distinct are far") {
     val sh = Dedup.simHash64(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

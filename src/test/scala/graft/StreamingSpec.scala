@@ -10,13 +10,12 @@ import graft.streaming.EventStream.{Event, Session}
 class StreamingSpec extends SparkSpec {
 
   test("bounded stream replay equals the batch windowed aggregate") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamed = EventStream.runWindowedOnce(
       spark, "/root/testdata/sf0.001/events.parquet", "spec_sink")
       .select(col("window_start"), col("event_type"), col("n"), round(col("sum_value"), 6).as("s"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.core.Tables
+      .readEventsPath(spark, "/root/testdata/sf0.001/events.parquet")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("s"))
       .select(col("window.start"), col("event_type"), col("n"), col("s"))
@@ -25,7 +24,6 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("replayPartitions knob caps state partitions and restores the session value") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(EventStream.ReplayPartitionsKey, "2")
     try {
@@ -145,14 +143,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState profile replay equals the batch per-user aggregate") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamed = EventStream.runProfileOnce(
       spark, "/root/testdata/sf0.001/events.parquet", "spec_profile_sink")
       .select("userId", "nEvents", "sumMicros", "recent5")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.core.Tables
+      .readEventsPath(spark, "/root/testdata/sf0.001/events.parquet")
       .withColumn("vmic", round(col("value") * lit(1000000L)).cast("long"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("user_id"))
@@ -167,13 +165,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState accumulates across micro-batches (multi-file replay)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // split the events file into 4 parquet parts; maxFilesPerTrigger=1
     // forces one micro-batch per part, so per-user state must carry
     // across batches (totals add up, recent-5 merges across batches)
-    val raw = spark.read
-      .schema(EventStream.RawEventSchema)
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.core.Tables
+      .readEventsPath(spark, "/root/testdata/sf0.001/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_profile_multi").toString
     raw.repartition(4).write.mode("overwrite").parquet(dir)
     val multi = EventStream.runProfileOnce(spark, dir, "spec_profile_multi",
@@ -197,9 +193,7 @@ class StreamingSpec extends SparkSpec {
     val b = state(5)
     assert(a == b, "final merged state must not depend on chunking")
     // and it equals the batch latest-per-key answer
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read
-      .schema(graft.streaming.EventStream.RawEventSchema).parquet(path)
+    val batch = graft.core.Tables.readEventsPath(spark, path)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id").desc)
