@@ -369,19 +369,37 @@ object Multimodal {
     * Output: (hash_a, hash_b, hamming, n_a, n_b) with hash_a < hash_b,
     * n_* = image counts of each class, ordered by (hash_a, hash_b). */
   def imageNearDupClasses(
-      media: DataFrame, maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+      media: DataFrame, maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    nearDupClassPairs(classCounts(media), maxHamming, nBands)
+      .select("hash_a", "hash_b", "hamming", "n_a", "n_b")
+      .orderBy("hash_a", "hash_b")
+
+  /** Distinct aHash classes with image count and min-id representative —
+    * the collapsed frame every image near-dup stage joins over (one hash
+    * shuffle; payloads/decodes never repeat downstream). */
+  private def classCounts(media: DataFrame): DataFrame =
+    aHashes(media).groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("rep_id"))
+
+  /** Banded Hamming pairs over an existing (ahash, n, rep_id) class frame
+    * — the back half of [[imageNearDupClasses]], split out so
+    * [[imageNearDupResolve]] can reuse one decode+hash pass for both the
+    * pair generation and the cluster inventory. Output additionally
+    * carries each side's class representative (rep_a/rep_b). */
+  private def nearDupClassPairs(
+      classes: DataFrame, maxHamming: Int, nBands: Int): DataFrame = {
     require(nBands >= 1 && 64 % nBands == 0, s"nBands $nBands must divide 64")
     require(maxHamming >= 0 && maxHamming <= nBands - 1,
       s"band blocking is exact only for maxHamming <= nBands-1 " +
         s"(got maxHamming=$maxHamming, nBands=$nBands)")
     val r = 64 / nBands
-    val classes = aHashes(media).groupBy(col("ahash"))
-      .agg(count(lit(1)).as("n"))
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"), substring(col("ahash"), b * r + 1, r).as("key"))
     }: _*)
-    val banded = classes.select(col("ahash"), col("n"), explode(bandArr).as("bk"))
-      .select(col("ahash"), col("n"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = classes
+      .select(col("ahash"), col("n"), col("rep_id"), explode(bandArr).as("bk"))
+      .select(col("ahash"), col("n"), col("rep_id"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     // Hamming over the '0'/'1' hash strings: four 16-bit chunks through
     // conv(·,2,10) → xor → bit_count, all codegen'd builtins
     def ham(a: Column, b: Column): Column =
@@ -393,12 +411,42 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.ahash") < col("b.ahash"))
       .select(col("a.ahash").as("hash_a"), col("b.ahash").as("hash_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
       .dropDuplicates("hash_a", "hash_b")
       .withColumn("hamming", ham(col("hash_a"), col("hash_b")).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("hash_a", "hash_b", "hamming", "n_a", "n_b")
-      .orderBy("hash_a", "hash_b")
+  }
+
+  /** Image near-dup RESOLUTION: the composition step mm7 stops short of —
+    * near-class pairs become connected components ([[Dedup.dupClusters]]
+    * over class representatives) and every class lands in a cluster
+    * (classes with no near pair are their own singleton). One row per
+    * cluster: `cluster` = the min media_id across the cluster's images
+    * (representative ids are per-class minima and CC labels by min
+    * reachable id), which IS the keep-first representative — a dedup
+    * keeps `cluster`, drops the other `n_dropped` images.
+    *
+    * Scale stance: clustering runs over CLASS representatives (≤ distinct
+    * hashes, not images), the inventory join is class-count sized, and
+    * the only image-cardinality stage is the single decode+hash pass
+    * shared with the pair generation. */
+  def imageNearDupResolve(
+      media: DataFrame, maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    val classes = classCounts(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = nearDupClassPairs(classes, maxHamming, nBands)
+        .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      val clusters = Dedup.dupClusters(edges)
+        .withColumnRenamed("id", "rep_id")
+      classes.join(clusters, Seq("rep_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("rep_id")))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_images"))
+        .withColumn("n_dropped", col("n_images") - 1L)
+        .orderBy(col("cluster"))
+    } finally classes.unpersist(blocking = false)
   }
 
   /** Frame-sample: slice the payload into `n` evenly-spaced fixed-width

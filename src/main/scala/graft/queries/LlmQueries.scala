@@ -1362,6 +1362,47 @@ object LlmQueries {
              |FROM pairs WHERE hamming <= 3
              |ORDER BY hash_a, hash_b""".stripMargin)),
 
+    // Image near-dup RESOLUTION (the d6 shape for images): near classes →
+    // connected components over class representatives → per-cluster
+    // inventory with the min-media_id keep representative. The oracle
+    // replays the whole chain — aHash classes, all-pairs Hamming ≤ 3,
+    // recursive-CTE CC, singleton fill — so clustering AND the keep-set
+    // arithmetic are both exact-checked.
+    Q("mm8_image_neardup_resolve",
+      (s, d) => Multimodal.imageNearDupResolve(
+        Multimodal.fromDocumentsPng(T(s, d, "documents")), maxHamming = 3),
+      Some("""WITH RECURSIVE px AS (
+             |  SELECT doc_id, y, x,
+             |    ((x * (doc_id % 32 + 4)) // 8) + ((y * (doc_id % 24 + 4)) // 8) AS v
+             |  FROM documents, range(8) rx(x), range(8) ry(y)),
+             |m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY 1),
+             |h AS (
+             |  SELECT p.doc_id,
+             |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+             |      ORDER BY y, x) AS ahash
+             |  FROM px p JOIN m USING (doc_id) GROUP BY 1),
+             |cls AS (SELECT ahash, COUNT(*) AS n, MIN(doc_id) AS rep_id
+             |  FROM h GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.rep_id AS id_a, b.rep_id AS id_b
+             |  FROM cls a JOIN cls b ON a.ahash < b.ahash
+             |  WHERE length(list_filter(range(1, 65),
+             |    i -> substring(a.ahash, i, 1) <> substring(b.ahash, i, 1))) <= 3),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+             |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1),
+             |inv AS (
+             |  SELECT COALESCE(cc.cluster, cls.rep_id) AS cluster, cls.n
+             |  FROM cls LEFT JOIN cc ON cls.rep_id = cc.id)
+             |SELECT cluster, COUNT(*) AS n_classes,
+             |  CAST(SUM(n) AS BIGINT) AS n_images,
+             |  CAST(SUM(n) - 1 AS BIGINT) AS n_dropped
+             |FROM inv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

@@ -408,4 +408,39 @@ class CoreSpec extends SparkSpec {
       Multimodal.imageNearDupClasses(media, maxHamming = 4, nBands = 4)
     }
   }
+
+  test("Multimodal: imageNearDupResolve equals driver-side CC over brute pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.fromDocumentsPng(docs)
+    val resolved = Multimodal.imageNearDupResolve(media, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute truth: all-pairs hamming <= 3 over classes, union-find on the
+    // driver, clusters labeled by min rep_id, singleton classes included
+    val classes = Multimodal.imageDedup(media)
+      .select("ahash", "n_images", "rep_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
+    }
+    for {
+      (ha, _, ra) <- classes; (hb, _, rb) <- classes if ha < hb
+      if ha.zip(hb).count { case (x, y) => x != y } <= 3
+    } {
+      val (fa, fb) = (find(ra), find(rb))
+      if (fa != fb) { if (fa < fb) parent(fb) = fa else parent(fa) = fb }
+    }
+    val expected = classes.groupBy { case (_, _, rep) => find(rep) }
+      .map { case (cl, cs) =>
+        val nImages = cs.map(_._2).sum
+        cl -> ((cs.length.toLong, nImages, nImages - 1))
+      }
+    assert(resolved === expected)
+    // at least one multi-class cluster exists on the fixture, and every
+    // cluster label is the min media_id of its images (the keep contract)
+    assert(expected.values.exists(_._1 > 1))
+    val clusterOfRep = classes.map { case (_, _, rep) => rep -> find(rep) }.toMap
+    assert(clusterOfRep.forall { case (rep, cl) => cl <= rep })
+  }
 }
