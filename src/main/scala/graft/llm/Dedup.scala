@@ -321,6 +321,30 @@ object Dedup {
     * probe is a bucket-pruned join against the at-rest (band, band_hash)
     * layout and the corpus re-read touches only candidate docs. Ids must
     * be unique across corpus∪batch. */
+  /** Signature-level incremental candidates — the probe stage of
+    * [[incrementalNearDup]], exposed for pipelines whose corpus text is
+    * not co-located with the index (est_jaccard only, no exact verify).
+    * `index` and `batchIndex` are both [[nearDupIndex]] frames (same k
+    * and bands). Both joins are (band, band_hash) EQUI joins — never
+    * all-pairs — which PlanSpec locks. */
+  def incrementalCandidates(
+      index: DataFrame, batchIndex: DataFrame, k: Int): DataFrame = {
+    // est_jaccard is symmetric, so pairs can be id-ordered after the
+    // join regardless of which side came from the index
+    def pairsOf(j: DataFrame): DataFrame = j.select(
+      least(col("a.id"), col("b.id")).as("id_a"),
+      greatest(col("a.id"), col("b.id")).as("id_b"),
+      (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+        p => p)).cast("double") / k).as("est_jaccard"))
+    val probe = index.as("a").join(batchIndex.as("b"),
+      col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+    val internal = batchIndex.as("a").join(batchIndex.as("b"),
+      col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+    pairsOf(probe).union(pairsOf(internal)).dropDuplicates("id_a", "id_b")
+  }
+
   def incrementalNearDup(corpus: DataFrame, index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, w: Int = 3, k: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5): DataFrame = {
@@ -330,21 +354,7 @@ object Dedup {
       val bandedB = bandedSignatures(minHashSignaturesFrom(shB, k), k, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // est_jaccard is symmetric, so pairs can be id-ordered after the
-        // join regardless of which side came from the index
-        def pairsOf(j: DataFrame): DataFrame = j.select(
-          least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"),
-          (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-            p => p)).cast("double") / k).as("est_jaccard"))
-        val probe = index.as("a").join(bandedB.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.id") =!= col("b.id"))
-        val internal = bandedB.as("a").join(bandedB.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.id") < col("b.id"))
-        val cands = pairsOf(probe).union(pairsOf(internal))
-          .dropDuplicates("id_a", "id_b")
+        val cands = incrementalCandidates(index, bandedB, k)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // exact-Jaccard verify over ONLY the docs that appear in a

@@ -192,4 +192,21 @@ class PlanSpec extends SparkSpec {
     assert(windowLines.forall(l => l.contains("pid") || l.contains("windowspecdefinition(pid")
       || !l.contains("windowspecdefinition()")), p)
   }
+
+  test("d12: incremental candidates are (band, band_hash) equi joins, never all-pairs") {
+    import graft.llm.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val index = Dedup.nearDupIndex(corpus, "doc_id", "text", w = 5, k = 64, bands = 32)
+    val batchIdx = Dedup.nearDupIndex(batch, "doc_id", "text", w = 5, k = 64, bands = 32)
+    val p = Dedup.incrementalCandidates(index, batchIdx, k = 64)
+      .queryExecution.executedPlan.toString
+    // both the probe and the internal join must hash/sort-merge on the
+    // band keys; a nested-loop or cartesian here is the quadratic
+    // blow-up this whole design exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("band_hash"), p)
+  }
 }
