@@ -118,4 +118,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.topKPerGroup(df.withColumn("g", lit("a")), Seq("g"),
       Seq(col("x")), 0).count() === 0)
   }
+
+  test("Verify artifact JSON survives control chars and quotes (failed.json path)") {
+    // exception messages and builder-authored SQL both flow through
+    // jsonStr/jsonObj into driver-parsed artifacts; a raw tab, newline,
+    // or quote would make json.load fail and zero the round's correctness
+    val obj = Verify.jsonObj(Seq(
+      "q1" -> "DATATYPE_MISMATCH: \"(ts div 1000)\"\n\tat line 1",
+      "q2" -> "back\\slash and  ctrl"))
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(obj))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.select("q1", "q2").head
+    assert(row.getString(0) === "DATATYPE_MISMATCH: \"(ts div 1000)\"\n\tat line 1")
+    assert(row.getString(1) === "back\\slash and  ctrl")
+  }
 }
