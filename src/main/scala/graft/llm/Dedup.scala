@@ -234,10 +234,11 @@ object Dedup {
 
   /** Banded signature rows (id, sig, band, band_hash): each doc's LSH
     * bucket memberships — bands bands of k/bands contiguous signature
-    * rows, each hashed to one 64-bit bucket key. Persisted (bucketed on
-    * (band, band_hash)) this IS the near-dup index a rolling ingestion
-    * pipeline maintains; [[minHashCandidatesFromSigs]] self-joins it,
-    * [[incrementalNearDup]] probes it with a new batch. */
+    * rows, each hashed to one 64-bit bucket key.
+    * [[minHashCandidatesFromSigs]] self-joins it in memory (sig rides
+    * along for est_jaccard); the AT-REST form a rolling ingestion
+    * pipeline maintains is the sig-free projection [[nearDupIndex]],
+    * which [[incrementalNearDup]] probes with a new batch. */
   private[llm] def bandedSignatures(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
@@ -295,15 +296,20 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
-  /** The persistable near-dup index: [[bandedSignatures]] over a corpus —
-    * (id, sig, band, band_hash), one row per (doc, band). Stored bucketed
-    * on (band, band_hash) this is what a rolling ingestion pipeline keeps
-    * at rest; [[incrementalNearDup]] probes it per batch, and appending
-    * the batch's own banded rows (same function over the batch) rolls the
-    * index forward. */
+  /** The persistable near-dup index: SLIM banded rows (id, band,
+    * band_hash) — three longs per (doc, band), NOT the sig-carrying
+    * frame the in-memory self-join uses. The signature array (k longs)
+    * would otherwise ride every index row ×bands at rest and through
+    * every probe-join exchange; the incremental path never needs it
+    * (candidates are verified with exact shingle Jaccard, not
+    * est_jaccard). Stored bucketed on (band, band_hash) this is what a
+    * rolling ingestion pipeline keeps at rest; [[incrementalNearDup]]
+    * probes it per batch, and appending the batch's own banded rows
+    * (same function over the batch) rolls the index forward. */
   def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
     bandedSignatures(minHashSignatures(df, idCol, textCol, w, k), k, bands)
+      .select("id", "band", "band_hash")
 
   /** Incremental MinHash-LSH near-dup: probe a persisted [[nearDupIndex]]
     * with a new batch instead of re-running LSH over the whole corpus.
@@ -321,21 +327,19 @@ object Dedup {
     * probe is a bucket-pruned join against the at-rest (band, band_hash)
     * layout and the corpus re-read touches only candidate docs. Ids must
     * be unique across corpus∪batch. */
-  /** Signature-level incremental candidates — the probe stage of
-    * [[incrementalNearDup]], exposed for pipelines whose corpus text is
-    * not co-located with the index (est_jaccard only, no exact verify).
-    * `index` and `batchIndex` are both [[nearDupIndex]] frames (same k
-    * and bands). Both joins are (band, band_hash) EQUI joins — never
-    * all-pairs — which PlanSpec locks. */
-  def incrementalCandidates(
-      index: DataFrame, batchIndex: DataFrame, k: Int): DataFrame = {
-    // est_jaccard is symmetric, so pairs can be id-ordered after the
-    // join regardless of which side came from the index
+  /** Candidate-pair generation of [[incrementalNearDup]], exposed for
+    * pipelines that filter or route candidates before verification.
+    * `index` and `batchIndex` are both slim [[nearDupIndex]] frames
+    * (same k and bands); output is id pairs only — the joins exchange
+    * three longs per row, and a caller wanting signature-estimated
+    * Jaccard joins a persisted (id, sig) table onto the (small) pair
+    * set afterwards instead of shipping sigs through the band join.
+    * Both joins are (band, band_hash) EQUI joins — never all-pairs —
+    * which PlanSpec locks. */
+  def incrementalCandidates(index: DataFrame, batchIndex: DataFrame): DataFrame = {
     def pairsOf(j: DataFrame): DataFrame = j.select(
       least(col("a.id"), col("b.id")).as("id_a"),
-      greatest(col("a.id"), col("b.id")).as("id_b"),
-      (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-        p => p)).cast("double") / k).as("est_jaccard"))
+      greatest(col("a.id"), col("b.id")).as("id_b"))
     val probe = index.as("a").join(batchIndex.as("b"),
       col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
         col("a.id") =!= col("b.id"))
@@ -352,35 +356,70 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bandedB = bandedSignatures(minHashSignaturesFrom(shB, k), k, bands)
+        .select("id", "band", "band_hash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try incrementalNearDupFrom(corpus, index, shB, bandedB, idCol, textCol, w, minJaccard)
+      finally bandedB.unpersist(blocking = false)
+    } finally shB.unpersist(blocking = false)
+  }
+
+  /** One rolling-ingest step: the verified pairs AND the batch's banded
+    * index rows, off a SINGLE batch signature pass — the ingest loop
+    * appends the second frame to the at-rest index after emitting the
+    * first ([[graft.streaming.IngestStream]]). Both returned frames are
+    * eagerly materialized (localCheckpoint), so they stay valid after
+    * the internal caches release. */
+  def incrementalNearDupRoll(corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, w: Int = 3, k: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5): (DataFrame, DataFrame) = {
+    val shB = shingles(batch, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandedB = bandedSignatures(minHashSignaturesFrom(shB, k), k, bands)
+        .select("id", "band", "band_hash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val cands = incrementalCandidates(index, bandedB, k)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // exact-Jaccard verify over ONLY the docs that appear in a
-          // candidate pair: semi-join the corpus down before shingling
-          val candIds = cands.select(col("id_a").as(idCol))
-            .union(cands.select(col("id_b").as(idCol))).distinct()
-          val shC = shingles(
-            corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, w)
-          val shAll = shC.union(shB)
-          val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
-          val inter = shAll.as("sa")
-            .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
-            .join(shAll.as("sb"),
-              col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
-            .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-          cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-            .withColumn("jaccard",
-              col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-            .where(col("jaccard") >= minJaccard)
-            .select("id_a", "id_b", "est_jaccard", "jaccard")
-            .localCheckpoint(true)
-        } finally cands.unpersist(blocking = false)
+        val pairs = incrementalNearDupFrom(
+          corpus, index, shB, bandedB, idCol, textCol, w, minJaccard)
+        (pairs, bandedB.localCheckpoint(true))
       } finally bandedB.unpersist(blocking = false)
     } finally shB.unpersist(blocking = false)
+  }
+
+  /** [[incrementalNearDup]] core over PRECOMPUTED batch shingles and
+    * banded rows — lets a caller that also rolls the index forward (the
+    * streaming ingest loop) compute the batch's signatures exactly once
+    * for both the probe and the index append. Both inputs should be
+    * persisted by the caller. */
+  private[graft] def incrementalNearDupFrom(
+      corpus: DataFrame, index: DataFrame, shB: DataFrame, bandedB: DataFrame,
+      idCol: String, textCol: String, w: Int,
+      minJaccard: Double): DataFrame = {
+    val cands = incrementalCandidates(index, bandedB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // exact-Jaccard verify over ONLY the docs that appear in a
+      // candidate pair: semi-join the corpus down before shingling
+      val candIds = cands.select(col("id_a").as(idCol))
+        .union(cands.select(col("id_b").as(idCol))).distinct()
+      val shC = shingles(
+        corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, w)
+      val shAll = shC.union(shB)
+      val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val inter = shAll.as("sa")
+        .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
+        .join(shAll.as("sb"),
+          col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(true)
+    } finally cands.unpersist(blocking = false)
   }
 
   // ---- duplicate-cluster resolution ---------------------------------------

@@ -160,6 +160,38 @@ object StreamQueries {
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Rolling-ingestion NEAR-dup (the streaming twin of d12 composed
+    // with the st9 maintenance loop): the documents changelog streams in
+    // 3 micro-batches, each probing the persisted banded index +
+    // self-joining, verified pairs appended, index rolled forward. The
+    // emitted union equals the full-corpus LSH pair set (each pair
+    // surfaces in its later member's batch), so the oracle is d3's
+    // exhaustive exact-Jaccard twin — stream ≡ batch ≡ SQL.
+    // nChunks=2 keeps the bench replay lean (per-batch cost is fixed
+    // scaffolding at fixture scale); StreamingSpec drives 2-vs-4 chunk
+    // invariance, so the multi-batch semantics stay pinned.
+    Q("st10_stream_neardup_ingest",
+      (s, d) => graft.streaming.IngestStream.runNearDupIngestOnce(
+        s, s"$d/documents.parquet", nChunks = 2),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("st8_stream_profile",
       (s, d) => {
         val sink = s"st8_sink_${System.nanoTime()}"

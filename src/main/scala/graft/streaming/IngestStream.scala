@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.llm.Dedup
+
+/** The rolling-ingestion NEAR-dup loop: a document stream probes a
+  * persisted banded-signature index ([[Dedup.nearDupIndex]]) batch by
+  * batch via `foreachBatch`, emits the verified near-dup pairs each
+  * batch touches, and rolls the index forward with the batch's own
+  * banded rows — the maintenance cycle a daily-ingest training-data
+  * pipeline runs (the streaming twin of query d12, composed with the
+  * st9 ingest-merge scaffolding).
+  *
+  * Why this is oracle-checkable: a pair is emitted exactly once, by the
+  * batch its LATER member arrives in (earlier member is in the index by
+  * then; same-batch pairs come from the batch's internal self-join), so
+  * the union of per-batch emissions equals the FULL-corpus LSH pair set
+  * regardless of batch count or arrival order — stream ≡ batch ≡ the
+  * exhaustive exact-Jaccard oracle (d3's total-recall argument).
+  *
+  * State lives in alternating parquet generations like
+  * [[EventStream.runMergeOnce]]; at scale the index is a bucketed table
+  * on (band, band_hash) appended per batch (never rewritten), and the
+  * emitted pairs feed the cluster-resolution job (d6/mm8 shape). */
+object IngestStream {
+
+  /** Schema of a slim [[Dedup.nearDupIndex]] frame — the empty gen-0
+    * index (three longs per (doc, band) row; signatures never persist). */
+  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_hash",
+      org.apache.spark.sql.types.LongType)))
+
+  def runNearDupIngestOnce(spark: SparkSession, docsPath: String, nChunks: Int = 3,
+      w: Int = 5, k: Int = 64, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_ingest")
+    val srcDir = work.resolve("src").toString
+    val pairsDir = work.resolve("pairs").toString
+    val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    docs.repartitionByRange(nChunks, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index =
+          if (gen == 0)
+            spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+          else spark.read.parquet(work.resolve(s"index_$gen").toString)
+        // corpus text for the exact-Jaccard verify: everything EXCEPT
+        // the current batch (ids not yet indexed can never be
+        // candidates, so the anti join is the only exclusion needed)
+        val corpus = docs.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+        // one signature pass per batch serves both the probe and the roll
+        val (pairs, batchIdx) = Dedup.incrementalNearDupRoll(
+          corpus, index, batch, "doc_id", "text", w, k, bands, minJaccard)
+        pairs.write.mode("append").parquet(pairsDir)
+        // roll the index forward (at scale: append to the bucketed
+        // index table; the generation rewrite is fixture-scale only)
+        index.unionByName(batchIdx)
+          .write.mode("overwrite").parquet(work.resolve(s"index_${gen + 1}").toString)
+        gen += 1
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(gen >= 2, s"near-dup ingest replay must run multiple micro-batches, ran $gen")
+    val out = spark.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+}

@@ -200,7 +200,7 @@ class PlanSpec extends SparkSpec {
     val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
     val index = Dedup.nearDupIndex(corpus, "doc_id", "text", w = 5, k = 64, bands = 32)
     val batchIdx = Dedup.nearDupIndex(batch, "doc_id", "text", w = 5, k = 64, bands = 32)
-    val p = Dedup.incrementalCandidates(index, batchIdx, k = 64)
+    val p = Dedup.incrementalCandidates(index, batchIdx)
       .queryExecution.executedPlan.toString
     // both the probe and the internal join must hash/sort-merge on the
     // band keys; a nested-loop or cartesian here is the quadratic

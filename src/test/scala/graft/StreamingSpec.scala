@@ -203,6 +203,26 @@ class StreamingSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("near-dup ingest stream equals the full-corpus run, independent of chunking") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    def run(n: Int) = graft.streaming.IngestStream
+      .runNearDupIngestOnce(spark, path, nChunks = n, w = 5, k = 64, bands = 32,
+        minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val chunked2 = run(2)
+    val chunked4 = run(4)
+    assert(chunked2 === chunked4, "pair set must not depend on micro-batch boundaries")
+    val full = graft.llm.Dedup.minHashNearDup(
+        spark.read.parquet(path), "doc_id", "text", w = 5, k = 64, bands = 32,
+        minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(chunked2.nonEmpty && chunked2 === full,
+      s"missing=${(full.keySet diff chunked2.keySet).take(3)} " +
+        s"extra=${(chunked2.keySet diff full.keySet).take(3)}")
+  }
+
   test("intervalMs parses watermark strings; month intervals rejected") {
     assert(EventStream.intervalMs("1 hour") === 3600000L)
     assert(EventStream.intervalMs("30 minutes") === 1800000L)
