@@ -733,23 +733,45 @@ object Dedup {
     * never ride a shuffle. They re-attach to the surviving distinct pairs
     * by id-join just before the cosine verify (measured 42 s → ~2 s at
     * 2k×64-dim; at real scale the difference is the whole job). */
-  def cosinePairsLsh(
-      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      dim: Int, nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nPlanes % nBands == 0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+  /** Sign-band rows (id, band, band_hash) off a signature frame — the
+    * banding half of [[cosinePairsLsh]], shared with the incremental
+    * index path (same slim three-longs-per-row shape as the MinHash
+    * [[nearDupIndex]]). */
+  private def signBandRows(sigs: DataFrame, nPlanes: Int, nBands: Int): DataFrame = {
     val r = nPlanes / nBands
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("key"))
     }: _*)
+    sigs.select(col("id"), explode(bandArr).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("band_hash"))
+  }
+
+  /** The persistable EMBEDDING near-dup index: slim sign-band rows over
+    * seeded random-hyperplane signatures — the vector analog of
+    * [[nearDupIndex]] (vectors and signatures never persist in the index
+    * or ride the probe exchange; [[incrementalCosineNearDup]] probes it
+    * per batch and re-reads only candidate vectors for the exact-cosine
+    * verify). Determinism: the hyperplanes are seeded, so index rows
+    * built per batch always agree with a from-scratch rebuild. */
+  def cosineIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nBands == 0)
+    signBandRows(
+      withSignature(df, idCol, vecCol, hyperplanes(nPlanes, dim, seed)),
+      nPlanes, nBands)
+  }
+
+  def cosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      dim: Int, nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val sigs = withSignature(df, idCol, vecCol, planes)
-    val banded = sigs
-      .select(col("id"), explode(bandArr).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = signBandRows(sigs, nPlanes, nBands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -760,6 +782,41 @@ object Dedup {
       .withColumn("cos", cosine(col("va"), col("vb"), dim))
       .where(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** Incremental EMBEDDING near-dup: probe a persisted [[cosineIndex]]
+    * with a new batch — (band, band_hash) equi joins via
+    * [[incrementalCandidates]], then exact cosine over ONLY candidate
+    * vectors (corpus semi-joined down before the vector join). Because
+    * the hyperplanes are seeded and signatures are per-row, the result
+    * is EXACTLY the batch-touching subset of the full-corpus
+    * [[cosinePairsLsh]] run — same recall, same pairs — without
+    * re-signaturing the corpus. Ids must be unique across corpus∪batch. */
+  def incrementalCosineNearDup(corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int,
+      nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % nBands == 0)
+    val sigsB = withSignature(batch, idCol, vecCol, hyperplanes(nPlanes, dim, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = incrementalCandidates(index, signBandRows(sigsB, nPlanes, nBands))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val candIds = cands.select(col("id_a").as("id"))
+          .union(cands.select(col("id_b").as("id"))).distinct()
+        val corpusVecs = corpus
+          .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+          .join(candIds, Seq("id"), "left_semi")
+        val vecs = corpusVecs.union(sigsB.select(col("id"), col("v")))
+        cands
+          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+          .withColumn("cos", cosine(col("va"), col("vb"), dim))
+          .where(col("cos") >= minCos)
+          .select("id_a", "id_b", "cos")
+          .localCheckpoint(true)
+      } finally cands.unpersist(blocking = false)
+    } finally sigsB.unpersist(blocking = false)
   }
 
   /** [[semDedup]] with `nClusters` auto-sized from the corpus — the

@@ -331,6 +331,54 @@ object LlmQueries {
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |  CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
 
+    // Incremental EMBEDDING near-dup (the d12 shape for vectors): the
+    // corpus (vec_id % 3 <> 0) is held as a persisted sign-band index,
+    // the batch probes it + self-joins, candidates verified with exact
+    // cosine. Two contracts checked in one row: (1) incremental ≡ the
+    // full-corpus LSH run restricted to batch-touching pairs EXACTLY
+    // (seeded hyperplanes ⇒ deterministic; n_extra/n_missing must be 0 —
+    // computed in-query since DuckDB can't replay the seeded planes), and
+    // (2) the d5b recall floor vs the SQL-exhaustive brute pair set.
+    Q("d13_incremental_embed_neardup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+        val batch = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+        val index = Dedup.cosineIndex(corpus, "vec_id", "embedding",
+          dim = 64, nPlanes = 16, nBands = 8)
+        val inc = Dedup.incrementalCosineNearDup(corpus, index, batch,
+            "vec_id", "embedding", minCos = 0.45, dim = 64, nPlanes = 16, nBands = 8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_i"))
+        val touching = pmod(col("id_a"), lit(3)) === 0 || pmod(col("id_b"), lit(3)) === 0
+        val full = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.45,
+            dim = 64, nPlanes = 16, nBands = 8)
+          .where(touching)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_f"))
+        val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.45)
+          .where(touching)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_b"))
+        inc.join(full, Seq("id_a", "id_b"), "full_outer")
+          .join(brute, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(col("in_b")).as("n_brute_pairs"),
+            sum(when(col("in_i").isNotNull && col("in_f").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_extra_vs_full"),
+            sum(when(col("in_f").isNotNull && col("in_i").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_missing_vs_full"),
+            sum(when(col("in_i").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("n_hit"))
+          .select(col("n_brute_pairs"), col("n_extra_vs_full"), col("n_missing_vs_full"),
+            (col("n_brute_pairs") === 0 ||
+              col("n_hit") / col("n_brute_pairs") >= 0.9).as("recall_ok"))
+      },
+      Some("""SELECT COUNT(*) AS n_brute_pairs,
+             |  CAST(0 AS BIGINT) AS n_extra_vs_full,
+             |  CAST(0 AS BIGINT) AS n_missing_vs_full, TRUE AS recall_ok
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.45
+             |  AND (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)""".stripMargin)),
+
     // Fuzzy record linkage (typo dedup): part names + planted one-char-
     // deletion typos, paired by the PassJoin segment blocking + exact
     // levenshtein verify. The blocking is provably complete (pigeonhole),

@@ -302,4 +302,28 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.9, s"LSH recall $recall over ${brute.size} true pairs")
     }
   }
+
+  test("incrementalCosineNearDup equals the full LSH run restricted to the batch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(pmod(col("vec_id"), lit(2)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val index = Dedup.cosineIndex(corpus, "vec_id", "embedding",
+      dim = 64, nPlanes = 16, nBands = 8)
+    val inc = Dedup.incrementalCosineNearDup(corpus, index, batch,
+        "vec_id", "embedding", minCos = 0.4, dim = 64, nPlanes = 16, nBands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cos"))
+      .toMap
+    val full = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.4,
+        dim = 64, nPlanes = 16, nBands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cos"))
+      .toMap
+    val fullTouchingBatch = full.filter { case ((a, b), _) => a % 2 == 0 || b % 2 == 0 }
+    assert(inc.nonEmpty && inc.keySet === fullTouchingBatch.keySet,
+      s"missing=${fullTouchingBatch.keySet diff inc.keySet} extra=${inc.keySet diff fullTouchingBatch.keySet}")
+    inc.foreach { case (k, c) => assert(math.abs(c - fullTouchingBatch(k)) < 1e-12) }
+    // old-old pairs are NOT re-emitted
+    assert(inc.keySet.forall { case (a, b) => a % 2 == 0 || b % 2 == 0 })
+  }
 }
