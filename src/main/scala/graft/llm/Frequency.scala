@@ -101,4 +101,44 @@ object Frequency {
        |SELECT term, n, n_total FROM counts CROSS JOIN total
        |WHERE n * $k > n_total
        |ORDER BY n DESC, term ASC""".stripMargin
+
+  /** Token-distribution divergence between two corpora — the data-mixing
+    * drift diagnostic (is corpus B statistically like corpus A?): add-1-
+    * smoothed unigram distributions over the UNION vocabulary, reporting
+    * token totals, vocab size, KL(A‖B), KL(B‖A), and Jensen–Shannon.
+    *
+    * Scale stance: one tokenize + map-side-combined count pass per
+    * corpus; everything after the two counts is vocab-sized (full-outer
+    * join on the term key, one aggregate) — the corpus never rides a
+    * second shuffle, and the 1-row totals frame broadcasts under the
+    * cross join. The vocab-sized join frame is persisted so the counts
+    * feed both the totals and the divergence aggregate once, then
+    * released after the (1-row) result materializes. */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(Retrieval.tokenize(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val joined = counts(a).withColumnRenamed("c", "ca")
+      .join(counts(b).withColumnRenamed("c", "cb"), Seq("t"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = joined.agg(
+        sum(col("ca")).cast("double").as("na"),
+        sum(col("cb")).cast("double").as("nb"),
+        count(lit(1)).cast("double").as("v"))
+      val pa = (col("ca") + 1) / (col("na") + col("v"))
+      val pb = (col("cb") + 1) / (col("nb") + col("v"))
+      val m = (pa + pb) / 2
+      joined.crossJoin(broadcast(totals))
+        .agg(
+          max(col("na")).cast("long").as("n_tokens_a"),
+          max(col("nb")).cast("long").as("n_tokens_b"),
+          count(lit(1)).as("vocab"),
+          round(sum(pa * log(pa / pb)), 6).as("kl_ab"),
+          round(sum(pb * log(pb / pa)), 6).as("kl_ba"),
+          round(sum(pa * log(pa / m)) / 2 + sum(pb * log(pb / m)) / 2, 6).as("js"))
+        .localCheckpoint(true)
+    } finally joined.unpersist(blocking = false)
+  }
 }

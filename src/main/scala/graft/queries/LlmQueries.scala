@@ -1509,6 +1509,45 @@ object LlmQueries {
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
       Some(Frequency.heavyHittersOracleSql(k = 40))),
 
+    // Token-distribution divergence (data-mixing drift diagnostic):
+    // English vs non-English documents, add-1-smoothed unigrams over the
+    // union vocab → KL both directions + Jensen–Shannon. Everything
+    // after the two map-side-combined count passes is vocab-sized; the
+    // full formula chain is replayed in SQL, so smoothing, totals, and
+    // all three divergences are oracle-exact (round 6; the double sums
+    // carry ~1e-13 order noise on a 1e-6 grid — the Det corr argument).
+    Q("x36_token_divergence",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Frequency.tokenDivergence(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"), "text")
+      },
+      Some("""WITH ta AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+             |  FROM documents WHERE lang = 'en'),
+             |tb AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+             |  FROM documents WHERE lang <> 'en'),
+             |ca AS (SELECT t, COUNT(*) AS c FROM ta WHERE t <> '' GROUP BY 1),
+             |cb AS (SELECT t, COUNT(*) AS c FROM tb WHERE t <> '' GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+             |  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+             |tot AS (SELECT CAST(SUM(cca) AS DOUBLE) AS na,
+             |    CAST(SUM(ccb) AS DOUBLE) AS nb,
+             |    CAST(COUNT(*) AS DOUBLE) AS v FROM j),
+             |p AS (SELECT (cca + 1) / (na + v) AS pa, (ccb + 1) / (nb + v) AS pb,
+             |    na, nb, v FROM j CROSS JOIN tot)
+             |SELECT CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+             |  CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+             |  COUNT(*) AS vocab,
+             |  ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
+             |  ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba,
+             |  ROUND(SUM(pa * LN(pa / ((pa + pb) / 2))) / 2 +
+             |    SUM(pb * LN(pb / ((pa + pb) / 2))) / 2, 6) AS js
+             |FROM p""".stripMargin)),
+
     // Temperature-reweighted domain mixing (τ=0.7, budget 300): target
     // shares ∝ n_i^τ, per-domain keep rates applied as a deterministic
     // basis-point mod-sample. The whole chain — counts, power shares,

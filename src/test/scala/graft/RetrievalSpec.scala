@@ -188,4 +188,32 @@ class RetrievalSpec extends SparkSpec {
     assert(res.filter(_.getAs[Boolean]("is_current")).map(_.getLong(0)).toSeq.sorted
       == Seq(1L, 2L))
   }
+
+  test("tokenDivergence matches the driver-side formula; self-divergence is zero") {
+    import spark.implicits._
+    val a = Seq("a a b", "a").toDF("text")
+    val b = Seq("a c").toDF("text")
+    val row = Frequency.tokenDivergence(a, b, "text").collect()(0)
+    // driver-side replay of the add-1-smoothed formula over union vocab
+    val cntA = Map("a" -> 3.0, "b" -> 1.0); val cntB = Map("a" -> 1.0, "c" -> 1.0)
+    val vocab = (cntA.keySet ++ cntB.keySet).toSeq
+    val (na, nb, v) = (cntA.values.sum, cntB.values.sum, vocab.size.toDouble)
+    def pA(t: String) = (cntA.getOrElse(t, 0.0) + 1) / (na + v)
+    def pB(t: String) = (cntB.getOrElse(t, 0.0) + 1) / (nb + v)
+    val klAb = vocab.map(t => pA(t) * math.log(pA(t) / pB(t))).sum
+    val klBa = vocab.map(t => pB(t) * math.log(pB(t) / pA(t))).sum
+    val js = vocab.map { t =>
+      val m = (pA(t) + pB(t)) / 2
+      pA(t) * math.log(pA(t) / m) / 2 + pB(t) * math.log(pB(t) / m) / 2
+    }.sum
+    assert(row.getAs[Long]("n_tokens_a") === 4L && row.getAs[Long]("n_tokens_b") === 2L)
+    assert(row.getAs[Long]("vocab") === 3L)
+    assert(math.abs(row.getAs[Double]("kl_ab") - klAb) < 1e-6)
+    assert(math.abs(row.getAs[Double]("kl_ba") - klBa) < 1e-6)
+    assert(math.abs(row.getAs[Double]("js") - js) < 1e-6)
+    assert(klAb > 0 && js > 0 && js <= math.log(2) + 1e-12)
+    // identical corpora → all divergences exactly zero
+    val same = Frequency.tokenDivergence(a, a, "text").collect()(0)
+    assert(same.getAs[Double]("kl_ab") === 0.0 && same.getAs[Double]("js") === 0.0)
+  }
 }
