@@ -119,6 +119,36 @@ class EdgeCaseSpec extends SparkSpec {
       Seq(col("x")), 0).count() === 0)
   }
 
+  test("incremental near-dup paths handle empty batch and empty index") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val index = Dedup.nearDupIndex(docs, "doc_id", "text", w = 3, k = 16, bands = 4)
+    // empty batch against a real index → no pairs, no crash
+    assert(Dedup.incrementalNearDup(docs, index, emptyDocs, "doc_id", "text",
+      w = 3, k = 16, bands = 4).count() === 0L)
+    // real batch against an empty index → batch-internal pairs only
+    val emptyIndex = Dedup.nearDupIndex(emptyDocs, "doc_id", "text", w = 3, k = 16, bands = 4)
+    val internal = Dedup.incrementalNearDup(emptyDocs, emptyIndex, docs, "doc_id", "text",
+      w = 3, k = 16, bands = 4, minJaccard = 0.9).collect()
+    assert(internal.length === 1 &&
+      internal(0).getAs[Long]("id_a") === 1L && internal(0).getAs[Long]("id_b") === 2L)
+    // embedding twin: empty batch and empty index
+    val vecs = Seq((1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val vIndex = Dedup.cosineIndex(vecs, "vec_id", "embedding", dim = 4, nPlanes = 8, nBands = 4)
+    assert(Dedup.incrementalCosineNearDup(vecs, vIndex, emptyVecs, "vec_id", "embedding",
+      minCos = 0.9, dim = 4, nPlanes = 8, nBands = 4).count() === 0L)
+    val vEmptyIndex = Dedup.cosineIndex(emptyVecs, "vec_id", "embedding",
+      dim = 4, nPlanes = 8, nBands = 4)
+    val vInternal = Dedup.incrementalCosineNearDup(emptyVecs, vEmptyIndex, vecs,
+      "vec_id", "embedding", minCos = 0.9, dim = 4, nPlanes = 8, nBands = 4).collect()
+    assert(vInternal.length === 1 && vInternal(0).getAs[Double]("cos") > 0.999)
+  }
+
   test("Verify artifact JSON survives control chars and quotes (failed.json path)") {
     // exception messages and builder-authored SQL both flow through
     // jsonStr/jsonObj into driver-parsed artifacts; a raw tab, newline,
