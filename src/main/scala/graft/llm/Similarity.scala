@@ -205,24 +205,47 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, dim: Int = 0,
       maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    val (assigned, cents) = ivfIndex(corpus, idCol, vecCol, nlist, seed)
+    ivfTopKFromIndex(assigned, cents, queries, idCol, vecCol, k, nprobe, maxQueries)
+  }
+
+  /** IVF index build — the AT-REST half of [[ivfTopK]]: k-means cell
+    * assignments (corpus_id, cv, cell) plus the centroid array. Written
+    * `partitionBy("cell")` the assignments table is the persisted ANN
+    * index a serving pipeline keeps: a probe reads ONLY the probed
+    * cells' partitions (the scan prunes at the source — see
+    * [[ivfTopKFromIndex]]'s cell filter), and new vectors append to
+    * their cell partition without touching the rest. The centroid table
+    * is nlist rows — driver/broadcast-sized by construction. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell").setMaxIter(10) // coarse quantizer: 10 iters is plenty
     val model = km.fit(c)
-    val assigned = model.transform(c).select("corpus_id", "cv", "cell")
+    (model.transform(c).select("corpus_id", "cv", "cell"),
+      model.clusterCenters.map(_.toArray))
+  }
 
+  /** Probe half of [[ivfTopK]] over an existing index — in-memory or
+    * re-read from its at-rest partitioned layout. The scan is filtered
+    * to the UNION of all queries' probed cells before scoring, so over
+    * a cell-partitioned parquet index the filter becomes partition
+    * pruning (only probed cells are read at all); the per-query probe
+    * mask then applies inside the kernel as before. */
+  def ivfTopKFromIndex(assigned: DataFrame, cents: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     // Driver-side probe selection (centroid table is tiny): each query
     // ranks cells by centroid cosine (desc, cell asc tiebreak) and
     // probes the top nprobe.
-    val spark = corpus.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.map(_.toArray)
     val nCells = cents.length
     val qArr = collectQueriesBounded(queries
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -240,7 +263,14 @@ object Similarity {
       }
     val bcQ = spark.sparkContext.broadcast(qArr)
 
+    // union of all probed cells: rows outside it can't contribute to any
+    // query, so filter BEFORE the kernel — over the at-rest
+    // cell-partitioned layout this is partition pruning at the scan
+    val probedCells = (0 until nCells).filter(c => qArr.exists(_._4(c)))
     val scored = assigned
+      .select(col("corpus_id").cast("long"), col("cv").cast("array<double>"),
+        col("cell").cast("int"))
+      .where(col("cell").isin(probedCells: _*))
       .as[(Long, Array[Double], Int)]
       .mapPartitions { it =>
         val qs = bcQ.value

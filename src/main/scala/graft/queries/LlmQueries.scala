@@ -568,6 +568,61 @@ object LlmQueries {
         minRecall = 0.5),
       Some(annRecallOracleSql)),
 
+    // IVF index AT REST: the assignments table written partitionBy(cell)
+    // and probed after a round-trip read — the persisted-ANN-serving
+    // shape (probe reads only the probed cells' partitions; PlanSpec
+    // locks PartitionFilters). Contracts: the at-rest probe equals the
+    // in-memory ivfTopK EXACTLY (same seed ⇒ same model; parquet
+    // round-trips double arrays bit-for-bit) — computed in-query since
+    // SQL can't replay k-means — plus n3's recall floor vs the
+    // SQL-exhaustive brute truth.
+    Q("n7_ann_ivf_at_rest",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 10)
+        val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+        val fromRest = Similarity.ivfTopKFromIndex(
+          s.read.parquet(dir.toString), cents, qs, "vec_id", "embedding", k = 3)
+        val inMem = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+        def keyed(df: DataFrame, tag: String) = df.select(
+          col("query_id"), col("corpus_id"), col("rk"),
+          round(col("cos"), 9).as("cos"), lit(1).as(tag))
+        val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+        val eq = keyed(fromRest, "in_r")
+          .join(keyed(inMem, "in_m"), Seq("query_id", "corpus_id", "rk", "cos"), "full_outer")
+          .agg(sum(when(col("in_r").isNull || col("in_m").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_mismatch"))
+        val hits = truth.select(col("query_id"), col("corpus_id"))
+          .join(fromRest.select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1)),
+            Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        val out = qs.agg(count(lit(1)).as("n_queries"))
+          .crossJoin(hits).crossJoin(eq)
+          .select(col("n_queries"), col("n_truth"),
+            when(col("n_truth") === 0, lit(true))
+              .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
+            (col("n_mismatch") === 0L).as("atrest_equals_mem"))
+          .localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        out
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id)
+             |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             |  COUNT(*) AS n_truth, TRUE AS recall_ok, TRUE AS atrest_equals_mem
+             |FROM scored WHERE rk <= 3""".stripMargin)),
+
     // ---- text analysis ------------------------------------------------------
     Q("x1_token_stats",
       (s, d) => T(s, d, "documents")

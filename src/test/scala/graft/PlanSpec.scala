@@ -209,4 +209,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("band_hash"), p)
   }
+
+  test("n7: at-rest IVF probe prunes cell partitions at the scan") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.where(col("vec_id") < 3)
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan")
+    try {
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+      val probe = Similarity.ivfTopKFromIndex(
+        spark.read.parquet(dir.toString), cents, qs, "vec_id", "embedding", k = 3)
+      val p = probe.queryExecution.executedPlan.toString
+      // the probed-cell union must land in PartitionFilters (scan-level
+      // pruning over the cell-partitioned layout), not a post-scan Filter
+      val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("cell") && scanLine.contains("IN ("), p)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
 }
