@@ -28,7 +28,7 @@ object IngestStream {
 
   /** Schema of a slim [[Dedup.nearDupIndex]] frame — the empty gen-0
     * index (three longs per (doc, band) row; signatures never persist). */
-  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("band",
