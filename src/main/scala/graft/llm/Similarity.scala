@@ -400,37 +400,74 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, refine: Int = 4,
       trainMax: Int = 10000, seed: Long = 42L,
       maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    val (codes, books) = pqIndex(corpus, idCol, vecCol, dim, m, ksub, trainMax, seed)
+    if (books.isEmpty) { // empty corpus: no codebooks, no neighbors
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rk"))
+        .limit(0)
+    }
+    pqTopKFromIndex(codes, books, corpus, queries, idCol, vecCol, k, refine, maxQueries)
+  }
+
+  /** PQ index build — the AT-REST half of [[pqTopK]]: seeded codebooks
+    * (m × ksub × dsub, broadcast-sized) plus the CODES table
+    * (corpus_id, m bytes) — the compressed corpus a billion-vector
+    * serving pipeline persists (m bytes per vector vs 8·dim for raw
+    * doubles; the raw vectors are read back ONLY to rerank the
+    * per-query shortlist). Codebooks train on the deterministic
+    * hash-bucket sample, so an index rebuilt from the same corpus and
+    * seed is identical. Empty corpus → (empty frame, empty books). */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, ksub: Int = 16, trainMax: Int = 10000, seed: Long = 42L)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(ksub <= 127, "codes are stored as bytes")
     val dsub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    val corpusVec = corpus
+    val corpusNorm = corpus
       .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-    val corpusNorm = corpusVec.as[(Long, Array[Double])]
+      .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
-
     // train codebooks on a deterministic hash-bucket driver-side sample
     val sample = trainingSample(corpusNorm, trainMax, seed)
-    if (sample.isEmpty) { // empty corpus: no codebooks, no neighbors
-      return spark.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
-          lit(0.0).as("cos"), lit(0).as("rk"))
-        .limit(0)
-    }
+    if (sample.isEmpty)
+      return (corpusNorm.toDF("corpus_id", "cv").limit(0)
+        .select(col("corpus_id"), lit(Array.empty[Byte]).as("codes")), Array.empty)
     val books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => lloyd(sample.map(subVec(_, s, dsub)), ksub, iters = 10, seed + s))
     val bcBooks = spark.sparkContext.broadcast(books)
-
     // encode: m byte codes per corpus vector
     val encoded = corpusNorm.mapPartitions { it =>
       val bks = bcBooks.value
       it.map { case (id, v) =>
         (id, Array.tabulate(m)(s => nearestCode(bks(s), subVec(v, s, dsub)).toByte))
       }
-    }
+    }.toDF("corpus_id", "codes")
+    (encoded, books)
+  }
+
+  /** Probe half of [[pqTopK]] over an existing codes table — in-memory
+    * or re-read from rest. `corpus` supplies the ORIGINAL vectors only
+    * for the exact rerank of the (tiny) shortlist; the ADC scan itself
+    * touches nothing but the m-byte codes. */
+  def pqTopKFromIndex(codes: DataFrame, books: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 4,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(books.nonEmpty, "pqTopKFromIndex needs non-empty codebooks")
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val corpusVec = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val encoded = codes
+      .select(col("corpus_id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
 
     // queries: broadcast (id, ADC lookup table m×ksub)
     val qArr = collectQueriesBounded(queries
