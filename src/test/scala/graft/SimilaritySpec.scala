@@ -194,4 +194,27 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(a === t)
   }
+
+  test("at-rest index builds are deterministic: rebuild yields identical artifacts") {
+    // the premise behind n7/n8's at-rest ≡ in-memory equality: a rebuild
+    // from the same corpus + seed yields the identical index. PQ is
+    // PARTITION-INVARIANT (the hash-bucket training sample is order-
+    // independent by design); IVF's k-means|| init samples in partition
+    // order, so its guarantee is same-input determinism — n7 relies on
+    // exactly that (both builds see the same input frame).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes").toVector).toMap
+    val (codes1, books1) = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64)
+    val (codes2, books2) = Similarity.pqIndex(
+      emb.repartition(7), "vec_id", "embedding", dim = 64)
+    assert(books1.flatten.flatten.toSeq === books2.flatten.flatten.toSeq)
+    assert(codeMap(codes1) === codeMap(codes2))
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.select("corpus_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (asg1, cents1) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val (asg2, cents2) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    assert(cents1.flatten.toSeq === cents2.flatten.toSeq)
+    assert(cellMap(asg1) === cellMap(asg2))
+  }
 }
