@@ -444,6 +444,44 @@ object RelationalQueries {
               |COUNT(DISTINCT o_orderpriority) AS n_prio
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // binaryFile source: the production multimodal ingest path — raw
+    // media FILES on disk in, (path-derived id, content) out, decoded
+    // distributed. Setup materializes the synthetic PNGs as real files
+    // FROM THE EXECUTORS (foreachPartition — payloads never collect);
+    // the operator under test is the binaryFile scan + JDK decode, and
+    // the oracle is mm4's closed form (pixel = x+y, sizes from the id)
+    // restricted to the same ids, so decode-after-real-file-IO is
+    // value-checked end to end.
+    Q("p11_binaryfile_source",
+      (s, d) => {
+        val dir = scratch(s, "binaryfile_src")
+        java.nio.file.Files.createDirectories(dir)
+        val dirStr = dir.toString
+        graft.llm.Multimodal.fromDocumentsPng(
+            T(s, d, "documents").where(col("doc_id") < 50))
+          .select(col("media_id"), col("payload"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dirStr, s"${r.getLong(0)}.png"),
+                r.getAs[Array[Byte]](1))
+            }
+          }
+        val bin = s.read.format("binaryFile").load(s"$dirStr/*.png")
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("media_id"),
+            col("content").as("payload"))
+        graft.llm.Multimodal.decodeImages(bin)
+          .select(col("media_id"), col("width"), col("height"),
+            round(col("mean_lum"), 6).as("mean_lum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 32 + 4 AS INT) AS width,
+             |  CAST(doc_id % 24 + 4 AS INT) AS height,
+             |  ROUND(((doc_id % 32 + 4) + (doc_id % 24 + 4) - 2) / 2.0, 6) AS mean_lum
+             |FROM documents WHERE doc_id < 50 ORDER BY 1""".stripMargin)),
+
     // JSON-Lines round-trip: the dominant raw-corpus interchange format
     // in LLM data pipelines (one JSON object per line). Write the
     // documents table as JSONL, read it back with an explicit schema,
