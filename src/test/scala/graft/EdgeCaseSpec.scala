@@ -149,6 +149,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vInternal.length === 1 && vInternal(0).getAs[Double]("cos") > 0.999)
   }
 
+  test("tokenDivergence: one-sided and empty corpora stay finite and well-defined") {
+    import spark.implicits._
+    import graft.llm.Frequency
+    val a = Seq("alpha beta").toDF("text")
+    val empty = Seq.empty[String].toDF("text")
+    // empty B: smoothing keeps every pb > 0, so KL is finite, not NaN/Inf
+    val r = Frequency.tokenDivergence(a, empty, "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens_a") === 2L && r.getAs[Long]("n_tokens_b") === 0L)
+    assert(!r.getAs[Double]("kl_ab").isNaN && !r.getAs[Double]("kl_ab").isInfinite)
+    assert(r.getAs[Double]("js") >= 0.0 && r.getAs[Double]("js") <= math.log(2) + 1e-12)
+    // both empty: zero vocab, zero divergence row (sums over nothing)
+    val z = Frequency.tokenDivergence(empty, empty, "text").collect()(0)
+    assert(z.getAs[Long]("vocab") === 0L)
+  }
+
+  test("normalizeEventTs long branch is exact micros truncation for random nanos") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nanos = Seq.fill(200)(math.abs(rnd.nextLong()) % (4102444800L * 1000000000L))
+    val df = nanos.toDF("ts")
+    val out = graft.core.Tables.normalizeEventTs(df)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(out.toSeq === nanos.map(_ / 1000L))
+  }
+
   test("Verify artifact JSON survives control chars and quotes (failed.json path)") {
     // exception messages and builder-authored SQL both flow through
     // jsonStr/jsonObj into driver-parsed artifacts; a raw tab, newline,
