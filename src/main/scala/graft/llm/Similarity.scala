@@ -566,42 +566,63 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, refine: Int = 4,
       trainMax: Int = 10000, seed: Long = 42L,
       maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    require(ksub <= 127, "codes are stored as bytes")
-    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe must be in [1, nlist=$nlist]")
-    val dsub = dim / m
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val corpusVec = corpus
-      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-    val corpusNorm = corpusVec.as[(Long, Array[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
-
-    // train on ONE deterministic hash-bucket driver-side sample: coarse
-    // centroids first, then PQ codebooks on the residuals v − centroid(v)
-    val sample = trainingSample(corpusNorm, trainMax, seed)
-    if (sample.isEmpty) { // empty corpus: no index, no neighbors
-      return spark.emptyDataFrame
+    val idx = ivfPqIndex(corpus, idCol, vecCol, dim, nlist, m, ksub, trainMax, seed)
+    if (idx.centroids.isEmpty) { // empty corpus: no index, no neighbors
+      return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("corpus_id"),
           lit(0.0).as("cos"), lit(0).as("rk"))
         .limit(0)
     }
+    ivfPqTopKFromIndex(idx, corpus, queries, idCol, vecCol, k, nprobe, refine, maxQueries)
+  }
+
+  /** The at-rest IVF+PQ artifact set: the codes table
+    * (corpus_id, cell, m residual bytes — partition it by cell at rest
+    * for probe-time pruning) plus the broadcast-sized coarse centroids
+    * and residual codebooks. */
+  final case class IvfPqIndex(codes: DataFrame,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]])
+
+  private def residualOf(
+      v: Array[Double], cell: Int, cs: Array[Array[Double]]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var j = 0
+    while (j < v.length) { r(j) = v(j) - cs(cell)(j); j += 1 }
+    r
+  }
+
+  /** Index build — the AT-REST half of [[ivfPqTopK]] (the FAISS
+    * IVFx,PQy artifact): one deterministic hash-bucket sample trains the
+    * coarse centroids, then the PQ codebooks on residuals v − centroid;
+    * the corpus encodes to (cell, m bytes). Same determinism contract
+    * as [[pqIndex]]: rebuild from the same corpus + seed is identical,
+    * independent of partitioning. Empty corpus → empty artifacts. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      trainMax: Int = 10000, seed: Long = 42L): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub <= 127, "codes are stored as bytes")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusNorm = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
+    // train on ONE deterministic hash-bucket driver-side sample: coarse
+    // centroids first, then PQ codebooks on the residuals v − centroid(v)
+    val sample = trainingSample(corpusNorm, trainMax, seed)
+    if (sample.isEmpty)
+      return IvfPqIndex(
+        corpusNorm.toDF("corpus_id", "cv").limit(0)
+          .select(col("corpus_id"), lit(0).as("cell"), lit(Array.empty[Byte]).as("codes")),
+        Array.empty, Array.empty)
     val cents = lloyd(sample, nlist, iters = 10, seed)
-    val nCells = cents.length
-    def residualOf(v: Array[Double], cell: Int, cs: Array[Array[Double]]): Array[Double] = {
-      val r = new Array[Double](v.length)
-      var j = 0
-      while (j < v.length) { r(j) = v(j) - cs(cell)(j); j += 1 }
-      r
-    }
     val resSample = sample.map(v => residualOf(v, nearestCode(cents, v), cents))
     val books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => lloyd(resSample.map(subVec(_, s, dsub)), ksub, iters = 10, seed + s))
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcBooks = spark.sparkContext.broadcast(books)
-
     // encode: cell + m byte codes of the residual, per corpus vector
     val encoded = corpusNorm.mapPartitions { it =>
       val cs = bcCents.value; val bks = bcBooks.value
@@ -610,7 +631,31 @@ object Similarity {
         val r = residualOf(v, cell, cs)
         (id, cell, Array.tabulate(m)(s => nearestCode(bks(s), subVec(r, s, dsub)).toByte))
       }
-    }
+    }.toDF("corpus_id", "cell", "codes")
+    IvfPqIndex(encoded, cents, books)
+  }
+
+  /** Probe half of [[ivfPqTopK]] over an existing index — in-memory or
+    * re-read from its cell-partitioned at-rest layout (the probed-cell
+    * union filter prunes partitions at the scan, like
+    * [[ivfTopKFromIndex]]). `corpus` supplies raw vectors only for the
+    * shortlist rerank. */
+  def ivfPqTopKFromIndex(idx: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4, refine: Int = 4,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(idx.centroids.nonEmpty, "ivfPqTopKFromIndex needs non-empty centroids")
+    val cents = idx.centroids
+    val books = idx.books
+    val nCells = cents.length
+    require(nprobe >= 1 && nprobe <= nCells, s"nprobe $nprobe must be in [1, nlist=$nCells]")
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    val corpusVec = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
 
     // queries: broadcast (id, residual ADC table, probe mask, per-cell
     // bias dot(q, centroid)); cells ranked by centroid dot, nprobe kept
@@ -638,6 +683,12 @@ object Similarity {
       }
     val bcQ = spark.sparkContext.broadcast(qArr)
 
+    // probed-cell union filter: partition pruning over the at-rest layout
+    val probedUnion = (0 until nCells).filter(c => qArr.exists(_._3(c)))
+    val encoded = idx.codes
+      .select(col("corpus_id").cast("long"), col("cell").cast("int"), col("codes"))
+      .where(col("cell").isin(probedUnion: _*))
+      .as[(Long, Int, Array[Byte])]
     val shortlistK = k * refine
     val approx = encoded.mapPartitions { it =>
       val qs = bcQ.value

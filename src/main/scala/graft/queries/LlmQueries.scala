@@ -568,6 +568,60 @@ object LlmQueries {
         minRecall = 0.5),
       Some(annRecallOracleSql)),
 
+    // IVF+PQ composed AT REST (the FAISS IVFx,PQy artifact): the
+    // (cell, residual-codes) table written partitionBy(cell) and probed
+    // after a round-trip read — cell partitions prune at the scan AND
+    // the scanned bytes are m per vector. Same contracts as n7/n8:
+    // at-rest ≡ in-memory EXACTLY in-query, plus n5's recall floor.
+    Q("n9_ann_ivfpq_at_rest",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 10)
+        val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64, nlist = 16)
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index")
+        idx.codes.write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+        val fromRest = Similarity.ivfPqTopKFromIndex(
+          idx.copy(codes = s.read.parquet(dir.toString)), emb, qs,
+          "vec_id", "embedding", k = 3, nprobe = 8, refine = 22)
+        val inMem = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
+          nlist = 16, nprobe = 8, refine = 22)
+        def keyed(df: DataFrame, tag: String) = df.select(
+          col("query_id"), col("corpus_id"), col("rk"),
+          round(col("cos"), 9).as("cos"), lit(1).as(tag))
+        val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+        val eq = keyed(fromRest, "in_r")
+          .join(keyed(inMem, "in_m"), Seq("query_id", "corpus_id", "rk", "cos"), "full_outer")
+          .agg(sum(when(col("in_r").isNull || col("in_m").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_mismatch"))
+        val hits = truth.select(col("query_id"), col("corpus_id"))
+          .join(fromRest.select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1)),
+            Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        val out = qs.agg(count(lit(1)).as("n_queries"))
+          .crossJoin(hits).crossJoin(eq)
+          .select(col("n_queries"), col("n_truth"),
+            when(col("n_truth") === 0, lit(true))
+              .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
+            (col("n_mismatch") === 0L).as("atrest_equals_mem"))
+          .localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        out
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id)
+             |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             |  COUNT(*) AS n_truth, TRUE AS recall_ok, TRUE AS atrest_equals_mem
+             |FROM scored WHERE rk <= 3""".stripMargin)),
+
     // PQ codes AT REST: the m-bytes-per-vector codes table round-trips
     // parquet and the probe reruns against it — the compressed-corpus
     // serving shape (raw vectors touched only for the shortlist rerank).

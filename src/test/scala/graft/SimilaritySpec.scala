@@ -216,5 +216,14 @@ class SimilaritySpec extends SparkSpec {
     val (asg2, cents2) = Similarity.ivfIndex(emb, "vec_id", "embedding")
     assert(cents1.flatten.toSeq === cents2.flatten.toSeq)
     assert(cellMap(asg1) === cellMap(asg2))
+    // composed IVF+PQ: hash-bucket-sample training → partition-invariant
+    // like PQ (own lloyd, not Spark ML k-means)
+    val i1 = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64)
+    val i2 = Similarity.ivfPqIndex(emb.repartition(7), "vec_id", "embedding", dim = 64)
+    assert(i1.centroids.flatten.toSeq === i2.centroids.flatten.toSeq)
+    assert(i1.books.flatten.flatten.toSeq === i2.books.flatten.flatten.toSeq)
+    def cellCodeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]]("codes").toVector))).toMap
+    assert(cellCodeMap(i1.codes) === cellCodeMap(i2.codes))
   }
 }
