@@ -24,11 +24,24 @@ import graft.streaming.IngestStream
   *
   * Usage: runMain graft.RunIngest <batch.parquet> <stateDir>
   *        [minJaccard] [w] [k] [bands]
+  *        runMain graft.RunIngest --compact <stateDir> <deleted.parquet>
   */
 object RunIngest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunIngest <batch.parquet> <stateDir> [minJaccard] [w] [k] [bands]")
+      "usage: RunIngest <batch.parquet> <stateDir> [minJaccard] [w] [k] [bands] | " +
+        "RunIngest --compact <stateDir> <deleted.parquet>")
+    if (args(0) == "--compact") {
+      require(args.length >= 3, "usage: RunIngest --compact <stateDir> <deleted.parquet>")
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(compactOnce(spark, args(1), spark.read.parquet(args(2))))
+      return
+    }
     val (in, state) = (args(0), args(1))
     val minJ = if (args.length > 2) args(2).toDouble else 0.5
     val w = if (args.length > 3) args(3).toInt else 5
@@ -52,7 +65,11 @@ object RunIngest {
     val docsPath = s"$state/docs"
     val pairsPath = s"$state/pairs"
     val batch = spark.read.parquet(in).select(col("doc_id"), col("text"))
-    val hasState = new java.io.File(indexPath).exists()
+    // Hadoop FS probe, not java.io.File: the state dir may be HDFS/S3 —
+    // a local-only exists() would silently treat a remote index as empty
+    // and drop every corpus-vs-batch pair while still appending to it
+    val hIndex = new org.apache.hadoop.fs.Path(indexPath)
+    val hasState = hIndex.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hIndex)
     val index =
       if (hasState) spark.read.parquet(indexPath)
       else spark.createDataFrame(
@@ -74,5 +91,64 @@ object RunIngest {
     val nTotal = spark.read.parquet(pairsPath).count()
     val nIndex = spark.read.parquet(indexPath).count()
     s"""{"batch_docs":$nBatch,"new_pairs":$nNew,"total_pairs":$nTotal,"index_rows":$nIndex}"""
+  }
+
+  /** Maintenance step: compact the rolling state after deletions
+    * (VERDICT r10 #6 — the append-only index otherwise grows forever).
+    * Drops every index row, doc, and pair that references a deleted
+    * doc_id, rewrites each state table as ONE fresh generation with
+    * files sized by `targetRowsPerFile` (the append pattern otherwise
+    * accretes a small file per batch — the classic small-files problem),
+    * and returns a JSON stats report including the band-bucket census
+    * ([[Dedup.bandBucketStats]]), so degenerate boilerplate buckets
+    * surface during maintenance instead of silently star-capping probes.
+    *
+    * Contract (IngestSpec): after compaction the state is
+    * indistinguishable from a fresh ingest of the surviving corpus —
+    * signatures are per-doc, so dropping a doc's rows is exact removal.
+    * The swap (write tmp → delete old → rename) is NOT atomic between
+    * the last two steps; at scale this is a table format's
+    * rewrite-and-commit, which is. */
+  def compactOnce(spark: SparkSession, state: String,
+      deleted: org.apache.spark.sql.DataFrame,
+      targetRowsPerFile: Long = 4000000L): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val del = broadcast(deleted.select(col("doc_id")).distinct()).cache()
+
+    def rewrite(path: String, drop: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return (0L, 0L, 0L, 0L)
+      def nFiles = fs.listStatus(p).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      val before = spark.read.parquet(path)
+      val (rowsBefore, filesBefore) = (before.count(), nFiles.toLong)
+      val kept = drop(before)
+      val rowsAfter = kept.count()
+      val parts = math.max(1L, (rowsAfter + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val tmp = new Path(s"${path}__compact_tmp")
+      kept.coalesce(parts).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+      (rowsBefore, rowsAfter, filesBefore, nFiles.toLong)
+    }
+
+    try {
+      val (ib, ia, ifb, ifa) = rewrite(s"$state/index",
+        df => df.join(del.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
+      val (db, da, _, _) = rewrite(s"$state/docs",
+        df => df.join(del, Seq("doc_id"), "left_anti"))
+      val (pb, pa, _, _) = rewrite(s"$state/pairs",
+        df => df
+          .join(del.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+          .join(del.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti"))
+      val census = Dedup.bandBucketStats(spark.read.parquet(s"$state/index")).collect()(0)
+      s"""{"index_rows":[$ib,$ia],"index_files":[$ifb,$ifa],""" +
+        s""""docs":[$db,$da],"pairs":[$pb,$pa],""" +
+        s""""n_buckets":${census.getAs[Long]("n_buckets")},""" +
+        s""""max_bucket":${census.getAs[Long]("max_bucket")},""" +
+        s""""n_oversize":${census.getAs[Long]("n_oversize")}}"""
+    } finally del.unpersist(blocking = false)
   }
 }

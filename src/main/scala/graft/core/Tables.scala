@@ -33,26 +33,52 @@ object Tables {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     readEventsPath(spark, s"$dir/events.parquet")
 
-  /** [[readEvents]] for a full file/dir path rather than a corpus dir. */
+  /** [[readEvents]] for a full file/dir path rather than a corpus dir.
+    *
+    * DELIBERATE session-wide side effect: `nanosAsLong` stays set after
+    * this call. The flag must be live not just for this footer read but
+    * for every later execution of the returned (lazy) frame — and for
+    * the micro-batch reads of any stream built from the same path
+    * ([[graft.streaming.EventStream.rawEventSchema]]) — so a scoped
+    * set-and-restore would break the first action after the restore.
+    * The flag only changes how INT64 TIMESTAMP(NANOS) parquet columns
+    * surface (long instead of an analysis error); reads of non-nano
+    * data are unaffected. */
   def readEventsPath(spark: SparkSession, path: String): DataFrame = {
-    // harmless when ts is already a timestamp; required to even resolve
-    // the footer when it is INT64 TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(spark.read.parquet(path))
   }
+
+  /** Nanosecond instants for any plausible event corpus land in
+    * [1990-01-01, 2100-01-01): micros/millis longs for the same dates sit
+    * 3/6 orders of magnitude BELOW the floor, so the range doubles as a
+    * unit check. */
+  private val SaneNanosLo = 631152000000000000L  // 1990-01-01T00:00:00Z
+  private val SaneNanosHi = 4102444800000000000L // 2100-01-01T00:00:00Z
 
   /** Normalize an events frame's `ts` column to TimestampType (micros,
     * session-UTC instant). Branches on the RESOLVED Spark type:
     *  - LongType — the nanosAsLong rendering of INT64 TIMESTAMP(NANOS):
     *    integer-div to micros (exact truncation, matching DuckDB's native
-    *    nanosecond cast) and stamp as timestamp.
+    *    nanosecond cast) and stamp as timestamp. Type alone cannot
+    *    distinguish annotated NANOS from a bare INT64 holding micros or
+    *    millis, and a silent nanos reading of micros longs would compress
+    *    event time 1000× — so values outside the sane nanosecond epoch
+    *    range [1990, 2100) fail loudly per row (`raise_error`) instead.
     *  - TimestampNTZType — parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
     *    (pandas/pyarrow default): reinterpret the wall-clock as UTC via a
     *    cast under the repo-wide UTC session contract.
     *  - TimestampType — already an instant; pass through.
     * Works on batch and streaming frames alike (pure column rewrite). */
   def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
-    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case LongType =>
+      raw.withColumn("ts", timestamp_micros(
+        when(col("ts").isNull, lit(null).cast(LongType))
+          .when(col("ts").between(SaneNanosLo, SaneNanosHi - 1), expr("ts div 1000"))
+          .otherwise(raise_error(concat(
+            lit("events ts long outside the 1990–2100 nanosecond epoch range — "),
+            lit("micros/millis produced as bare INT64? value: "),
+            col("ts").cast(StringType))))))
     case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
     case TimestampType => raw
     case other =>

@@ -86,15 +86,34 @@ object WideAgg {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Balanced binary reduce over columns: expression depth O(log k)
+    * instead of the left-deep O(k) chain `reduce(_ + _)` builds. At the
+    * reference's real width (2241 columns, `public_eda_pipeline.py:65`)
+    * a 2k-deep nested Add risks stack overflow in the recursive
+    * analyzer/optimizer/codegen tree walks; a balanced tree is ~12 deep. */
+  def balancedReduce(cols: Seq[Column])(op: (Column, Column) => Column): Column = {
+    require(cols.nonEmpty, "balancedReduce over no columns")
+    if (cols.lengthCompare(1) == 0) cols.head
+    else {
+      val (l, r) = cols.splitAt(cols.length / 2)
+      op(balancedReduce(l)(op), balancedReduce(r)(op))
+    }
+  }
+
   /** Horizontal (row-wise) sum over many columns (reference E6:
     * `pl.sum_horizontal` over 41 targets / 2241 null-indicators,
     * `public_eda_pipeline.py:284,289`). Nulls count as 0. */
   def horizontalSum(cols: Seq[String]): Column =
-    cols.map(c => coalesce(col(c).cast(LongType), lit(0L))).reduce(_ + _)
+    balancedReduce(cols.map(c => coalesce(col(c).cast(LongType), lit(0L))))(_ + _)
 
   /** Horizontal count of nulls across columns (missingness indicator sum). */
   def horizontalNullCount(cols: Seq[String]): Column =
-    cols.map(c => col(c).isNull.cast(LongType)).reduce(_ + _)
+    balancedReduce(cols.map(c => col(c).isNull.cast(LongType)))(_ + _)
+
+  /** Horizontal count of non-null cells (the reference's
+    * `filled_extra_count`, `public_eda_pipeline.py:284`). */
+  def horizontalNotNullCount(cols: Seq[String]): Column =
+    balancedReduce(cols.map(c => col(c).isNotNull.cast(LongType)))(_ + _)
 
   /** Boolean→tinyint flag (reference E7: `(expr > 0).cast(Int8)`). */
   def flag(cond: Column): Column = when(cond, 1).otherwise(0).cast(ByteType)

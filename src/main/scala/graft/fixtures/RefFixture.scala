@@ -52,21 +52,26 @@ object RefFixture {
 
   /** Heavily-null extra features: null rates spanning ~0.1 → >0.99 with
     * value correlated to the any-target signal (so screening finds real
-    * correlations). */
-  def trainExtra(spark: SparkSession, n: Long = 8000): DataFrame = {
+    * correlations). `nCols` widens the table to the reference's real
+    * `train_extra_features` width (2241 columns incl. the key,
+    * `public_eda_pipeline.py:65`, `public_tables/summary.json:6`) for
+    * width-stress specs; built as ONE select — a foldLeft of withColumn
+    * re-analyzes the plan per column, O(k²) at 2k+ columns. */
+  def trainExtra(spark: SparkSession, n: Long = 8000, nCols: Int = NumExtra): DataFrame = {
     val base = spark.range(n).withColumnRenamed("id", "customer_id")
     val sig = u("signal") // latent propensity shared with targets
-    (1 to NumExtra).foldLeft(base) { (df, k) =>
-      val rate = math.min(0.995, 0.1 + 0.9 * (k - 1) / NumExtra)
+    val feats = (1 to nCols).map { k =>
+      val rate = math.min(0.995, 0.1 + 0.9 * (k - 1) / nCols)
       // missingness itself carries the signal (reference: null structure
       // is a tested signal, filled_extra_count AUC 0.652) — high-signal
       // rows are ~40% more likely to have the cell filled
       val tilted = lit(rate) * (lit(1.25) - sig * 0.5)
       // offset names so extra features never collide with main's columns
-      df.withColumn(s"num_feature_${100 + k}",
-        when(u(s"enull$k") < tilted, lit(null).cast("double"))
-          .otherwise(round(sig * 5.0 + u(s"ev$k") * 2.0, 4)))
+      when(u(s"enull$k") < tilted, lit(null).cast("double"))
+        .otherwise(round(sig * 5.0 + u(s"ev$k") * 2.0, 4))
+        .as(s"num_feature_${100 + k}")
     }
+    base.select(col("customer_id") +: feats: _*)
   }
 
   /** 41 binary targets; prevalence decays per index (rare tail), all

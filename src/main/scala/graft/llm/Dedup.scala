@@ -250,16 +250,44 @@ object Dedup {
         .as(Seq("band", "band_hash")))
   }
 
-  private[llm] def minHashCandidatesFromSigs(
-      sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Within-bucket pair blowup guard (VERDICT r10 #4): a degenerate
+    * (band, band_hash) bucket of M members — M near-identical docs that
+    * survived upstream exact dedup, e.g. templated boilerplate — makes
+    * the band self-join emit M²/2 candidates inside ONE bucket. Buckets
+    * larger than this are "star-capped": instead of all pairs, each
+    * member pairs with the bucket's min-id representative (M−1 pairs).
+    * The dup CLUSTER stays connected (downstream union-find /
+    * [[dupClusters]] recovers the same component through the rep) and
+    * every emitted pair still passes exact verification; only
+    * pair-level completeness WITHIN the degenerate bucket is traded —
+    * the d2 `maxDf` trade, at the band level. Normal corpora (bucket
+    * sizes ≪ cap) produce byte-identical output. */
+  val DefaultMaxBucket = 1024L
+
+  private[graft] def minHashCandidatesFromSigs(
+      sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val banded = bandedSignatures(sigs, k, bands)
-    val cands = banded.as("a")
-      .join(banded.as("b"),
+    // bucket census joined back on the bucket key — same key as the
+    // self-join, so the exchange is reused, not an extra shuffle shape
+    val sized = banded.join(
+      banded.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("m"), min(col("id")).as("rep")),
+      Seq("band", "band_hash"))
+    val small = sized.where(col("m") <= maxBucket)
+    val big = sized.where(col("m") > maxBucket)
+    val allPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    // star pairs: rep < id by construction (rep is the bucket min)
+    val starPairs = big.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), col("sig").as("sig_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+    val cands = allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
     cands.withColumn("est_jaccard",
       size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
         .cast("double") / k)
@@ -336,18 +364,50 @@ object Dedup {
     * set afterwards instead of shipping sigs through the band join.
     * Both joins are (band, band_hash) EQUI joins — never all-pairs —
     * which PlanSpec locks. */
-  def incrementalCandidates(index: DataFrame, batchIndex: DataFrame): DataFrame = {
-    def pairsOf(j: DataFrame): DataFrame = j.select(
-      least(col("a.id"), col("b.id")).as("id_a"),
-      greatest(col("a.id"), col("b.id")).as("id_b"))
-    val probe = index.as("a").join(batchIndex.as("b"),
-      col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") =!= col("b.id"))
-    val internal = batchIndex.as("a").join(batchIndex.as("b"),
-      col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-    pairsOf(probe).union(pairsOf(internal)).dropDuplicates("id_a", "id_b")
+  def incrementalCandidates(index: DataFrame, batchIndex: DataFrame,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val key = Seq("band", "band_hash")
+    // index rows in buckets the batch touches — exactly the probe join's
+    // read set (bucket-pruned at rest), so the census below adds no
+    // O(corpus) pass; per-batch work stays O(batch + matched rows)
+    val touched = index.join(batchIndex.select(key.map(col): _*).distinct(), key, "left_semi")
+    val members = touched
+      .select(col("id"), col("band"), col("band_hash"), lit(false).as("is_batch"))
+      .union(batchIndex
+        .select(col("id"), col("band"), col("band_hash"), lit(true).as("is_batch")))
+    val sized = members.join(
+      members.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("m"), min(col("id")).as("rep")), key)
+    val small = sized.where(col("m") <= maxBucket)
+    // pairs must touch the batch (old-old pairs were emitted when THEIR
+    // batch arrived); id ordering dedups the two join directions
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id") && (col("a.is_batch") || col("b.is_batch")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // oversize buckets (the [[DefaultMaxBucket]] guard): star around the
+    // bucket's min id — O(M) pairs instead of M²/2. Stars INCLUDE the
+    // bucket's old index members so the component stays connected through
+    // the rep even when the bucket crossed the cap mid-history (re-emitted
+    // (rep, old) links are idempotent for downstream clustering).
+    val starPairs = sized.where(col("m") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(starPairs).dropDuplicates("id_a", "id_b")
   }
+
+  /** Bucket-size census of a [[nearDupIndex]]: buckets, max/avg size, and
+    * how many exceed the [[DefaultMaxBucket]] star-cap — the loud metric
+    * an ingest loop reports so degenerate boilerplate buckets are visible
+    * instead of silently star-capped. */
+  def bandBucketStats(index: DataFrame, maxBucket: Long = DefaultMaxBucket): DataFrame =
+    index.groupBy("band", "band_hash").agg(count(lit(1)).as("m"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("m")).as("max_bucket"),
+        avg(col("m")).as("avg_bucket"),
+        sum(when(col("m") > maxBucket, 1L).otherwise(0L)).as("n_oversize"),
+        sum(when(col("m") > maxBucket, col("m")).otherwise(0L)).as("rows_in_oversize"))
 
   def incrementalNearDup(corpus: DataFrame, index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, w: Int = 3, k: Int = 64, bands: Int = 16,

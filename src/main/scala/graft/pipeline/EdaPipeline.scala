@@ -206,7 +206,7 @@ object EdaPipeline {
     // ---- 9: filled-extra-count → deciles, AUC, point-biserial --------------
     val filled = trainExtra.select(
       col("customer_id"),
-      extraCat.numFeatures.map(c => col(c).isNotNull.cast("int")).reduce(_ + _).as("filled_extra_count"))
+      WideAgg.horizontalNotNullCount(extraCat.numFeatures).as("filled_extra_count"))
     val anyOpen = trainTarget.select(
       col("customer_id"),
       WideAgg.flag(WideAgg.horizontalSum(targets) > 0).as("any_open"))

@@ -447,11 +447,17 @@ object RelationalQueries {
     // binaryFile source: the production multimodal ingest path — raw
     // media FILES on disk in, (path-derived id, content) out, decoded
     // distributed. Setup materializes the synthetic PNGs as real files
-    // FROM THE EXECUTORS (foreachPartition — payloads never collect);
-    // the operator under test is the binaryFile scan + JDK decode, and
-    // the oracle is mm4's closed form (pixel = x+y, sizes from the id)
-    // restricted to the same ids, so decode-after-real-file-IO is
-    // value-checked end to end.
+    // FROM THE EXECUTORS (foreachPartition — payloads never collect).
+    // SETUP ASSUMES A FILESYSTEM SHARED between writers and the scan:
+    // executors write the files the binaryFile reader then lists, which
+    // holds in this local[32] harness (one machine) and in production
+    // only when the scratch path is HDFS/S3/NFS — a cluster writing to
+    // executor-local disks would leave the scan a partial file set. The
+    // OPERATOR under test (binaryFile scan + JDK decode) is
+    // placement-agnostic; only this fixture-setup write has the shared-FS
+    // requirement. Oracle: mm4's closed form (pixel = x+y, sizes from
+    // the id) restricted to the same ids, so decode-after-real-file-IO
+    // is value-checked end to end.
     Q("p11_binaryfile_source",
       (s, d) => {
         val dir = scratch(s, "binaryfile_src")

@@ -98,10 +98,14 @@ object Correlations {
       df, cols,
       c => sum(col(c).cast(DecimalType(27, 6))).cast(DoubleType) / count(col(c)))
       .toMap
-    cols.foldLeft(df) { (d, c) =>
+    // one projection for all columns (withColumns), not a foldLeft of
+    // withColumn: per-column re-analysis is O(k²) in plan-build time and
+    // dominates wall-clock at the reference's 2241-column width
+    val repl = cols.map { c =>
       val m = means.getOrElse(c, None).filterNot(_.isNaN).getOrElse(0.0)
-      d.withColumn(c, coalesce(col(c).cast(DoubleType), lit(m)))
-    }
+      c -> coalesce(col(c).cast(DoubleType), lit(m))
+    }.toMap
+    df.withColumns(repl)
   }
 
   /** Cross-correlation block: features × targets Pearson grid via one

@@ -69,7 +69,13 @@ object EventStream {
     * LongType under `nanosAsLong`; TIMESTAMP(MICROS) as TIMESTAMP_NTZ or
     * TIMESTAMP). One batch footer read per replay — no data scan. Every
     * stream normalizes `ts` right after the scan via
-    * [[graft.core.Tables.normalizeEventTs]]. */
+    * [[graft.core.Tables.normalizeEventTs]].
+    *
+    * The `nanosAsLong` set is a DELIBERATE session-wide leak, same
+    * contract as [[graft.core.Tables.readEventsPath]]: the flag must be
+    * live for every later micro-batch read of the stream built from
+    * this schema, so a scoped set-and-restore would fail at the first
+    * trigger after the restore. */
   def rawEventSchema(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path).schema
@@ -328,9 +334,11 @@ object EventStream {
     * transactional commit, and the snapshot side of each merge would be
     * partition-pruned by the batch's key range (see Merge scaladoc) —
     * the generation swap here is the same shape minus the manifest.
-    * The final collect is bounded by |distinct keys| (S7 discipline;
-    * the production result IS the final parquet generation, never a
-    * driver frame). */
+    * The returned frame is `localCheckpoint`ed (materialized to executor
+    * block storage) so it survives deleting the scratch generations
+    * WITHOUT a driver collect — state rows scale with |distinct users|,
+    * which at 100× would OOM a collect-and-reparallelize return path;
+    * the production result IS the final parquet generation. */
   def runMergeOnce(spark: SparkSession, path: String, nChunks: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
     val work = java.nio.file.Files.createTempDirectory("graft_stream_merge")
@@ -365,10 +373,10 @@ object EventStream {
       q.awaitTermination()
     }
     require(gen >= 2, s"merge replay must run multiple micro-batches, ran $gen")
-    val rows = spark.read.parquet(work.resolve(s"state_$gen").toString).collect()
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
     rmTree(work)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), stateSchema)
+    state
   }
 
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`

@@ -48,15 +48,22 @@ object IngestStream {
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
+    // Every per-batch write is KEYED BY batchId and mode-overwrite, so a
+    // retried micro-batch (at-least-once foreachBatch) redoes identical
+    // work instead of double-appending: pairs land in pairs/batch=<id>
+    // (partition-discovered on read), and index generation b+1 is an
+    // overwrite derived from the immutable generation b. No driver-side
+    // counter participates in state addressing — `maxGen` only records
+    // the last generation for the final read.
+    @volatile var maxGen = 0L
     val q = stream.writeStream
       .option("checkpointLocation", work.resolve("ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val index =
-          if (gen == 0)
+          if (batchId == 0L)
             spark.createDataFrame(spark.sparkContext
               .emptyRDD[org.apache.spark.sql.Row], IndexSchema)
-          else spark.read.parquet(work.resolve(s"index_$gen").toString)
+          else spark.read.parquet(work.resolve(s"index_$batchId").toString)
         // corpus text for the exact-Jaccard verify: everything EXCEPT
         // the current batch (ids not yet indexed can never be
         // candidates, so the anti join is the only exclusion needed)
@@ -64,17 +71,18 @@ object IngestStream {
         // one signature pass per batch serves both the probe and the roll
         val (pairs, batchIdx) = Dedup.incrementalNearDupRoll(
           corpus, index, batch, "doc_id", "text", w, k, bands, minJaccard)
-        pairs.write.mode("append").parquet(pairsDir)
+        pairs.write.mode("overwrite")
+          .parquet(java.nio.file.Paths.get(pairsDir, s"batch=$batchId").toString)
         // roll the index forward (at scale: append to the bucketed
         // index table; the generation rewrite is fixture-scale only)
         index.unionByName(batchIdx)
-          .write.mode("overwrite").parquet(work.resolve(s"index_${gen + 1}").toString)
-        gen += 1
+          .write.mode("overwrite").parquet(work.resolve(s"index_${batchId + 1}").toString)
+        maxGen = math.max(maxGen, batchId + 1)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(gen >= 2, s"near-dup ingest replay must run multiple micro-batches, ran $gen")
+    require(maxGen >= 2, s"near-dup ingest replay must run multiple micro-batches, ran $maxGen")
     val out = spark.read.parquet(pairsDir)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

@@ -53,6 +53,67 @@ class DedupSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("degenerate band bucket is star-capped: bounded candidates, cluster intact") {
+    import spark.implicits._
+    // 500 byte-identical template docs (the post-exact-dedup boilerplate
+    // scenario: imagine they differ in a stripped field) + 20 distinct
+    // docs. All 500 share EVERY band bucket, so an unguarded self-join
+    // would emit C(500,2)=124 750 candidates per band.
+    val template = "breaking news local weather update traffic report sports scores tonight"
+    val rnd = new scala.util.Random(11)
+    val words = template.split(" ")
+    val degen = (0 until 500).map(i => (i.toLong, template)) ++
+      (0 until 20).map(i => (1000L + i, rnd.shuffle(words.toSeq).mkString(" ") + s" tail$i"))
+    val df = degen.toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", w = 3, k = 64)
+    val cands = Dedup.minHashCandidatesFromSigs(sigs, k = 64, bands = 16, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star cap: the 500-doc component contributes 499 pairs (one per
+    // non-rep member), not 124 750
+    val degenPairs = cands.filter { case (a, b) => a < 500 && b < 500 }
+    assert(degenPairs.length === 499, s"got ${degenPairs.length}")
+    assert(degenPairs.forall(_._1 === 0L)) // all through the min-id rep
+    // the dup cluster is still fully connected through the rep
+    val pairsDf = degenPairs.toSeq.toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairsDf).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert((0L until 500L).forall(clusters(_) === 0L))
+    // census reports the degenerate buckets loudly
+    val stats = Dedup.bandBucketStats(
+      Dedup.nearDupIndex(df, "doc_id", "text", w = 3, k = 64, bands = 16),
+      maxBucket = 100).collect()(0)
+    assert(stats.getAs[Long]("max_bucket") === 500L)
+    assert(stats.getAs[Long]("n_oversize") === 16L) // one per band
+  }
+
+  test("star cap leaves normal corpora byte-identical (cap ≫ bucket sizes)") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", w = 3, k = 64)
+    val guarded = Dedup.minHashCandidatesFromSigs(sigs, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unguarded = Dedup.minHashCandidatesFromSigs(sigs, k = 64, bands = 16,
+      maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded === unguarded)
+  }
+
+  test("incremental star cap: planted degenerate bucket stays bounded across batches") {
+    import spark.implicits._
+    val template = "subscribe to our newsletter for daily updates and exclusive offers now"
+    val corpus = (0 until 300).map(i => (i.toLong, template)).toDF("doc_id", "text")
+    val batch = (300 until 400).map(i => (i.toLong, template)).toDF("doc_id", "text")
+    val index = Dedup.nearDupIndex(corpus, "doc_id", "text", w = 3, k = 64, bands = 16)
+    val batchIdx = Dedup.nearDupIndex(batch, "doc_id", "text", w = 3, k = 64, bands = 16)
+    val cands = Dedup.incrementalCandidates(index, batchIdx, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star over the whole 400-member bucket: 399 pairs, all through doc 0 —
+    // NOT 300×100 probe pairs + C(100,2) internal
+    assert(cands.length === 399, s"got ${cands.length}")
+    assert(cands.forall(_._1 === 0L))
+    // and the batch is fully linked into the corpus component
+    val linked = cands.map(_._2).toSet
+    assert((300L until 400L).forall(linked.contains))
+  }
+
   test("incrementalNearDup replay equals the full-corpus run restricted to the batch") {
     // split the corpus in two, index the first part, probe with the second:
     // the planted dups straddle the split (100/102 even → batch; 101 odd →

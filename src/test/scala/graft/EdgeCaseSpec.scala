@@ -167,11 +167,31 @@ class EdgeCaseSpec extends SparkSpec {
   test("normalizeEventTs long branch is exact micros truncation for random nanos") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val nanos = Seq.fill(200)(math.abs(rnd.nextLong()) % (4102444800L * 1000000000L))
+    // random instants across the full sane window [1990, 2100)
+    val lo = 631152000000000000L
+    val span = 4102444800000000000L - lo
+    val nanos = Seq.fill(200)(lo + math.abs(rnd.nextLong()) % span)
     val df = nanos.toDF("ts")
     val out = graft.core.Tables.normalizeEventTs(df)
       .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
     assert(out.toSeq === nanos.map(_ / 1000L))
+  }
+
+  test("normalizeEventTs fails loudly on micros-scale longs (1000× unit guard)") {
+    import spark.implicits._
+    // a bare-INT64 micros producer: 2023 instants at micros scale are 3
+    // orders of magnitude below the nanos floor — must error, not shift
+    val df = Seq(1700000000123456L).toDF("ts")
+    val e = intercept[Exception] {
+      graft.core.Tables.normalizeEventTs(df).collect()
+    }
+    assert(e.getMessage.contains("epoch range"), e.getMessage)
+    // nulls pass through as null, no error
+    val okNull = Seq[Option[Long]](None, Some(1700000000123456000L))
+      .toDF("ts")
+    val got = graft.core.Tables.normalizeEventTs(okNull)
+      .select(unix_micros(col("ts"))).collect()
+    assert(got(0).isNullAt(0) && got(1).getLong(0) === 1700000000123456L)
   }
 
   test("Verify artifact JSON survives control chars and quotes (failed.json path)") {
