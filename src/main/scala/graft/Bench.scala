@@ -39,7 +39,18 @@ object Bench {
     // SPARK_GRAFT_COLD=1 restores the old single cold pass;
     // SPARK_GRAFT_BENCH_RUNS overrides the timed-pass count.
     try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // oracle-bearing surface + the steady-state operator twins
+    // (BenchOps: index prebuilt outside the timed region) so operator
+    // regressions aren't masked by in-query verification cost
+    val all = (SparkEntry.queries ++ graft.queries.BenchOps.ops).toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the surface for iteration
+    // (mirrors Verify's SPARK_GRAFT_ONLY); full runs leave it unset
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        all.filter(q => keep.contains(q._1))
+      case None => all
+    }
     val cold = sys.env.contains("SPARK_GRAFT_COLD")
     val nRuns = if (cold) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     if (!cold) {

@@ -25,7 +25,90 @@ object DevScale {
     if (want("ann")) annSection(spark)
     if (want("skew")) skewSection(spark)
     if (want("hh")) hhSection(spark)
+    if (want("atrest")) atrestSection(spark)
     spark.stop()
+  }
+
+  /** n7–n9 at-rest ANN serving evidence (VERDICT r10 #7): probe
+    * wall-clock and the MEASURED partition-pruning ratio as the corpus
+    * grows ×1/×10/×100 (sf0.1 embeddings replicated with id offsets —
+    * same recipe as [[annSection]]). For each scale the IVF assignments /
+    * PQ codes / IVF+PQ residual codes are written in their at-rest
+    * layouts (partitionBy(cell) where celled), then the warm
+    * steady-state probe is timed and the fraction of index rows inside
+    * the probed-cell union is counted — the bytes a cell-pruned scan
+    * touches vs what an unpartitioned scan would. 3 queries × nprobe=4
+    * keeps the union strictly under nlist=16 so the ratio is
+    * informative. Results → PLANS.md round-11 section. */
+  private def atrestSection(spark: SparkSession): Unit = {
+    import graft.llm.Similarity
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val qs = embBase.where(col("vec_id") < 3).localCheckpoint(true)
+    def timeWarm(mk: => DataFrame): Double = {
+      Bench.exec(mk) // warm: plan analysis + codegen
+      val t0 = System.nanoTime()
+      Bench.exec(mk)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .toSeq.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    Seq(1, 10, 100).foreach { mult =>
+      val reps = (0 until mult).map { i =>
+        embBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val emb = reps.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val nVec = emb.count()
+      // IVF assignments at rest, celled
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_dev_ivf").toString
+      val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding")
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(ivfDir)
+      val atRest = spark.read.parquet(ivfDir)
+      val probe = Similarity.ivfTopKFromIndex(atRest, cents, qs, "vec_id", "embedding", k = 3)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the pruned scan renders the cell filter as IN (...) below 10
+      // values and INSET above — accept both
+      val probedCells = "cell#\\d+L? (?:IN \\(([^)]*)\\)|INSET ([0-9, ]+))".r
+        .findFirstMatchIn(plan)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2))
+          .split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty)
+      val prunedAtScan = plan.linesIterator
+        .exists(l => l.contains("PartitionFilters") && l.contains("cell") &&
+          (l.contains("IN (") || l.contains("INSET")))
+      val rowsProbed =
+        if (probedCells.isEmpty) -1L
+        else atRest.where(col("cell").isin(probedCells: _*)).count()
+      val tIvf = timeWarm(
+        Similarity.ivfTopKFromIndex(atRest, cents, qs, "vec_id", "embedding", k = 3))
+      println(f"[atrest] x$mult%-4d ivf:   corpus=$nVec%8d " +
+        f"cells=${probedCells.size}%2d/16 rows_probed=$rowsProbed%8d " +
+        f"(${100.0 * rowsProbed / (nVec max 1)}%5.1f%%) scan_pruned=$prunedAtScan " +
+        f"probe=$tIvf%6.2f s")
+      rmTree(ivfDir)
+      // PQ codes at rest (unpartitioned — the ADC pass scans all codes;
+      // the at-rest win is 8 bytes/vec vs 512 of raw doubles)
+      val pqDir = java.nio.file.Files.createTempDirectory("graft_dev_pq").toString
+      val (codes, books) = Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64)
+      codes.write.mode("overwrite").parquet(pqDir)
+      val codesAtRest = spark.read.parquet(pqDir)
+      val tPq = timeWarm(Similarity.pqTopKFromIndex(
+        codesAtRest, books, emb, qs, "vec_id", "embedding", k = 3, refine = 22))
+      println(f"[atrest] x$mult%-4d pq:    codes=$nVec%8d probe=$tPq%6.2f s")
+      rmTree(pqDir)
+      // IVF+PQ residual codes at rest, celled — pruning AND compactness
+      val ipqDir = java.nio.file.Files.createTempDirectory("graft_dev_ivfpq").toString
+      val built = Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64, nlist = 16)
+      built.codes.write.mode("overwrite").partitionBy("cell").parquet(ipqDir)
+      val idx = built.copy(codes = spark.read.parquet(ipqDir))
+      val tIpq = timeWarm(Similarity.ivfPqTopKFromIndex(
+        idx, emb, qs, "vec_id", "embedding", k = 3, nprobe = 8, refine = 22))
+      println(f"[atrest] x$mult%-4d ivfpq: probe=$tIpq%6.2f s (nprobe=8/16)")
+      rmTree(ipqDir)
+    }
   }
 
   /** x28 heavy-hitters evidence: the recount exchange must be bounded
