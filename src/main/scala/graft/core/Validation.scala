@@ -61,4 +61,136 @@ object Validation {
     child.join(parent, col(childKey) === col(parentKey), "left_anti")
       .agg(count(lit(1)).cast("double").as("metric"))
       .select(lit(name).as("check"), col("metric"), (col("metric") === 0.0).as("passed"))
+
+  /** Population Stability Index drift report between a reference snapshot
+    * and a current snapshot of one numeric column — the standard feature-
+    * drift gate a training pipeline runs on every new data drop (PSI < 0.1
+    * stable, 0.1–0.25 moderate, > 0.25 action).
+    *
+    * Bin edges are `nBins` equal-width cuts of the REFERENCE min/max (the
+    * convention: the baseline owns the binning); current values outside
+    * the reference range clamp into the edge bins. Proportions are
+    * Laplace-smoothed ((n + 0.5) / (N + nBins/2)) so empty bins never
+    * produce ±∞ contributions and the result is deterministic.
+    *
+    * Scale stance: one tiny stats aggregate over the reference (broadcast
+    * back as a literal-free cross join of a 1-row frame), then ONE
+    * groupBy(bin) per side — the shuffles carry nBins rows. The bin spine
+    * (`sequence`) guarantees every bin appears even when empty.
+    *
+    * Output: (bin, lo, hi, n_ref, n_cur, p_ref, p_cur, psi_contrib,
+    * psi_total) — one row per bin, psi_total replicated for one-stop
+    * reading. */
+  def driftPsi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"driftPsi needs nBins >= 2, got $nBins")
+    val v = col(valueCol)
+    // 1-row stats frame feeds three branches (spine + both binned sides):
+    // materialize once so the reference is scanned once for min/max
+    val stats = ref.agg(min(v).cast("double").as("vmin"), max(v).cast("double").as("vmax"))
+      .localCheckpoint()
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.where(v.isNotNull).crossJoin(broadcast(stats))
+        .select(
+          when(col("vmax") === col("vmin"), lit(0))
+            .otherwise(least(greatest(
+              floor((v.cast("double") - col("vmin")) / (col("vmax") - col("vmin")) * nBins), lit(0)),
+              lit(nBins - 1))).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    val spine = stats.select(
+      explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+      col("vmin"), col("vmax"))
+    val joined = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val (nr, nc) = (sum(col("n_ref")).over(), sum(col("n_cur")).over())
+    val p = (col("n_ref") + 0.5) / (nr + nBins * 0.5)
+    val q = (col("n_cur") + 0.5) / (nc + nBins * 0.5)
+    joined
+      .withColumn("lo", col("vmin") + (col("vmax") - col("vmin")) / nBins * col("bin"))
+      .withColumn("hi", col("vmin") + (col("vmax") - col("vmin")) / nBins * (col("bin") + 1))
+      .withColumn("p_ref", p)
+      .withColumn("p_cur", q)
+      .withColumn("psi_contrib", (p - q) * log(p / q))
+      .withColumn("psi_total", sum((p - q) * log(p / q)).over())
+      .select("bin", "lo", "hi", "n_ref", "n_cur", "p_ref", "p_cur",
+        "psi_contrib", "psi_total")
+      .orderBy("bin")
+  }
+
+  /** Robust per-group outlier report: median/MAD z-scores (the label-noise
+    * and sensor-glitch gate — mean/std break down under the very outliers
+    * being hunted; median/MAD have a 50% breakdown point). A value is an
+    * outlier when |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to
+    * σ-equivalents under normality; k=3 is the usual "3-sigma" cut).
+    *
+    * Inherently two aggregation passes (MAD needs the median first), each
+    * a keyed exact-median aggregate + a broadcast-back join; the final
+    * count is a third scan. All shuffles are group-keyed; nothing
+    * collects.
+    *
+    * Output: (group, n, med, mad, n_outliers, outlier_frac). Groups with
+    * MAD = 0 (over half the values identical) report outliers as values
+    * strictly different from the median guarded by `minMad` — ZERO spread
+    * means any deviation is anomalous. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0, minMad: Double = 1e-9): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol).cast("double")
+    // group-count-sized frames each feed two consumers: materialize once
+    // so the base scans exactly 3× (the algorithm's floor — MAD needs med)
+    val meds = df.groupBy(g).agg(expr(s"median($valueCol)").cast("double").as("med"))
+      .localCheckpoint()
+    val withMed = df.join(broadcast(meds), Seq(groupCol))
+    val mads = withMed.groupBy(g)
+      .agg(expr(s"median(abs(cast($valueCol as double) - med))").cast("double").as("mad"))
+      .localCheckpoint()
+    withMed.join(broadcast(mads), Seq(groupCol))
+      .groupBy(g)
+      .agg(
+        count(v).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) > greatest(col("mad"), lit(minMad)) * (k * 1.4826), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac", col("n_outliers").cast("double") / col("n"))
+      .orderBy(g)
+  }
+
+  /** k-anonymity enforcement over quasi-identifier columns (the privacy
+    * gate next to PII scrubbing): every released group must contain ≥ k
+    * rows. Groups already ≥ k release at `level` 0; smaller groups
+    * GENERALIZE — the last quasi-identifier collapses to '*' — and release
+    * at level 1 if the collapsed group reaches k; anything still < k is
+    * fully SUPPRESSED and reported as one level-2 ('*','*') row so the
+    * release accounts for every input row.
+    *
+    * One groupBy over the quasi-identifiers, then a re-aggregate of the
+    * small failing remainder — group-count-sized work after the first
+    * shuffle. The grouped frame feeds three union branches, so it is
+    * materialized ONCE (eager localCheckpoint — group-count-sized, tiny
+    * relative to the input) instead of re-running the base scan per
+    * branch; the blocks free when the frame is garbage collected. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.size >= 2, "kAnonymize needs >= 2 quasi-identifier columns")
+    val groups = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pass = groups.where(col("n") >= k)
+      .select(quasiCols.map(c => col(c).cast("string").as(c)) :+ col("n") :+ lit(0).as("level"): _*)
+    val keep = quasiCols.dropRight(1)
+    val gen = groups.where(col("n") < k)
+      .groupBy(keep.map(col): _*).agg(sum(col("n")).as("n"))
+      .select(keep.map(c => col(c).cast("string").as(c))
+        :+ lit("*").as(quasiCols.last) :+ col("n") :+ lit(1).as("level"): _*)
+      .select(quasiCols.map(col) :+ col("n") :+ col("level"): _*)
+    val genPass = gen.where(col("n") >= k)
+    val suppressed = gen.where(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(quasiCols.map(_ => lit("*")).zip(quasiCols).map { case (c, n) => c.as(n) }
+        :+ col("n") :+ lit(2).as("level"): _*)
+      .where(col("n") > 0)
+    pass.unionByName(genPass).unionByName(suppressed)
+      .orderBy(col("level") +: quasiCols.map(col): _*)
+  }
 }

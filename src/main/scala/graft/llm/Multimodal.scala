@@ -449,6 +449,126 @@ object Multimodal {
     } finally classes.unpersist(blocking = false)
   }
 
+  /** Deterministic multi-frame animated GIF — the ingestion stand-in for a
+    * real VIDEO container: `levels(f)` becomes frame f as a constant-gray
+    * `width`×`height` image, written through the JDK's own GIF sequence
+    * writer (`ImageWriter.writeToSequence` — a genuine container format
+    * with per-frame image descriptors, not concatenated bytes). Constant
+    * frames round-trip exactly through the GIF palette, so every decoded
+    * per-frame statistic has a closed form (mean luminance = the level). */
+  def syntheticGif(width: Int, height: Int, levels: Seq[Int]): Array[Byte] = {
+    require(levels.nonEmpty, "syntheticGif needs at least one frame")
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      levels.foreach { level =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, level); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Media table with REAL animated-GIF payloads: every document becomes a
+    * video row of `doc_id % 5 + 2` constant-gray frames at 16×12, frame f
+    * at level `(id·17 + f·29) % 256` — closed forms of the id, so decoded
+    * frame statistics are SQL-expressible. Map-only executor-side encode,
+    * like [[fromDocumentsPng]]. */
+  def fromDocumentsGif(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nFrames = (Math.floorMod(id, 5) + 2).toInt
+        val levels = (0 until nFrames).map(f => Math.floorMod(id * 17 + f * 29, 256).toInt)
+        Row(id, "video", syntheticGif(16, 12, levels))
+      }
+    }(enc)
+  }
+
+  /** REAL container frame parse + sample: open the payload with the JDK
+    * image reader, discover the TRUE frame count from the container
+    * (`ImageReader.getNumImages` walks the GIF image descriptors), decode
+    * `n` evenly-spaced frames (slot j → frame ⌊j·(F−1)/(n−1)⌋ — first and
+    * last always included), and emit per-frame stats. This is the video
+    * keyframe-sampling shape with the codec REAL end-to-end; payloads
+    * never shuffle (map-only, one reader per payload, only scalars leave
+    * the scan stage).
+    *
+    * Output: (media_id, n_frames, slot, frame_idx, width, height,
+    * mean_lum) — one row per sampled slot. Undecodable payloads THROW
+    * (like [[decodeImages]]: a corrupt synthesized payload is a bug). */
+  def gifFrameStats(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "gifFrameStats needs n >= 2 sampled frames")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("slot", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) sys.error(s"media_id=$id: payload is not a decodable container")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val nFrames = reader.getNumImages(true)
+          // distinct sampled indices: slot j -> floor(j*(F-1)/(n-1));
+          // duplicates collapse when F < n (every frame already sampled)
+          val idxBySlot = (0 until n).map(j => j -> (j.toLong * (nFrames - 1) / (n - 1)).toInt)
+          val firstSlotOfIdx = idxBySlot.groupBy(_._2).map { case (idx, ss) => idx -> ss.head._1 }
+          idxBySlot.collect { case (slot, idx) if firstSlotOfIdx(idx) == slot =>
+            val img = reader.read(idx)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = img.getColorModel.getNumComponents == 1
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum +=
+                  (if (gray) img.getRaster.getSample(x, y, 0).toDouble
+                   else {
+                     val rgb = img.getRGB(x, y)
+                     0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                   })
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, nFrames, slot, idx, w, h, sum / (w * h))
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }(enc)
+  }
+
   /** Frame-sample: slice the payload into `n` evenly-spaced fixed-width
     * binary frames (video keyframe-sampling shape). Pure projection. */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {

@@ -379,6 +379,63 @@ object LlmQueries {
              |  CAST(b.embedding AS DOUBLE[])) >= 0.45
              |  AND (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)""".stripMargin)),
 
+    // Quality-aware dup-cluster resolution (keep-BEST, not keep-first):
+    // d6's connected components, but the survivor of each cluster is the
+    // member with the highest x3 quality score (ties → min doc_id) — the
+    // canonical-selection step real corpus dedup runs, where boilerplate
+    // copies lose to the cleanest instance. Deterministic argmax via
+    // max_by over a (quality, −id) struct; quality rounded to 6 on BOTH
+    // engines so tie-breaking can never hinge on 1e-16 fp drift. The
+    // oracle recomputes clusters with a recursive CTE and picks the same
+    // survivor with ORDER BY (q DESC, id).
+    Q("d14_keep_best",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+        val clusters = Dedup.dupClusters(pairs)
+        val scored = docs.select(col("doc_id"),
+          round(TextStats.qualityScore(col("text")), 6).as("q"))
+        clusters.join(scored, clusters("id") === scored("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            expr("max_by(doc_id, struct(q, -doc_id))").as("kept_id"),
+            round(max(col("q")), 6).as("kept_q"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        val q = TextStats.qualityScoreSql("text")
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+           |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+           |    FROM toks), UNNEST(shs) AS u(sh)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+           |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1),
+           |scored AS (SELECT doc_id, ROUND($q, 6) AS q FROM documents),
+           |mem AS (SELECT cc.cluster, cc.id, s.q
+           |  FROM cc JOIN scored s ON cc.id = s.doc_id)
+           |SELECT cluster, COUNT(*) AS n_members,
+           |  (ARRAY_AGG(id ORDER BY q DESC, id ASC))[1] AS kept_id,
+           |  ROUND(MAX(q), 6) AS kept_q
+           |FROM mem GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // Fuzzy record linkage (typo dedup): part names + planted one-char-
     // deletion typos, paired by the PassJoin segment blocking + exact
     // levenshtein verify. The blocking is provably complete (pigeonhole),
@@ -1614,6 +1671,36 @@ object LlmQueries {
              |  CAST(SUM(n) AS BIGINT) AS n_images,
              |  CAST(SUM(n) - 1 AS BIGINT) AS n_dropped
              |FROM inv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // REAL video-container frame parse + keyframe sample: every document
+    // becomes an animated GIF (doc_id%5+2 constant-gray frames via the
+    // JDK's GIF sequence writer), and the operator re-opens the container,
+    // discovers the TRUE frame count from the GIF image descriptors, and
+    // decodes 3 evenly-spaced frames (slot j → frame ⌊j·(F−1)/2⌋; at F=2
+    // slots 0,1 collapse and only the first surviving slot is decoded —
+    // the GROUP BY/MIN(slot) in the oracle mirrors that dedup). Constant
+    // frames make each decoded mean luminance the closed form
+    // (id·17 + idx·29) % 256, so the whole codec loop is SQL-checkable.
+    Q("mm9_gif_frames",
+      (s, d) => Multimodal.gifFrameStats(
+        Multimodal.fromDocumentsGif(T(s, d, "documents")), n = 3)
+        .select(col("media_id"), col("n_frames"), col("slot"), col("frame_idx"),
+          col("width"), col("height"), round(col("mean_lum"), 6).as("mean_lum"))
+        .orderBy(col("media_id"), col("slot")),
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, CAST(doc_id % 5 + 2 AS INT) AS n_frames
+             |  FROM documents),
+             |f AS (
+             |  SELECT media_id, n_frames, CAST(j.range AS INT) AS slot,
+             |    CAST(FLOOR(j.range * (n_frames - 1) / 2.0) AS INT) AS frame_idx
+             |  FROM m, range(0, 3) j),
+             |g AS (
+             |  SELECT media_id, n_frames, frame_idx, CAST(MIN(slot) AS INT) AS slot
+             |  FROM f GROUP BY 1, 2, 3)
+             |SELECT media_id, n_frames, slot, frame_idx,
+             |  CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             |  ROUND(CAST((media_id * 17 + frame_idx * 29) % 256 AS DOUBLE), 6) AS mean_lum
+             |FROM g ORDER BY media_id, slot""".stripMargin)),
 
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,

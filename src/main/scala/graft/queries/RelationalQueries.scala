@@ -259,6 +259,92 @@ object RelationalQueries {
              |  UNION ALL SELECT 'referential_o_custkey', ROUND(orphans, 6), orphans = 0.0 FROM r)
              |ORDER BY check_name""".stripMargin)),
 
+    // Feature-drift gate: Population Stability Index between an even-key
+    // "reference" snapshot and an odd-key "current" snapshot of
+    // o_totalprice, 10 equal-width bins cut on the REFERENCE min/max,
+    // Laplace-smoothed proportions ((n+0.5)/(N+5)) so empty bins stay
+    // finite. Two tiny bin-keyed shuffles; the bin spine guarantees all
+    // 10 rows. psi_total replicated per row (window sum over 10 rows).
+    Q("dq2_drift_psi",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        Validation.driftPsi(
+            orders.where(pmod(col("o_orderkey"), lit(2)) === 0),
+            orders.where(pmod(col("o_orderkey"), lit(2)) === 1),
+            "o_totalprice", nBins = 10)
+          .select(col("bin"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+            col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_contrib"), 6).as("psi_contrib"),
+            round(col("psi_total"), 6).as("psi_total"))
+      },
+      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+             |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+             |s AS (SELECT CAST(MIN(v) AS DOUBLE) AS vmin, CAST(MAX(v) AS DOUBLE) AS vmax FROM ref),
+             |rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - vmin) / (vmax - vmin) * 10) AS INT), 0), 9) AS bin,
+             |    COUNT(*) AS n_ref FROM ref, s WHERE v IS NOT NULL GROUP BY 1),
+             |cb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - vmin) / (vmax - vmin) * 10) AS INT), 0), 9) AS bin,
+             |    COUNT(*) AS n_cur FROM cur, s WHERE v IS NOT NULL GROUP BY 1),
+             |spine AS (SELECT CAST(r.range AS INT) AS bin, vmin, vmax FROM range(0, 10) r, s),
+             |j AS (SELECT bin, vmin, vmax, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+             |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+             |t AS (SELECT *, SUM(n_ref) OVER () AS nr, SUM(n_cur) OVER () AS nc FROM j),
+             |p AS (SELECT bin, vmin, vmax, n_ref, n_cur,
+             |    (n_ref + 0.5) / (nr + 5.0) AS p_ref, (n_cur + 0.5) / (nc + 5.0) AS q FROM t)
+             |SELECT bin,
+             |  ROUND(vmin + (vmax - vmin) / 10 * bin, 6) AS lo,
+             |  ROUND(vmin + (vmax - vmin) / 10 * (bin + 1), 6) AS hi,
+             |  n_ref, n_cur,
+             |  ROUND(p_ref, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+             |  ROUND((p_ref - q) * LN(p_ref / q), 6) AS psi_contrib,
+             |  ROUND(SUM((p_ref - q) * LN(p_ref / q)) OVER (), 6) AS psi_total
+             |FROM p ORDER BY bin""".stripMargin)),
+
+    // Robust per-group outlier gate: median/MAD z-scores (50% breakdown
+    // point — mean/std would be dragged by the very outliers hunted);
+    // outlier ⇔ |x − med| > 3 · 1.4826 · MAD. Two keyed exact-median
+    // passes (MAD needs the median first) + broadcast-back joins.
+    Q("dq3_outlier_mad",
+      (s, d) => Validation.robustOutliers(
+          T(s, d, "orders"), "o_orderstatus", "o_totalprice", k = 3.0)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("n_outliers"), round(col("outlier_frac"), 6).as("outlier_frac")),
+      Some("""WITH m AS (SELECT o_orderstatus AS g, CAST(median(o_totalprice) AS DOUBLE) AS med
+             |  FROM orders GROUP BY 1),
+             |w AS (SELECT o.o_orderstatus AS g, CAST(o.o_totalprice AS DOUBLE) AS v, m.med
+             |  FROM orders o JOIN m ON o.o_orderstatus = m.g),
+             |d AS (SELECT g, CAST(median(abs(v - med)) AS DOUBLE) AS mad FROM w GROUP BY 1)
+             |SELECT w.g AS o_orderstatus, COUNT(v) AS n,
+             |  ROUND(MAX(w.med), 6) AS med, ROUND(MAX(d.mad), 6) AS mad,
+             |  CAST(SUM(CASE WHEN abs(v - w.med) > 3 * 1.4826 * GREATEST(d.mad, 1e-9)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  ROUND(SUM(CASE WHEN abs(v - w.med) > 3 * 1.4826 * GREATEST(d.mad, 1e-9)
+             |    THEN 1 ELSE 0 END) * 1.0 / COUNT(v), 6) AS outlier_frac
+             |FROM w JOIN d ON w.g = d.g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // k-anonymity release (the privacy gate next to x13's PII scrub):
+    // quasi-identifier groups (nation, segment) with n ≥ 15 release
+    // as-is (level 0); smaller groups generalize segment → '*' and
+    // release if the collapsed nation group reaches 15 (level 1); the
+    // remainder is fully suppressed into one ('*','*') accounting row
+    // (level 2). At sf0.01 all three levels are exercised.
+    Q("dq4_k_anonymity",
+      (s, d) => Validation.kAnonymize(
+        T(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 15L),
+      Some("""WITH g AS (SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey, c_mktsegment,
+             |    COUNT(*) AS n FROM customer GROUP BY 1, 2),
+             |pass AS (SELECT c_nationkey, c_mktsegment, n, 0 AS level FROM g WHERE n >= 15),
+             |gen AS (SELECT c_nationkey, '*' AS c_mktsegment, CAST(SUM(n) AS BIGINT) AS n, 1 AS level
+             |  FROM g WHERE n < 15 GROUP BY 1),
+             |genpass AS (SELECT * FROM gen WHERE n >= 15),
+             |supp AS (SELECT '*' AS c_nationkey, '*' AS c_mktsegment,
+             |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n, 2 AS level
+             |  FROM gen WHERE n < 15 HAVING COALESCE(SUM(n), 0) > 0)
+             |SELECT c_nationkey, c_mktsegment, n, level
+             |FROM (SELECT * FROM pass UNION ALL SELECT * FROM genpass UNION ALL SELECT * FROM supp)
+             |ORDER BY level, c_nationkey, c_mktsegment""".stripMargin)),
+
     // Full outer join: customers with no orders survive on the right side
     // (observable as segments whose customer count exceeds their order
     // count); count/countDistinct skip the null side symmetrically in both

@@ -171,6 +171,98 @@ object WindowQueries {
               |FROM c JOIN lastrow l ON c.user_id = l.user_id AND c.i = l.imax
               |ORDER BY c.user_id""".stripMargin)),
 
+    // Time-series calendar gap-fill + forward-fill: per user, the daily
+    // value series is completed over the user's [first, last] day span
+    // (`sequence` explode — the calendar spine) and missing days carry
+    // the last observed value forward via the gaps-and-islands trick
+    // (grp = running count of non-nulls; ffill = MAX over (user, grp) —
+    // each island holds exactly one non-null). Engine-portable: no
+    // IGNORE NULLS dependence. Two event scans (daily feeds the span and
+    // the re-join — at scale you persist `daily`); windows ride ONE
+    // user-keyed shuffle.
+    Q("t5_gapfill",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sumExact(col("value")).as("x"))
+        val span = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val cal = span.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        cal.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("grp", count(col("x")).over(byDay))
+          .withColumn("ffill",
+            max(col("x")).over(Window.partitionBy(col("user_id"), col("grp"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"),
+            countIf(col("x").isNull).as("n_gap_days"),
+            sumExact(col("ffill")).as("sum_filled"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day, ${sumExactSql("value")} AS x
+              |  FROM events GROUP BY 1, 2),
+              |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+              |cal AS (SELECT user_id,
+              |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              |  FROM span),
+              |f AS (SELECT c.user_id, c.day, daily.x
+              |  FROM cal c LEFT JOIN daily ON c.user_id = daily.user_id AND c.day = daily.day),
+              |g AS (SELECT *, COUNT(x) OVER (PARTITION BY user_id ORDER BY day) AS grp FROM f),
+              |h AS (SELECT *, MAX(x) OVER (PARTITION BY user_id, grp) AS ffill FROM g)
+              |SELECT user_id, COUNT(*) AS n_days,
+              |  ${countIfSql("x IS NULL")} AS n_gap_days,
+              |  ${sumExactSql("ffill")} AS sum_filled
+              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Ordered funnel conversion (view → click ≥ t_view → purchase ≥
+    // t_click): the step times chain as three window MINs over the SAME
+    // user partition — one shuffle, no self-joins (the naive per-step
+    // join-back formulation scans events once per step). The per-user
+    // collapse reuses the window's hash partitioning (no second
+    // exchange). Output: one summary row with step counts, conversion
+    // rates, and total view→purchase latency.
+    Q("t6_funnel",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") >= col("t1"), col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("t2"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_full_funnel"),
+            round(count(col("t2")) * lit(1.0) / count(col("t1")), 6).as("conv_view_click"),
+            round(count(col("t3")) * lit(1.0) / count(col("t2")), 6).as("conv_click_purchase"),
+            sum(when(col("t3").isNotNull,
+              unix_micros(col("t3")) - unix_micros(col("t1")))).as("funnel_us"))
+      },
+      Some("""WITH w1 AS (SELECT user_id, event_type, ts,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t1 FROM events),
+             |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t2 FROM w1),
+             |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t3 FROM w2),
+             |per AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+             |  FROM w3 GROUP BY 1)
+             |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_view,
+             |  COUNT(t2) AS n_view_click, COUNT(t3) AS n_full_funnel,
+             |  ROUND(COUNT(t2) * 1.0 / COUNT(t1), 6) AS conv_view_click,
+             |  ROUND(COUNT(t3) * 1.0 / COUNT(t2), 6) AS conv_click_purchase,
+             |  CAST(SUM(CASE WHEN t3 IS NOT NULL
+             |    THEN date_diff('microsecond', t1, t3) END) AS BIGINT) AS funnel_us
+             |FROM per""".stripMargin)),
+
     Q("w6_window_funcs",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Validation
+import graft.llm.{Dedup, Multimodal, TextStats}
+
+/** Round-11 operator specs: drift PSI, robust MAD outliers, k-anonymity,
+  * the REAL animated-GIF frame parse, calendar gap-fill / funnel query
+  * semantics, and quality-aware keep-best dedup resolution. */
+class ValidationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- driftPsi ------------------------------------------------------------
+
+  test("driftPsi: identical snapshots score 0; a shifted snapshot scores big") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Validation.driftPsi(ref, ref, "v", nBins = 10).collect()
+    assert(same.length == 10)
+    assert(same.map(_.getAs[Long]("n_ref")).sum == 1000L)
+    same.foreach { r =>
+      assert(r.getAs[Long]("n_ref") == r.getAs[Long]("n_cur"))
+      assert(math.abs(r.getAs[Double]("psi_total")) < 1e-12)
+    }
+    // current shifted hard into the top of the reference range
+    val cur = (1 to 1000).map(i => 800.0 + i * 0.2).toDF("v")
+    val psi = Validation.driftPsi(ref, cur, "v", nBins = 10)
+      .select("psi_total").head().getDouble(0)
+    assert(psi > 0.25, s"shifted snapshot must trip the PSI action gate, got $psi")
+  }
+
+  test("driftPsi: out-of-range current values clamp into edge bins; empty bins stay finite") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(-500.0, -1.0, 50.0, 1000.0).toDF("v")
+    val rows = Validation.driftPsi(ref, cur, "v", nBins = 5).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum == 4L) // nothing dropped
+    assert(rows.head.getAs[Long]("n_cur") == 2L)       // clamped low
+    assert(rows.last.getAs[Long]("n_cur") == 1L)       // clamped high
+    rows.foreach(r => assert(!r.getAs[Double]("psi_contrib").isInfinite))
+  }
+
+  // ---- robustOutliers ------------------------------------------------------
+
+  test("robustOutliers: one extreme value among tight data is the only outlier") {
+    val df = ((1 to 99).map(i => ("a", 100.0 + (i % 7))) :+ (("a", 100000.0)))
+      .toDF("g", "v")
+    val r = Validation.robustOutliers(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(math.abs(r.getAs[Double]("med") - 103.0) < 1.0)
+  }
+
+  test("robustOutliers: zero-MAD group flags any deviation from the constant") {
+    val df = (Seq.fill(50)(("c", 5.0)) :+ (("c", 5.001))).toDF("g", "v")
+    val r = Validation.robustOutliers(df, "g", "v").head()
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_outliers") == 1L, "minMad guard must catch deviation at zero spread")
+  }
+
+  // ---- kAnonymize ----------------------------------------------------------
+
+  test("kAnonymize: every input row is accounted for and every release meets k") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val total = df.count()
+    val out = Validation.kAnonymize(df, Seq("c_nationkey", "c_mktsegment"), k = 15L).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == total, "release must account for every row")
+    out.filter(_.getAs[Int]("level") <= 1)
+      .foreach(r => assert(r.getAs[Long]("n") >= 15L, s"released group below k: $r"))
+    val l1 = out.filter(_.getAs[Int]("level") == 1)
+    l1.foreach(r => assert(r.getAs[String]("c_mktsegment") == "*"))
+    assert(out.count(_.getAs[Int]("level") == 2) <= 1)
+  }
+
+  // ---- animated-GIF container parse ---------------------------------------
+
+  test("gifFrameStats: true frame count from the container, closed-form means, F<n collapse") {
+    val docs = Seq(3L, 5L, 7L).toDF("doc_id") // F = id%5+2 -> 5, 2, 4 frames
+    val rows = Multimodal.gifFrameStats(Multimodal.fromDocumentsGif(docs), n = 3)
+      .orderBy("media_id", "slot").collect()
+    // id=5 has F=2: slots {0,1} collapse to frame 0 -> only 2 rows survive
+    assert(rows.count(_.getAs[Long]("media_id") == 5L) == 2)
+    assert(rows.count(_.getAs[Long]("media_id") == 3L) == 3)
+    rows.foreach { r =>
+      val (id, f) = (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))
+      val nf = r.getAs[Int]("n_frames")
+      assert(nf == (id % 5 + 2).toInt, "frame count must come from the GIF container")
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 12)
+      val expect = Math.floorMod(id * 17 + f * 29, 256).toDouble
+      assert(math.abs(r.getAs[Double]("mean_lum") - expect) < 1e-9,
+        s"id=$id frame=$f: decoded mean must be the closed form")
+    }
+    // slot -> frame mapping: first and last frames always sampled
+    val id3 = rows.filter(_.getAs[Long]("media_id") == 3L).map(_.getAs[Int]("frame_idx"))
+    assert(id3.sameElements(Array(0, 2, 4)))
+  }
+
+  test("syntheticGif round-trips through a second parse identically") {
+    val bytes = Multimodal.syntheticGif(16, 12, Seq(0, 128, 255))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis, false)
+    assert(reader.getNumImages(true) == 3)
+    reader.dispose(); iis.close()
+  }
+
+  // ---- t5/t6 query semantics over a planted mini corpus --------------------
+
+  private def plantEvents(rows: Seq[(Long, String, String, Long, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_valspec").toString
+    rows.toDF("user_id", "event_type", "tss", "event_id", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("t5_gapfill: calendar completion + forward fill on a planted series") {
+    // user 1: days 1,2,4 -> span 1..4, one gap day (3) carrying day-2's value
+    val dir = plantEvents(Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "view", "2024-01-02 10:00:00", 2L, 20.0),
+      (1L, "view", "2024-01-04 10:00:00", 3L, 40.0)))
+    val r = SparkEntry.queries("t5_gapfill")(spark, dir).head()
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("n_gap_days") == 1L)
+    // 10 + 20 + 20 (ffilled) + 40
+    assert(math.abs(r.getAs[Double]("sum_filled") - 90.0) < 1e-9)
+  }
+
+  test("t6_funnel: strict event ordering — click before the first view does not convert") {
+    val dir = plantEvents(Seq(
+      // user 1: full ordered funnel
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-01 10:05:00", 2L, 0.0),
+      (1L, "purchase", "2024-01-01 10:10:00", 3L, 0.0),
+      // user 2: click BEFORE its first view -> no click step, no funnel
+      (2L, "click", "2024-01-01 09:00:00", 4L, 0.0),
+      (2L, "view", "2024-01-01 10:00:00", 5L, 0.0),
+      (2L, "purchase", "2024-01-01 11:00:00", 6L, 0.0),
+      // user 3: view only
+      (3L, "view", "2024-01-01 10:00:00", 7L, 0.0)))
+    val r = SparkEntry.queries("t6_funnel")(spark, dir).head()
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Long]("n_view") == 3L)
+    assert(r.getAs[Long]("n_view_click") == 1L)
+    assert(r.getAs[Long]("n_full_funnel") == 1L)
+    assert(r.getAs[Long]("funnel_us") == 600L * 1000000L)
+  }
+
+  // ---- d14 keep-best -------------------------------------------------------
+
+  test("keep-best resolution keeps the highest-quality member, not the min id") {
+    // two near-identical docs; the LATER id is longer/cleaner -> higher x3 quality
+    val low = "the data pipeline"
+    val high = "the data pipeline processes documents with care and the " +
+      "quality of the corpus is maintained by the filtering stage"
+    val docs = Seq((1L, low + " x " + high), (2L, high + " x " + low + " extended"),
+      (3L, "unrelated text entirely about other topics and words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.1)
+    assert(pairs.where((col("id_a") === 1L) && (col("id_b") === 2L)).count() == 1L,
+      "fixture must produce the 1-2 near-dup pair")
+    val clusters = Dedup.dupClusters(pairs)
+    val scored = docs.select(col("doc_id"), round(TextStats.qualityScore(col("text")), 6).as("q"))
+    val best = clusters.join(scored, clusters("id") === scored("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(expr("max_by(doc_id, struct(q, -doc_id))").as("kept_id"), max(col("q")).as("kept_q"))
+      .head()
+    val qs = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = if (qs(2L) > qs(1L)) 2L else if (qs(1L) > qs(2L)) 1L else 1L
+    assert(best.getAs[Long]("kept_id") == expected,
+      s"kept ${best.getAs[Long]("kept_id")} but qualities are $qs")
+  }
+}
