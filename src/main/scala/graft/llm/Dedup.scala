@@ -872,30 +872,62 @@ object Dedup {
     require(nPlanes % nBands == 0)
     val sigsB = withSignature(batch, idCol, vecCol, hyperplanes(nPlanes, dim, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try incrementalCosineNearDupFrom(
+      corpus, index, sigsB, signBandRows(sigsB, nPlanes, nBands), idCol, vecCol, minCos, dim)
+    finally sigsB.unpersist(blocking = false)
+  }
+
+  /** One rolling-ingest step for the EMBEDDING index: verified cosine
+    * pairs AND the batch's sign-band index rows, off a SINGLE batch
+    * signature pass — the vector twin of [[incrementalNearDupRoll]]
+    * ([[graft.streaming.IngestStream.runEmbedIngestOnce]] appends the
+    * second frame to the at-rest [[cosineIndex]] after emitting the
+    * first). Both frames eagerly materialized. */
+  def incrementalCosineNearDupRoll(corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int,
+      nPlanes: Int = 16, nBands: Int = 4, seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(nPlanes % nBands == 0)
+    val sigsB = withSignature(batch, idCol, vecCol, hyperplanes(nPlanes, dim, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cands = incrementalCandidates(index, signBandRows(sigsB, nPlanes, nBands))
+      val bandedB = signBandRows(sigsB, nPlanes, nBands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val candIds = cands.select(col("id_a").as("id"))
-          .union(cands.select(col("id_b").as("id"))).distinct()
-        val corpusVecs = corpus
-          .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-          .join(candIds, Seq("id"), "left_semi")
-        // candidate vectors feed both sides of the pair join — persist so
-        // the corpus semi-join runs once, not per side
-        val vecs = corpusVecs.union(sigsB.select(col("id"), col("v")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          cands
-            .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-            .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-            .withColumn("cos", cosine(col("va"), col("vb"), dim))
-            .where(col("cos") >= minCos)
-            .select("id_a", "id_b", "cos")
-            .localCheckpoint(true)
-        } finally vecs.unpersist(blocking = false)
-      } finally cands.unpersist(blocking = false)
+        val pairs = incrementalCosineNearDupFrom(
+          corpus, index, sigsB, bandedB, idCol, vecCol, minCos, dim)
+        (pairs, bandedB.localCheckpoint(true))
+      } finally bandedB.unpersist(blocking = false)
     } finally sigsB.unpersist(blocking = false)
+  }
+
+  /** [[incrementalCosineNearDup]] core over PRECOMPUTED batch signatures
+    * and band rows (both persisted by the caller) — the vector analog of
+    * [[incrementalNearDupFrom]]. */
+  private[graft] def incrementalCosineNearDupFrom(
+      corpus: DataFrame, index: DataFrame, sigsB: DataFrame, bandedB: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int): DataFrame = {
+    val cands = incrementalCandidates(index, bandedB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = cands.select(col("id_a").as("id"))
+        .union(cands.select(col("id_b").as("id"))).distinct()
+      val corpusVecs = corpus
+        .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+        .join(candIds, Seq("id"), "left_semi")
+      // candidate vectors feed both sides of the pair join — persist so
+      // the corpus semi-join runs once, not per side
+      val vecs = corpusVecs.union(sigsB.select(col("id"), col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cands
+          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+          .withColumn("cos", cosine(col("va"), col("vb"), dim))
+          .where(col("cos") >= minCos)
+          .select("id_a", "id_b", "cos")
+          .localCheckpoint(true)
+      } finally vecs.unpersist(blocking = false)
+    } finally cands.unpersist(blocking = false)
   }
 
   /** [[semDedup]] with `nClusters` auto-sized from the corpus — the

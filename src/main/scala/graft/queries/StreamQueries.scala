@@ -192,6 +192,48 @@ object StreamQueries {
              |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Rolling EMBEDDING ingest: the st10 maintenance loop for the vector
+    // index — each micro-batch probes the persisted sign-band cosineIndex,
+    // emits its exact-cosine-verified pairs, and appends its own band
+    // rows. Seeded hyperplanes make banding batch-invariant, so the union
+    // of per-batch emissions must EQUAL the full-corpus one-shot LSH run
+    // (pinned in-query: n_extra/n_missing vs cosinePairsLsh must be 0 —
+    // DuckDB cannot replay the seeded planes); the SQL oracle contributes
+    // the exhaustive brute-cosine truth the LSH result is recall-checked
+    // against (the d13 oracle design, streamed).
+    Q("st11_stream_embed_ingest",
+      (s, d) => {
+        import graft.llm.Dedup
+        val stream = graft.streaming.IngestStream.runEmbedIngestOnce(
+            s, s"$d/embeddings.parquet", nChunks = 2)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_s"))
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val full = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", minCos = 0.45,
+            dim = 64, nPlanes = 16, nBands = 8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_f"))
+        val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", minCos = 0.45)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_b"))
+        stream.join(full, Seq("id_a", "id_b"), "full_outer")
+          .join(brute, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(col("in_b")).as("n_brute_pairs"),
+            sum(when(col("in_s").isNotNull && col("in_f").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_extra_vs_full"),
+            sum(when(col("in_f").isNotNull && col("in_s").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_missing_vs_full"),
+            sum(when(col("in_s").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("n_hit"))
+          .select(col("n_brute_pairs"), col("n_extra_vs_full"), col("n_missing_vs_full"),
+            (col("n_brute_pairs") === 0 ||
+              col("n_hit") / col("n_brute_pairs") >= 0.9).as("recall_ok"))
+      },
+      Some("""SELECT COUNT(*) AS n_brute_pairs,
+             |  CAST(0 AS BIGINT) AS n_extra_vs_full,
+             |  CAST(0 AS BIGINT) AS n_missing_vs_full, TRUE AS recall_ok
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |  CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
+
     Q("st8_stream_profile",
       (s, d) => {
         val sink = s"st8_sink_${System.nanoTime()}"

@@ -92,4 +92,63 @@ object IngestStream {
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
     out
   }
+
+  /** The rolling-ingestion loop for the EMBEDDING near-dup index — the
+    * vector twin of [[runNearDupIngestOnce]]: an embedding stream probes
+    * a persisted [[Dedup.cosineIndex]] batch by batch, emits the
+    * exact-cosine-verified pairs each batch touches, and rolls the index
+    * forward with the batch's sign-band rows (one signature pass per
+    * batch serves both, [[Dedup.incrementalCosineNearDupRoll]]).
+    *
+    * Seeded hyperplanes make the banding batch-invariant, so the union
+    * of per-batch emissions equals the full-corpus
+    * [[Dedup.cosinePairsLsh]] pair set regardless of chunking — the
+    * stream ≡ batch equality query st11 pins in-query (DuckDB cannot
+    * replay the seeded planes; the SQL oracle contributes the brute
+    * all-pairs truth). Same batchId-keyed idempotent state layout as the
+    * text loop. */
+  def runEmbedIngestOnce(spark: SparkSession, embPath: String, nChunks: Int = 3,
+      minCos: Double = 0.45, dim: Int = 64,
+      nPlanes: Int = 16, nBands: Int = 8): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_embed_ingest")
+    val srcDir = work.resolve("src").toString
+    val pairsDir = work.resolve("pairs").toString
+    val emb = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
+    emb.repartitionByRange(nChunks, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    @volatile var maxGen = 0L
+    val q = stream.writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index =
+          if (batchId == 0L)
+            spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+          else spark.read.parquet(work.resolve(s"index_$batchId").toString)
+        val corpus = emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        val (pairs, batchIdx) = Dedup.incrementalCosineNearDupRoll(
+          corpus, index, batch, "vec_id", "embedding", minCos, dim, nPlanes, nBands)
+        pairs.write.mode("overwrite")
+          .parquet(java.nio.file.Paths.get(pairsDir, s"batch=$batchId").toString)
+        index.unionByName(batchIdx)
+          .write.mode("overwrite").parquet(work.resolve(s"index_${batchId + 1}").toString)
+        maxGen = math.max(maxGen, batchId + 1)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(maxGen >= 2, s"embed ingest replay must run multiple micro-batches, ran $maxGen")
+    val out = spark.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
 }

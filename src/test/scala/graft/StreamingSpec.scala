@@ -223,6 +223,25 @@ class StreamingSpec extends SparkSpec {
         s"extra=${(chunked2.keySet diff full.keySet).take(3)}")
   }
 
+  test("embed ingest stream equals the full-corpus LSH run, independent of chunking") {
+    val path = "/root/testdata/sf0.001/embeddings.parquet"
+    def run(n: Int) = graft.streaming.IngestStream
+      .runEmbedIngestOnce(spark, path, nChunks = n, minCos = 0.45,
+        dim = 64, nPlanes = 16, nBands = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val chunked2 = run(2)
+    val chunked3 = run(3)
+    assert(chunked2 === chunked3, "pair set must not depend on micro-batch boundaries")
+    val full = graft.llm.Dedup.cosinePairsLsh(
+        spark.read.parquet(path), "vec_id", "embedding", minCos = 0.45,
+        dim = 64, nPlanes = 16, nBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(chunked2.nonEmpty && chunked2 === full,
+      s"missing=${(full.keySet diff chunked2.keySet).take(3)} " +
+        s"extra=${(chunked2.keySet diff full.keySet).take(3)}")
+  }
+
   test("intervalMs parses watermark strings; month intervals rejected") {
     assert(EventStream.intervalMs("1 hour") === 3600000L)
     assert(EventStream.intervalMs("30 minutes") === 1800000L)
