@@ -345,6 +345,53 @@ object RelationalQueries {
              |FROM (SELECT * FROM pass UNION ALL SELECT * FROM genpass UNION ALL SELECT * FROM supp)
              |ORDER BY level, c_nationkey, c_mktsegment""".stripMargin)),
 
+    // Snapshot reconciliation report (the audit step after a merge/upsert
+    // cycle, next to p9/u1 which APPLY changes): two snapshots compare by
+    // key in ONE full-outer join — rows only in A (removed), only in B
+    // (added), in both with differing payload (changed), identical
+    // (same). The "current" snapshot plants deterministic drift: keys
+    // %97==0 deleted, %31==0 price-bumped, %89==0 cloned as new ids.
+    // Column-wise comparison (no row checksum) keeps the diff
+    // engine-portable — double-to-string formatting differs across
+    // engines, direct value equality does not.
+    Q("dq5_reconcile",
+      (s, d) => {
+        val a = T(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val b = a.where(pmod(col("k"), lit(97)) =!= 0)
+          .withColumn("price",
+            when(pmod(col("k"), lit(31)) === 0, col("price") + 1.0).otherwise(col("price")))
+          .unionByName(
+            a.where(pmod(col("k"), lit(89)) === 0)
+              .select((col("k") + 10000000L).as("k"), col("price"), col("status")))
+        a.as("A").join(b.as("B"), col("A.k") === col("B.k"), "full_outer")
+          .agg(
+            countIf(col("A.k").isNull).as("n_added"),
+            countIf(col("B.k").isNull).as("n_removed"),
+            countIf(col("A.k").isNotNull && col("B.k").isNotNull &&
+              (col("A.price") =!= col("B.price") ||
+                col("A.status") =!= col("B.status"))).as("n_changed"),
+            countIf(col("A.k").isNotNull && col("B.k").isNotNull &&
+              col("A.price") === col("B.price") &&
+              col("A.status") === col("B.status")).as("n_same"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+             |  FROM orders),
+             |b AS (
+             |  SELECT k, CASE WHEN k % 31 = 0 THEN price + 1.0 ELSE price END AS price, status
+             |  FROM a WHERE k % 97 <> 0
+             |  UNION ALL
+             |  SELECT k + 10000000, price, status FROM a WHERE k % 89 = 0)
+             |SELECT
+             |  CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |  CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+             |    AND (a.price <> b.price OR a.status <> b.status) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+             |    AND a.price = b.price AND a.status = b.status THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+             |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin)),
+
     // Full outer join: customers with no orders survive on the right side
     // (observable as segments whose customer count exceeds their order
     // count); count/countDistinct skip the null side symmetrically in both

@@ -389,6 +389,28 @@ object WindowQueries {
               |  UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM wide)
               |ORDER BY 1, 2""".stripMargin)),
 
+    // Arbitrary GROUPING SETS lattice — the grouping shape rollup/cube
+    // can't express: ((rf, ls), (ls)) skips the (rf) and () levels
+    // entirely. One aggregate pass produces both levels (Spark expands
+    // the sets into a single Expand + aggregate, not one job per set).
+    Q("w13_grouping_sets",
+      (s, d) => T(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.sumLong(floor(col("l_quantity"))).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS n, CAST(SUM(FLOOR(l_quantity)) AS BIGINT) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+             |ORDER BY 1, 2""".stripMargin)),
+
     Q("w8_pivot",
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
