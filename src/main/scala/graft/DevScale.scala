@@ -26,7 +26,47 @@ object DevScale {
     if (want("skew")) skewSection(spark)
     if (want("hh")) hhSection(spark)
     if (want("atrest")) atrestSection(spark)
+    if (want("gates")) gatesSection(spark)
     spark.stop()
+  }
+
+  /** Round-11 data-quality/time-series gates at ×1/×10/×100: orders
+    * replicated with key offsets (dq2 PSI, dq3 MAD outliers), events
+    * replicated with user-id offsets so the USER population scales
+    * (t5 gap-fill calendar spine and t6 funnel state grow with users —
+    * the dimension that matters for their windows). The expected curve:
+    * near-linear in rows with shuffles keyed on bin/group/user — no
+    * single-reducer stage anywhere. Results → PLANS.md round-11. */
+  private def gatesSection(spark: SparkSession): Unit = {
+    val ordersBase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val eventsBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = s"/tmp/graft_scale_gates_x$mult"
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        (0 until mult).map { i =>
+          ordersBase.select(
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        (0 until mult).map { i =>
+          eventsBase.select(
+            (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      Seq("dq2_drift_psi", "dq3_outlier_mad", "t5_gapfill", "t6_funnel").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[gates] x$mult%-4d $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
   }
 
   /** n7–n9 at-rest ANN serving evidence (VERDICT r10 #7): probe
