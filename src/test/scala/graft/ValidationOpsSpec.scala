@@ -148,6 +148,46 @@ class ValidationOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("funnel_us") == 600L * 1000000L)
   }
 
+  // ---- degenerate inputs ---------------------------------------------------
+
+  test("driftPsi: empty current snapshot — all mass missing, still finite") {
+    // skewed reference: an empty current smooths to UNIFORM proportions,
+    // so a uniform reference would legitimately score 0 — the drift
+    // signal for an empty drop needs shape in the baseline
+    val ref = ((1 to 90).map(_ => 1.0) ++ (1 to 10).map(_ => 100.0)).toDF("v")
+    val cur = Seq.empty[Double].toDF("v")
+    val rows = Validation.driftPsi(ref, cur, "v", nBins = 4).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum == 0L)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi_total")
+      assert(!psi.isNaN && !psi.isInfinite && psi > 0.25,
+        s"skewed baseline vs empty drop must trip the gate, got $psi")
+    }
+  }
+
+  test("driftPsi: constant reference column (vmax == vmin) lands everything in bin 0") {
+    val ref = Seq.fill(20)(7.0).toDF("v")
+    val cur = Seq.fill(5)(7.0).toDF("v")
+    val rows = Validation.driftPsi(ref, cur, "v", nBins = 4).collect()
+    assert(rows.find(_.getAs[Int]("bin") == 0).get.getAs[Long]("n_ref") == 20L)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum == 5L)
+  }
+
+  test("robustOutliers ignores nulls in the value column") {
+    val df = ((1 to 20).map(i => ("g", java.lang.Double.valueOf(50.0 + i % 3)))
+      :+ (("g", null.asInstanceOf[java.lang.Double]))).toDF("g", "v")
+    val r = Validation.robustOutliers(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 20L) // count(v) skips the null
+  }
+
+  test("kAnonymize: k=1 releases every group untouched at level 0") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("x", "y")
+    val out = Validation.kAnonymize(df, Seq("x", "y"), k = 1L).collect()
+    assert(out.length == 3 && out.forall(_.getAs[Int]("level") == 0))
+    assert(out.map(_.getAs[Long]("n")).sum == 3L)
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {
