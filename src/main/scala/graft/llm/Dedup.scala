@@ -267,30 +267,39 @@ object Dedup {
   private[graft] def minHashCandidatesFromSigs(
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val banded = bandedSignatures(sigs, k, bands)
-    // bucket census joined back on the bucket key — same key as the
-    // self-join, so the exchange is reused, not an extra shuffle shape
+    // Shuffle hygiene (mirrors cosinePairsLsh and the incremental-probe
+    // fix): the band self-join moves SLIM (id, band, band_hash) rows —
+    // the k-long signature arrays attach to the (far smaller) surviving
+    // DEDUPED pair set afterwards, instead of riding every banded row
+    // ×bands through the exchange. The signature frame feeds the banding
+    // and both attach sides, and the censused band frame feeds three
+    // pair branches — both materialize ONCE (the 64-min signature
+    // aggregate is the expensive stage; re-executing it per branch was
+    // most of d3's bench time).
+    val sigsM = sigs.localCheckpoint(true)
+    val banded = bandedSignatures(sigsM, k, bands).select("id", "band", "band_hash")
     val sized = banded.join(
       banded.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("m"), min(col("id")).as("rep")),
       Seq("band", "band_hash"))
+      .localCheckpoint(true)
     val small = sized.where(col("m") <= maxBucket)
     val big = sized.where(col("m") > maxBucket)
     val allPairs = small.as("a")
       .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // star pairs: rep < id by construction (rep is the bucket min)
     val starPairs = big.where(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"), col("sig").as("sig_b"))
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
     val cands = allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
-    cands.withColumn("est_jaccard",
-      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-        .cast("double") / k)
+    cands
+      .join(sigsM.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsM.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
       .select("id_a", "id_b", "est_jaccard")
   }
 
