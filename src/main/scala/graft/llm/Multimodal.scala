@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
   * decode/feature/frame-sample operators a training-data pipeline runs
   * over them.
   *
-  * IMAGE decode is REAL: `decodeImage` runs the JDK's own PNG codec
-  * (`javax.imageio` — no external dependency) and extracts true
-  * width/height plus a normalized luminance histogram;
-  * [[extractFeatures]] uses it for decodable image payloads. AUDIO/VIDEO
-  * decode remains a clearly-marked STUB (`decodeStub`, a deterministic
-  * byte histogram — this container has no audio/video codecs); the
-  * mapPartitions plumbing (schema, batching, fixed-width feature output)
-  * is identical for both, so swapping in a real codec is a one-line
-  * change.
+  * All three modalities run a REAL JDK codec end-to-end — no external
+  * dependency: IMAGE via `javax.imageio` PNG/GIF (`decodeImage`,
+  * resize, perceptual hash), VIDEO via the animated-GIF container
+  * (`gifFrameStats` — frame count from the container's image
+  * descriptors, keyframe decode), AUDIO via the `javax.sound.sampled`
+  * WAV/RIFF parser (`decodeWavs` — header rate/frames + PCM stats).
+  * `decodeStub` (a deterministic byte histogram) remains only for the
+  * opaque stand-in payloads of the generic mm1/mm2 fixture, marking
+  * where a production pipeline would plug a heavier codec (JPEG2000,
+  * H.264, …) into the same mapPartitions plumbing.
   *
   * Scale stance: payloads never pass through a shuffle — all operators
   * are map-only (mapPartitions / projections); metadata-only queries
@@ -565,6 +566,94 @@ object Multimodal {
             Row(id, nFrames, slot, idx, w, h, sum / (w * h))
           }
         } finally { reader.dispose(); iis.close() }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM WAV — the ingestion stand-in for a real AUDIO
+    * payload: `n` constant 16-bit mono samples at `level`, written
+    * through the JDK's own WAV encoder (`javax.sound.sampled` — a
+    * genuine RIFF container, no external dependency). Constant samples
+    * give every decoded statistic a closed form (mean = level,
+    * RMS = |level|). */
+  def syntheticWav(sampleRate: Int, n: Int, level: Short): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) { // 16-bit little-endian PCM
+      pcm(2 * i) = (level & 0xFF).toByte
+      pcm(2 * i + 1) = ((level >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads: every document becomes an audio
+    * row of `doc_id%400+100` constant samples at level
+    * `(id·37) % 30000 − 15000`, 8 kHz mono 16-bit — closed forms of the
+    * id, so decoded statistics are SQL-expressible. Map-only
+    * executor-side encode like [[fromDocumentsPng]]/[[fromDocumentsGif]]. */
+  def fromDocumentsWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (Math.floorMod(id, 400) + 100).toInt
+        val level = (Math.floorMod(id * 37, 30000) - 15000).toShort
+        Row(id, "audio", syntheticWav(8000, n, level))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` WAV/RIFF parser):
+    * true header sample-rate + frame count, plus mean sample and RMS
+    * over the decoded 16-bit PCM. Map-only, payloads never shuffle;
+    * undecodable payloads THROW (like [[decodeImages]]). With this the
+    * three modalities all run a REAL JDK codec end-to-end: PNG/GIF
+    * images ([[decodeImages]]), GIF video containers
+    * ([[gifFrameStats]]), WAV audio here. */
+  def decodeWavs(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("mean_sample", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              sys.error(s"media_id=$id: payload is not a decodable audio container ($e)")
+          }
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val buf = in.readAllBytes()
+          val n = buf.length / 2
+          var (sum, sumSq) = (0.0, 0.0)
+          var i = 0
+          while (i < n) {
+            val s = ((buf(2 * i) & 0xFF) | (buf(2 * i + 1) << 8)).toShort.toDouble
+            sum += s; sumSq += s * s
+            i += 1
+          }
+          Row(id, fmt.getSampleRate.toInt, n.toLong, sum / n, math.sqrt(sumSq / n))
+        } finally in.close()
       }
     }(enc)
   }

@@ -1702,6 +1702,25 @@ object LlmQueries {
              |  ROUND(CAST((media_id * 17 + frame_idx * 29) % 256 AS DOUBLE), 6) AS mean_lum
              |FROM g ORDER BY media_id, slot""".stripMargin)),
 
+    // REAL audio decode: every document becomes a WAV of doc_id%400+100
+    // constant 16-bit samples (JDK javax.sound encoder), and the operator
+    // re-opens the RIFF container with the same JDK parser — true header
+    // sample-rate + frame count, mean/RMS over the decoded PCM. Constant
+    // samples give closed forms: mean = (id·37)%30000−15000, RMS = |mean|
+    // (sqrt of an exact square is exact in IEEE), so the codec loop is
+    // SQL-checkable like mm4 (images) and mm9 (video containers).
+    Q("mm10_wav_decode",
+      (s, d) => Multimodal.decodeWavs(
+        Multimodal.fromDocumentsWav(T(s, d, "documents")))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("mean_sample"), 6).as("mean_sample"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+             |  ROUND(CAST((doc_id * 37) % 30000 - 15000 AS DOUBLE), 6) AS mean_sample,
+             |  ROUND(CAST(ABS((doc_id * 37) % 30000 - 15000) AS DOUBLE), 6) AS rms
+             |FROM documents ORDER BY 1""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

@@ -94,6 +94,24 @@ class ValidationOpsSpec extends SparkSpec {
     assert(id3.sameElements(Array(0, 2, 4)))
   }
 
+  test("decodeWavs: real RIFF parse — header rate/frames, exact constant-PCM stats") {
+    val docs = Seq(2L, 7L, 811L).toDF("doc_id")
+    val rows = Multimodal.decodeWavs(Multimodal.fromDocumentsWav(docs))
+      .orderBy("media_id").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val level = (Math.floorMod(id * 37, 30000) - 15000).toDouble
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("n_samples") == id % 400 + 100)
+      assert(r.getAs[Double]("mean_sample") == level, s"id=$id mean")
+      assert(r.getAs[Double]("rms") == math.abs(level), s"id=$id rms (negative levels too)")
+    }
+    // id=811: level = 811*37 % 30000 - 15000 = 30007 % 30000 - 15000 = -14993 < 0
+    assert(rows.last.getAs[Double]("mean_sample") < 0.0,
+      "fixture must exercise a negative PCM level")
+  }
+
   test("syntheticGif round-trips through a second parse identically") {
     val bytes = Multimodal.syntheticGif(16, 12, Seq(0, 128, 255))
     val iis = javax.imageio.ImageIO.createImageInputStream(
