@@ -206,6 +206,24 @@ class ValidationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum == 3L)
   }
 
+  // ---- RunQuality CLI ------------------------------------------------------
+
+  test("RunQuality gate runs end-to-end in self-split mode and writes all sections") {
+    val out = java.nio.file.Files.createTempDirectory("graft_rq").toString
+    RunQuality.gateOnce(spark, "/root/testdata/sf0.001/orders.parquet", out)
+    Seq("constraints.csv", "drift_psi.csv", "outliers.csv", "quality_summary.json")
+      .foreach { f =>
+        assert(new java.io.File(s"$out/$f").exists(), s"missing $f")
+      }
+    val summary = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/quality_summary.json")))
+    assert(summary.contains("\"admit\""))
+    // self-split of one snapshot: the value distributions cannot drift
+    val drift = scala.io.Source.fromFile(s"$out/drift_psi.csv").getLines().toSeq
+    val price = drift.find(_.startsWith("o_totalprice")).get
+    assert(price.endsWith("true"), s"self-split totalprice must be stable: $price")
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {
