@@ -206,6 +206,40 @@ class ValidationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum == 3L)
   }
 
+  // ---- gate properties -----------------------------------------------------
+
+  test("driftPsi is exactly invariant under positive affine transforms of the value") {
+    // v -> a·v + b maps bins affinely; with integer data the scaled
+    // operands are exact, division is correctly rounded, and the true
+    // quotients are equal — so bin assignment and PSI match BITWISE
+    val rnd = new scala.util.Random(7)
+    val refV = Seq.fill(300)(rnd.nextInt(1000))
+    val curV = Seq.fill(200)(rnd.nextInt(1200) - 100)
+    def psi(a: Int, b: Int): Seq[(Int, Long, Long, Double)] =
+      Validation.driftPsi(
+          refV.map(v => (v * a + b).toDouble).toDF("v"),
+          curV.map(v => (v * a + b).toDouble).toDF("v"), "v", nBins = 10)
+        .select("bin", "n_ref", "n_cur", "psi_total").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val base = psi(1, 0)
+    Seq((3, 17), (7, -40), (1000, 123456)).foreach { case (a, b) =>
+      assert(psi(a, b) === base, s"PSI must be affine-invariant (a=$a b=$b)")
+    }
+  }
+
+  test("kAnonymize conserves rows and meets k for every random k") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(400)((rnd.nextInt(8), ('a' + rnd.nextInt(5)).toChar.toString))
+      .toDF("x", "y")
+    val total = df.count()
+    Seq(1L, 3L, 10L, 25L, 1000L).foreach { k =>
+      val out = Validation.kAnonymize(df, Seq("x", "y"), k).collect()
+      assert(out.map(_.getAs[Long]("n")).sum == total, s"k=$k must conserve rows")
+      out.filter(_.getAs[Int]("level") <= 1)
+        .foreach(r => assert(r.getAs[Long]("n") >= k, s"k=$k released group below k: $r"))
+    }
+  }
+
   // ---- RunQuality CLI ------------------------------------------------------
 
   test("RunQuality gate runs end-to-end in self-split mode and writes all sections") {
