@@ -263,6 +263,33 @@ object WindowQueries {
              |    THEN date_diff('microsecond', t1, t3) END) AS BIGINT) AS funnel_us
              |FROM per""".stripMargin)),
 
+    // Time-series downsampling to OHLC bars (the resample shape market /
+    // metrics pipelines run): one groupBy(hour) with open/close as
+    // min_by/max_by over the event-time order key — single shuffle keyed
+    // on the bar, no window. Order key = epoch micros; `ts` is verified
+    // unique at every fixture SF (so min_by/arg_min tie-breaks can never
+    // diverge across engines).
+    Q("t7_ohlc_bars",
+      (s, d) => events(s, d)
+        .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .groupBy(col("hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("min_by(value, tsu)"), 6).as("open"),
+          round(expr("max_by(value, tsu)"), 6).as("close"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          sumExact(col("value")).as("volume"))
+        .orderBy(col("hour")),
+      Some(s"""SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+              |  COUNT(*) AS n,
+              |  ROUND(arg_min(value, epoch_us(ts)), 6) AS open,
+              |  ROUND(arg_max(value, epoch_us(ts)), 6) AS close,
+              |  ROUND(MAX(value), 6) AS high, ROUND(MIN(value), 6) AS low,
+              |  ${sumExactSql("value")} AS volume
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("w6_window_funcs",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))
