@@ -58,12 +58,21 @@ object RunQuality {
         f.dataType.typeName == "long" || f.dataType.typeName == "integer" => f.name
     }.toSeq
     require(numericCols.nonEmpty, s"$in has no numeric columns to gate")
-    val keyCol = numericCols.head
+    // the split/uniqueness key must be an INTEGER-typed column: pmod on a
+    // fractional double would silently drop every non-integral row from
+    // both drift splits, and uniqueness over a measurement column would
+    // spuriously fail the gate. Doubles stay in numericCols for the
+    // drift/outlier profiling only.
+    val intKeyCols = cur.schema.fields.collect {
+      case f if f.dataType.typeName == "long" || f.dataType.typeName == "integer" => f.name
+    }.toSeq
+    val keyCol = intKeyCols.headOption
 
-    // 1. constraints: completeness of every column, uniqueness of the
-    // first key-like column — ONE aggregate pass over the drop
-    val checks = cur.schema.fieldNames.toSeq.map(c => Validation.completeness(c)) :+
-      Validation.uniqueness(keyCol)
+    // 1. constraints: completeness of every column, plus uniqueness of
+    // the first integer key-like column when one exists — ONE aggregate
+    // pass over the drop
+    val checks = cur.schema.fieldNames.toSeq.map(c => Validation.completeness(c)) ++
+      keyCol.map(Validation.uniqueness)
     val constraints = Validation.constraintReport(cur, checks)
       .select(col("check").as("check_name"), round(col("metric"), 6).as("metric"),
         col("passed"))
@@ -75,8 +84,11 @@ object RunQuality {
     val (refDf, curDf): (DataFrame, DataFrame) = refPath match {
       case Some(p) => (spark.read.parquet(p), cur)
       case None =>
-        (cur.where(pmod(col(keyCol), lit(2)) === 0),
-          cur.where(pmod(col(keyCol), lit(2)) === 1))
+        val k = keyCol.getOrElse(sys.error(
+          s"$in has no long/int key column; self-split drift needs one " +
+            "(pass a reference snapshot instead)"))
+        (cur.where(pmod(col(k), lit(2)) === 0),
+          cur.where(pmod(col(k), lit(2)) === 1))
     }
     val drift = numericCols.map { c =>
       val psi = Validation.driftPsi(refDf, curDf, c, nBins = 10)

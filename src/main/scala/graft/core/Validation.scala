@@ -85,12 +85,17 @@ object Validation {
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"driftPsi needs nBins >= 2, got $nBins")
     val v = col(valueCol)
+    // undefined values are excluded like nulls on BOTH sides (Spark orders
+    // NaN above every double, so an unfiltered NaN would clamp into the
+    // top bin and silently skew p_cur — and poison the reference vmax)
+    val defined = v.isNotNull && !isnan(v.cast("double"))
     // 1-row stats frame feeds three branches (spine + both binned sides):
     // materialize once so the reference is scanned once for min/max
-    val stats = ref.agg(min(v).cast("double").as("vmin"), max(v).cast("double").as("vmax"))
+    val stats = ref.where(defined)
+      .agg(min(v).cast("double").as("vmin"), max(v).cast("double").as("vmax"))
       .localCheckpoint()
     def binned(df: DataFrame, cnt: String): DataFrame =
-      df.where(v.isNotNull).crossJoin(broadcast(stats))
+      df.where(defined).crossJoin(broadcast(stats))
         .select(
           when(col("vmax") === col("vmin"), lit(0))
             .otherwise(least(greatest(
@@ -138,21 +143,25 @@ object Validation {
       k: Double = 3.0, minMad: Double = 1e-9): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
+    // Column-based median (no SQL-string interpolation — a column name
+    // needing backticks would break expr parsing) and collision-safe
+    // internal aliases: the joined frames add __med/__mad, never med/mad,
+    // so an input table that already has those columns stays unambiguous.
     // group-count-sized frames each feed two consumers: materialize once
     // so the base scans exactly 3× (the algorithm's floor — MAD needs med)
-    val meds = df.groupBy(g).agg(expr(s"median($valueCol)").cast("double").as("med"))
+    val meds = df.groupBy(g).agg(median(v).cast("double").as("__med"))
       .localCheckpoint()
     val withMed = df.join(broadcast(meds), Seq(groupCol))
     val mads = withMed.groupBy(g)
-      .agg(expr(s"median(abs(cast($valueCol as double) - med))").cast("double").as("mad"))
+      .agg(median(abs(v - col("__med"))).cast("double").as("__mad"))
       .localCheckpoint()
     withMed.join(broadcast(mads), Seq(groupCol))
       .groupBy(g)
       .agg(
         count(v).as("n"),
-        first(col("med")).as("med"),
-        first(col("mad")).as("mad"),
-        sum(when(abs(v - col("med")) > greatest(col("mad"), lit(minMad)) * (k * 1.4826), 1L)
+        first(col("__med")).as("med"),
+        first(col("__mad")).as("mad"),
+        sum(when(abs(v - col("__med")) > greatest(col("__mad"), lit(minMad)) * (k * 1.4826), 1L)
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_frac", col("n_outliers").cast("double") / col("n"))
       .orderBy(g)

@@ -273,34 +273,43 @@ object Dedup {
     // DEDUPED pair set afterwards, instead of riding every banded row
     // ×bands through the exchange. The signature frame feeds the banding
     // and both attach sides, and the censused band frame feeds three
-    // pair branches — both materialize ONCE (the 64-min signature
-    // aggregate is the expensive stage; re-executing it per branch was
-    // most of d3's bench time).
-    val sigsM = sigs.localCheckpoint(true)
+    // pair branches — both compute ONCE (the 64-min signature aggregate
+    // is the expensive stage; re-executing it per branch was most of
+    // d3's bench time). persist + finally-unpersist (NOT localCheckpoint,
+    // whose blocks only free on driver GC): the pair result is eagerly
+    // materialized below, so every consumer of the cached frames runs
+    // inside the try and the blocks release deterministically.
+    val sigsM = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedSignatures(sigsM, k, bands).select("id", "band", "band_hash")
     val sized = banded.join(
       banded.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("m"), min(col("id")).as("rep")),
       Seq("band", "band_hash"))
-      .localCheckpoint(true)
-    val small = sized.where(col("m") <= maxBucket)
-    val big = sized.where(col("m") > maxBucket)
-    val allPairs = small.as("a")
-      .join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    // star pairs: rep < id by construction (rep is the bucket min)
-    val starPairs = big.where(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-    val cands = allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
-    cands
-      .join(sigsM.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigsM.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k)
-      .select("id_a", "id_b", "est_jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val small = sized.where(col("m") <= maxBucket)
+      val big = sized.where(col("m") > maxBucket)
+      val allPairs = small.as("a")
+        .join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // star pairs: rep < id by construction (rep is the bucket min)
+      val starPairs = big.where(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))
+      val cands = allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
+      cands
+        .join(sigsM.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigsM.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / k)
+        .select("id_a", "id_b", "est_jaccard")
+        .localCheckpoint(true) // eager: pair-set-sized, valid after unpersist
+    } finally {
+      sized.unpersist(blocking = false)
+      sigsM.unpersist(blocking = false)
+    }
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates verified with exact
@@ -375,25 +384,54 @@ object Dedup {
     * which PlanSpec locks. */
   def incrementalCandidates(index: DataFrame, batchIndex: DataFrame,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val key = Seq("band", "band_hash")
-    // index rows in buckets the batch touches — exactly the probe join's
-    // read set (bucket-pruned at rest), so the census below adds no
-    // O(corpus) pass; per-batch work stays O(batch + matched rows)
-    val touched = index.join(batchIndex.select(key.map(col): _*).distinct(), key, "left_semi")
-    // the probe read-set feeds the census AND three pair branches below —
-    // materialize it (and the census-joined frame) ONCE so the at-rest
+    // the probe read-set feeds the census AND three pair branches —
+    // compute it (and the census-joined frame) ONCE so the at-rest
     // index semi-join doesn't re-execute per branch (measured 6× the
     // probe-join work without this; both frames are O(batch + matched
-    // rows) by construction, the incremental path's defining bound)
-    val members = touched
+    // rows) by construction, the incremental path's defining bound).
+    // persist + finally-unpersist, with the (small) pair result eagerly
+    // materialized inside the try — a rolling ingest loop calls this per
+    // batch, so GC-freed localCheckpoint blocks would accumulate.
+    val members = candidateMembers(index, batchIndex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = candidateCensus(members)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      candidatePairsFromCensus(sized, maxBucket)
+        .localCheckpoint(true) // eager: pair-set-sized, valid after unpersist
+    finally {
+      sized.unpersist(blocking = false)
+      members.unpersist(blocking = false)
+    }
+  }
+
+  /** The lazy plan of [[incrementalCandidates]] with no caching or eager
+    * materialization — what PlanSpec locks (the public entry returns an
+    * already-executed checkpoint whose plan is an opaque RDD scan). */
+  private[graft] def incrementalCandidatesLazy(index: DataFrame, batchIndex: DataFrame,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    candidatePairsFromCensus(candidateCensus(candidateMembers(index, batchIndex)), maxBucket)
+
+  /** Index rows in buckets the batch touches — exactly the probe join's
+    * read set (bucket-pruned at rest), so the census adds no O(corpus)
+    * pass; per-batch work stays O(batch + matched rows) — unioned with
+    * the batch's own rows, each side flagged. */
+  private def candidateMembers(index: DataFrame, batchIndex: DataFrame): DataFrame = {
+    val key = Seq("band", "band_hash")
+    index.join(batchIndex.select(key.map(col): _*).distinct(), key, "left_semi")
       .select(col("id"), col("band"), col("band_hash"), lit(false).as("is_batch"))
       .union(batchIndex
         .select(col("id"), col("band"), col("band_hash"), lit(true).as("is_batch")))
-      .localCheckpoint(true)
-    val sized = members.join(
+  }
+
+  /** Bucket census joined back onto the members: adds (m, rep) per row. */
+  private def candidateCensus(members: DataFrame): DataFrame =
+    members.join(
       members.groupBy("band", "band_hash")
-        .agg(count(lit(1)).as("m"), min(col("id")).as("rep")), key)
-      .localCheckpoint(true)
+        .agg(count(lit(1)).as("m"), min(col("id")).as("rep")),
+      Seq("band", "band_hash"))
+
+  private def candidatePairsFromCensus(sized: DataFrame, maxBucket: Long): DataFrame = {
     val small = sized.where(col("m") <= maxBucket)
     // pairs must touch the batch (old-old pairs were emitted when THEIR
     // batch arrived); id ordering dedups the two join directions
@@ -471,9 +509,10 @@ object Dedup {
       corpus: DataFrame, index: DataFrame, shB: DataFrame, bandedB: DataFrame,
       idCol: String, textCol: String, w: Int,
       minJaccard: Double): DataFrame = {
+    // already eagerly materialized by incrementalCandidates — its scans
+    // below read the checkpoint blocks, no extra persist layer needed
     val cands = incrementalCandidates(index, bandedB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // exact-Jaccard verify over ONLY the docs that appear in a
       // candidate pair: semi-join the corpus down before shingling
       val candIds = cands.select(col("id_a").as(idCol))
@@ -502,7 +541,7 @@ object Dedup {
           .select("id_a", "id_b", "jaccard")
           .localCheckpoint(true)
       } finally shAll.unpersist(blocking = false)
-    } finally cands.unpersist(blocking = false)
+    }
   }
 
   // ---- duplicate-cluster resolution ---------------------------------------
@@ -915,9 +954,9 @@ object Dedup {
   private[graft] def incrementalCosineNearDupFrom(
       corpus: DataFrame, index: DataFrame, sigsB: DataFrame, bandedB: DataFrame,
       idCol: String, vecCol: String, minCos: Double, dim: Int): DataFrame = {
+    // already eagerly materialized by incrementalCandidates (see there)
     val cands = incrementalCandidates(index, bandedB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       val candIds = cands.select(col("id_a").as("id"))
         .union(cands.select(col("id_b").as("id"))).distinct()
       val corpusVecs = corpus
@@ -936,7 +975,7 @@ object Dedup {
           .select("id_a", "id_b", "cos")
           .localCheckpoint(true)
       } finally vecs.unpersist(blocking = false)
-    } finally cands.unpersist(blocking = false)
+    }
   }
 
   /** [[semDedup]] with `nClusters` auto-sized from the corpus — the

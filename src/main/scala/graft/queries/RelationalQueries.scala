@@ -278,8 +278,10 @@ object RelationalQueries {
             round(col("psi_contrib"), 6).as("psi_contrib"),
             round(col("psi_total"), 6).as("psi_total"))
       },
-      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
-             |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+      Some("""WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+             |  AND o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+             |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1
+             |  AND o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
              |s AS (SELECT CAST(MIN(v) AS DOUBLE) AS vmin, CAST(MAX(v) AS DOUBLE) AS vmax FROM ref),
              |rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - vmin) / (vmax - vmin) * 10) AS INT), 0), 9) AS bin,
              |    COUNT(*) AS n_ref FROM ref, s WHERE v IS NOT NULL GROUP BY 1),
