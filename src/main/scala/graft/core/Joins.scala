@@ -174,6 +174,44 @@ object Joins {
     * work when bands are narrow relative to `bucketWidth`. Bands may
     * overlap (a fact row then matches several bands — true join
     * semantics, no dedup). */
+  /** Interval-overlap join: inner-join rows of `a` to rows of `b` where
+    * the CLOSED intervals [aLo, aHi] and [bLo, bHi] overlap
+    * (aLo ≤ bHi ∧ bLo ≤ aHi). The naive form is a non-equi
+    * BroadcastNestedLoopJoin — O(|A|·|B|); this rewrites it as an EQUI
+    * join on a bucket id: each interval explodes to every
+    * `bucketWidth`-sized bucket it touches, the join runs on the bucket
+    * key, and the residual overlap predicate runs after. An overlapping
+    * pair shares every bucket containing max(aLo, bLo), so pairs are
+    * emitted EXACTLY ONCE by keeping only the bucket holding that point
+    * — no dropDuplicates shuffle (the standard dedup-free interval-join
+    * trick; cf. the bucketed range joins in Spark's own
+    * RangeJoin literature and DuckDB's IEJoin).
+    *
+    * Column names must be disjoint across the two frames. Work scales
+    * as Σ(interval length / bucketWidth) per side: pick `bucketWidth`
+    * near the typical interval length so each interval explodes to O(1)
+    * buckets; a side with rare very-long intervals explodes linearly in
+    * their length (split such outliers or raise the width). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlapJoin: bucketWidth must be positive")
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        // closed hi: an interval ending on a bucket edge touches that bucket
+        greatest(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long")))))
+    expand(a, aLo, aHi).join(expand(b, bLo, bHi), Seq("__bucket"))
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      // emit-once: keep only the bucket containing max(aLo, bLo) — a
+      // point inside both intervals, so that bucket exists on both sides
+      .where(col("__bucket") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
+
   def rangeJoinBuckets(fact: DataFrame, bands: DataFrame, pointCol: String,
       loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "rangeJoinBuckets: bucketWidth must be positive")

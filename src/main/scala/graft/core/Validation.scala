@@ -167,6 +167,104 @@ object Validation {
       .orderBy(g)
   }
 
+  /** Rolling z-score anomaly flags over an event stream: each row is
+    * scored against the TRAILING `windowMicros` of its own key's history
+    * (exclusive of the current instant — peers at the same timestamp are
+    * excluded on both engines by the value-based RANGE frame, so ties
+    * are safe), flagged when |x − μ| > k·σ of that trailing window and at
+    * least `minPoints` prior points exist. The time-local twin of
+    * [[robustOutliers]]: a level shift that is "normal" globally is
+    * anomalous against the trailing hour, and vice versa.
+    *
+    * Determinism stance: the windowed COUNT/SUM/SUM-of-squares
+    * accumulate in DECIMAL (order-independent, exact in both engines);
+    * μ, σ², z then evaluate as ONE fixed double expression tree over
+    * those exact inputs, so both engines produce bit-identical doubles.
+    *
+    * One key-partitioned shuffle, ordered RANGE frames — the w9 plan
+    * shape. A key hot enough to overwhelm one task needs the same
+    * coarse-epoch split noted on [[Joins.asofJoin]].
+    *
+    * Input: (`keyCol`, `tsMicrosCol` long, `valueCol`). Output: input
+    * rows + (n_prior, z (null when unscored), is_anomaly). */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsMicrosCol: String,
+      valueCol: String, windowMicros: Long, minPoints: Int = 5,
+      k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val v = col(valueCol).cast(DoubleType)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsMicrosCol))
+      .rangeBetween(-windowMicros, -1L)
+    val dv = v.cast(DecimalType(18, 6))
+    val scored = df
+      .withColumn("__c", count(v).over(w))
+      .withColumn("__sv", sum(dv).over(w))
+      .withColumn("__svv", sum((dv * dv).cast(DecimalType(38, 12))).over(w))
+    val c = col("__c").cast(DoubleType)
+    val sv = col("__sv").cast(DoubleType)
+    val svv = col("__svv").cast(DoubleType)
+    val mean = sv / c
+    // sample variance, clamped at 0 (fp cancellation can dip epsilon-negative)
+    val variance = greatest((svv - sv * sv / c) / (c - 1d), lit(0d))
+    val z = (v - mean) / sqrt(variance + lit(1e-9))
+    scored
+      .withColumn("n_prior", col("__c"))
+      .withColumn("z", when(col("__c") >= minPoints, round(z, 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > k, lit(false)))
+      .drop("__c", "__sv", "__svv")
+  }
+
+  /** Column-profile snapshot: per column a one-row-per-column report of
+    * (n non-null, null_frac, n_distinct exact, mean — numeric columns
+    * only, decimal-exact). ONE aggregate pass over the frame (the
+    * multi-countDistinct Expand); the melted long shape joins cleanly
+    * against another snapshot's. */
+  def profileSnapshot(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(numCols.nonEmpty || strCols.nonEmpty, "profileSnapshot: no columns")
+    val cols = numCols ++ strCols
+    val aggs =
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))) ++
+      numCols.map(c =>
+        sum(col(c).cast(DecimalType(27, 6))).cast(DoubleType).as(s"__s_$c")) :+
+      count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map { c =>
+      val mean =
+        if (numCols.contains(c)) col(s"__s_$c") / col(s"__n_$c")
+        else lit(null).cast(DoubleType)
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n"),
+        ((col("__rows") - col(s"__n_$c")).cast(DoubleType) / col("__rows")).as("null_frac"),
+        col(s"__d_$c").as("n_distinct"),
+        mean.as("mean"))
+    }
+    one.select(explode(array(melted: _*)).as("r")).select("r.*")
+  }
+
+  /** Schema/profile drift between two snapshots of the same table (the
+    * structural sibling of [[driftPsi]]'s distributional gate): joins the
+    * per-column [[profileSnapshot]]s and reports side-by-side metrics
+    * plus deltas. Two single-pass aggregates + a column-count-sized
+    * join. */
+  def profileDiff(ref: DataFrame, cur: DataFrame, numCols: Seq[String],
+      strCols: Seq[String] = Seq.empty): DataFrame = {
+    val r = profileSnapshot(ref, numCols, strCols)
+      .select(col("column"), col("n").as("n_ref"), col("null_frac").as("null_frac_ref"),
+        col("n_distinct").as("distinct_ref"), col("mean").as("mean_ref"))
+    val c = profileSnapshot(cur, numCols, strCols)
+      .select(col("column"), col("n").as("n_cur"), col("null_frac").as("null_frac_cur"),
+        col("n_distinct").as("distinct_cur"), col("mean").as("mean_cur"))
+    r.join(c, Seq("column"), "full_outer")
+      .withColumn("null_frac_shift", col("null_frac_cur") - col("null_frac_ref"))
+      .withColumn("mean_shift", col("mean_cur") - col("mean_ref"))
+      .orderBy("column")
+  }
+
   /** k-anonymity enforcement over quasi-identifier columns (the privacy
     * gate next to PII scrubbing): every released group must contain ≥ k
     * rows. Groups already ≥ k release at `level` 0; smaller groups

@@ -325,6 +325,29 @@ object Curation {
     * ranks), and shard = pos % nShards gives perfectly balanced shards
     * (sizes differ by at most 1). Returns the input columns plus
     * (shuffle_key, pos [0-based], shard). */
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * w-shingles whose FIRST corpus occurrence (min id over the corpus)
+    * is this doc — the marginal-new-content score a curation pipeline
+    * ranks candidate docs by (a doc of entirely boilerplate shingles
+    * scores 0; the corpus's first doc scores 1 by construction). The
+    * attribution direction generalizes [[Dedup]]'s pairwise containment
+    * to corpus-wide: one shingle-keyed aggregate picks each shingle's
+    * owner, and the owner join REUSES the shingle partitioning (no extra
+    * exchange), then one id-keyed aggregate — two shuffles total, both
+    * map-side combined, no pairs materialized.
+    *
+    * Output: (id, n_shingles, n_novel, novelty). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, w)
+    val owner = sh.groupBy(col("shingle")).agg(min(col("id")).as("owner"))
+    sh.join(owner, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val keyed = df.withColumn("shuffle_key",

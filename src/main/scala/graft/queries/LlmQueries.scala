@@ -1779,6 +1779,32 @@ object LlmQueries {
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
       Some(Frequency.heavyHittersOracleSql(k = 40))),
 
+    // Per-doc n-gram NOVELTY (Curation.ngramNovelty): fraction of each
+    // doc's distinct 5-shingles first seen (min doc_id) in that doc —
+    // the marginal-new-content score corpus curation ranks by. One
+    // shingle-keyed aggregate whose owner join reuses the shingle
+    // partitioning, then one id-keyed aggregate; no pairs materialized.
+    // Oracle: the d2 shingle CTE + the same owner attribution.
+    Q("x37_ngram_novelty",
+      (s, d) => Curation.ngramNovelty(T(s, d, "documents"), "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |own AS (SELECT sh, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+             |SELECT s.doc_id, COUNT(*) AS n_shingles,
+             |  CAST(SUM(CASE WHEN own.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  ROUND(CAST(SUM(CASE WHEN own.owner = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS novelty
+             |FROM sh s JOIN own ON s.sh = own.sh
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Token-distribution divergence (data-mixing drift diagnostic):
     // English vs non-English documents, add-1-smoothed unigrams over the
     // union vocab → KL both directions + Jensen–Shannon. Everything

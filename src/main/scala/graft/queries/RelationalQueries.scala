@@ -494,6 +494,93 @@ object RelationalQueries {
               | AND o_totalprice < r.range * 10000.0 + 15000.0
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Interval-overlap join through the bucket rewrite
+    // (Joins.intervalOverlapJoin): REAL per-order ship spans (min→max
+    // ship day over the order's lineitems) against 40 overlapping audit
+    // windows — an equi join on the bucket id with a residual overlap
+    // predicate and the emit-once bucket guard, never a nested loop.
+    // Oracle: the plain theta join in DuckDB.
+    Q("rj2_interval_overlap",
+      (s, d) => {
+        val spans = T(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(
+            min(datediff(col("l_shipdate"), lit("1995-01-01"))).as("span_lo"),
+            max(datediff(col("l_shipdate"), lit("1995-01-01"))).as("span_hi"))
+        val windows = s.range(0, 40).select(
+          col("id").cast("int").as("window_id"),
+          (col("id") * 60L).as("win_lo"),
+          (col("id") * 60L + 45L).as("win_hi"))
+        Joins.intervalOverlapJoin(spans, windows,
+            "span_lo", "span_hi", "win_lo", "win_hi", bucketWidth = 64.0)
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("l_orderkey")).as("min_order"),
+            max(col("l_orderkey")).as("max_order"))
+          .orderBy(col("window_id"))
+      },
+      Some("""WITH spans AS (
+             |  SELECT l_orderkey,
+             |    MIN(CAST(l_shipdate AS DATE) - DATE '1995-01-01') AS span_lo,
+             |    MAX(CAST(l_shipdate AS DATE) - DATE '1995-01-01') AS span_hi
+             |  FROM lineitem GROUP BY 1),
+             |w AS (SELECT CAST(r.range AS INT) AS window_id, r.range * 60 AS win_lo,
+             |    r.range * 60 + 45 AS win_hi FROM range(0, 40) r)
+             |SELECT window_id, COUNT(*) AS n_orders, MIN(l_orderkey) AS min_order,
+             |  MAX(l_orderkey) AS max_order
+             |FROM spans JOIN w ON span_lo <= win_hi AND win_lo <= span_hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Column-profile drift between two snapshots (the STRUCTURAL gate
+    // next to dq2's distributional PSI): per-column n/null-frac/exact
+    // distinct/decimal-exact mean for an even-key reference vs an
+    // odd-key current split, joined side-by-side with deltas. ONE
+    // aggregate pass per side (multi-countDistinct Expand) + a
+    // column-count-sized join.
+    Q("dq6_profile_diff",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        Validation.profileDiff(
+            orders.where(pmod(col("o_orderkey"), lit(2)) === 0),
+            orders.where(pmod(col("o_orderkey"), lit(2)) === 1),
+            numCols = Seq("o_totalprice", "o_custkey", "o_orderkey"),
+            strCols = Seq("o_orderstatus", "o_orderpriority"))
+          .select(col("column"), col("n_ref"), col("n_cur"),
+            round(col("null_frac_ref"), 6).as("null_frac_ref"),
+            round(col("null_frac_cur"), 6).as("null_frac_cur"),
+            col("distinct_ref"), col("distinct_cur"),
+            round(col("mean_ref"), 6).as("mean_ref"),
+            round(col("mean_cur"), 6).as("mean_cur"),
+            round(col("mean_shift"), 6).as("mean_shift"))
+          .orderBy(col("column"))
+      },
+      Some {
+        val num = Seq("o_totalprice", "o_custkey", "o_orderkey")
+        val str = Seq("o_orderstatus", "o_orderpriority")
+        def side(from: String) =
+          (num.map(c =>
+            s"""SELECT '$c' AS col, COUNT($c) AS n, COUNT(*) AS nr,
+               |    COUNT(DISTINCT $c) AS nd,
+               |    CAST(SUM(CAST($c AS DECIMAL(27,6))) AS DOUBLE) / COUNT($c) AS mean
+               |  FROM $from""".stripMargin) ++
+           str.map(c =>
+            s"""SELECT '$c', COUNT($c), COUNT(*), COUNT(DISTINCT $c),
+               |    CAST(NULL AS DOUBLE) FROM $from""".stripMargin))
+            .mkString("\n  UNION ALL ")
+        s"""WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+           |cur AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+           |rs AS (${side("ref")}),
+           |cs AS (${side("cur")})
+           |SELECT rs.col AS "column", rs.n AS n_ref, cs.n AS n_cur,
+           |  ROUND(CAST(rs.nr - rs.n AS DOUBLE) / rs.nr, 6) AS null_frac_ref,
+           |  ROUND(CAST(cs.nr - cs.n AS DOUBLE) / cs.nr, 6) AS null_frac_cur,
+           |  rs.nd AS distinct_ref, cs.nd AS distinct_cur,
+           |  ROUND(rs.mean, 6) AS mean_ref, ROUND(cs.mean, 6) AS mean_cur,
+           |  ROUND(cs.mean - rs.mean, 6) AS mean_shift
+           |FROM rs JOIN cs ON rs.col = cs.col
+           |ORDER BY rs.col""".stripMargin
+      }),
+
     // Hive-partitioned sink round-trip: write orders partitioned by
     // status, re-read with a partition filter (pruning skips the other
     // status directories — locked by SourcesSpec), aggregate. Oracle is

@@ -290,6 +290,49 @@ object WindowQueries {
               |  ${sumExactSql("value")} AS volume
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
+    // event scored against its user's TRAILING hour (value-based RANGE
+    // frame, exclusive of the current instant — tie-safe), flagged when
+    // |x − μ| > 3σ with ≥ 5 prior points. The windowed moments
+    // accumulate in DECIMAL (exact, order-independent); μ/σ/z evaluate
+    // as one fixed double expression over those exact inputs, identical
+    // on both engines. One user-keyed shuffle — the w9 plan shape.
+    Q("t8_rolling_anomaly",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+        graft.core.Validation.rollingAnomalies(ev, "user_id", "tsu", "value",
+            windowMicros = 3600L * 1000000L, minPoints = 5, k = 3.0)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countIf(col("n_prior") >= 5).as("n_scored"),
+            countIf(col("is_anomaly")).as("n_anomalies"),
+            round(max(abs(col("z"))), 6).as("max_abs_z"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+              |r AS (SELECT user_id, value,
+              |    COUNT(value) OVER w AS c,
+              |    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sv,
+              |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+              |      AS DECIMAL(38,12))) OVER w AS svv
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+              |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)),
+              |z AS (SELECT user_id, c,
+              |    CASE WHEN c >= 5 THEN ROUND(
+              |      (value - CAST(sv AS DOUBLE) / CAST(c AS DOUBLE)) /
+              |      SQRT(GREATEST((CAST(svv AS DOUBLE) -
+              |          CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(c AS DOUBLE))
+              |        / (CAST(c AS DOUBLE) - 1), 0) + 1e-9), 6)
+              |    END AS z FROM r)
+              |SELECT user_id, COUNT(*) AS n_events,
+              |  ${countIfSql("c >= 5")} AS n_scored,
+              |  ${countIfSql("ABS(z) > 3.0")} AS n_anomalies,
+              |  ROUND(MAX(ABS(z)), 6) AS max_abs_z
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("w6_window_funcs",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))

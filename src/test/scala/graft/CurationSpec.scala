@@ -390,4 +390,24 @@ class CurationSpec extends SparkSpec {
     assert(inp.filter(_.startsWith("<extra_id_")).toSeq ===
       (0 until runs).map(k => s"<extra_id_$k>"))
   }
+
+  test("ngramNovelty: first doc owns its shingles, a copy scores zero, overlap is fractional") {
+    import spark.implicits._
+    // w=3 shingles; doc 1 first, doc 2 an exact copy (novelty 0), doc 3
+    // shares a prefix with doc 1 but adds new tail content
+    val docs = Seq(
+      (1L, "a b c d e"),          // shingles: abc bcd cde (3, all novel)
+      (2L, "a b c d e"),          // same 3 shingles, owned by doc 1 -> 0
+      (3L, "a b c x y z"),        // abc (owned by 1) + bcx cxy xyz (novel) -> 3/4
+      (4L, "p q"))                // short doc: one whole-text shingle, novel
+      .toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((4L, 3L, 0.75)))
+    assert(out(4L) === ((1L, 1L, 1.0)))
+  }
 }

@@ -126,6 +126,29 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join must not BNLJ:\n$plan")
   }
 
+  test("intervalOverlapJoin equals the naive theta join, emits each pair once, no BNLJ") {
+    import spark.implicits._
+    // intervals spanning multiple buckets, zero-length, bucket-edge-aligned,
+    // negative coordinates, and non-overlapping extremes
+    val a = Seq((1L, 0.0, 10.0), (2L, 5.0, 5.0), (3L, 25.0, 95.0), (4L, 30.0, 30.0),
+      (5L, -20.0, -3.0), (6L, 1000.0, 1010.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 3.0, 7.0), (11L, 0.0, 120.0), (12L, 90.0, 200.0), (13L, -5.0, 2.0),
+      (14L, 500.0, 600.0)).toDF("bid", "b_lo", "b_hi")
+    val naive = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bucketed = Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 30.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // seq-level equality (not set): a pair sharing several buckets must be
+    // emitted exactly once — duplicates would survive a set comparison
+    assert(bucketed.sorted.toSeq === naive.sorted.toSeq && naive.nonEmpty)
+    assert(bucketed.distinct.length === bucketed.length)
+    val plan = Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 30.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"interval join must not BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("salted join returns exactly the plain-join rows on skewed data") {
     import spark.implicits._
     // 90% of big rows share one hot key

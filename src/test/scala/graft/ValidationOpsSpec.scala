@@ -282,4 +282,60 @@ class ValidationOpsSpec extends SparkSpec {
     assert(best.getAs[Long]("kept_id") == expected,
       s"kept ${best.getAs[Long]("kept_id")} but qualities are $qs")
   }
+
+  // ---- t8 rolling anomalies ------------------------------------------------
+
+  test("rollingAnomalies flags a planted spike against the trailing window only") {
+    // user 1: ten stable points one minute apart, then a spike; user 2:
+    // too few prior points, never scored
+    val stable = (0 until 10).map(i => (1L, i * 60_000_000L, 10.0 + (i % 2) * 0.2))
+    val spike = Seq((1L, 10 * 60_000_000L, 500.0))
+    val sparse = Seq((2L, 0L, 1.0), (2L, 60_000_000L, 999.0))
+    val df = (stable ++ spike ++ sparse).toDF("user_id", "tsu", "value")
+    val out = Validation.rollingAnomalies(df, "user_id", "tsu", "value",
+      windowMicros = 3600L * 1000000L, minPoints = 5, k = 3.0)
+    val anomalies = out.where(col("is_anomaly")).collect()
+    assert(anomalies.length == 1, out.collect().mkString("\n"))
+    assert(anomalies.head.getAs[Long]("tsu") == 10 * 60_000_000L)
+    // sparse user: n_prior below minPoints -> z null, never flagged
+    assert(out.where(col("user_id") === 2L && col("z").isNotNull).count() == 0)
+    // the early stable points (n_prior < 5) are unscored, later ones scored
+    assert(out.where(col("user_id") === 1L && col("z").isNotNull).count() == 6)
+  }
+
+  test("rollingAnomalies: the window is trailing — a level shift re-normalizes") {
+    // step function: fifty points at 10, fifty at 100 — only the first
+    // point after the step is anomalous; once the trailing hour fills
+    // with the new level the z-scores settle again
+    val rows = (0 until 50).map(i => (1L, i * 60_000_000L, 10.0)) ++
+      (50 until 100).map(i => (1L, i * 60_000_000L, 100.0))
+    val out = Validation.rollingAnomalies(rows.toDF("user_id", "tsu", "value"),
+      "user_id", "tsu", "value", windowMicros = 1800L * 1000000L, minPoints = 5, k = 3.0)
+    val flaggedTs = out.where(col("is_anomaly")).collect()
+      .map(_.getAs[Long]("tsu") / 60_000_000L).sorted
+    assert(flaggedTs.headOption.contains(50L), s"step point must flag: ${flaggedTs.toSeq}")
+    assert(!flaggedTs.exists(_ >= 85L),
+      s"after the trailing window refills, the new level is normal: ${flaggedTs.toSeq}")
+  }
+
+  // ---- dq6 profile diff ----------------------------------------------------
+
+  test("profileDiff reports n, null fraction, exact distinct, and mean shift per column") {
+    val ref = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"), (3L, Some(30.0), "a"),
+      (4L, None, "c")).toDF("k", "v", "s")
+    val cur = Seq((5L, Some(40.0), "a"), (6L, None, "a"), (7L, None, "a"))
+      .toDF("k", "v", "s")
+    val out = Validation.profileDiff(ref, cur, numCols = Seq("v"), strCols = Seq("s"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("n_ref") == 3 && v.getAs[Long]("n_cur") == 1)
+    assert(math.abs(v.getAs[Double]("null_frac_ref") - 0.25) < 1e-12)
+    assert(math.abs(v.getAs[Double]("null_frac_cur") - 2.0 / 3) < 1e-12)
+    assert(v.getAs[Long]("distinct_ref") == 3 && v.getAs[Long]("distinct_cur") == 1)
+    assert(math.abs(v.getAs[Double]("mean_ref") - 20.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("mean_shift") - 20.0) < 1e-12)
+    val s = out("s")
+    assert(s.getAs[Long]("distinct_ref") == 3 && s.getAs[Long]("distinct_cur") == 1)
+    assert(s.isNullAt(s.fieldIndex("mean_ref")) && s.isNullAt(s.fieldIndex("mean_shift")))
+  }
 }
