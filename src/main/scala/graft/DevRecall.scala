@@ -57,6 +57,21 @@ object DevRecall {
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[d5b] $sf n_brute=${bruteCos.size} n_lsh=${lshCos.size} " +
         s"missed=${bruteCos.diff(lshCos).size} eq=${bruteCos == lshCos}")
+
+      // n11: norm-augmented LSH MIPS recall vs brute inner-product truth
+      // on the weighted (norm-carrying) view — sets the floor the n11
+      // recall_ok boolean pins
+      val memb = emb
+        .withColumn("__w", (lit(1L) + pmod(col("vec_id"), lit(5L))).cast("double"))
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * col("__w"))
+            .as("embedding"))
+      val mq = memb.where(col("vec_id") < 10)
+      val mipsTruth = pairsOf(Similarity.mipsBruteTopK(memb, mq, "vec_id", "embedding", k = 3))
+      val mipsLsh = pairsOf(Similarity.mipsTopKLsh(memb, mq, "vec_id", "embedding",
+        k = 3, dim = 64))
+      println(f"[n11] $sf n_truth=${mipsTruth.size} " +
+        f"recall=${(mipsLsh intersect mipsTruth).size.toDouble / mipsTruth.size}%.3f")
     }
     spark.stop()
   }

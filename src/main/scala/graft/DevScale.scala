@@ -27,7 +27,63 @@ object DevScale {
     if (want("hh")) hhSection(spark)
     if (want("atrest")) atrestSection(spark)
     if (want("gates")) gatesSection(spark)
+    if (want("gates12")) gates12Section(spark)
     spark.stop()
+  }
+
+  /** Round-12 operators at ×1/×10/×100: lineitem replicated with order-key
+    * offsets (rj2 interval-overlap — span count scales linearly), orders
+    * with key offsets (dq6 profile diff — a fixed-width aggregate over
+    * growing rows), events with user offsets (t8 rolling anomalies — per-
+    * user windows, user population scales), documents with id offsets +
+    * replica suffix (x37 novelty — shingle vocabulary AND doc count
+    * scale). Expected: near-linear, shuffles keyed on bucket/column/user/
+    * shingle, no single-reducer stage. Results → PLANS.md round-12. */
+  private def gates12Section(spark: SparkSession): Unit = {
+    val lineBase = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val ordersBase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val eventsBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val docsBase = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = s"/tmp/graft_scale_g12_x$mult"
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        (0 until mult).map { i =>
+          lineBase.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            col("l_shipdate"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        (0 until mult).map { i =>
+          ordersBase.select(
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        (0 until mult).map { i =>
+          eventsBase.select(
+            (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        (0 until mult).map { i =>
+          docsBase.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" v$i")).as("text"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      Seq("rj2_interval_overlap", "dq6_profile_diff", "t8_rolling_anomaly",
+          "x37_ngram_novelty").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12] x$mult%-4d $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
   }
 
   /** Round-11 data-quality/time-series gates at ×1/×10/×100: orders

@@ -174,27 +174,60 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val filtered =
-        if (maxDf == Long.MaxValue) sh
-        else {
-          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .where(col("df") > maxDf).select("shingle")
-          sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        }
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      val inter = filtered.as("a")
-        .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      pairIntersections(sh, maxDf)
         .withColumn("jaccard",
           col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
         .where(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"), col("jaccard"))
         .localCheckpoint(true)
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** Asymmetric CONTAINMENT pairs — the quote/subset detector Jaccard
+    * misses: containment(A→B) = |A∩B| / |A| is high when a small doc's
+    * shingles sit inside a big doc (a quoted paragraph, a boilerplate-
+    * wrapped copy) even though Jaccard ≈ |A|/|B| is tiny. Same inverted
+    * shingle index and skew guard as [[jaccardPairs]]; a pair is kept
+    * when EITHER direction reaches `minContainment` (both directions are
+    * reported — max(c_a, c_b) ≥ τ ⊇ the Jaccard-τ set, since
+    * jaccard ≤ both containments). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minContainment: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pairIntersections(sh, maxDf)
+        .withColumn("containment_a", col("n_inter").cast("double") / col("n_a"))
+        .withColumn("containment_b", col("n_inter").cast("double") / col("n_b"))
+        .where(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+          col("containment_a"), col("containment_b"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Inverted-index pair intersection kernel shared by [[jaccardPairs]] /
+    * [[containmentPairs]]: candidate pairs share ≥1 (non-hot) shingle,
+    * intersections counted per pair, set sizes joined back. `sh` must be
+    * persisted by the caller (it feeds the sizes aggregate and both join
+    * sides). Returns (id_a, id_b, n_a, n_b, n_inter) with id_a < id_b. */
+  private def pairIntersections(sh: DataFrame, maxDf: Long): DataFrame = {
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
   }
 
   // ---- MinHash + LSH ------------------------------------------------------

@@ -98,6 +98,58 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rk")
   }
 
+  /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS — the retrieval
+    * objective when embeddings carry meaningful norms, e.g. popularity-
+    * weighted item vectors where cosine's normalization erases the
+    * signal). Same broadcast + per-partition-heap kernel and two-level
+    * reduction as [[bruteForceTopK]], scoring q·x instead of cosine. */
+  def mipsBruteTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    val scored = bruteScoredLocalTopK(corpus, queries, idCol, vecCol, k, maxQueries,
+        dotScore = true)
+      .withColumnRenamed("cos", "dot")
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("corpus_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "dot", "rk")
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction (Neyshabur &
+    * Srebro 2015): with M = max corpus norm, append sqrt(M² − ‖x‖²) to
+    * every corpus vector and 0 to every query — all augmented corpus
+    * vectors then share norm M, so COSINE order under the augmentation
+    * equals INNER-PRODUCT order on the originals. The scale path runs
+    * the existing sign-band LSH over the augmented vectors (one tiny
+    * max-norm aggregate, a map-only augmentation, then the [[lshTopK]]
+    * bucket probe), and re-scores the surviving candidates with the
+    * exact dot product — approximate recall, exact reported scores. */
+  def mipsTopKLsh(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nPlanes: Int = 16, nBands: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.dot_product
+    val v = col(vecCol).cast("array<double>")
+    val sqNorm = dot_product(v, v)
+    val m2 = corpus.agg(max(sqNorm).cast("double")).head().getDouble(0)
+    // augmented tail clamped at 0: the max row itself gets exactly 0.0
+    val corpusAug = corpus.select(col(idCol),
+      concat(v, array(sqrt(greatest(lit(m2) - sqNorm, lit(0d))))).as(vecCol))
+    val queriesAug = queries.select(col(idCol), concat(v, array(lit(0d))).as(vecCol))
+    val hits = lshTopK(corpusAug, queriesAug, idCol, vecCol, k, dim + 1,
+      nPlanes, nBands, seed)
+    // exact dot re-score on the (≤ |Q|×k) surviving pairs
+    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), v.as("__cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), v.as("__qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("corpus_id"))
+    hits.select("query_id", "corpus_id")
+      .join(cv, Seq("corpus_id")).join(qv, Seq("query_id"))
+      .withColumn("dot", dot_product(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .select("query_id", "corpus_id", "dot", "rk")
+  }
+
   /** The pre-window stage of [[bruteForceTopK]], exposed so DevScale can
     * count the rows that actually enter the per-query window. Query set
     * broadcast as primitive arrays; the corpus streams through a
@@ -110,7 +162,7 @@ object Similarity {
   private[graft] def bruteScoredLocalTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+      maxQueries: Int = DefaultMaxQueries, dotScore: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -119,6 +171,7 @@ object Similarity {
           .as[(Long, Array[Double])], maxQueries, k)
       .map { case (id, v) => (id, v, math.sqrt(Dedup.dotArr(v, v))) }
     val bc = spark.sparkContext.broadcast(qArr)
+    val useDot = dotScore // stable local: the closure must not capture `this`
     corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -126,11 +179,14 @@ object Similarity {
         val qs = bc.value
         val heaps = Array.fill(qs.length)(new TopKHeap(k))
         it.foreach { case (cid, cv) =>
-          val nc = math.sqrt(Dedup.dotArr(cv, cv))
+          val nc = if (useDot) 1.0 else math.sqrt(Dedup.dotArr(cv, cv))
           var i = 0
           while (i < qs.length) {
             val (qid, qv, nq) = qs(i)
-            if (qid != cid) heaps(i).offer(cid, Dedup.dotArr(qv, cv) / (nq * nc))
+            if (qid != cid) {
+              val d = Dedup.dotArr(qv, cv)
+              heaps(i).offer(cid, if (useDot) d else d / (nq * nc))
+            }
             i += 1
           }
         }

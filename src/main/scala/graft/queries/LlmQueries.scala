@@ -51,6 +51,56 @@ object LlmQueries {
           .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
   }
 
+  /** The MIPS fixture view: the parquet embeddings are unit-normalized
+    * (cosine fixtures), which would make inner-product order ≡ cosine
+    * order — so n10/n11 scale each vector by a deterministic
+    * "popularity" weight 1 + (vec_id mod 5), the norm-carrying shape
+    * MIPS exists for. Exact in both engines (per-element multiply, same
+    * sequential dot). */
+  private def weightedEmb(s: SparkSession, d: String): DataFrame =
+    T(s, d, "embeddings")
+      .withColumn("__w", (lit(1L) + pmod(col("vec_id"), lit(5L))).cast("double"))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * col("__w"))
+          .as("embedding"))
+
+  /** MIPS twin of [[annRecallSummary]]: truth = brute inner-product
+    * top-k ([[Similarity.mipsBruteTopK]]). */
+  private def mipsRecallSummary(
+      s: SparkSession, d: String,
+      ann: (DataFrame, DataFrame) => DataFrame, minRecall: Double): DataFrame = {
+    val emb = weightedEmb(s, d)
+    val qs = emb.where(col("vec_id") < 10)
+    val truth = Similarity.mipsBruteTopK(emb, qs, "vec_id", "embedding", k = 3)
+    val result = ann(emb, qs)
+    val hits = truth.select(col("query_id"), col("corpus_id"))
+      .join(result.select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1)),
+        Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+    qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"),
+        when(col("n_truth") === 0, lit(true))
+          .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
+  }
+
+  private val mipsRecallOracleSql: String =
+    """WITH w AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x * CAST(1 + vec_id % 5 AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM w WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS corpus_id, v AS cv FROM w),
+      |scored AS (
+      |  SELECT query_id, corpus_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY list_dot_product(qv, cv) DESC, corpus_id) AS rk
+      |  FROM q JOIN c ON query_id <> corpus_id)
+      |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+      |  COUNT(*) AS n_truth, TRUE AS recall_ok
+      |FROM scored WHERE rk <= 3""".stripMargin
+
   /** Oracle twin of [[annRecallSummary]]: brute-force truth counts in
     * SQL, recall floor asserted. */
   private val annRecallOracleSql: String =
@@ -1778,6 +1828,79 @@ object LlmQueries {
     Q("x28_heavy_hitters",
       (s, d) => Frequency.heavyHitters(T(s, d, "documents"), "text", k = 40),
       Some(Frequency.heavyHittersOracleSql(k = 40))),
+
+    // Asymmetric shingle CONTAINMENT (Dedup.containmentPairs): the
+    // quote/subset detector — containment(A→B) = |A∩B|/|A| flags a small
+    // doc living inside a big one even when Jaccard is tiny. Same
+    // inverted-index shape as d2; both directions reported; pair kept
+    // when either direction reaches the threshold.
+    Q("x38_containment",
+      (s, d) => Dedup.containmentPairs(T(s, d, "documents"), "doc_id", "text",
+          w = 5, minContainment = 0.3)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+             |  ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+             |  ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.n_sh,
+             |  CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force MAXIMUM-INNER-PRODUCT top-k (n10): the retrieval
+    // objective when norms carry signal (popularity-weighted vectors) —
+    // cosine's normalization erases it. Same broadcast/heap kernel and
+    // two-level reduction as n1, scoring q·x; full per-pair SQL oracle.
+    Q("n10_mips_brute",
+      (s, d) => {
+        val emb = weightedEmb(s, d)
+        Similarity.mipsBruteTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("corpus_id"), round(col("dot"), 6).as("dot"), col("rk"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some("""WITH w AS (SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> x * CAST(1 + vec_id % 5 AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM w WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, v AS cv FROM w),
+             |scored AS (
+             |  SELECT query_id, corpus_id, list_dot_product(qv, cv) AS dot,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_dot_product(qv, cv) DESC, corpus_id) AS INTEGER) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id)
+             |SELECT query_id, corpus_id, ROUND(dot, 6) AS dot, rk FROM scored
+             |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)),
+
+    // Approximate MIPS through the Neyshabur–Srebro norm augmentation
+    // (n11): append sqrt(M²−‖x‖²) to corpus vectors / 0 to queries, run
+    // the cosine sign-band LSH on the augmented space, re-score
+    // survivors with the exact dot. Emits the recall-vs-brute-MIPS
+    // summary (truth counts SQL-exact via list_dot_product); per-pair
+    // behavior specced in SimilaritySpec.
+    Q("n11_mips_lsh",
+      (s, d) => mipsRecallSummary(s, d,
+        (emb, qs) => Similarity.mipsTopKLsh(emb, qs, "vec_id", "embedding",
+          k = 3, dim = 64),
+        // measured 0.93 / 1.00 / 0.90 at sf0.001/0.01/0.1 (DevRecall)
+        minRecall = 0.8),
+      Some(mipsRecallOracleSql)),
 
     // Per-doc n-gram NOVELTY (Curation.ngramNovelty): fraction of each
     // doc's distinct 5-shingles first seen (min doc_id) in that doc —

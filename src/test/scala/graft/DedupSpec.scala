@@ -387,4 +387,27 @@ class DedupSpec extends SparkSpec {
     // old-old pairs are NOT re-emitted
     assert(inc.keySet.forall { case (a, b) => a % 2 == 0 || b % 2 == 0 })
   }
+
+  test("containmentPairs flags a quoted subset that Jaccard misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quote),                      // the small doc: 3 5-shingles
+      (2L, filler + " " + quote),       // big doc embedding the full quote
+      (3L, "totally different content with no shared phrases at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", w = 5,
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))).toMap
+    // every shingle of doc 1 occurs in doc 2 -> containment_a = 1.0,
+    // while containment_b (and Jaccard) stay far below the threshold
+    assert(pairs.keySet === Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L))._1 === 1.0)
+    assert(pairs((1L, 2L))._2 < 0.1)
+    // the Jaccard operator at the same threshold finds nothing
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", w = 5, minJaccard = 0.9)
+      .count() === 0L)
+  }
 }
