@@ -253,5 +253,48 @@ object StreamQueries {
              |a AS (SELECT user_id, COUNT(*) AS n_events, SUM(vmic) AS sum_micros
              |  FROM e GROUP BY user_id)
              |SELECT a.user_id, a.n_events, CAST(a.sum_micros AS BIGINT) AS sum_micros, t.recent5
-             |FROM a JOIN t USING (user_id) ORDER BY a.user_id""".stripMargin)))
+             |FROM a JOIN t USING (user_id) ORDER BY a.user_id""".stripMargin)),
+
+    // Streaming rolling-anomaly gate (EventStream.RollingAnomalyProcessor,
+    // transformWithState + RocksDB): per-user trailing-hour z-scores
+    // maintained in a pruned ListState ring. The processor replays the
+    // batch plan's decimal casts and double operation order, so the
+    // streamed z equals t8's batch z BITWISE — st12 shares t8's SQL
+    // oracle verbatim (stream ≡ batch ≡ SQL). Cross-batch state replay
+    // is specced (2-vs-4 chunk invariance, StreamingSpec).
+    Q("st12_stream_anomaly",
+      (s, d) => {
+        val sink = s"st12_sink_${System.nanoTime()}"
+        EventStream.runAnomalyOnce(s, s"$d/events.parquet", sink)
+          .groupBy(col("userId"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countIf(col("nPrior") >= 5).as("n_scored"),
+            countIf(col("isAnomaly")).as("n_anomalies"),
+            round(max(abs(col("z"))), 6).as("max_abs_z"))
+          .select(col("userId").as("user_id"), col("n_events"), col("n_scored"),
+            col("n_anomalies"), col("max_abs_z"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+              |r AS (SELECT user_id, value,
+              |    COUNT(value) OVER w AS c,
+              |    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sv,
+              |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+              |      AS DECIMAL(38,12))) OVER w AS svv
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+              |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+              |z AS (SELECT user_id, c,
+              |    CASE WHEN c >= 5 THEN ROUND(
+              |      (value - CAST(sv AS DOUBLE) / CAST(c AS DOUBLE)) /
+              |      SQRT(GREATEST((CAST(svv AS DOUBLE) -
+              |          CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(c AS DOUBLE))
+              |        / (CAST(c AS DOUBLE) - 1), 0) + 1e-9), 6)
+              |    END AS z FROM r)
+              |SELECT user_id, COUNT(*) AS n_events,
+              |  ${countIfSql("c >= 5")} AS n_scored,
+              |  ${countIfSql("ABS(z) > 3.0")} AS n_anomalies,
+              |  ROUND(MAX(ABS(z)), 6) AS max_abs_z
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -291,7 +291,7 @@ object WindowQueries {
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
-    // event scored against its user's TRAILING hour (value-based RANGE
+    // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when
     // |x − μ| > 3σ with ≥ 5 prior points. The windowed moments
     // accumulate in DECIMAL (exact, order-independent); μ/σ/z evaluate
@@ -302,7 +302,7 @@ object WindowQueries {
         val ev = events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
         graft.core.Validation.rollingAnomalies(ev, "user_id", "tsu", "value",
-            windowMicros = 3600L * 1000000L, minPoints = 5, k = 3.0)
+            windowMicros = 86400L * 1000000L, minPoints = 5, k = 3.0)
           .groupBy(col("user_id"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -319,7 +319,7 @@ object WindowQueries {
               |      AS DECIMAL(38,12))) OVER w AS svv
               |  FROM e
               |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-              |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)),
+              |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
               |z AS (SELECT user_id, c,
               |    CASE WHEN c >= 5 THEN ROUND(
               |      (value - CAST(sv AS DOUBLE) / CAST(c AS DOUBLE)) /

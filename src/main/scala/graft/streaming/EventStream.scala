@@ -555,6 +555,140 @@ object EventStream {
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  final case class AnomEvent(userId: Long, tsMicros: Long, value: Double)
+  final case class AnomScore(userId: Long, tsMicros: Long, nPrior: Long,
+    z: Option[Double], isAnomaly: Boolean)
+
+  /** Streaming twin of [[graft.core.Validation.rollingAnomalies]]: a
+    * per-user `ListState` ring of the trailing `windowMicros` of
+    * (ts, value) pairs; each arriving event is scored against STRICTLY
+    * EARLIER events in its trailing window (same-instant peers excluded,
+    * matching the batch RANGE frame), then appended, and the ring is
+    * pruned to the window behind the newest timestamp.
+    *
+    * Bit-equality with the batch operator is engineered, not hoped for:
+    * the moment sums replay Spark's own double→DECIMAL(18,6) cast
+    * (HALF_UP) and the exact decimal Σv / Σv² accumulation, and μ/σ²/z
+    * evaluate in the identical double operation order — so the
+    * streamed z-scores equal the batch (and therefore the SQL oracle)
+    * values bitwise, and st12 can share t8's oracle.
+    *
+    * Assumptions a production deployment watermarks for: micro-batches
+    * arrive time-ordered per user (rows within a batch are sorted here;
+    * an event older than the pruned horizon would see a truncated
+    * window). Per-event scoring walks the ring (O(window) per event —
+    * the windows here are bounded by the trailing hour; an incremental
+    * sum ring would drop that to O(1) amortized at the cost of the
+    * decimal-replay guarantee's simplicity). */
+  class RollingAnomalyProcessor(windowMicros: Long, minPoints: Int, kSigma: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AnomEvent, AnomScore] {
+    import java.math.RoundingMode
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    @transient private var hist: org.apache.spark.sql.streaming.ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      hist = getHandle.getListState[(Long, Double)](
+        "hist", enc.tuple(enc.scalaLong, enc.scalaDouble), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AnomEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomScore] = {
+      val batch = rows.toArray.sortBy(_.tsMicros)
+      var ring = hist.get().toVector
+      val out = Vector.newBuilder[AnomScore]
+      batch.foreach { e =>
+        val lo = e.tsMicros - windowMicros
+        val prior = ring.filter(p => p._1 >= lo && p._1 < e.tsMicros)
+        val c = prior.size
+        val zOpt =
+          if (c < minPoints) None
+          else {
+            // replay the batch plan's decimal casts exactly: Spark's
+            // double→DECIMAL(18,6) is HALF_UP on the shortest decimal form
+            var sv = java.math.BigDecimal.ZERO
+            var svv = java.math.BigDecimal.ZERO
+            prior.foreach { case (_, v) =>
+              val dv = java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+              sv = sv.add(dv)
+              svv = svv.add(dv.multiply(dv))
+            }
+            val cD = c.toDouble
+            val svD = sv.doubleValue
+            val svvD = svv.doubleValue
+            val mean = svD / cD
+            val varD = math.max((svvD - svD * svD / cD) / (cD - 1d), 0d)
+            val z = (e.value - mean) / math.sqrt(varD + 1e-9)
+            Some(java.math.BigDecimal.valueOf(z).setScale(6, RoundingMode.HALF_UP)
+              .doubleValue)
+          }
+        out += AnomScore(key, e.tsMicros, c.toLong, zOpt,
+          zOpt.exists(z => math.abs(z) > kSigma))
+        ring = ring :+ (e.tsMicros, e.value)
+      }
+      // prune to the window behind the newest instant (inclusive: an
+      // event AT maxTs - window is still a valid prior for maxTs)
+      val maxTs = ring.iterator.map(_._1).max
+      hist.put(ring.filter(_._1 >= maxTs - windowMicros).sortBy(_._1).toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Bounded replay of [[RollingAnomalyProcessor]] (the [[runProfileOnce]]
+    * scaffolding: RocksDB provider forced and restored, optional
+    * maxFilesPerTrigger for the cross-batch state path). Update-mode
+    * emissions are per-event (one output row per input event), so the
+    * sink needs no final-row selection. */
+  def runAnomalyOnce(spark: SparkSession, path: String, sinkName: String,
+      windowMicros: Long = 86400L * 1000000L, minPoints: Int = 5, kSigma: Double = 3.0,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val schema = rawEventSchema(spark, path)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(schema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    val events = normTs(reader.parquet(dir))
+      .where(col("value").isNotNull)
+      .select(col("user_id").as("userId"), unix_micros(col("ts")).as("tsMicros"),
+        col("value").cast("double").as("value"))
+      .as[AnomEvent]
+    try {
+      withReplayPartitions(spark) {
+        val q = events
+          .groupByKey(_.userId)
+          .transformWithState(new RollingAnomalyProcessor(windowMicros, minPoints, kSigma),
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .writeStream
+          .queryName(sinkName)
+          .outputMode(OutputMode.Update())
+          .format("memory")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
+    spark.table(sinkName)
+  }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class Session(

@@ -184,6 +184,59 @@ class StreamingSpec extends SparkSpec {
       s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
   }
 
+  test("streaming rolling-anomaly replay equals the batch z-scores bitwise") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    def key(t: (Long, Long, Long, Option[Double], Boolean)) = (t._1, t._2, t._4.getOrElse(0.0))
+    val streamed = EventStream.runAnomalyOnce(spark, path, "spec_anom_sink")
+      .collect().map(r => (r.getAs[Long]("userId"), r.getAs[Long]("tsMicros"),
+        r.getAs[Long]("nPrior"),
+        if (r.isNullAt(r.fieldIndex("z"))) None else Some(r.getAs[Double]("z")),
+        r.getAs[Boolean]("isAnomaly")))
+      .toSeq.sortBy(key)
+    val ev = graft.core.Tables.readEventsPath(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+    val batch = graft.core.Validation.rollingAnomalies(ev, "user_id", "tsu", "value",
+        windowMicros = 86400L * 1000000L, minPoints = 5, k = 3.0)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tsu"),
+        r.getAs[Long]("n_prior"),
+        if (r.isNullAt(r.fieldIndex("z"))) None else Some(r.getAs[Double]("z")),
+        r.getAs[Boolean]("is_anomaly")))
+      .toSeq.sortBy(key)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+    // the fixture must actually exercise scoring
+    assert(streamed.count(_._4.isDefined) > 0)
+  }
+
+  test("rolling-anomaly state carries across time-ordered micro-batches") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val ev = graft.core.Tables.readEventsPath(spark, path)
+    // three time-ordered chunks, written SEQUENTIALLY so the file source
+    // (mod-time order) replays them as three micro-batches
+    val cuts = ev.select(unix_micros(col("ts")).as("tsu")).orderBy(col("tsu"))
+      .collect().map(_.getLong(0))
+    val (c1, c2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_multi").toString
+    Seq(
+      ev.where(unix_micros(col("ts")) < c1),
+      ev.where(unix_micros(col("ts")) >= c1 && unix_micros(col("ts")) < c2),
+      ev.where(unix_micros(col("ts")) >= c2)
+    ).foreach { chunk =>
+      chunk.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct mod times -> deterministic replay order
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("userId"), r.getAs[Long]("tsMicros"),
+        r.getAs[Long]("nPrior"),
+        if (r.isNullAt(r.fieldIndex("z"))) None else Some(r.getAs[Double]("z"))))
+        .toSeq.sortBy(t => (t._1, t._2, t._4.getOrElse(0.0)))
+    val multi = rows(EventStream.runAnomalyOnce(spark, dir, "spec_anom_multi",
+      maxFilesPerTrigger = Some(1)))
+    val single = rows(EventStream.runAnomalyOnce(spark, path, "spec_anom_single"))
+    assert(multi.nonEmpty && multi === single,
+      s"first diff: ${multi.zip(single).find(p => p._1 != p._2)}")
+  }
+
   test("streaming merge state is independent of micro-batch boundaries") {
     import org.apache.spark.sql.functions._
     val path = "/root/testdata/sf0.001/events.parquet"
