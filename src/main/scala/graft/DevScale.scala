@@ -28,6 +28,7 @@ object DevScale {
     if (want("atrest")) atrestSection(spark)
     if (want("gates")) gatesSection(spark)
     if (want("gates12")) gates12Section(spark)
+    if (want("ingest12")) ingest12Section(spark)
     spark.stop()
   }
 
@@ -82,6 +83,93 @@ object DevScale {
         val t0 = System.nanoTime()
         Bench.exec(fn(spark, dir))
         println(f"[g12] x$mult%-4d $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** st10/st11 rolling-ingest cross-scale evidence (VERDICT r11 #6):
+    * per-batch ingest wall-clock as the AT-REST index grows ×1/×10/×100,
+    * through the production [[RunIngest]] state layout.
+    *
+    * Text: sf0.1 documents replicated with id offsets + a per-replica
+    * token SUFFIX ON EVERY WORD — replicas share no shingles, so each
+    * replica reproduces the corpus's internal near-dup structure with
+    * zero cross-replica pairs (the corpus grows, the dup structure scales
+    * linearly, no quadratic blowup). After seeding the state, THREE
+    * fresh 1000-doc batches (replica-0 texts at fresh ids — every batch
+    * doc is a true near-dup of one at-rest doc, so the probe does real
+    * verify work) are ingested and timed individually with
+    * `summarize = false` (no O(state) recounts in the timed path).
+    *
+    * Embedding twin: sf0.1 embeddings replicated with dim-ROLLS
+    * (cosine-invariant within a replica, decorrelated across; replicas
+    * ≥ 64 also sign-flip), probed with three fresh 500-vector replica-0
+    * batches via [[RunIngest.ingestEmbedOnce]].
+    *
+    * Expected: per-batch cost tracks BATCH size — near-flat as the
+    * at-rest index grows 100× (the probe is a band equi-join against the
+    * index with the batch side broadcast-small; at-rest growth shows up
+    * only through index scan width). Results → PLANS.md round-12. */
+  private def ingest12Section(spark: SparkSession): Unit = {
+    import graft.llm.Dedup
+    val docsBase = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def suffixed(r: Int) = docsBase.select(
+      (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(t, lit(s"_$r")))).as("text"))
+    def rolled(r: Int) = {
+      val k = r % 64
+      val roll =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+      val v = if (r >= 64) transform(roll, x => -x) else roll
+      embBase.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        v.as("embedding"))
+    }
+    Seq(1, 10, 100).foreach { mult =>
+      val work = java.nio.file.Files.createTempDirectory(s"graft_ing12_x$mult")
+      // ---- text (st10 family, RunIngest CLI layout) ----
+      val seedPath = work.resolve("seed.parquet").toString
+      (0 until mult).map(suffixed).reduce(_ unionByName _)
+        .repartition(32).write.parquet(seedPath)
+      val state = work.resolve("state").toString
+      var t0 = System.nanoTime()
+      RunIngest.ingestOnce(spark, seedPath, state, summarize = false)
+      println(f"[ing12] x$mult%-4d text seed (${5000 * mult}%7d docs) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      (1 to 3).foreach { b =>
+        val bp = work.resolve(s"batch_$b.parquet").toString
+        docsBase.limit(1000).select(
+          (col("doc_id") + lit(900000000L + b * 1000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_0")))).as("text"))
+          .repartition(8).write.parquet(bp)
+        t0 = System.nanoTime()
+        val s = RunIngest.ingestOnce(spark, bp, state, summarize = false)
+        println(f"[ing12] x$mult%-4d text batch$b (1000 docs)  " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $s")
+      }
+      println(s"[ing12] x$mult text band census: " + Dedup.bandBucketStats(
+        spark.read.parquet(s"$state/index")).head().toString)
+      // ---- embedding (st11 family) ----
+      val eSeedPath = work.resolve("eseed.parquet").toString
+      (0 until mult).map(rolled).reduce(_ unionByName _)
+        .repartition(32).write.parquet(eSeedPath)
+      val eState = work.resolve("estate").toString
+      t0 = System.nanoTime()
+      RunIngest.ingestEmbedOnce(spark, eSeedPath, eState, summarize = false)
+      println(f"[ing12] x$mult%-4d embed seed (${2000 * mult}%7d vecs) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      (1 to 3).foreach { b =>
+        val bp = work.resolve(s"ebatch_$b.parquet").toString
+        embBase.limit(500).select(
+          (col("vec_id") + lit(900000000L + b * 1000000L)).as("vec_id"), col("embedding"))
+          .repartition(8).write.parquet(bp)
+        t0 = System.nanoTime()
+        val s = RunIngest.ingestEmbedOnce(spark, bp, eState, summarize = false)
+        println(f"[ing12] x$mult%-4d embed batch$b (500 vecs)   " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $s")
       }
     }
   }

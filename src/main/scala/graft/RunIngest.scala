@@ -30,7 +30,23 @@ object RunIngest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunIngest <batch.parquet> <stateDir> [minJaccard] [w] [k] [bands] | " +
+        "RunIngest --embed <batch.parquet> <stateDir> [minCos] [dim] [planes] [bands] | " +
         "RunIngest --compact <stateDir> <deleted.parquet>")
+    if (args(0) == "--embed") {
+      require(args.length >= 3, "usage: RunIngest --embed <batch.parquet> <stateDir> ...")
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      println(ingestEmbedOnce(spark, args(1), args(2),
+        minCos = if (args.length > 3) args(3).toDouble else 0.45,
+        dim = if (args.length > 4) args(4).toInt else 64,
+        nPlanes = if (args.length > 5) args(5).toInt else 16,
+        nBands = if (args.length > 6) args(6).toInt else 8))
+      return
+    }
     if (args(0) == "--compact") {
       require(args.length >= 3, "usage: RunIngest --compact <stateDir> <deleted.parquet>")
       val spark = SparkSession.builder()
@@ -58,9 +74,14 @@ object RunIngest {
   }
 
   /** The ingest step, spark-session-injected for specs. Returns the
-    * one-line JSON summary it also prints. */
+    * one-line JSON summary it also prints. `summarize = false` skips the
+    * O(at-rest-state) total recounts (production ingest keeps running
+    * totals in a manifest instead of rescanning the state per batch;
+    * DevScale's per-batch timings use this so the measured cost is the
+    * probe + roll, not the reporting). */
   def ingestOnce(spark: SparkSession, in: String, state: String,
-      minJ: Double = 0.5, w: Int = 5, k: Int = 64, bands: Int = 32): String = {
+      minJ: Double = 0.5, w: Int = 5, k: Int = 64, bands: Int = 32,
+      summarize: Boolean = true): String = {
     val indexPath = s"$state/index"
     val docsPath = s"$state/docs"
     val pairsPath = s"$state/pairs"
@@ -88,9 +109,53 @@ object RunIngest {
     batch.write.mode("append").parquet(docsPath)
     val nBatch = batch.count()
     val nNew = pairs.count()
+    if (!summarize)
+      return s"""{"batch_docs":$nBatch,"new_pairs":$nNew}"""
     val nTotal = spark.read.parquet(pairsPath).count()
     val nIndex = spark.read.parquet(indexPath).count()
     s"""{"batch_docs":$nBatch,"new_pairs":$nNew,"total_pairs":$nTotal,"index_rows":$nIndex}"""
+  }
+
+  /** Embedding twin of [[ingestOnce]]: one rolling step of the COSINE
+    * near-dup index ([[Dedup.incrementalCosineNearDupRoll]] — the st11 /
+    * d13 operator family) with the same persisted state layout:
+    *
+    *   <stateDir>/index — sign-band rows (id, band, band_hash)
+    *   <stateDir>/vecs  — accepted vectors (kept for exact-cosine verify)
+    *   <stateDir>/pairs — verified cosine pairs emitted so far
+    *
+    * Seeded hyperplanes make banding batch-invariant, so after N
+    * invocations `pairs` equals the full-corpus [[Dedup.cosinePairsLsh]]
+    * run over everything ingested. */
+  def ingestEmbedOnce(spark: SparkSession, in: String, state: String,
+      minCos: Double = 0.45, dim: Int = 64, nPlanes: Int = 16, nBands: Int = 8,
+      summarize: Boolean = true): String = {
+    val indexPath = s"$state/index"
+    val vecsPath = s"$state/vecs"
+    val pairsPath = s"$state/pairs"
+    val batch = spark.read.parquet(in).select(col("vec_id"), col("embedding"))
+    val hIndex = new org.apache.hadoop.fs.Path(indexPath)
+    val hasState = hIndex.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hIndex)
+    val index =
+      if (hasState) spark.read.parquet(indexPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IngestStream.IndexSchema)
+    val corpus =
+      if (hasState) spark.read.parquet(vecsPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val (pairs, batchIdx) = Dedup.incrementalCosineNearDupRoll(
+      corpus, index, batch, "vec_id", "embedding", minCos, dim, nPlanes, nBands)
+    pairs.write.mode("append").parquet(pairsPath)
+    batchIdx.write.mode("append").parquet(indexPath)
+    batch.write.mode("append").parquet(vecsPath)
+    val nBatch = batch.count()
+    val nNew = pairs.count()
+    if (!summarize)
+      return s"""{"batch_vecs":$nBatch,"new_pairs":$nNew}"""
+    val nTotal = spark.read.parquet(pairsPath).count()
+    val nIndex = spark.read.parquet(indexPath).count()
+    s"""{"batch_vecs":$nBatch,"new_pairs":$nNew,"total_pairs":$nTotal,"index_rows":$nIndex}"""
   }
 
   /** Maintenance step: compact the rolling state after deletions

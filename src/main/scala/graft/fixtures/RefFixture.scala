@@ -90,11 +90,14 @@ object RefFixture {
     }
   }
 
-  /** Write all four tables as parquet under `dir`. */
-  def write(spark: SparkSession, dir: String, nTrain: Long = 8000, nTest: Long = 3000): Unit = {
+  /** Write all four tables as parquet under `dir`. `nExtraCols` widens
+    * the extra-features table (2240 = the reference's real width). */
+  def write(spark: SparkSession, dir: String, nTrain: Long = 8000, nTest: Long = 3000,
+      nExtraCols: Int = NumExtra): Unit = {
     trainMain(spark, nTrain).write.mode("overwrite").parquet(s"$dir/train_main_features.parquet")
     testMain(spark, nTest).write.mode("overwrite").parquet(s"$dir/test_main_features.parquet")
-    trainExtra(spark, nTrain).write.mode("overwrite").parquet(s"$dir/train_extra_features.parquet")
+    trainExtra(spark, nTrain, nExtraCols).write.mode("overwrite")
+      .parquet(s"$dir/train_extra_features.parquet")
     trainTarget(spark, nTrain).write.mode("overwrite").parquet(s"$dir/train_target.parquet")
   }
 }

@@ -385,6 +385,54 @@ object Curation {
       }.toDF("pack_id", "doc_ids", "n_docs", "total_tokens")
   }
 
+  /** Per-stratum greedy sequence packing: each stratum (e.g. `source`)
+    * is packed independently by the same greedy state machine as
+    * [[packSequences]], in id order WITHIN the stratum. Unlike the
+    * partition-local packer, the result is fully deterministic — pack
+    * boundaries depend only on (stratum, sorted ids), never on Spark's
+    * physical partitioning — while still running strata in parallel.
+    *
+    * Plan shape: ONE hash repartition on the stratum column +
+    * sort-within-partitions, then a single sequential pass per
+    * partition with the greedy state reset at every stratum boundary
+    * (strata are contiguous after the sort, so co-hashed strata can't
+    * contaminate each other). At 100 TB this is one shuffle whose
+    * parallelism is the stratum count — the right contract when packs
+    * must not cross domain boundaries; use [[packSequences]] when any
+    * partition-local packing is acceptable. A skewed mega-stratum
+    * serializes its own packing by definition (the sequential-greedy
+    * contract); sub-split the stratum key upstream if that matters. */
+  def packSequencesByStratum(df: DataFrame, idCol: String, tokenCol: String,
+      stratumCol: String, budget: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(stratumCol).cast("string").as("__stratum"),
+        col(idCol).cast("long").as("__id"), col(tokenCol).cast("int").as("__ntok"))
+      .repartition(col("__stratum"))
+      .sortWithinPartitions(col("__stratum"), col("__id"))
+      .as[(String, Long, Int)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var packLocal = 0L
+        var used = 0
+        var docs = List.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[Long], Int, Int)]
+        def flush(): Unit = if (docs.nonEmpty) {
+          out += ((cur, packLocal, docs.reverse, docs.size, used))
+          packLocal += 1; used = 0; docs = Nil
+        }
+        it.foreach { case (stratum, id, ntok) =>
+          if (cur != stratum) { flush(); cur = stratum; packLocal = 0L }
+          if (docs.nonEmpty && used + ntok > budget) flush()
+          docs ::= id
+          used += ntok
+          if (used >= budget) flush()
+        }
+        flush()
+        out.iterator
+      }.toDF("stratum", "pack_id", "doc_ids", "n_docs", "total_tokens")
+  }
+
   /** Temperature-reweighted domain mixing (the multinomial mixture
     * reweighting of multilingual/multi-domain pretraining — raising
     * rare domains, damping dominant ones): target share q_i ∝ p_i^τ

@@ -1524,6 +1524,50 @@ object LlmQueries {
              |FROM st JOIN docs d ON d.rn = st.rn
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Distributed packing twin of x7: pack WITHIN each source stratum
+    // (packs never cross domain boundaries), strata in parallel after one
+    // hash repartition — the greedy result depends only on (stratum,
+    // sorted ids), not on physical partitioning, so it is oracle-exact
+    // WITHOUT x7's repartition(1) determinism pin. Oracle: the same
+    // greedy recursive CTE, partitioned by source (one recursion chain
+    // per stratum — multi-seed base case, recursion joins on source).
+    Q("x7b_pack_per_stratum",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        graft.llm.Curation.packSequencesByStratum(
+            docs, "doc_id", "n_tokens", "source", budget = 512)
+          .select(col("stratum").as("source"), col("pack_id"),
+            col("n_docs"), col("total_tokens"))
+          .orderBy(col("source"), col("pack_id"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT source,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             |    len(string_split(text, ' ')) AS ntok
+             |  FROM documents),
+             |st(source, rn, pack, nextp, nextu) AS (
+             |  SELECT d.source, 1, 0,
+             |    CASE WHEN d.ntok >= 512 THEN 1 ELSE 0 END,
+             |    CASE WHEN d.ntok >= 512 THEN 0 ELSE d.ntok END
+             |  FROM docs d WHERE d.rn = 1
+             |  UNION ALL
+             |  SELECT d.source, d.rn,
+             |    CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END,
+             |    CASE WHEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) >= 512
+             |      THEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END) + 1
+             |      ELSE (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN s.nextp + 1 ELSE s.nextp END) END,
+             |    CASE WHEN (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) >= 512
+             |      THEN 0
+             |      ELSE (CASE WHEN s.nextu > 0 AND s.nextu + d.ntok > 512 THEN d.ntok ELSE s.nextu + d.ntok END) END
+             |  FROM st s JOIN docs d ON d.source = s.source AND d.rn = s.rn + 1)
+             |SELECT st.source, CAST(st.pack AS BIGINT) AS pack_id,
+             |  CAST(COUNT(*) AS INT) AS n_docs,
+             |  CAST(SUM(d.ntok) AS INT) AS total_tokens
+             |FROM st JOIN docs d ON d.source = st.source AND d.rn = st.rn
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- multimodal ---------------------------------------------------------
     Q("mm1_meta_stats",
       (s, d) => Multimodal.metaStats(

@@ -667,32 +667,32 @@ object RelationalQueries {
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // binaryFile source: the production multimodal ingest path — raw
-    // media FILES on disk in, (path-derived id, content) out, decoded
-    // distributed. Setup materializes the synthetic PNGs as real files
-    // FROM THE EXECUTORS (foreachPartition — payloads never collect).
-    // SETUP ASSUMES A FILESYSTEM SHARED between writers and the scan:
-    // executors write the files the binaryFile reader then lists, which
-    // holds in this local[32] harness (one machine) and in production
-    // only when the scratch path is HDFS/S3/NFS — a cluster writing to
-    // executor-local disks would leave the scan a partial file set. The
+    // media FILES on a shared filesystem in, (path-derived id, content)
+    // out, decoded distributed. Setup materializes the synthetic PNGs
+    // FROM THE EXECUTORS (foreachPartition — payloads never collect)
+    // through the Hadoop FileSystem API resolved per-scheme on each
+    // executor, so the identical code writes file:// here and HDFS/S3/
+    // NFS scratch on a cluster (executors resolve the scheme from their
+    // own Hadoop conf, the standard executor-side FS idiom). The
     // OPERATOR under test (binaryFile scan + JDK decode) is
-    // placement-agnostic; only this fixture-setup write has the shared-FS
-    // requirement. Oracle: mm4's closed form (pixel = x+y, sizes from
-    // the id) restricted to the same ids, so decode-after-real-file-IO
-    // is value-checked end to end.
+    // placement-agnostic. Oracle: mm4's closed form (pixel = x+y, sizes
+    // from the id) restricted to the same ids, so
+    // decode-after-real-file-IO is value-checked end to end.
     Q("p11_binaryfile_source",
       (s, d) => {
         val dir = scratch(s, "binaryfile_src")
-        java.nio.file.Files.createDirectories(dir)
         val dirStr = dir.toString
         graft.llm.Multimodal.fromDocumentsPng(
             T(s, d, "documents").where(col("doc_id") < 50))
           .select(col("media_id"), col("payload"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val base = new org.apache.hadoop.fs.Path(dirStr)
+            val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            fs.mkdirs(base)
             it.foreach { r =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dirStr, s"${r.getLong(0)}.png"),
-                r.getAs[Array[Byte]](1))
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.png"), true)
+              try out.write(r.getAs[Array[Byte]](1)) finally out.close()
             }
           }
         val bin = s.read.format("binaryFile").load(s"$dirStr/*.png")

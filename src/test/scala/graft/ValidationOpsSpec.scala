@@ -258,6 +258,33 @@ class ValidationOpsSpec extends SparkSpec {
     assert(price.endsWith("true"), s"self-split totalprice must be stable: $price")
   }
 
+  test("RunQuality gate flips admit=false on planted drift and names the column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rq_fail").toString
+    // reference: metric uniform over [0, 997); current: the same shape
+    // shifted far right — every current value lands in the reference's
+    // top bin, PSI >> the 0.25 action threshold. The id column is
+    // identical on both sides, so only `metric` should trip.
+    val ref = spark.range(0, 4000)
+      .select(col("id"), (col("id") % 997).cast("double").as("metric"))
+    val cur = spark.range(0, 4000)
+      .select(col("id"), ((col("id") % 997) + lit(5000.0)).cast("double").as("metric"))
+    ref.write.mode("overwrite").parquet(s"$dir/ref.parquet")
+    cur.write.mode("overwrite").parquet(s"$dir/cur.parquet")
+    val out = s"$dir/out"
+    val admit = RunQuality.gateOnce(spark, s"$dir/cur.parquet", out,
+      refPath = Some(s"$dir/ref.parquet"))
+    assert(!admit, "planted drift must fail the gate")
+    val drift = scala.io.Source.fromFile(s"$out/drift_psi.csv").getLines().toSeq
+    val metric = drift.find(_.startsWith("metric,")).get
+    assert(metric.endsWith("false"), s"metric column must be flagged unstable: $metric")
+    val id = drift.find(_.startsWith("id,")).get
+    assert(id.endsWith("true"), s"undrifted id column must stay stable: $id")
+    val summary = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/quality_summary.json")))
+    assert(summary.contains("\"admit\": false") || summary.contains("\"admit\":false"),
+      summary)
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {

@@ -113,6 +113,39 @@ class WideWidthSpec extends SparkSpec {
     assert(math.abs(before - after) < 1e-6)
   }
 
+  test("FULL EdaPipeline runs end-to-end at the reference's 2241-col extra width") {
+    // not just the agg kernels (the tests above): all 16 blocks WIRED
+    // TOGETHER over a 2240-extra-feature fixture, so width-triggered
+    // failures in block plumbing (block 8's band histogram over 2240
+    // null-rates feeding block 9, block 13 screening over the full
+    // width, the report writers) can't escape. Rows stay small — width
+    // is the stress, not volume.
+    val dir = Files.createTempDirectory("graft_widepipe_in").toString
+    val outDir = Files.createTempDirectory("graft_widepipe_out").toString
+    RefFixture.write(spark, dir, nTrain = 2000, nTest = 800, nExtraCols = Width)
+    val r = graft.pipeline.EdaPipeline.run(spark, dir, outDir)
+    // golden invariants hold at width
+    assert(r.trainRows === 2000L && r.testRows === 800L)
+    assert(r.nTargets === 41)
+    assert(r.filledCountAuc > 0.5 && r.filledCountAuc <= 1.0, s"auc=${r.filledCountAuc}")
+    assert(r.adversarialAuc > 0.3 && r.adversarialAuc < 0.7, s"adv=${r.adversarialAuc}")
+    // the screening block saw ~the full extra width (only the >0.95
+    // null-rate tail is excluded by the pipeline's own screening rule)
+    assert(r.screenedFeatures > 2000 && r.screenedFeatures <= Width + RefFixture.NumMain,
+      s"screened=${r.screenedFeatures}")
+    // per-extra-column artifact realized at width: header + 2240 rows
+    val miss = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(outDir, "extra_missingness_summary.csv"))
+    assert(miss.size === Width + 1, s"extra_missingness rows=${miss.size}")
+    // band histogram over the 2240 null rates still partitions them all
+    val bands = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(outDir, "extra_missingness_bands.csv"))
+    val nIdx = bands.get(0).split(",").indexOf("n_features")
+    val total = (1 until bands.size).map(i => bands.get(i).split(",")(nIdx).toLong).sum
+    assert(total === Width.toLong, s"banded features=$total")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "summary.json")))
+  }
+
   test("screening-shape crossCorr at width: 200-feature slice × 8 targets") {
     // block-13 shape at width: the Gramian path (VectorAssembler +
     // Correlation.corr) over a wide assembled vector. A 2248-column
