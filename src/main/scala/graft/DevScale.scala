@@ -140,10 +140,13 @@ object DevScale {
         f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
       (1 to 3).foreach { b =>
         val bp = work.resolve(s"batch_$b.parquet").toString
-        docsBase.limit(1000).select(
-          (col("doc_id") + lit(900000000L + b * 1000000L)).as("doc_id"),
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("_0")))).as("text"))
+        // disjoint 1000-doc slices so successive batches near-dup the
+        // AT-REST corpus, not each other (pair count stays comparable)
+        docsBase.where(col("doc_id") >= (b - 1) * 1000L && col("doc_id") < b * 1000L)
+          .select(
+            (col("doc_id") + lit(900000000L + b * 1000000L)).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit("_0")))).as("text"))
           .repartition(8).write.parquet(bp)
         t0 = System.nanoTime()
         val s = RunIngest.ingestOnce(spark, bp, state, summarize = false)
@@ -157,20 +160,37 @@ object DevScale {
       (0 until mult).map(rolled).reduce(_ unionByName _)
         .repartition(32).write.parquet(eSeedPath)
       val eState = work.resolve("estate").toString
+      // 8-bit bands (64 planes / 8 bands): expected bucket ≈ N/256 stays
+      // under the 1024 star-cap through ×100 (200k vecs) — the sizing
+      // rule in ingestEmbedOnce's doc; the 16/8 default's 2-bit bands
+      // measurably collapse probe recall at ×10 (capped buckets).
+      // The at-rest state is built DIRECTLY (cosineIndex + vecs), as
+      // production does: ingesting the whole corpus as one "seed batch"
+      // would run the batch-internal pair join too, whose candidate mass
+      // grows ~ buckets·(N/buckets)²/2 — measured OOM at ×100; bounded
+      // daily batches never see that term.
+      val eSeed = spark.read.parquet(eSeedPath)
       t0 = System.nanoTime()
-      RunIngest.ingestEmbedOnce(spark, eSeedPath, eState, summarize = false)
-      println(f"[ing12] x$mult%-4d embed seed (${2000 * mult}%7d vecs) " +
+      Dedup.cosineIndex(eSeed, "vec_id", "embedding", dim = 64,
+          nPlanes = 64, nBands = 8)
+        .write.parquet(s"$eState/index")
+      eSeed.select(col("vec_id"), col("embedding")).write.parquet(s"$eState/vecs")
+      println(f"[ing12] x$mult%-4d embed at-rest build (${2000 * mult}%7d vecs) " +
         f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
       (1 to 3).foreach { b =>
         val bp = work.resolve(s"ebatch_$b.parquet").toString
-        embBase.limit(500).select(
-          (col("vec_id") + lit(900000000L + b * 1000000L)).as("vec_id"), col("embedding"))
+        embBase.where(col("vec_id") >= (b - 1) * 500L && col("vec_id") < b * 500L)
+          .select(
+            (col("vec_id") + lit(900000000L + b * 1000000L)).as("vec_id"), col("embedding"))
           .repartition(8).write.parquet(bp)
         t0 = System.nanoTime()
-        val s = RunIngest.ingestEmbedOnce(spark, bp, eState, summarize = false)
+        val s = RunIngest.ingestEmbedOnce(spark, bp, eState,
+          nPlanes = 64, nBands = 8, summarize = false)
         println(f"[ing12] x$mult%-4d embed batch$b (500 vecs)   " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $s")
       }
+      println(s"[ing12] x$mult embed band census: " + Dedup.bandBucketStats(
+        spark.read.parquet(s"$eState/index")).head().toString)
     }
   }
 

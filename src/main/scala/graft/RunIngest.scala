@@ -126,7 +126,22 @@ object RunIngest {
     *
     * Seeded hyperplanes make banding batch-invariant, so after N
     * invocations `pairs` equals the full-corpus [[Dedup.cosinePairsLsh]]
-    * run over everything ingested. */
+    * run over everything ingested.
+    *
+    * SIZE THE BANDS TO THE CORPUS: a sign-LSH band of `nPlanes/nBands`
+    * bits has `2^(nPlanes/nBands)` buckets, so expected bucket size is
+    * about `N / 2^(nPlanes/nBands)` — once that approaches the
+    * [[Dedup.DefaultMaxBucket]] star-cap (1024), probes silently lose
+    * candidates to the cap (measured: 2-bit bands collapse recall at a
+    * 20k-vector corpus, DevScale ingest12). Rule: choose
+    * `nPlanes/nBands ≥ log2(N / 256)`; re-banding is a one-pass rebuild
+    * of the index from the at-rest vectors.
+    *
+    * KEEP BATCHES BOUNDED: a batch also pair-joins against ITSELF, and
+    * that term's candidate mass is ~ buckets·(M/buckets)²/2 for batch
+    * size M — ingesting a whole corpus as one "seed batch" is quadratic
+    * (measured OOM at 200k vectors; DevScale ingest12 builds the at-rest
+    * state via [[Dedup.cosineIndex]] instead and ingests deltas). */
   def ingestEmbedOnce(spark: SparkSession, in: String, state: String,
       minCos: Double = 0.45, dim: Int = 64, nPlanes: Int = 16, nBands: Int = 8,
       summarize: Boolean = true): String = {

@@ -300,4 +300,37 @@ object Validation {
     pass.unionByName(genPass).unionByName(suppressed)
       .orderBy(col("level") +: quasiCols.map(col): _*)
   }
+
+  /** Functional-dependency audit: for each declared FD
+    * `determinant → dependent`, report whether any determinant value
+    * maps to more than one distinct dependent value — the key-integrity
+    * / denormalization-consistency check a warehouse gate runs before
+    * trusting a join key or a supposedly-derived column.
+    *
+    * One exact groupBy per FD, keyed on ITS determinant (no global
+    * stage; each FD's shuffle parallelizes over determinant values), then
+    * a one-row summary per FD unioned together. Nulls: determinant
+    * groups include the null group (Spark and SQL GROUP BY agree);
+    * `countDistinct` ignores null dependents, so an all-null dependent
+    * group has n_dep = 0 and never counts as a violation. */
+  def functionalDeps(df: DataFrame, deps: Seq[(Seq[String], String)]): DataFrame = {
+    require(deps.nonEmpty, "functionalDeps: at least one dependency to check")
+    deps.map { case (det, dep) =>
+      require(det.nonEmpty && !det.contains(dep),
+        s"functionalDeps: malformed dependency $det -> $dep")
+      df.groupBy(det.map(col): _*)
+        .agg(countDistinct(col(dep)).as("__n_dep"), count(lit(1)).as("__n_rows"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__n_dep") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when(col("__n_dep") > 1, col("__n_rows")).otherwise(0L)).as("n_violating_rows"),
+          max(col("__n_dep")).as("max_dependents"))
+        .select(
+          lit(det.mkString(",")).as("determinant"),
+          lit(dep).as("dependent"),
+          col("n_groups"), col("n_violating_groups"), col("n_violating_rows"),
+          col("max_dependents"),
+          (col("n_violating_groups") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

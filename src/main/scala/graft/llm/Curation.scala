@@ -433,6 +433,35 @@ object Curation {
       }.toDF("stratum", "pack_id", "doc_ids", "n_docs", "total_tokens")
   }
 
+  /** Leakage-safe corpus split: near-dup CLUSTERS, not documents, are
+    * the unit of train/val/test assignment, so no near-duplicate pair
+    * can straddle a split boundary — the eval-set contamination that
+    * plain per-doc hashing causes (a test doc whose near-dup sits in
+    * train is a leaked answer). `clusters` is the (id, cluster) frame
+    * from [[Dedup.dupClusters]]; docs absent from it are their own
+    * singleton cluster. Assignment is `cluster_key mod 100` against
+    * cumulative percentage cuts — deterministic, engine-portable, and
+    * stable under corpus growth for existing clusters.
+    *
+    * Scale shape: one left join of the corpus against the (small,
+    * pairs-only) cluster frame, then a pure projection — the split
+    * label never shuffles the data itself. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      cuts: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be cumulative percentages ending at 100: $cuts")
+    val keyed = df
+      .join(clusters.select(col("id").as("__cid"), col("cluster")),
+        df(idCol) === col("__cid"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol).cast("long")))
+      .drop("__cid", "cluster")
+    val bucket = pmod(col("split_key"), lit(100L))
+    val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), acc) =>
+      when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    keyed.withColumn("split", label)
+  }
+
   /** Temperature-reweighted domain mixing (the multinomial mixture
     * reweighting of multilingual/multi-domain pretraining — raising
     * rare domains, damping dominant ones): target share q_i ∝ p_i^τ

@@ -1906,6 +1906,67 @@ object LlmQueries {
              |  CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Leakage-safe train/val/test split: near-dup CLUSTERS are the unit
+    // of assignment (Curation.leakageSafeSplit over d6's connected
+    // components), so no near-dup pair can straddle a split — the
+    // benchmark-contamination failure of per-doc hashing. Deterministic
+    // mod-100 cuts on the cluster key (min member id; singletons key on
+    // their own id) — identical arithmetic on both engines. Oracle:
+    // d14's recursive-CTE components, left-joined to the corpus,
+    // COALESCE to the singleton key, same CASE cuts. The zero-cross-
+    // split-pairs invariant is specced in CurationSpec.
+    Q("x39_leakage_safe_split",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+        val clusters = Dedup.dupClusters(pairs)
+        Curation.leakageSafeSplit(docs, "doc_id", clusters)
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("split_key")).as("n_clusters"),
+            sumLong(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+             |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1),
+             |keyed AS (
+             |  SELECT d.doc_id, d.n_chars,
+             |    COALESCE(cc.cluster, d.doc_id) AS split_key
+             |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+             |lab AS (SELECT *,
+             |    CASE WHEN split_key % 100 < 90 THEN 'train'
+             |         WHEN split_key % 100 < 95 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM keyed)
+             |SELECT split, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT split_key) AS n_clusters,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Brute-force MAXIMUM-INNER-PRODUCT top-k (n10): the retrieval
     // objective when norms carry signal (popularity-weighted vectors) —
     // cosine's normalization erases it. Same broadcast/heap kernel and

@@ -581,6 +581,40 @@ object RelationalQueries {
            |ORDER BY rs.col""".stripMargin
       }),
 
+    // Functional-dependency audit (Validation.functionalDeps): declared
+    // determinant→dependent checks — the key-integrity gate before
+    // trusting a join key or a supposedly-derived column. o_orderkey is
+    // a true key (both FDs hold); the two coarse determinants are
+    // genuinely violated on this data, so both verdicts are exercised.
+    // One exact groupBy per FD keyed on its determinant; the oracle is
+    // the same per-FD aggregate UNION ALL'd.
+    Q("dq7_functional_deps",
+      (s, d) => Validation.functionalDeps(T(s, d, "orders"), Seq(
+          Seq("o_orderkey") -> "o_custkey",
+          Seq("o_orderkey") -> "o_orderstatus",
+          Seq("o_custkey") -> "o_orderpriority",
+          Seq("o_orderpriority", "o_orderstatus") -> "o_orderdate"))
+        .orderBy(col("determinant"), col("dependent")),
+      Some {
+        def fd(det: Seq[String], dep: String) = {
+          val g = det.mkString(", ")
+          s"""SELECT '${det.mkString(",")}' AS determinant, '$dep' AS dependent,
+             |  COUNT(*) AS n_groups,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT) AS n_violating_rows,
+             |  MAX(nd) AS max_dependents,
+             |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT COUNT(DISTINCT $dep) AS nd, COUNT(*) AS nr
+             |  FROM orders GROUP BY $g)""".stripMargin
+        }
+        Seq(
+          fd(Seq("o_orderkey"), "o_custkey"),
+          fd(Seq("o_orderkey"), "o_orderstatus"),
+          fd(Seq("o_custkey"), "o_orderpriority"),
+          fd(Seq("o_orderpriority", "o_orderstatus"), "o_orderdate"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")
+      }),
+
     // Hive-partitioned sink round-trip: write orders partitioned by
     // status, re-read with a partition filter (pruning skips the other
     // status directories — locked by SourcesSpec), aggregate. Oracle is

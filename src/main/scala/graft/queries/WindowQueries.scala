@@ -55,6 +55,50 @@ object WindowQueries {
               |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Tolerance-bounded as-of (the pandas merge_asof `tolerance` knob /
+    // sensor-fusion staleness bound): t2's backward as-of, but a match
+    // older than 24 h is DISCARDED (value nulled, click kept) — same
+    // single-shuffle union+window plan, the gate is a pure projection.
+    // Oracle: DuckDB ASOF LEFT JOIN with the gap CASE applied after.
+    // At sf0.01 the bound keeps 731 of 1865 raw matches — discriminating.
+    Q("t2b_asof_tolerance",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+          .withColumn("purchase_ts", col("ts"))
+        graft.core.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+            Seq("purchase_value", "purchase_ts"), toleranceMs = Some(86400000L))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("purchase_value")).as("n_matched"),
+            sumExact(col("purchase_value")).as("sum_purchase"),
+            sum(unix_micros(col("ts")) - unix_micros(col("purchase_ts"))).as("gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS v
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+              |m AS (
+              |  -- gate replicates Spark's unix_millis truncation exactly
+              |  -- (each side floored to ms BEFORE subtracting)
+              |  SELECT c.user_id, c.tsu,
+              |    CASE WHEN (c.tsu // 1000) - (p.tsu // 1000) <= 86400000
+              |      THEN p.v END AS purchase_value,
+              |    CASE WHEN (c.tsu // 1000) - (p.tsu // 1000) <= 86400000
+              |      THEN p.tsu END AS ptsu
+              |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsu >= p.tsu)
+              |SELECT user_id, COUNT(*) AS n_clicks,
+              |  COUNT(purchase_value) AS n_matched,
+              |  ${sumExactSql("purchase_value")} AS sum_purchase,
+              |  CAST(SUM(tsu - ptsu) AS BIGINT) AS gap_us
+              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // FORWARD as-of: each click joins the user's NEXT purchase at-or-after
     // it (time-to-conversion shape). Same single-shuffle plan with the
     // scan order reversed; oracle flips the ASOF inequality.

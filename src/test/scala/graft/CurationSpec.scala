@@ -220,6 +220,47 @@ class CurationSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles a split; singletons covered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val clusters = graft.llm.Dedup.dupClusters(pairs)
+    val split = Curation.leakageSafeSplit(docs, "doc_id", clusters)
+      .select(col("doc_id"), col("split"))
+    // every doc assigned exactly once
+    assert(split.count() === docs.count())
+    assert(split.groupBy("split").count().count() === 3L, "all three splits realized")
+    // THE invariant: both ends of every near-dup pair share a split
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val straddling = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .where(col("split_a") =!= col("split_b")).count()
+    assert(straddling === 0L, s"$straddling near-dup pairs cross split boundaries")
+    // a per-DOC mod hash (what leakageSafeSplit exists to replace) DOES
+    // straddle on this corpus — the invariant above is not vacuous
+    val naive = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(100L)) < 90, "train")
+        .when(pmod(col("doc_id"), lit(100L)) < 95, "val").otherwise("test").as("split"))
+    val na = naive.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val nb = naive.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val naiveStraddle = pairs.join(na, Seq("id_a")).join(nb, Seq("id_b"))
+      .where(col("split_a") =!= col("split_b")).count()
+    assert(naiveStraddle > 0L, "fixture too easy: per-doc hashing never straddles")
+  }
+
+  test("leakageSafeSplit rejects malformed cuts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val none = spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("cluster")).limit(0)
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, "doc_id", none, cuts = Seq("train" -> 90))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, "doc_id", none,
+        cuts = Seq("train" -> 95, "val" -> 90, "test" -> 100))
+    }
+  }
+
   test("packSequences respects the budget and covers every doc exactly once") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")

@@ -285,6 +285,29 @@ class ValidationOpsSpec extends SparkSpec {
       summary)
   }
 
+  test("functionalDeps: key FD holds; planted violation counted by group and row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(10)), (2L, "a", Some(11)),           // g=a -> two ks (violates g->k)
+      (3L, "b", Some(20)), (3L, "b", Some(21)),           // k=3 -> two vs (violates k->v)
+      (4L, "c", None), (4L, "c", None)                    // all-null dependent: NOT a violation
+    ).toDF("k", "g", "v")
+    val out = Validation.functionalDeps(df, Seq(
+        Seq("k") -> "v", Seq("k") -> "g", Seq("g") -> "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val kv = out(("k", "v"))
+    assert(!kv.getAs[Boolean]("holds") && kv.getAs[Long]("n_violating_groups") == 1L &&
+      kv.getAs[Long]("n_violating_rows") == 2L && kv.getAs[Long]("max_dependents") == 2L)
+    val kg = out(("k", "g"))
+    assert(kg.getAs[Boolean]("holds") && kg.getAs[Long]("n_groups") == 4L,
+      "k -> g must hold (k=4's null-free g is single-valued; null v irrelevant)")
+    val gk = out(("g", "k"))
+    assert(!gk.getAs[Boolean]("holds") && gk.getAs[Long]("n_violating_rows") == 2L)
+    intercept[IllegalArgumentException] {
+      Validation.functionalDeps(df, Seq(Seq("k") -> "k"))
+    }
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {
