@@ -301,6 +301,37 @@ object Validation {
       .orderBy(col("level") +: quasiCols.map(col): _*)
   }
 
+  /** Referential-integrity / inclusion-dependency audit: for each
+    * declared `child.fk ⊆ parent.pk` relationship, count child rows
+    * whose non-null foreign key has no parent — the orphan check a
+    * warehouse gate runs before trusting joins (and, run in the
+    * parent→child direction, the "every order has lines" coverage
+    * check). Null FKs are exempt, matching SQL FK semantics.
+    *
+    * One left join per relationship, keyed on the FK (parent side
+    * deduplicated first so multiplicity can't double-count) — each
+    * check shuffles on its own key, no global stage. */
+  def referentialIntegrity(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(checks.nonEmpty, "referentialIntegrity: at least one relationship")
+    checks.map { case (name, child, fkCol, parent, pkCol) =>
+      val p = parent.select(col(pkCol).cast("long").as("__pk")).distinct()
+      child.where(col(fkCol).isNotNull)
+        .select(col(fkCol).cast("long").as("__fk"))
+        .join(p, col("__fk") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(
+          lit(name).as("relationship"),
+          col("n_child"), col("n_orphans"),
+          when(col("n_child") > 0,
+            round(col("n_orphans").cast("double") / col("n_child"), 6))
+            .as("orphan_frac"),
+          (col("n_orphans") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Functional-dependency audit: for each declared FD
     * `determinant → dependent`, report whether any determinant value
     * maps to more than one distinct dependent value — the key-integrity

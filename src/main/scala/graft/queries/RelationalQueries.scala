@@ -615,6 +615,41 @@ object RelationalQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")
       }),
 
+    // Referential-integrity audit (Validation.referentialIntegrity):
+    // declared child.fk ⊆ parent.pk orphan checks, one FK-keyed left
+    // join each against the deduplicated parent key set. Three true FKs
+    // hold; the parent→child coverage check ("every order has lines")
+    // is genuinely violated on this data (orders without lineitems), so
+    // both verdicts are exercised.
+    Q("dq8_referential_integrity",
+      (s, d) => Validation.referentialIntegrity(Seq(
+          ("customer_nation", T(s, d, "customer"), "c_nationkey",
+            T(s, d, "nation"), "n_nationkey"),
+          ("lineitem_orders", T(s, d, "lineitem"), "l_orderkey",
+            T(s, d, "orders"), "o_orderkey"),
+          ("orders_customer", T(s, d, "orders"), "o_custkey",
+            T(s, d, "customer"), "c_custkey"),
+          ("orders_has_lines", T(s, d, "orders"), "o_orderkey",
+            T(s, d, "lineitem"), "l_orderkey")))
+        .orderBy(col("relationship")),
+      Some {
+        def ri(name: String, child: String, fk: String, parent: String, pk: String) =
+          s"""SELECT '$name' AS relationship, COUNT(*) AS n_child,
+             |  CAST(SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             |  CASE WHEN COUNT(*) > 0 THEN
+             |    ROUND(CAST(SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / COUNT(*), 6) END AS orphan_frac,
+             |  SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT $fk AS __fk FROM $child WHERE $fk IS NOT NULL) c
+             |LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parent) p ON c.__fk = p.__pk""".stripMargin
+        Seq(
+          ri("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          ri("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ri("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+          ri("orders_has_lines", "orders", "o_orderkey", "lineitem", "l_orderkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+      }),
+
     // Hive-partitioned sink round-trip: write orders partitioned by
     // status, re-read with a partition filter (pruning skips the other
     // status directories — locked by SourcesSpec), aggregate. Oracle is

@@ -439,6 +439,37 @@ object WindowQueries {
              |SELECT n_events, COUNT(*) AS n_sessions FROM per
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Distribution window functions (percent_rank / cume_dist / ntile):
+    // the percentile-position family w6 doesn't cover. The window order
+    // is made TOTAL (price then key) so every function is deterministic
+    // and tie-free on both engines; the output filter applies AFTER the
+    // windows (a mod-key slim-down, not a window predicate).
+    Q("w14_distribution_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w))
+          .where(pmod(col("o_orderkey"), lit(50)) === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("pct_rank"), col("cume"), col("quartile"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""WITH win AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    ROUND(percent_rank() OVER w, 6) AS pct_rank,
+             |    ROUND(cume_dist() OVER w, 6) AS cume,
+             |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_orderpriority, o_orderkey, pct_rank, cume, quartile
+             |FROM win WHERE o_orderkey % 50 = 0
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // OLAP completeness beyond the reference surface: hierarchical
     // rollup totals and a pivoted cross-tab.
     Q("w7_rollup",

@@ -308,6 +308,18 @@ class ValidationOpsSpec extends SparkSpec {
     }
   }
 
+  test("referentialIntegrity: orphans counted, null FKs exempt, dup parents once") {
+    import spark.implicits._
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)), (4L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 10L, 20L).toDF("pk") // dup pk must not double-count
+    val r = Validation.referentialIntegrity(
+      Seq(("c_p", child, "fk", parent, "pk"))).head()
+    assert(r.getAs[Long]("n_child") == 3L, "null FK row must be exempt")
+    assert(r.getAs[Long]("n_orphans") == 1L && !r.getAs[Boolean]("holds"))
+    assert(math.abs(r.getAs[Double]("orphan_frac") - 0.333333) < 1e-6)
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {
