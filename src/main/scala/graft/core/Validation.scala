@@ -301,6 +301,36 @@ object Validation {
       .orderBy(col("level") +: quasiCols.map(col): _*)
   }
 
+  /** Join-key skew profile: the diagnosis you run BEFORE choosing a
+    * skew mitigation (salting, AQE skew-join, broadcast) — per-key row
+    * counts summarized to the numbers that drive the decision: how many
+    * keys, how big the biggest key is absolutely and as a share of the
+    * table, and the p50/p90/p99 key sizes (exact percentiles over the
+    * key-count distribution). `skew_ratio` = max key size / mean key
+    * size — ≈1 means uniform, ≫1 means one reducer will eat the key.
+    *
+    * Two aggregates: one shuffle keyed on the key itself (the same
+    * exchange the real join would do), then a one-row summary. */
+  def skewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewProfile: at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_key_rows"),
+        round(percentile(col("__n"), lit(0.5)), 6).as("p50_key_rows"),
+        round(percentile(col("__n"), lit(0.9)), 6).as("p90_key_rows"),
+        round(percentile(col("__n"), lit(0.99)), 6).as("p99_key_rows"))
+      .select(
+        lit(keyCols.mkString(",")).as("key"),
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6)
+          .as("max_key_share"),
+        round(col("max_key_rows").cast("double") *
+          col("n_keys") / col("n_rows"), 6).as("skew_ratio"),
+        col("p50_key_rows"), col("p90_key_rows"), col("p99_key_rows"))
+  }
+
   /** Referential-integrity / inclusion-dependency audit: for each
     * declared `child.fk ⊆ parent.pk` relationship, count child rows
     * whose non-null foreign key has no parent — the orphan check a

@@ -189,6 +189,33 @@ object AggQueries {
              |ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90,
              |ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99 FROM orders""".stripMargin)),
 
+    // WEIGHTED quantiles (frequency-weighted median/IQR — the unit-price
+    // distribution where each line counts `l_quantity` times, i.e. the
+    // per-UNIT price distribution): Spark's exact `percentile(col, p,
+    // freq)` with an integral frequency column ≡ quantile_cont over the
+    // row expansion, which is exactly how the oracle computes it (UNNEST
+    // a range(w) per row). One exact grouped aggregate — the frequency
+    // column never expands rows on the Spark side.
+    Q("a21_weighted_quantiles",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("int").as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sumLong(col("w")).as("total_weight"),
+          round(expr("percentile(l_extendedprice, 0.25, w)"), 6).as("wp25"),
+          round(expr("percentile(l_extendedprice, 0.5, w)"), 6).as("wmedian"),
+          round(expr("percentile(l_extendedprice, 0.75, w)"), 6).as("wp75"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH x AS (SELECT l_returnflag, l_extendedprice,
+             |    CAST(l_quantity AS INT) AS w FROM lineitem),
+             |e AS (SELECT l_returnflag, l_extendedprice FROM x, UNNEST(range(w)))
+             |SELECT l_returnflag, COUNT(*) AS total_weight,
+             |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS wp25,
+             |  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS wmedian,
+             |  ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS wp75
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("a13_corr_matrix",
       (s, d) => {
         val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")

@@ -650,6 +650,66 @@ object RelationalQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
       }),
 
+    // Join-key skew profile (Validation.skewProfile): the pre-join
+    // diagnosis for salting / AQE-skew decisions — per-key counts
+    // summarized to max-key share, skew ratio (max/mean), and exact
+    // p50/p90/p99 key sizes, over the two keys the repo's own joins
+    // shuffle on. Oracle: identical two-level aggregate per key set.
+    Q("dq9_skew_profile",
+      (s, d) => Validation.skewProfile(T(s, d, "lineitem"), Seq("l_orderkey"))
+        .unionByName(Validation.skewProfile(T(s, d, "orders"), Seq("o_custkey")))
+        .orderBy(col("key")),
+      Some {
+        def sp(table: String, key: String) =
+          s"""SELECT '$key' AS key,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             |  CAST(MAX(n) AS BIGINT) AS max_key_rows,
+             |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_key_share,
+             |  ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS skew_ratio,
+             |  ROUND(QUANTILE_CONT(n, 0.5), 6) AS p50_key_rows,
+             |  ROUND(QUANTILE_CONT(n, 0.9), 6) AS p90_key_rows,
+             |  ROUND(QUANTILE_CONT(n, 0.99), 6) AS p99_key_rows
+             |FROM (SELECT COUNT(*) AS n FROM $table GROUP BY $key)""".stripMargin
+        sp("lineitem", "l_orderkey") + "\nUNION ALL\n" + sp("orders", "o_custkey") +
+          "\nORDER BY key"
+      }),
+
+    // DYNAMIC partition overwrite (partitionOverwriteMode=dynamic): the
+    // production incremental-reload pattern — rewrite ONLY the
+    // partitions present in the incoming frame, leave the rest on disk
+    // untouched (static mode would truncate the whole table). Here the
+    // 'O' partition is replaced with a transformed drop (price doubled —
+    // an fp-EXACT transform, no rounding hazard) while F/P survive; the
+    // read-back aggregate proves both halves. Oracle computes the same
+    // merged state from the source table.
+    Q("p12_dynamic_partition_overwrite",
+      (s, d) => {
+        val out = scratch(s, "dyn_overwrite").toString
+        val orders = T(s, d, "orders")
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try
+          orders.where(col("o_orderstatus") === "O")
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        s.read.parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("o_totalprice")).as("sum_price"),
+            countDistinct(col("o_orderkey")).as("n_keys"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |${sumExactSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price,
+              |COUNT(DISTINCT o_orderkey) AS n_keys
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hive-partitioned sink round-trip: write orders partitioned by
     // status, re-read with a partition filter (pruning skips the other
     // status directories — locked by SourcesSpec), aggregate. Oracle is

@@ -320,6 +320,18 @@ class ValidationOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("orphan_frac") - 0.333333) < 1e-6)
   }
 
+  test("skewProfile: planted hot key dominates max share and skew ratio") {
+    import spark.implicits._
+    // 90 rows on key 1, one row each on keys 2..11 -> 100 rows, 11 keys
+    val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val r = Validation.skewProfile(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_rows") == 100L && r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("max_key_rows") == 90L)
+    assert(math.abs(r.getAs[Double]("max_key_share") - 0.9) < 1e-9)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 9.9) < 1e-9) // 90/(100/11)
+    assert(r.getAs[Double]("p50_key_rows") == 1.0)
+  }
+
   // ---- d14 keep-best -------------------------------------------------------
 
   test("keep-best resolution keeps the highest-quality member, not the min id") {
