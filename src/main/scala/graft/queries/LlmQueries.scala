@@ -2182,6 +2182,42 @@ object LlmQueries {
     // (Bpe discipline). Hybrid oracle in the m2 style: n_pretokens /
     // n_char_pieces are DuckDB-exact over the same pre-token regex —
     // n_char_pieces doubles as the trainer invariant "every alphabet
+    // Vocabulary OOV-rate gate: build the top-1000 token vocabulary
+    // (count desc, token asc — a TOTAL order, so the rank-1000 cutoff is
+    // deterministic on both engines) and report each source's
+    // out-of-vocabulary OCCURRENCE rate — the tokenizer-coverage check
+    // run before committing a vocab to a training run. Plan: one token
+    // aggregate + TakeOrdered(1000) for the vocab, then a BROADCAST left
+    // join back onto the token stream (the vocab is small by
+    // construction — the scale shape for any fixed-size vocab).
+    Q("x40_vocab_oov",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(1000)
+          .select(col("tok"), lit(1).as("__in"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            countIf(col("__in").isNull).as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+              |vocab AS (
+              |  SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks
+              |    GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000)),
+              |j AS (SELECT t.source, v.tok AS vt FROM toks t
+              |  LEFT JOIN vocab v ON t.tok = v.tok)
+              |SELECT source, COUNT(*) AS n_tokens,
+              |  ${countIfSql("vt IS NULL")} AS n_oov,
+              |  ROUND(CAST(${countIfSql("vt IS NULL")} AS DOUBLE) / COUNT(*), 6) AS oov_rate
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // codepoint survives as a piece" — vocab_size pins the exact-size
     // prune contract, probs_ok the normalization contract. Planted-
     // corpus recovery / Viterbi / determinism are UnigramSpec's job.

@@ -261,6 +261,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesByStratum: strata independent, oversize own pack, empty input") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 200), ("a", 2L, 200), ("a", 3L, 200),
+      ("b", 4L, 600), ("b", 5L, 100)).toDF("src", "id", "ntok")
+    val out = Curation.packSequencesByStratum(docs, "id", "ntok", "src", budget = 512)
+      .collect().map(r => (r.getAs[String]("stratum"), r.getAs[Long]("pack_id"),
+        r.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq, r.getAs[Int]("total_tokens")))
+      .sortBy(t => (t._1, t._2))
+    // a: [1,2]=400 then [3]; b: 600-token doc 4 gets its own pack, then [5]
+    assert(out.map(t => (t._1, t._2, t._3, t._4)) === Seq(
+      ("a", 0L, Seq(1L, 2L), 400), ("a", 1L, Seq(3L), 200),
+      ("b", 0L, Seq(4L), 600), ("b", 1L, Seq(5L), 100)))
+    // every doc exactly once, never across strata
+    assert(out.flatMap(_._3).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(Curation.packSequencesByStratum(
+      docs.limit(0), "id", "ntok", "src", budget = 512).count() === 0L)
+  }
+
   test("packSequences respects the budget and covers every doc exactly once") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, 100 + (i % 7).toInt * 50)).toDF("doc_id", "n_tokens")
