@@ -29,6 +29,7 @@ object DevScale {
     if (want("gates")) gatesSection(spark)
     if (want("gates12")) gates12Section(spark)
     if (want("ingest12")) ingest12Section(spark)
+    if (want("gates12b")) gates12bSection(spark)
     spark.stop()
   }
 
@@ -83,6 +84,73 @@ object DevScale {
         val t0 = System.nanoTime()
         Bench.exec(fn(spark, dir))
         println(f"[g12] x$mult%-4d $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** Round-12b operators at ×1/×10/×100 — the second batch of this
+    * round's additions (FD/RI/skew audits, weighted quantiles,
+    * distribution windows, tolerance as-of, leakage split, vocab OOV).
+    * Replication recipe: orders/lineitem with order-key offsets
+    * (custkeys and the customer/nation dims stay FIXED, so the dq8 FK
+    * structure holds and per-key row counts grow — the legit key-growth
+    * mode for dq9), events with user offsets (t2b's user population
+    * scales), documents with id offsets + per-replica token suffixes
+    * (x39's near-dup structure scales linearly, no cross-replica
+    * pairs). Expected: near-linear everywhere; every shuffle keyed on
+    * key/user/token/cluster; SinglePartition only above one-row
+    * summaries. Results → PLANS.md round-12. */
+  private def gates12bSection(spark: SparkSession): Unit = {
+    val sf = "/root/testdata/sf0.1"
+    val ordersBase = spark.read.parquet(s"$sf/orders.parquet")
+    val lineBase = spark.read.parquet(s"$sf/lineitem.parquet")
+    val eventsBase = spark.read.parquet(s"$sf/events.parquet")
+    val docsBase = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = s"/tmp/graft_scale_g12b_x$mult"
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        (0 until mult).map { i =>
+          ordersBase.select(
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        (0 until mult).map { i =>
+          lineBase.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        (0 until mult).map { i =>
+          eventsBase.select(
+            (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        (0 until mult).map { i =>
+          docsBase.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$i")))).as("text"),
+            col("n_chars"), col("source"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        spark.read.parquet(s"$sf/customer.parquet")
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        spark.read.parquet(s"$sf/nation.parquet")
+          .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      }
+      Seq("dq7_functional_deps", "dq8_referential_integrity", "dq9_skew_profile",
+          "a21_weighted_quantiles", "w14_distribution_windows", "t2b_asof_tolerance",
+          "x39_leakage_safe_split", "x40_vocab_oov").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12b] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
   }

@@ -256,4 +256,72 @@ object Relational {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
+
+  /** DISTRIBUTED exact frequency-weighted quantiles: quantile_cont over
+    * the multiset where each row repeats `weightCol` times, computed
+    * WITHOUT expanding rows and WITHOUT buffering the group in memory.
+    *
+    * Spark's built-in exact `percentile(col, p, freq)` collects every
+    * (value, freq) pair into the aggregation buffer — with few groups
+    * that concentrates the whole table into a handful of buffers
+    * (measured: heap OOM at 60M rows / 3 groups, DevScale gates12b).
+    * This instead runs ONE group-sorted window cumsum (running ROWS
+    * frame — O(1) state, spillable sort) to give each row its
+    * 0-indexed expanded-position interval [cum−w, cum−1], broadcasts
+    * the tiny per-group target-position frame (pos = p·(ΣW−1), the
+    * quantile_cont convention), keeps only the 1–2 covering rows per
+    * (group, p), and interpolates. Ties in `valueCol` are safe under
+    * any tiebreak — equal values interpolate to themselves.
+    *
+    * Use dyadic probabilities (0.5, 0.25, 0.75, …) when hash-matching
+    * an external engine: p·(W−1) is then fp-exact, so the covering
+    * indices agree bit-for-bit.
+    *
+    * Output: one row per group: groupCol, total_weight, q_<p> columns
+    * (p formatted with '_' for '.'), e.g. q_0_5. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must be in [0,1]: $ps")
+    val slim = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__w") > 0)
+      // HISTOGRAM-COMPRESS first: collapsing to (group, DISTINCT value,
+      // Σw) is a fully-parallel map-side-combined aggregate, so the
+      // per-group window below — whose parallelism is the group count —
+      // only ever scans distinct values, not rows (measured: 120 s →
+      // seconds at 60M rows / 3 groups when values repeat). Identical
+      // expansion semantics; also makes values unique per group, so the
+      // covering row per target index is unique by construction.
+      .groupBy(col("__g"), col("__v")).agg(sum(col("__w")).as("__w"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = slim.withColumn("__cum", sum(col("__w")).over(w))
+    val totals = slim.groupBy(col("__g")).agg(sum(col("__w")).as("__tw"))
+    val targets = totals
+      .select(col("__g"), col("__tw"),
+        explode(array(ps.map(lit(_)): _*)).as("__p"))
+      .withColumn("__pos", col("__p") * (col("__tw") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    val coversLo = col("__cum") - col("__w") <= col("__lo") && col("__cum") - 1 >= col("__lo")
+    val coversHi = col("__cum") - col("__w") <= col("__hi") && col("__cum") - 1 >= col("__hi")
+    val picked = cum.join(broadcast(targets), Seq("__g"))
+      .where(coversLo || coversHi)
+      .groupBy(col("__g"), col("__p"), col("__pos"), col("__lo"), col("__hi"))
+      .agg(
+        min(when(coversLo, col("__v"))).as("__vlo"),
+        min(when(coversHi, col("__v"))).as("__vhi"))
+      .withColumn("__q",
+        col("__vlo") + (col("__pos") - col("__lo")) * (col("__vhi") - col("__vlo")))
+    def pName(p: Double) = "q_" + p.toString.replace('.', '_').stripSuffix("_0")
+    val wide = picked.groupBy(col("__g"))
+      .pivot("__p", ps.map(p => p.toString))
+      .agg(first(col("__q")))
+      .select(col("__g") +: ps.map(p => col(s"`$p`").as(pName(p))): _*)
+    totals.select(col("__g"), col("__tw").as("total_weight"))
+      .join(wide, Seq("__g"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

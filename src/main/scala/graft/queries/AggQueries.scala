@@ -191,21 +191,24 @@ object AggQueries {
 
     // WEIGHTED quantiles (frequency-weighted median/IQR — the unit-price
     // distribution where each line counts `l_quantity` times, i.e. the
-    // per-UNIT price distribution): Spark's exact `percentile(col, p,
-    // freq)` with an integral frequency column ≡ quantile_cont over the
-    // row expansion, which is exactly how the oracle computes it (UNNEST
-    // a range(w) per row). One exact grouped aggregate — the frequency
-    // column never expands rows on the Spark side.
+    // per-UNIT price distribution) via Relational.weightedQuantiles: one
+    // group-sorted window cumsum + broadcast target positions, rows
+    // never expand and no group ever buffers in memory. (The built-in
+    // exact `percentile(col, p, freq)` buffers every pair per group —
+    // with 3 groups that concentrated 60M rows into 3 aggregation
+    // buffers and OOM'd at DevScale ×100; this plan is flat.) The
+    // dyadic 0.25/0.5/0.75 make p·(W−1) fp-exact, so the covering
+    // indices match quantile_cont over the oracle's row expansion
+    // bit-for-bit.
     Q("a21_weighted_quantiles",
-      (s, d) => T(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_quantity").cast("int").as("w"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          sumLong(col("w")).as("total_weight"),
-          round(expr("percentile(l_extendedprice, 0.25, w)"), 6).as("wp25"),
-          round(expr("percentile(l_extendedprice, 0.5, w)"), 6).as("wmedian"),
-          round(expr("percentile(l_extendedprice, 0.75, w)"), 6).as("wp75"))
+      (s, d) => graft.core.Relational.weightedQuantiles(
+          T(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity").cast("int").as("w")),
+          "l_returnflag", "l_extendedprice", "w", ps = Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"), col("total_weight"),
+          round(col("q_0_25"), 6).as("wp25"),
+          round(col("q_0_5"), 6).as("wmedian"),
+          round(col("q_0_75"), 6).as("wp75"))
         .orderBy(col("l_returnflag")),
       Some("""WITH x AS (SELECT l_returnflag, l_extendedprice,
              |    CAST(l_quantity AS INT) AS w FROM lineitem),

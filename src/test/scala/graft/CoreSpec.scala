@@ -362,6 +362,25 @@ class CoreSpec extends SparkSpec {
     assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 2, 2).isEmpty)
   }
 
+  test("weightedQuantiles: hand-computed expansion semantics, two groups, w=0 dropped") {
+    import spark.implicits._
+    // g=a expands to [10,20,20,20]: p25 -> pos .75 -> 17.5; median -> pos 1.5
+    // -> 20; p75 -> pos 2.25 -> 20. g=b single row: all quantiles = 5.
+    val df = Seq(("a", 10.0, 1L), ("a", 20.0, 3L), ("b", 5.0, 2L), ("b", 99.0, 0L))
+      .toDF("g", "v", "w")
+    val out = graft.core.Relational
+      .weightedQuantiles(df, "g", "v", "w", ps = Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("total_weight") == 4L)
+    assert(a.getAs[Double]("q_0_25") == 17.5)
+    assert(a.getAs[Double]("q_0_5") == 20.0)
+    assert(a.getAs[Double]("q_0_75") == 20.0)
+    val b = out("b")
+    assert(b.getAs[Long]("total_weight") == 2L, "w=0 row must be dropped")
+    assert(b.getAs[Double]("q_0_5") == 5.0)
+  }
+
   test("Multimodal: aHash — hand-computed bits, identity, and sensitivity") {
     import javax.imageio.ImageIO
     import java.io.ByteArrayInputStream
