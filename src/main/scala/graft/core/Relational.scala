@@ -91,16 +91,11 @@ object Relational {
     * r = N mod n buckets take ceil(N/n) rows, the rest floor(N/n).
     * Matches the reference's qcut-ish equal-count split given a unique
     * order key. [[decileByRange]] is the approximate constant-pass twin. */
-  def decileExact(df: DataFrame, order: Seq[Column], n: Int = 10): DataFrame = {
-    val ranked = withGlobalRank(df, order, "__grk", "__gn")
-    val q = floor(col("__gn") / n).cast("long")
-    val r = col("__gn") - q * n
-    val thr = r * (q + lit(1L))
-    val decile = when(col("__grk") <= thr,
-        floor((col("__grk") - 1) / (q + lit(1L))) + 1)
-      .otherwise(r + floor((col("__grk") - thr - 1) / greatest(q, lit(1L))) + 1)
-    ranked.withColumn("decile", decile.cast("int")).drop("__grk", "__gn")
-  }
+  def decileExact(df: DataFrame, order: Seq[Column], n: Int = 10): DataFrame =
+    withGlobalRank(df, order, "__grk", "__gn")
+      .withColumn("decile",
+        ntileFromRank(col("__grk"), col("__gn"), n).cast("int"))
+      .drop("__grk", "__gn")
 
   /** W4 (scale path): equal-frequency bucketing by approx-quantile cut
     * points — fully parallel (one pass for the sketch + one map pass).
@@ -256,6 +251,56 @@ object Relational {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
+
+  /** Exact PER-GROUP 1-based rank with no per-group serialization — the
+    * group-keyed generalization of [[withGlobalRank]], for rank-position
+    * families (percent_rank / cume_dist / ntile) whose stock
+    * `Window.partitionBy(group)` plan caps parallelism at the GROUP
+    * COUNT (measured: 17 s at 15M orders × 5 priorities, gates12b —
+    * every group is one task).
+    *
+    * Same three moves, group-aware: ONE range shuffle on
+    * (group ++ order) so each group's rows spread over many contiguous
+    * partitions; `monotonically_increasing_id` after the local sort for
+    * (partition, position); a tiny per-(partition, group) frame — row
+    * count and first-position — turned into prefix offsets per group
+    * and broadcast back. rank = mid − first(pid, g) + 1 + offset(pid, g).
+    *
+    * `order` must be a TOTAL order within the group (add a unique
+    * tie-break) — with ties, rank here is row_number, not RANK. Adds
+    * `rankCol` and `groupTotalCol` (rows in the row's group). */
+  def withGroupRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      rankCol: String, groupTotalCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keys = groupCols.map(col)
+    val withMid = df.repartitionByRange(nPart, keys ++ order: _*)
+      .sortWithinPartitions(keys ++ order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__pid2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withMid.groupBy(col("__pid2") +: keys: _*)
+      .agg(count(lit(1)).as("__pn"), min(col("__mid")).as("__mfirst"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .withColumn(groupTotalCol,
+        sum(col("__pn")).over(Window.partitionBy(keys: _*)))
+      .select(col("__pid2") +: keys :+ col("__mfirst") :+ col("__off")
+        :+ col(groupTotalCol): _*)
+    withMid.join(broadcast(offsets), "__pid2" +: groupCols)
+      .withColumn(rankCol, col("__mid") - col("__mfirst") + 1 + col("__off"))
+      .drop("__mid", "__pid2", "__mfirst", "__off")
+  }
+
+  /** NTILE(n) closed form from a per-group (rank, total) pair — the
+    * [[decileExact]] formula, reusable against [[withGroupRank]]. */
+  def ntileFromRank(rank: Column, total: Column, n: Int): Column = {
+    val q = floor(total / n).cast("long")
+    val r = total - q * n
+    val thr = r * (q + lit(1L))
+    when(rank <= thr, floor((rank - 1) / (q + lit(1L))) + 1)
+      .otherwise(r + floor((rank - thr - 1) / greatest(q, lit(1L))) + 1)
+  }
 
   /** DISTRIBUTED exact frequency-weighted quantiles: quantile_cont over
     * the multiset where each row repeats `weightCol` times, computed
