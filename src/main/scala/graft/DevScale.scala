@@ -30,6 +30,7 @@ object DevScale {
     if (want("gates12")) gates12Section(spark)
     if (want("ingest12")) ingest12Section(spark)
     if (want("gates12b")) gates12bSection(spark)
+    if (want("gates12c")) gates12cSection(spark)
     spark.stop()
   }
 
@@ -100,15 +101,17 @@ object DevScale {
     * pairs). Expected: near-linear everywhere; every shuffle keyed on
     * key/user/token/cluster; SinglePartition only above one-row
     * summaries. Results → PLANS.md round-12. */
-  private def gates12bSection(spark: SparkSession): Unit = {
+  /** Build (once) and return the g12b replicated dir for `mult` — shared
+    * by gates12b and gates12c (same replication recipe, see gates12b
+    * scaladoc). */
+  private def ensureG12bDir(spark: SparkSession, mult: Int): String = {
     val sf = "/root/testdata/sf0.1"
     val ordersBase = spark.read.parquet(s"$sf/orders.parquet")
     val lineBase = spark.read.parquet(s"$sf/lineitem.parquet")
     val eventsBase = spark.read.parquet(s"$sf/events.parquet")
     val docsBase = spark.read.parquet(s"$sf/documents.parquet")
-    Seq(1, 10, 100).foreach { mult =>
-      val dir = s"/tmp/graft_scale_g12b_x$mult"
-      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+    val dir = s"/tmp/graft_scale_g12b_x$mult"
+    if (!new java.io.File(s"$dir/orders.parquet").exists()) {
         (0 until mult).map { i =>
           ordersBase.select(
             (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
@@ -142,7 +145,13 @@ object DevScale {
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
         spark.read.parquet(s"$sf/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
-      }
+    }
+    dir
+  }
+
+  private def gates12bSection(spark: SparkSession): Unit = {
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = ensureG12bDir(spark, mult)
       Seq("dq7_functional_deps", "dq8_referential_integrity", "dq9_skew_profile",
           "a21_weighted_quantiles", "w14_distribution_windows", "t2b_asof_tolerance",
           "x39_leakage_safe_split", "x40_vocab_oov").foreach { name =>
@@ -151,6 +160,26 @@ object DevScale {
         val t0 = System.nanoTime()
         Bench.exec(fn(spark, dir))
         println(f"[g12b] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** Round-12c operators at ×1/×10/×100 (same g12b replicated dirs):
+    * w14b — the withGroupRank rewrite whose whole point is beating w14's
+    * parallelism=group-count wall (17 s at ×100); h6/h7 — sketch
+    * build+merge should stay map-side-combined linear; t9/t10 — one
+    * user-keyed window each, user population scales with data. */
+  private def gates12cSection(spark: SparkSession): Unit = {
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = ensureG12bDir(spark, mult)
+      Seq("w14_distribution_windows", "w14b_distribution_scalable",
+          "h6_hll_at_rest", "h7_kll_at_rest",
+          "t9_scd2_intervals", "t10_attribution").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12c] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
   }

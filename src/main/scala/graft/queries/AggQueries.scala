@@ -637,6 +637,84 @@ object AggQueries {
              |SELECT o_custkey, n_exact, TRUE AS overestimate_nonneg, TRUE AS within_eps
              |FROM r WHERE rk <= 5 ORDER BY n_exact DESC, o_custkey""".stripMargin)),
 
+    // MERGEABLE distinct-count sketches AT REST (the 100 TB pattern for
+    // distinct users: build DataSketches HLL per (group, shard) once,
+    // persist the binary sketches, and answer global distinct questions
+    // by UNIONING sketches — never rescanning raw data). Shards stand in
+    // for ingest partitions/days. Merge order/partitioning cannot change
+    // the estimate (HLL union is commutative + idempotent), and the
+    // estimate is a deterministic function of the input SET, so the 3σ
+    // window flag is a stable verifiable fact (h2's maintenance caveat
+    // applies: lgK=12 → rel. std. err. ≈ 1.04/√4096 ≈ 1.6%).
+    Q("h6_hll_at_rest",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_type"), col("user_id"))
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_${s.sparkContext.applicationId}", "h6_sketches").toString
+        ev.withColumn("shard", pmod(col("user_id"), lit(16)))
+          .groupBy(col("event_type"), col("shard"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+          .write.mode("overwrite").parquet(out)
+        val merged = s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_shards"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(merged, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("n_shards"),
+            (abs(col("est") - col("n_exact")).cast("double")
+              <= lit(3 * 0.016) * col("n_exact")).as("sketch_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             |COUNT(DISTINCT user_id % 16) AS n_shards, TRUE AS sketch_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MERGEABLE quantile sketches AT REST (KLL): per-(flag, shard)
+    // sketches of the price column persisted once, then per-flag medians
+    // served by kll_merge_agg over the sketch rows — the rollup-quantile
+    // pattern (exact distributed quantiles need a rank pass per ask;
+    // sketches answer any later slice without touching raw rows). KLL
+    // compaction is randomized, so the pinned fact is a WIDE rank band,
+    // not a value: k=400 → rank error ≈ 1.0% at 3σ, and the flag asserts
+    // the merged median lands within the exact [p40, p60] value band
+    // (≈ 10σ margin each side; prices are near-continuous so the band is
+    // wide). n_rows proves the merged sketch saw every row exactly once.
+    Q("h7_kll_at_rest",
+      (s, d) => {
+        val li = T(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_orderkey"), col("l_extendedprice").cast("double").as("v"))
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_${s.sparkContext.applicationId}", "h7_sketches").toString
+        li.withColumn("shard", pmod(col("l_orderkey"), lit(32)))
+          .groupBy(col("l_returnflag"), col("shard"))
+          .agg(kll_sketch_agg_double(col("v"), 400).as("sk"))
+          .write.mode("overwrite").parquet(out)
+        val merged = s.read.parquet(out)
+          .groupBy(col("l_returnflag"))
+          .agg(kll_merge_agg_double(col("sk")).as("mk"))
+          .select(col("l_returnflag"),
+            kll_sketch_get_n_double(col("mk")).as("n_rows"),
+            kll_sketch_get_quantile_double(col("mk"), lit(0.5)).as("est_med"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_exact"),
+            percentile(col("v"), lit(0.4)).as("p40"),
+            percentile(col("v"), lit(0.5)).as("p50"),
+            percentile(col("v"), lit(0.6)).as("p60"))
+        exact.join(merged, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_exact"),
+            (col("n_rows") === col("n_exact")).as("counts_agree"),
+            round(col("p50"), 4).as("exact_median"),
+            (col("est_med") >= col("p40") && col("est_med") <= col("p60"))
+              .as("sketch_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_exact, TRUE AS counts_agree,
+             |ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_median,
+             |TRUE AS sketch_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc

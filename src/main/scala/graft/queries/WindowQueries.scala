@@ -334,6 +334,85 @@ object WindowQueries {
               |  ${sumExactSql("value")} AS volume
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SCD2 validity-interval build (the warehouse change-log → slowly-
+    // changing-dimension shape): each (user, ts) state change is valid
+    // from its own ts until the user's NEXT change (lead over ONE
+    // user-keyed window shuffle); the latest change per user stays open
+    // (valid_to null). Durations in micros — both engines already agree
+    // at that precision (t2's convention). The (user, ts) pre-aggregate
+    // makes the state log key-unique (MERGE's multiple-matches contract)
+    // and is a no-op on this fixture (ts verified unique), so the lead
+    // chain is deterministic.
+    Q("t9_scd2_intervals",
+      (s, d) => {
+        val st = events(s, d)
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .agg(max(col("event_type")).as("state"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        st.withColumn("nxt", lead(col("tsu"), 1).over(w))
+          .groupBy(col("state"))
+          .agg(
+            count(lit(1)).as("n_versions"),
+            countIf(col("nxt").isNull).as("n_open"),
+            sumLong(col("nxt") - col("tsu")).as("dur_us_total"))
+          .orderBy(col("state"))
+      },
+      Some(s"""WITH st AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu, MAX(event_type) AS state
+              |  FROM events GROUP BY 1, 2),
+              |iv AS (SELECT state, tsu,
+              |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS nxt
+              |  FROM st)
+              |SELECT state, COUNT(*) AS n_versions,
+              |  ${countIfSql("nxt IS NULL")} AS n_open,
+              |  ${sumLongSql("nxt - tsu")} AS dur_us_total
+              |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // First-touch / last-touch click attribution: every purchase is
+    // attributed to the user's earliest and latest click AT OR BEFORE it
+    // — two conditional window extremes over a ts-ordered RANGE frame
+    // (value-based, so same-instant click+purchase rows are included
+    // deterministically regardless of sort tie order). ONE user-keyed
+    // shuffle serves both touches; the naive formulation is two as-of
+    // joins (two more shuffles + a second events scan each).
+    Q("t10_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("value"))
+          .withColumn("first_click",
+            min(when(col("event_type") === "click", col("tsu"))).over(w))
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("tsu"))).over(w))
+          .where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            countIf(col("first_click").isNotNull).as("n_attributed"),
+            sumLong(col("tsu") - col("first_click")).as("first_gap_us"),
+            sumLong(col("tsu") - col("last_click")).as("last_gap_us"),
+            sumExact(when(col("last_click").isNotNull, col("value")))
+              .as("attributed_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, value
+              |  FROM events),
+              |t AS (SELECT user_id, event_type, tsu, value,
+              |    MIN(CASE WHEN event_type = 'click' THEN tsu END) OVER w AS first_click,
+              |    MAX(CASE WHEN event_type = 'click' THEN tsu END) OVER w AS last_click
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+              |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT user_id, COUNT(*) AS n_purchases,
+              |  ${countIfSql("first_click IS NOT NULL")} AS n_attributed,
+              |  ${sumLongSql("tsu - first_click")} AS first_gap_us,
+              |  ${sumLongSql("tsu - last_click")} AS last_gap_us,
+              |  ${sumExactSql("CASE WHEN last_click IS NOT NULL THEN value END")} AS attributed_value
+              |FROM t WHERE event_type = 'purchase'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when
@@ -453,6 +532,50 @@ object WindowQueries {
           .withColumn("pct_rank", round(percent_rank().over(w), 6))
           .withColumn("cume", round(cume_dist().over(w), 6))
           .withColumn("quartile", ntile(4).over(w))
+          .where(pmod(col("o_orderkey"), lit(50)) === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("pct_rank"), col("cume"), col("quartile"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""WITH win AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    ROUND(percent_rank() OVER w, 6) AS pct_rank,
+             |    ROUND(cume_dist() OVER w, 6) AS cume,
+             |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_orderpriority, o_orderkey, pct_rank, cume, quartile
+             |FROM win WHERE o_orderkey % 50 = 0
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // w14's SCALE twin: the same three distribution functions computed
+    // from graft.core.Relational.withGroupRank (range-shuffled grouped
+    // rank) instead of a stock per-group window — the stock plan's
+    // parallelism is the GROUP COUNT (5 priorities = 5 tasks = 17 s at
+    // ×100, DevScale gates12b), while this one spreads each group over
+    // the full range shuffle. Closed forms from (rank, group_total):
+    // percent_rank = (rk−1)/(N−1), cume_dist = rk/N (tie-free total
+    // order), ntile via the decile formula. Oracle: IDENTICAL SQL to
+    // w14 — same functions, same window — proving the distributed rank
+    // reproduces the stock window's values exactly.
+    Q("w14b_distribution_scalable",
+      (s, d) => {
+        val ranked = graft.core.Relational.withGroupRank(
+          T(s, d, "orders")
+            .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice"), col("o_orderkey")),
+          "__rk", "__n")
+        ranked
+          .withColumn("pct_rank",
+            round(when(col("__n") > 1,
+                (col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+              .otherwise(lit(0.0)), 6))
+          .withColumn("cume",
+            round(col("__rk").cast("double") / col("__n").cast("double"), 6))
+          .withColumn("quartile",
+            graft.core.Relational.ntileFromRank(col("__rk"), col("__n"), 4).cast("int"))
           .where(pmod(col("o_orderkey"), lit(50)) === 0)
           .select(col("o_orderpriority"), col("o_orderkey"),
             col("pct_rank"), col("cume"), col("quartile"))

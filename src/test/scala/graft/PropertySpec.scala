@@ -110,6 +110,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("withGroupRank yields per-group permutations 1..N_g at any partition count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      nGroups <- Gen.choose(1, 5) // few groups × many rows: the shape the operator targets
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, nGroups - 1), Gen.choose(0, 20)))
+    } yield rows
+    forAll(gen, n = 6) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v.toDouble, i.toLong) }.toDF("g", "v", "id")
+      for (parts <- Seq(1, 3, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          val got = graft.core.Relational
+            .withGroupRank(df, Seq("g"), Seq(col("v"), col("id")), "rk", "n")
+            .select("g", "v", "id", "rk", "n").collect()
+            .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          val sizes = rows.groupBy(t => s"g${t._1}").view.mapValues(_.size.toLong).toMap
+          got.groupBy(_._1).foreach { case (g, grp) =>
+            assert(grp.forall(_._5 === sizes(g)), s"group total wrong for $g at $parts parts")
+            assert(grp.map(_._4).sorted.toSeq === (1L to sizes(g)),
+              s"not a permutation in $g at $parts parts")
+            val expected = grp.map(t => (t._2, t._3)).sortBy(identity).zipWithIndex
+              .map { case ((v, id), i) => (v, id) -> (i + 1L) }.toMap
+            grp.foreach { case (_, v, id, rk, _) =>
+              assert(rk === expected((v, id)), s"rank mismatch for ($g,$v,$id) at $parts parts")
+            }
+          }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 8)
+      }
+    }
+  }
+
   test("asofJoin equals the brute-force reference on random data, both directions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
