@@ -150,6 +150,46 @@ object Similarity {
       .select("query_id", "corpus_id", "dot", "rk")
   }
 
+  /** Johnson–Lindenstrauss random projection: maps `vecCol` into
+    * `outDim` dims through a seeded Gaussian matrix scaled by 1/√outDim,
+    * preserving Euclidean distances in expectation (E[‖Px−Py‖²] =
+    * ‖x−y‖²; per-pair relative variance ≈ 2/outDim) — the standard
+    * embedding-compression step before ANN indexing (dim 64→32 halves
+    * the bytes every downstream shuffle and index carries, with distance
+    * RANKING approximately preserved). Map-only: the matrix broadcasts
+    * (outDim×dim doubles), each vector projects in a tight primitive
+    * loop (same kernel stance as [[graft.llm.Dedup.withSignature]] — an
+    * expression tree of outDim×dim literals costs seconds of analysis
+    * per run). Returns (idName: long, vecName: array<double>[outDim]). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Long,
+      idName: String = "id", vecName: String = "pv"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planes = Dedup.hyperplanes(outDim, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, v) =>
+          require(v.length == dim, s"jl_project: dim mismatch (${v.length} vs $dim)")
+          val out = new Array[Double](ps.length)
+          var i = 0
+          while (i < ps.length) {
+            val p = ps(i)
+            var s = 0.0
+            var j = 0
+            while (j < dim) { s += p(j) * v(j); j += 1 }
+            out(i) = s * scale
+            i += 1
+          }
+          (id, out)
+        }
+      }.toDF(idName, vecName)
+  }
+
   /** The pre-window stage of [[bruteForceTopK]], exposed so DevScale can
     * count the rows that actually enter the per-query window. Query set
     * broadcast as primitive arrays; the corpus streams through a

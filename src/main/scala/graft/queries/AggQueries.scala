@@ -697,16 +697,19 @@ object AggQueries {
           .select(col("l_returnflag"),
             kll_sketch_get_n_double(col("mk")).as("n_rows"),
             kll_sketch_get_quantile_double(col("mk"), lit(0.5)).as("est_med"))
-        val exact = li.groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_exact"),
-            percentile(col("v"), lit(0.4)).as("p40"),
-            percentile(col("v"), lit(0.5)).as("p50"),
-            percentile(col("v"), lit(0.6)).as("p60"))
+        // Exact verification band via the histogram-compressed
+        // weightedQuantiles (w=1) — built-in exact percentile buffers
+        // each group's values in ONE agg buffer (the a21 OOM class;
+        // measured 32 s at 60M rows / 3 groups where this runs in ~5 s).
+        val exact = graft.core.Relational.weightedQuantiles(
+          li.withColumn("w", lit(1L)), "l_returnflag", "v", "w",
+          Seq(0.4, 0.5, 0.6))
         exact.join(merged, Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("n_exact"),
-            (col("n_rows") === col("n_exact")).as("counts_agree"),
-            round(col("p50"), 4).as("exact_median"),
-            (col("est_med") >= col("p40") && col("est_med") <= col("p60"))
+          .select(col("l_returnflag"),
+            col("total_weight").as("n_exact"),
+            (col("n_rows") === col("total_weight")).as("counts_agree"),
+            round(col("q_0_5"), 4).as("exact_median"),
+            (col("est_med") >= col("q_0_4") && col("est_med") <= col("q_0_6"))
               .as("sketch_ok"))
           .orderBy(col("l_returnflag"))
       },
@@ -714,6 +717,55 @@ object AggQueries {
              |ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_median,
              |TRUE AS sketch_ok
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-group feature scaling (z-score + min-max — the standard
+    // preprocessing transform before model training): grouped moments
+    // from ONE exact-decimal aggregate pass, broadcast back (group count
+    // is tiny; at high-cardinality group keys this becomes the same
+    // keyed-join shape), scale as a pure projection. All inputs to the
+    // per-row double arithmetic (mu/sd/lo/hi) come from exact decimal
+    // sums, so every scaled value is bit-identical across engines; the
+    // verifiable payload is the per-group scaled-distribution summary.
+    Q("a22_feature_scale",
+      (s, d) => {
+        val li = T(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        val stats = li.groupBy(col("g")).agg(
+          count(col("v")).as("n"),
+          avgExact(col("v")).as("mu"),
+          stdExact(col("v")).as("sd"),
+          min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        li.join(broadcast(stats), Seq("g"))
+          .select(col("g"), col("n"), col("mu"), col("sd"),
+            (abs(col("v") - col("mu")) / col("sd")).as("absz"),
+            ((col("v") - col("lo")) / (col("hi") - col("lo"))).as("mm"))
+          .groupBy(col("g"))
+          .agg(
+            max(col("n")).as("n"),
+            round(max(col("mu")), 6).as("mu"),
+            round(max(col("sd")), 6).as("sd"),
+            round(sumExact(col("absz")) / max(col("n")), 6).as("mean_abs_z"),
+            round(sumExact(col("mm")) / max(col("n")), 6).as("mean_minmax"))
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT l_returnflag AS g, COUNT(*) AS n,
+              |    ${avgExactSql("CAST(l_extendedprice AS DOUBLE)")} AS mu,
+              |    ${stdExactSql("CAST(l_extendedprice AS DOUBLE)")} AS sd,
+              |    MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+              |    MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+              |  FROM lineitem GROUP BY 1),
+              |j AS (
+              |  SELECT s.g, s.n, s.mu, s.sd,
+              |    ABS(CAST(l_extendedprice AS DOUBLE) - s.mu) / s.sd AS absz,
+              |    (CAST(l_extendedprice AS DOUBLE) - s.lo) / (s.hi - s.lo) AS mm
+              |  FROM lineitem l JOIN s ON l.l_returnflag = s.g)
+              |SELECT g, MAX(n) AS n, ROUND(MAX(mu), 6) AS mu,
+              |  ROUND(MAX(sd), 6) AS sd,
+              |  ROUND(${sumExactSql("absz")} / MAX(n), 6) AS mean_abs_z,
+              |  ROUND(${sumExactSql("mm")} / MAX(n), 6) AS mean_minmax
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless

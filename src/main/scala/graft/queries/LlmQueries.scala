@@ -2007,6 +2007,60 @@ object LlmQueries {
         minRecall = 0.8),
       Some(mipsRecallOracleSql)),
 
+    // Johnson–Lindenstrauss embedding compression (Similarity.jlProject,
+    // dim 64→32): the pre-ANN dimensionality-reduction step. Verified
+    // fact: over the deterministic consecutive-id pair set, the MEAN
+    // squared-distance ratio projected/original sits in [0.9, 1.1] —
+    // E[ratio] = 1 by the JL construction and the mean over ≥250 pairs
+    // concentrates to σ ≈ √(2/32)/√n ≤ 0.016 (≥6σ margin; seeded
+    // projection, so the flag is a fixed fact per fixture, h2's
+    // maintenance caveat applies). The SQL-checked payload (n_pairs +
+    // exact original distances, bit-identical dot-product chains both
+    // engines) pins the pair set the flag is claimed over.
+    Q("n12_jl_projection",
+      (s, d) => {
+        import graft.functions.GraftFunctions.dot_product
+        val emb = T(s, d, "embeddings")
+        val proj = Similarity.jlProject(emb, "vec_id", "embedding",
+          dim = 64, outDim = 32, seed = 77L)
+        val pa = proj.where(pmod(col("id"), lit(2)) === 0)
+          .select(col("id").as("ida"), col("pv").as("va"))
+        val pb = proj.select((col("id") - 1).as("ida"), col("pv").as("vb"))
+        val pd = pa.join(pb, Seq("ida"))
+          .select(col("ida"),
+            (dot_product(col("va"), col("va"))
+              - lit(2d) * dot_product(col("va"), col("vb"))
+              + dot_product(col("vb"), col("vb"))).as("pd2"))
+        val e = emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        val ea = e.where(pmod(col("id"), lit(2)) === 0)
+          .select(col("id").as("ida"), col("v").as("ra"))
+        val eb = e.select((col("id") - 1).as("ida"), col("v").as("rb"))
+        val od = ea.join(eb, Seq("ida"))
+          .select(col("ida"),
+            (dot_product(col("ra"), col("ra"))
+              - lit(2d) * dot_product(col("ra"), col("rb"))
+              + dot_product(col("rb"), col("rb"))).as("od2"))
+          .where(col("od2") > 0)
+        pd.join(od, Seq("ida"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sumExact(col("od2")), 4).as("sum_d2"),
+            ((sumExact(col("pd2") / col("od2")) / count(lit(1)))
+              .between(0.9, 1.1)).as("jl_ok"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.vec_id AS ida,
+              |    list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)
+              |      + list_dot_product(b.v, b.v) AS od2
+              |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+              |  WHERE a.vec_id % 2 = 0)
+              |SELECT COUNT(*) AS n_pairs,
+              |  ROUND(${sumExactSql("od2")}, 4) AS sum_d2, TRUE AS jl_ok
+              |FROM p WHERE od2 > 0""".stripMargin)),
+
     // Per-doc n-gram NOVELTY (Curation.ngramNovelty): fraction of each
     // doc's distinct 5-shingles first seen (min doc_id) in that doc —
     // the marginal-new-content score corpus curation ranks by. One
@@ -2217,6 +2271,55 @@ object LlmQueries {
               |  ${countIfSql("vt IS NULL")} AS n_oov,
               |  ROUND(CAST(${countIfSql("vt IS NULL")} AS DOUBLE) / COUNT(*), 6) AS oov_rate
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Zipf-law fit over the corpus token-frequency distribution (the
+    // standard corpus-health diagnostic: natural text slopes ≈ −1;
+    // template/boilerplate-heavy or deduplicated-to-death corpora bend
+    // away). Frequencies from one token-keyed groupBy; ranks from the
+    // distributed withGlobalRank (range shuffle over the TYPE vocabulary,
+    // ≪ corpus size — never the token stream); slope as an OLS closed
+    // form over exact decimal sums of the per-type (ln rank, ln freq)
+    // points, so the final double arithmetic sees bit-identical inputs
+    // on both engines.
+    Q("x41_zipf_slope",
+      (s, d) => {
+        val freqs = T(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("nf"))
+        val ranked = graft.core.Relational.withGlobalRank(freqs,
+          Seq(col("nf").desc, col("tok")), "rk", "nt")
+        ranked
+          .select(col("nf"), col("nt"),
+            log(col("rk").cast("double")).as("x"),
+            log(col("nf").cast("double")).as("y"))
+          .agg(
+            max(col("nt")).as("n_types"),
+            sumLong(col("nf")).as("n_tokens"),
+            count(lit(1)).cast("double").as("__n"),
+            sumExact(col("x")).as("sx"),
+            sumExact(col("y")).as("sy"),
+            sumExact(col("x") * col("y")).as("sxy"),
+            sumExact(col("x") * col("x")).as("sxx"))
+          .select(col("n_types"), col("n_tokens"),
+            round((col("__n") * col("sxy") - col("sx") * col("sy")) /
+              (col("__n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT tok, COUNT(*) AS nf FROM (
+              |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+              |  GROUP BY 1),
+              |r AS (SELECT nf, ROW_NUMBER() OVER (ORDER BY nf DESC, tok) AS rk FROM f),
+              |p AS (SELECT nf, LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(nf AS DOUBLE)) AS y
+              |  FROM r),
+              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+              |    ${sumLongSql("nf")} AS n_tokens,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${sumExactSql("x")} AS sx, ${sumExactSql("y")} AS sy,
+              |    ${sumExactSql("x * y")} AS sxy, ${sumExactSql("x * x")} AS sxx
+              |  FROM p)
+              |SELECT n_types, n_tokens,
+              |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+              |FROM a""".stripMargin)),
 
     // codepoint survives as a piece" — vocab_size pins the exact-size
     // prune contract, probs_ok the normalization contract. Planted-
