@@ -42,6 +42,41 @@ object StreamQueries {
               |COUNT(*) AS n, ${sumExactSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming windowed DISTINCT users via mergeable HLL sketches —
+    // exact countDistinct is unsupported in streaming aggs (state = the
+    // full key set); the production pattern is hll_sketch_agg per
+    // (window, type), whose partial sketches merge across micro-batches
+    // in the state store. The streamed estimate is NOT bit-equal to a
+    // one-shot batch build (a direct build keeps the HIP estimator,
+    // merged partials fall back to the composite estimator — measured
+    // diverging at sf0.1), so the pinned contract is both estimates
+    // independently inside the 3σ window around the exact count
+    // (h2/h6's maintenance caveat applies to both flags).
+    Q("st13_stream_hll_window",
+      (s, d) => {
+        val sink = s"st13_sink_${System.nanoTime()}"
+        val streamed = EventStream.runHllWindowOnce(s, s"$d/events.parquet", sink)
+          .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n_est"))
+        val batch = graft.core.Tables.readEvents(s, d)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("n_batch"),
+            countDistinct(col("user_id")).as("n_exact"))
+        val in3Sigma = (est: org.apache.spark.sql.Column) =>
+          abs(est - col("n_exact")).cast("double") <= lit(3 * 0.016) * col("n_exact")
+        batch.join(streamed, Seq("day", "event_type"))
+          .select(col("day"), col("event_type"), col("n_exact"),
+            in3Sigma(col("n_est")).as("stream_ok"),
+            in3Sigma(col("n_batch")).as("batch_ok"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |COUNT(DISTINCT user_id) AS n_exact,
+             |TRUE AS stream_ok, TRUE AS batch_ok
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Stateful streaming sessionization (flatMapGroupsWithState, event-time
     // timeout) replayed over the bounded events file, reduced to the
     // session-size histogram — the stream-side twin of st2. The oracle gap

@@ -172,6 +172,48 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Bounded replay of the streaming DISTINCT-COUNT shape: exact
+    * `countDistinct` is NOT supported inside streaming aggregations
+    * (its state would be the full key set per group), so the production
+    * pattern is a mergeable DataSketches HLL per (window, key) —
+    * partial sketches merge across micro-batches in the state store
+    * like any other partial aggregate (HLL union takes the max per
+    * register: order- and batching-insensitive), and the final sketch's
+    * estimate equals the one-shot batch build's bit-for-bit. Same
+    * scaffolding as [[runWindowedOnce]]; returns
+    * (window_start, event_type, n_est). */
+  def runHllWindowOnce(spark: SparkSession, path: String, sinkName: String,
+      window: String = "1 day", lgK: Int = 12): DataFrame = {
+    val schema = rawEventSchema(spark, path)
+    val src = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
+    withReplayPartitions(spark) {
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+          col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          hll_sketch_estimate(col("sk")).as("n_est"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    if (dir != path) rmTree(java.nio.file.Paths.get(dir))
+    spark.table(sinkName)
+  }
+
   /** Stream-static enrichment: join the event stream with a static
     * dimension table (broadcast per micro-batch — no stream state), then
     * aggregate. The standard enrichment shape: static side is re-read
