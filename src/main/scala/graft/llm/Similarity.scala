@@ -150,6 +150,53 @@ object Similarity {
       .select("query_id", "corpus_id", "dot", "rk")
   }
 
+  /** Max cosine similarity of every corpus vector against a SMALL
+    * reference set (the semantic-decontamination primitive: benchmark /
+    * eval-set embeddings are the reference; corpus docs above a
+    * threshold are contaminated). The reference set collects to the
+    * driver (`require`-capped — eval sets are thousands of rows, not
+    * corpora), broadcasts sorted by id, and the corpus streams through a
+    * map-only primitive kernel — the right shape at ANY corpus size
+    * because the big side never shuffles and never holds more than one
+    * row. Ties in cosine resolve to the smallest reference id (the scan
+    * iterates ids ascending with a strict improve-only update).
+    * cos = dot / √(dot(a,a)·dot(b,b)) with the same left-fold dot the
+    * oracle's `list_dot_product` computes, so values are bit-identical
+    * cross-engine. Returns (id, ref_id, max_cos). */
+  def maxSimVsSet(corpus: DataFrame, idCol: String, vecCol: String,
+      refSet: DataFrame, refIdCol: String, refVecCol: String,
+      maxRefs: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val refs = refSet
+      .select(col(refIdCol).cast("long"), col(refVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .limit(maxRefs + 1).collect()
+    require(refs.length <= maxRefs,
+      s"maxSimVsSet: reference set exceeds $maxRefs rows — this kernel is " +
+        "for small eval/benchmark sets; use the LSH/IVF paths for corpus-vs-corpus")
+    val sorted = refs.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sorted)
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map { case (id, v) =>
+          val naa = Dedup.dotArr(v, v)
+          var best = Double.NegativeInfinity
+          var bestId = -1L
+          var i = 0
+          while (i < rs.length) {
+            val (rid, rv) = rs(i)
+            val c = Dedup.dotArr(v, rv) / math.sqrt(naa * Dedup.dotArr(rv, rv))
+            if (c > best) { best = c; bestId = rid }
+            i += 1
+          }
+          (id, bestId, best)
+        }
+      }.toDF("id", "ref_id", "max_cos")
+  }
+
   /** Johnson–Lindenstrauss random projection: maps `vecCol` into
     * `outDim` dims through a seeded Gaussian matrix scaled by 1/√outDim,
     * preserving Euclidean distances in expectation (E[‖Px−Py‖²] =

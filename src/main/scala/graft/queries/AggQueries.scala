@@ -33,22 +33,7 @@ object AggQueries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  /** Population stddev from exact decimal sums: all inputs to the final
-    * double arithmetic are bit-identical across engines, so the result is
-    * too (no rounding needed). */
-  private def stdExact(c: org.apache.spark.sql.Column) = {
-    val sx = sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
-    val sxx = sum((c * c).cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
-    val n = count(c).cast("double")
-    sqrt(sxx / n - (sx / n) * (sx / n))
-  }
-
-  private def stdExactSql(x: String): String = {
-    val sx = s"CAST(SUM(CAST(($x) AS DECIMAL(27,6))) AS DOUBLE)"
-    val sxx = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(27,6))) AS DOUBLE)"
-    val n = s"CAST(COUNT($x) AS DOUBLE)"
-    s"SQRT($sxx/$n - ($sx/$n)*($sx/$n))"
-  }
+  // stdExact / stdExactSql now live in [[Det]] (shared with t11's CUSUM).
 
   val all: Seq[Q] = Seq(
 

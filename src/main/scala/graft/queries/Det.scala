@@ -42,6 +42,23 @@ object Det {
   def avgExactSql(expr: String): String =
     s"(CAST(SUM(CAST(($expr) AS DECIMAL($Prec,$Scale))) AS DOUBLE) / COUNT($expr))"
 
+  /** Population stddev from exact decimal sums: all inputs to the final
+    * double arithmetic are bit-identical across engines, so the result
+    * is too (no rounding needed). */
+  def stdExact(c: Column): Column = {
+    val sx = sum(c.cast(DecimalType(Prec, Scale))).cast(DoubleType)
+    val sxx = sum((c * c).cast(DecimalType(Prec, Scale))).cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    sqrt(sxx / n - (sx / n) * (sx / n))
+  }
+
+  def stdExactSql(x: String): String = {
+    val sx = s"CAST(SUM(CAST(($x) AS DECIMAL($Prec,$Scale))) AS DOUBLE)"
+    val sxx = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL($Prec,$Scale))) AS DOUBLE)"
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    s"SQRT($sxx/$n - ($sx/$n)*($sx/$n))"
+  }
+
   /** Long sum (exact by construction). */
   def sumLong(c: Column): Column = sum(c.cast(LongType))
 

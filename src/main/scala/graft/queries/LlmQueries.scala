@@ -2061,6 +2061,49 @@ object LlmQueries {
               |  ROUND(${sumExactSql("od2")}, 4) AS sum_d2, TRUE AS jl_ok
               |FROM p WHERE od2 > 0""".stripMargin)),
 
+    // SEMANTIC decontamination (Similarity.maxSimVsSet): every corpus
+    // embedding scored by max cosine against the benchmark/eval set
+    // (here: vec_id < 20) — the embedding-space complement of the
+    // n-gram decontamination x11/x19 (catches paraphrased leakage exact
+    // n-grams miss). The eval set broadcasts (small by definition), the
+    // corpus streams map-only — the only shape that holds at corpus
+    // scale. Payload is SQL-exact end to end: the kernel's left-fold
+    // dot and √(Σa²·Σb²) normalization replicate list_dot_product
+    // bit-for-bit (n10's parity), so per-doc max_cos sums — not just
+    // flags — hash-match.
+    Q("x42_semantic_decontam",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+        val scored = Similarity.maxSimVsSet(
+          e.where(col("id") >= 20), "id", "v",
+          e.where(col("id") < 20), "id", "v")
+        scored.agg(
+          count(lit(1)).as("n_corpus"),
+          countIf(col("max_cos") >= 0.6).as("n_flagged"),
+          round(sumExact(col("max_cos")), 4).as("sum_max_cos"),
+          countDistinct(col("ref_id")).as("n_refs_hit"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (
+              |  SELECT c.id, t.id AS tid,
+              |    list_dot_product(c.v, t.v)
+              |      / SQRT(list_dot_product(c.v, c.v) * list_dot_product(t.v, t.v)) AS cos
+              |  FROM (SELECT * FROM e WHERE id >= 20) c,
+              |       (SELECT * FROM e WHERE id < 20) t),
+              |m AS (SELECT id, MAX(cos) AS max_cos FROM p GROUP BY 1),
+              |am AS (
+              |  SELECT p.id, MIN(p.tid) AS ref_id, m.max_cos
+              |  FROM p JOIN m ON p.id = m.id AND p.cos = m.max_cos
+              |  GROUP BY 1, 3)
+              |SELECT COUNT(*) AS n_corpus,
+              |  ${countIfSql("max_cos >= 0.6")} AS n_flagged,
+              |  ROUND(${sumExactSql("max_cos")}, 4) AS sum_max_cos,
+              |  COUNT(DISTINCT ref_id) AS n_refs_hit
+              |FROM am""".stripMargin)),
+
     // Per-doc n-gram NOVELTY (Curation.ngramNovelty): fraction of each
     // doc's distinct 5-shingles first seen (min doc_id) in that doc —
     // the marginal-new-content score corpus curation ranks by. One

@@ -674,6 +674,41 @@ object RelationalQueries {
           "\nORDER BY key"
       }),
 
+    // Benford first-significant-digit audit (the fraud/synthetic-data
+    // forensic gate: organically-grown magnitudes follow
+    // P(d) = log10(1+1/d); uniform or fabricated values don't). Digit
+    // extraction is pure arithmetic (no double→string formatting, which
+    // differs across engines); one map-side-combined 9-group aggregate;
+    // the total rides a 9-row window. The fixture's prices are
+    // range-uniform, so the verdict SHOULD be non-Benford — the gate
+    // fires on real input, not a planted toy.
+    Q("dq10_benford",
+      (s, d) => {
+        val v = col("o_totalprice").cast("double")
+        val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+        T(s, d, "orders")
+          .where(v > 0)
+          .groupBy(digit.as("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+          .withColumn("total",
+            sum(col("n_obs")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("total"), 6).as("obs_p"),
+            round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_p"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice))))
+             |      AS INTEGER) AS digit,
+             |    COUNT(*) AS n_obs
+             |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+             |t AS (SELECT SUM(n_obs) AS total FROM b)
+             |SELECT digit, n_obs,
+             |  ROUND(CAST(n_obs AS DOUBLE) / total, 6) AS obs_p,
+             |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p
+             |FROM b, t ORDER BY digit""".stripMargin)),
+
     // DYNAMIC partition overwrite (partitionOverwriteMode=dynamic): the
     // production incremental-reload pattern — rewrite ONLY the
     // partitions present in the incoming frame, leave the rest on disk

@@ -413,6 +413,61 @@ object WindowQueries {
               |FROM t WHERE event_type = 'purchase'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CUSUM level-shift detection (the changepoint complement of t8's
+    // pointwise z-scores: a run of small same-sign deviations that never
+    // trips 3σ accumulates in the cumulative sum): per user,
+    // S_i = Σ_{j≤i}(x_j − μ) over the daily series, drift statistic
+    // max|S|/(σ√n) — the Kolmogorov-style normalization whose ~1.36
+    // critical value flags a level shift. μ/σ come from exact decimal
+    // sums (bit-identical doubles both engines); each CUSUM term
+    // (x−μ) is quantized to DECIMAL(27,6) so the running sum is exact
+    // and association-order-independent (t8's stance — no dependence on
+    // either engine's windowed-double fold order), so S_i — not just
+    // the verdict — hash-matches. One user-keyed shuffle serves the
+    // daily agg, the moments, and the window.
+    Q("t11_cusum_drift",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sumExact(col("value")).as("x"))
+        val st = daily.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"),
+            avgExact(col("x")).as("mu"),
+            stdExact(col("x")).as("sd"))
+        val wc = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        daily.join(st, Seq("user_id"))
+          .withColumn("cusum",
+            sum((col("x") - col("mu")).cast(DecimalType(27, 6))).over(wc)
+              .cast("double"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n_days")).as("n_days"),
+            round(
+              max(abs(col("cusum"))) /
+                (max(col("sd")) * sqrt(max(col("n_days")).cast("double"))),
+              6).as("drift_stat"))
+          .withColumn("drifted", col("drift_stat") > 1.36)
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day, ${sumExactSql("value")} AS x
+              |  FROM events GROUP BY 1, 2),
+              |st AS (
+              |  SELECT user_id, COUNT(*) AS n_days, ${avgExactSql("x")} AS mu,
+              |    ${stdExactSql("x")} AS sd
+              |  FROM daily GROUP BY 1),
+              |c AS (
+              |  SELECT daily.user_id, st.n_days, st.sd,
+              |    CAST(SUM(CAST(daily.x - st.mu AS DECIMAL(27,6)))
+              |      OVER (PARTITION BY daily.user_id ORDER BY daily.day) AS DOUBLE) AS cusum
+              |  FROM daily JOIN st ON daily.user_id = st.user_id)
+              |SELECT user_id, MAX(n_days) AS n_days,
+              |  ROUND(MAX(ABS(cusum)) / (MAX(sd) * SQRT(CAST(MAX(n_days) AS DOUBLE))), 6)
+              |    AS drift_stat,
+              |  ROUND(MAX(ABS(cusum)) / (MAX(sd) * SQRT(CAST(MAX(n_days) AS DOUBLE))), 6)
+              |    > 1.36 AS drifted
+              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when
