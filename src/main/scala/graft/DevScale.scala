@@ -31,6 +31,7 @@ object DevScale {
     if (want("ingest12")) ingest12Section(spark)
     if (want("gates12b")) gates12bSection(spark)
     if (want("gates12c")) gates12cSection(spark)
+    if (want("gates12d")) gates12dSection(spark)
     spark.stop()
   }
 
@@ -146,6 +147,16 @@ object DevScale {
         spark.read.parquet(s"$sf/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     }
+    // embeddings added later (gates12d) — backfill into dirs built before
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val embBase = spark.read.parquet(s"$sf/embeddings.parquet")
+      (0 until mult).map { i =>
+        embBase.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
     dir
   }
 
@@ -160,6 +171,27 @@ object DevScale {
         val t0 = System.nanoTime()
         Bench.exec(fn(spark, dir))
         println(f"[g12b] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** Round-12d operators at ×1/×10/×100 (same g12b dirs + replicated
+    * embeddings): dq10 one 9-group aggregate (linear scan cost only);
+    * t11 user-keyed daily agg + window (users scale with data); x41
+    * withGlobalRank over the type vocabulary (vocab grows slowly); x42
+    * map-only corpus stream vs fixed broadcast eval set (should track
+    * scan cost); st13 streaming replay with HLL state (state rows =
+    * windows×types, constant). */
+  private def gates12dSection(spark: SparkSession): Unit = {
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = ensureG12bDir(spark, mult)
+      Seq("dq10_benford", "t11_cusum_drift", "x41_zipf_slope",
+          "x42_semantic_decontam", "st13_stream_hll_window").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12d] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
   }

@@ -58,26 +58,46 @@ object Relational {
     *      — the pattern proven for AUC in [[graft.stats.Auc]].
     * Adds `rankCol` (long) and `totalCol` (long, the table row count).
     * Include unique tie-breakers in `order` for a deterministic rank.
-    * Assumes < 2^33 rows per range partition (size partitions accordingly). */
+    * Assumes < 2^33 rows per range partition (size partitions accordingly).
+    *
+    * CONSISTENCY NOTE (the round-12 rank-corruption fix): the offsets
+    * side and the data side MUST observe the same physical range
+    * partitioning. With both branches declared lazily off one `ranged`
+    * frame, that only held when Catalyst's exchange-reuse fired — and
+    * column pruning breaks it: the offsets branch needs no payload
+    * columns, so any input with a column outside `order` pruned to a
+    * DIFFERENT (non-canonically-equal) exchange, each branch sampled its
+    * own range boundaries, and the prefix offsets silently mis-keyed —
+    * nondeterministically wrong ranks (measured: 13k/15k ranks off on a
+    * 3-column orders frame; every committed caller happened to pass
+    * order-only frames, which is why the oracle gate never fired). The
+    * sorted+mid frame is therefore materialized ONCE via eager
+    * `localCheckpoint` — both branches read the same partitions, with
+    * lineage truncated so a recompute (which would re-sample boundaries)
+    * can never happen. Cost: one extra in-memory/disk copy of the slim
+    * rank input, freed on driver GC. */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
       totalCol: String): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(nPart, order: _*)
+    val withMid = df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
 
     // Tiny side: one row per partition → prefix offset + grand total. The
     // windows below run over ≤ nPart rows (constant partition key keeps
     // them off the data path).
     val wOff = Window.partitionBy(lit(0)).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.withColumn("__pid", spark_partition_id())
+    val offsets = withMid
+      .select(shiftright(col("__mid"), 33).cast("int").as("__pid"))
       .groupBy("__pid").agg(count(lit(1)).as("__pn"))
       .withColumn("__off", coalesce(sum("__pn").over(wOff), lit(0L)))
       .withColumn(totalCol, sum("__pn").over(Window.partitionBy(lit(0))))
       .select("__pid", "__off", totalCol)
 
-    ranged.sortWithinPartitions(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
+    withMid
       .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__lrk", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .join(broadcast(offsets), col("__pid2") === col("__pid"))
@@ -268,7 +288,10 @@ object Relational {
     *
     * `order` must be a TOTAL order within the group (add a unique
     * tie-break) — with ties, rank here is row_number, not RANK. Adds
-    * `rankCol` and `groupTotalCol` (rows in the row's group). */
+    * `rankCol` and `groupTotalCol` (rows in the row's group).
+    * The sorted+mid frame is materialized once (eager localCheckpoint)
+    * for the same branch-consistency reason as [[withGlobalRank]] —
+    * see its consistency note. */
   def withGroupRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
       rankCol: String, groupTotalCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -277,6 +300,7 @@ object Relational {
     val withMid = df.repartitionByRange(nPart, keys ++ order: _*)
       .sortWithinPartitions(keys ++ order: _*)
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
       .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
     val wOff = Window.partitionBy(keys: _*).orderBy(col("__pid2"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -394,4 +394,63 @@ object Validation {
           (col("n_violating_groups") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Distributed two-sample Kolmogorov–Smirnov statistic: the
+    * distribution-SHAPE drift gate [[driftPsi]]'s fixed bins can miss
+    * (PSI sees mass per bin; KS sees the whole CDF). D = max over
+    * sample points of |F_a − F_b|, computed WITHOUT any single-partition
+    * pass: one [[Relational.withGlobalRank]] over (value, tieBreak)
+    * gives each row its global position r, one [[Relational.withGroupRank]]
+    * over the same order gives its within-group position rg — then the
+    * running per-group counts at that row are (rg, r − rg) by identity,
+    * no running-sum window needed. Both engines walk the same total
+    * order (unique tieBreak), so per-row CDF diffs — not just D — are
+    * bit-identical. Under heavy cross-group ties the tie-run interior
+    * positions make D conservative (≥ the distinct-value evaluation
+    * scipy uses); with a continuous value column they agree.
+    * Returns one row: (group_a, group_b, n_a, n_b, ks_stat, critical
+    * value at α=0.05, drifted). Requires exactly two groups. */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: Column): DataFrame = {
+    val slim = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"), tieBreak.as("__t"))
+    val groups = slim.select(col("__g")).distinct().limit(3).collect()
+      .map(_.getString(0)).sorted
+    require(groups.length == 2,
+      s"ksTwoSample needs exactly two groups, got ${groups.mkString(", ")}")
+    val Array(ga, gb) = groups
+    // This query is what EXPOSED the rank-helper branch-divergence bug
+    // (ks_stat nondeterministically 0.045–0.086 vs the true 0.0301):
+    // the fix lives inside withGlobalRank/withGroupRank (internal eager
+    // localCheckpoint — see withGlobalRank's consistency note). The
+    // persist here is purely a cost optimization: withGroupRank's two
+    // branches both consume the global-rank output, and caching it
+    // avoids running the rank join twice.
+    val globalRanked = Relational
+      .withGlobalRank(slim, Seq(col("__v"), col("__t")), "__r", "__n")
+      .persist()
+    try {
+      val ranked = Relational.withGroupRank(globalRanked,
+        Seq("__g"), Seq(col("__v"), col("__t")), "__rg", "__ng")
+      val counts = slim.groupBy().agg(
+        sum(when(col("__g") === ga, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("n_b"))
+      val ca = when(col("__g") === ga, col("__rg")).otherwise(col("__r") - col("__rg"))
+      val cb = when(col("__g") === gb, col("__rg")).otherwise(col("__r") - col("__rg"))
+      ranked.crossJoin(broadcast(counts)) // 1-row scalar attach
+        .select((ca.cast("double") / col("n_a")
+          - cb.cast("double") / col("n_b")).as("__diff"),
+          col("n_a"), col("n_b"))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(abs(col("__diff"))).as("ks_stat"))
+        .select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+          col("n_a"), col("n_b"),
+          col("ks_stat"),
+          (lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double"))).as("crit_05"),
+          (col("ks_stat") > lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double"))).as("drifted"))
+        .localCheckpoint(true)
+    } finally globalRanked.unpersist()
+  }
 }

@@ -752,6 +752,64 @@ object AggQueries {
               |  ROUND(${sumExactSql("mm")} / MAX(n), 6) AS mean_minmax
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Distribution-shape profile: population skewness and excess
+    // kurtosis per group from EXACT decimal power sums (m3/σ³, m4/σ⁴−3
+    // evaluated as one fixed double expression over bit-identical
+    // inputs — the same stance as stdExact; Spark's built-in
+    // skewness/kurtosis are fp-accumulation-order dependent and would
+    // not hash-match DuckDB). One map-side-combined aggregate pass.
+    // l_quantity is bounded (≤ 55), so x⁴ ≤ 1e7 sits far inside
+    // DECIMAL(27,6)'s 21 integer digits.
+    Q("a23_moments",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val x = col("l_quantity").cast("double")
+        def sumP(p: Int) = {
+          val t = Seq.fill(p)(x).reduce(_ * _)
+          sum(t.cast(DecimalType(27, 6))).cast(DoubleType)
+        }
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("g"))
+          .agg(count(x).cast(DoubleType).as("n"),
+            sumP(1).as("s1"), sumP(2).as("s2"), sumP(3).as("s3"), sumP(4).as("s4"))
+          .select(col("g"), col("n").cast("long").as("n_rows"),
+            round(col("s1") / col("n"), 6).as("mean"), col("n"),
+            col("s1"), col("s2"), col("s3"), col("s4"))
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("m2",
+            col("s2") / col("n") - col("mu") * col("mu"))
+          .withColumn("m3",
+            col("s3") / col("n") - lit(3d) * col("mu") * (col("s2") / col("n"))
+              + lit(2d) * col("mu") * col("mu") * col("mu"))
+          .withColumn("m4",
+            col("s4") / col("n") - lit(4d) * col("mu") * (col("s3") / col("n"))
+              + lit(6d) * col("mu") * col("mu") * (col("s2") / col("n"))
+              - lit(3d) * col("mu") * col("mu") * col("mu") * col("mu"))
+          .select(col("g"), col("n_rows"), col("mean"),
+            round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - 3d, 6).as("ex_kurtosis"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |m AS (
+             |  SELECT g, CAST(n AS BIGINT) AS n_rows, ROUND(s1/n, 6) AS mean,
+             |    s1/n AS mu,
+             |    s2/n - (s1/n)*(s1/n) AS m2,
+             |    s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+             |    s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+             |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+             |  FROM a)
+             |SELECT g, n_rows, mean,
+             |  ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+             |  ROUND(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis
+             |FROM m ORDER BY g""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc

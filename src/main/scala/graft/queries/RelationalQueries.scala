@@ -709,6 +709,55 @@ object RelationalQueries {
              |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p
              |FROM b, t ORDER BY digit""".stripMargin)),
 
+    // Two-sample Kolmogorov–Smirnov drift gate (Validation.ksTwoSample):
+    // the distribution-SHAPE test dq2's fixed PSI bins can miss. Fully
+    // distributed: global rank + group rank over ONE total order make
+    // the running CDF counts an identity (rg, r−rg) — no
+    // single-partition running-sum window anywhere. Both engines walk
+    // the same (value, event_id) order, so every per-row CDF diff is
+    // bit-identical, not just the max. Here: click vs purchase values —
+    // genuinely different shapes, so the gate FIRES on real data.
+    Q("dq11_ks_drift",
+      (s, d) => {
+        // null/NaN values are excluded — they are not part of either CDF,
+        // and the engines disagree on their sort position (Spark NULLS
+        // FIRST / NaN greatest vs DuckDB NULLS LAST): measured 0.0312 vs
+        // 0.0301 before the filter.
+        val ev = graft.core.Tables.readEvents(s, d)
+          .where(col("event_type").isin("click", "purchase")
+            && col("value").isNotNull && !isnan(col("value").cast("double")))
+        Validation.ksTwoSample(ev, "event_type", "value", col("event_id"))
+          .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+            round(col("ks_stat"), 6).as("ks_stat"),
+            round(col("crit_05"), 6).as("crit_05"),
+            col("drifted"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, event_id AS t
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |    AND value IS NOT NULL AND NOT isnan(value)),
+             |r AS (
+             |  SELECT g,
+             |    ROW_NUMBER() OVER (ORDER BY v, t) AS r,
+             |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t) AS rg
+             |  FROM e),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM e),
+             |d AS (SELECT
+             |    CAST(CASE WHEN g = 'click' THEN rg ELSE r - rg END AS DOUBLE) / n_a
+             |    - CAST(CASE WHEN g = 'purchase' THEN rg ELSE r - rg END AS DOUBLE) / n_b
+             |      AS diff,
+             |    n_a, n_b FROM r, c)
+             |SELECT 'click' AS group_a, 'purchase' AS group_b, n_a, n_b,
+             |  ROUND(MAX(ABS(diff)), 6) AS ks_stat,
+             |  ROUND(1.358 * SQRT(CAST(n_a + n_b AS DOUBLE)
+             |    / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05,
+             |  MAX(ABS(diff)) > 1.358 * SQRT(CAST(n_a + n_b AS DOUBLE)
+             |    / CAST(n_a * n_b AS DOUBLE)) AS drifted
+             |FROM d GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     // DYNAMIC partition overwrite (partitionOverwriteMode=dynamic): the
     // production incremental-reload pattern — rewrite ONLY the
     // partitions present in the incoming frame, leave the rest on disk

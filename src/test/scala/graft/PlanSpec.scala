@@ -45,8 +45,14 @@ class PlanSpec extends SparkSpec {
   test("w4/a19: decile and whale rank have no single-partition stage on the data path") {
     for (name <- Seq("w4_decile", "a19_whale_contingency")) {
       val p = plan(name)
-      // the data path ranks via one range shuffle (explicit count)...
-      assert(p.contains("REPARTITION_BY_NUM"), s"$name missing range shuffle:\n$p")
+      // the data path ranks via one range shuffle (explicit count). Since
+      // the round-12 branch-consistency fix, that shuffle executes EAGERLY
+      // inside withGlobalRank's localCheckpoint, so the declared plan shows
+      // the checkpointed RDD scan instead of the exchange — accept either
+      // signature (both prove the distributed-rank shape; the single-
+      // partition assertions below still police the rest of the plan).
+      assert(p.contains("REPARTITION_BY_NUM") || p.contains("Scan ExistingRDD"),
+        s"$name missing range shuffle / checkpointed rank scan:\n$p")
       // ...and the old global ntile/row_number windows are gone: any
       // remaining SinglePartition exchange must sit directly above a
       // HashAggregate (the ≤ nPart-row offset partials / final agg), never

@@ -144,6 +144,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rank helpers stay exact with PAYLOAD columns over real-sized tie-heavy data") {
+    // Regression for the round-12 branch-divergence bug: with a column
+    // outside `order`, Catalyst pruned the offsets branch's scan to a
+    // narrower schema, the two range exchanges stopped canonicalizing
+    // equal, reuse never fired, and each branch sampled its own range
+    // boundaries — nondeterministically wrong ranks (13k/15k off on the
+    // orders table) that a tie-light 400-row fixture never showed. The
+    // fix materializes the sorted+mid frame once; this pins it at the
+    // exposing scale, payload column included, across repeated runs.
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"),
+        col("o_orderkey").as("t"))
+    val rows = o.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val truthR = rows.sortBy(r => (r._2, r._3)).zipWithIndex
+      .map { case ((g, v, t), i) => (g, v, t) -> (i + 1L) }.toMap
+    val byG = rows.groupBy(_._1).map { case (g, s) =>
+      g -> s.sortBy(r => (r._2, r._3)).zipWithIndex
+        .map { case ((gg, v, t), i) => (gg, v, t) -> (i + 1L) }.toMap
+    }
+    (1 to 3).foreach { trial =>
+      val gr = graft.core.Relational
+        .withGlobalRank(o, Seq(col("v"), col("t")), "rk", "n")
+        .collect().map(r => ((r.getString(0), r.getDouble(1), r.getLong(2)), r.getAs[Long]("rk")))
+      assert(gr.forall { case (k, rk) => truthR(k) == rk },
+        s"withGlobalRank wrong with payload column (trial $trial)")
+      val grp = graft.core.Relational
+        .withGroupRank(o, Seq("g"), Seq(col("v"), col("t")), "rk", "ng")
+        .collect().map(r => ((r.getAs[String]("g"), r.getAs[Double]("v"), r.getAs[Long]("t")), r.getAs[Long]("rk")))
+      assert(grp.forall { case (k, rk) => byG(k._1)(k) == rk },
+        s"withGroupRank wrong with payload column (trial $trial)")
+    }
+  }
+
   test("asofJoin equals the brute-force reference on random data, both directions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

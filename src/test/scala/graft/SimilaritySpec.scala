@@ -282,4 +282,74 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]]("codes").toVector))).toMap
     assert(cellCodeMap(i1.codes) === cellCodeMap(i2.codes))
   }
+
+  test("maxSimVsSet: brute parity, smallest-ref-id ties, oversize ref set rejected") {
+    import spark.implicits._
+    val got = Similarity.maxSimVsSet(
+        emb.where(col("vec_id") >= 8), "vec_id", "embedding",
+        queries, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver-side brute truth with the same formula and tie rule
+    val refs = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val corpus = emb.where(col("vec_id") >= 8)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    corpus.foreach { case (id, v) =>
+      val naa = dot(v, v)
+      val scored = refs.map { case (rid, rv) =>
+        (rid, dot(v, rv) / math.sqrt(naa * dot(rv, rv)))
+      }
+      val best = scored.map(_._2).max
+      val bestId = scored.filter(_._2 == best).map(_._1).min
+      assert(got(id) === ((bestId, best)), s"mismatch for corpus id $id")
+    }
+    // duplicated ref vectors (identical cosine by construction) tie-break
+    // to the SMALLEST ref id
+    val dupRefs = Seq((100L, Array(1.0, 0.0)), (5L, Array(2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val one = Seq((200L, Array(3.0, 0.0))).toDF("vec_id", "embedding")
+    val tied = Similarity.maxSimVsSet(one, "vec_id", "embedding",
+      dupRefs, "vec_id", "embedding").collect()
+    assert(tied.head.getLong(1) === 5L)
+    assert(tied.head.getDouble(2) === 1.0)
+    // contract: the collect-and-broadcast side must be SMALL
+    intercept[IllegalArgumentException] {
+      Similarity.maxSimVsSet(one, "vec_id", "embedding",
+        emb, "vec_id", "embedding", maxRefs = 3)
+    }
+  }
+
+  test("jlProject: seeded determinism, dimensions, and mean distance preservation") {
+    import spark.implicits._
+    val p1 = Similarity.jlProject(emb, "vec_id", "embedding",
+        dim = 64, outDim = 32, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val p2 = Similarity.jlProject(emb.repartition(5), "vec_id", "embedding",
+        dim = 64, outDim = 32, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(p1 === p2, "projection must be partitioning-independent and seed-deterministic")
+    assert(p1.values.forall(_.length === 32))
+    // mean pairwise distance-ratio concentrates near 1 (JL expectation)
+    val orig = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val ratios = orig.sliding(2).collect { case Array((ia, va), (ib, vb)) =>
+      val od = d2(va.toSeq, vb.toSeq)
+      if (od > 0) Some(d2(p1(ia), p1(ib)) / od) else None
+    }.flatten.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distance ratio $mean drifted")
+    // wrong input dimension fails loudly, not silently truncating
+    val bad = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    intercept[org.apache.spark.SparkException] {
+      Similarity.jlProject(bad, "vec_id", "embedding",
+        dim = 64, outDim = 8, seed = 1L).collect()
+    }
+  }
 }
