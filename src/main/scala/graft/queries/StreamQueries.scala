@@ -77,6 +77,44 @@ object StreamQueries {
              |TRUE AS stream_ok, TRUE AS batch_ok
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // NATIVE session_window sessionization (state-store session merge +
+    // watermark eviction) — the third sessionization path next to the
+    // batch lag+cumsum (st2) and the custom flatMapGroupsWithState
+    // (st4), preferred in production when per-session logic is pure
+    // aggregation. Per-user rollup of the emitted sessions; the oracle
+    // replays the INCLUSIVE merge boundary (break strictly > gap) in
+    // micros — durations included, so merge semantics are value-checked,
+    // not just counts.
+    Q("st14_session_window",
+      (s, d) => {
+        val sink = s"st14_sink_${System.nanoTime()}"
+        EventStream.runSessionWindowOnce(s, s"$d/events.parquet", sink)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sumLong(col("n_events")).as("n_events"),
+            sumLong(col("dur_us")).as("dur_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
+              |g AS (
+              |  SELECT user_id, tsu,
+              |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+              |      > 1800000000 THEN 1 ELSE 0 END AS brk
+              |  FROM e),
+              |i AS (
+              |  SELECT user_id, tsu,
+              |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu) AS island
+              |  FROM g),
+              |sess AS (
+              |  SELECT user_id, island, COUNT(*) AS n_events,
+              |    MAX(tsu) - MIN(tsu) AS dur_us
+              |  FROM i GROUP BY 1, 2)
+              |SELECT user_id, COUNT(*) AS n_sessions,
+              |  ${sumLongSql("n_events")} AS n_events,
+              |  ${sumLongSql("dur_us")} AS dur_us
+              |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stateful streaming sessionization (flatMapGroupsWithState, event-time
     // timeout) replayed over the bounded events file, reduced to the
     // session-size histogram — the stream-side twin of st2. The oracle gap

@@ -432,6 +432,60 @@ object EventStream {
   def dedupStream(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Bounded replay of Spark's NATIVE `session_window` aggregation —
+    * the built-in third path to sessionization next to the batch
+    * lag+cumsum (st2) and the custom `flatMapGroupsWithState` (st4):
+    * state-store session merging with watermark eviction, the shape to
+    * prefer in production when per-session logic is pure aggregation
+    * (no custom state object). Two sessions merge while
+    * next_ts <= prev_ts + gap (Spark merges on start <= current end —
+    * an INCLUSIVE boundary, same as st2's strict `> gap` break).
+    *
+    * Append mode only emits a session once the watermark passes its
+    * end, so the bounded replay plants ONE global sentinel event
+    * (user −1) far past `max(ts) + gap + delay` — the watermark is
+    * global, so a single row flushes every user's trailing session
+    * (unlike st4's per-user state timeouts, which got per-user
+    * sentinels to also bound state). Returns
+    * (user_id, n_events, dur_us) per emitted session. */
+  def runSessionWindowOnce(spark: SparkSession, path: String, sinkName: String,
+      gapMs: Long = 30 * 60 * 1000L, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val static = graft.core.Tables.readEventsPath(spark, path)
+    val maxTsRow = static.agg(max(unix_micros(col("ts")))).head
+    if (maxTsRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)].toDF("user_id", "n_events", "dur_us")
+    val wmMs = intervalMs(watermark)
+    val sentinelMicros = maxTsRow.getLong(0) + (gapMs + 2 * wmMs + 3600000L) * 1000L
+    val sentinel = Seq((-1L, sentinelMicros, -1L, "sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    static.unionByName(sentinel).write.mode("overwrite").parquet(d.toString)
+    val stream = normTs(spark.readStream
+      .schema(rawEventSchema(spark, d.toString))
+      .parquet(d.toString))
+    withReplayPartitions(spark) {
+      val q = stream
+        .withWatermark("ts", watermark)
+        .groupBy(session_window(col("ts"), s"$gapMs milliseconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          (unix_micros(col("session_window.end"))
+            - unix_micros(col("session_window.start"))
+            - gapMs * 1000L).as("dur_us"))
+        .writeStream
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    rmTree(d)
+    spark.table(sinkName).where(col("user_id") =!= -1L)
+  }
+
   /** Bounded replay of [[sessionize]] over an events parquet file — the
     * stream-side twin of the batch lag+cumsum sessionization (`st2`).
     *

@@ -301,4 +301,66 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.intervalMs("2 days") === 2 * 86400000L)
     intercept[IllegalArgumentException] { EventStream.intervalMs("1 month") }
   }
+
+  test("native session_window merges sessions ACROSS micro-batches (split mid-session)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDS().toDF("ts", "user_id")
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start"))).as("span_us"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sw_sink").start()
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // batch 1: user 1 starts a session (events at 0, 10); user 2 one event
+    input.addData((t(0), 1L), (t(10), 1L), (t(5), 2L))
+    q.processAllAvailable()
+    // batch 2: user 1 CONTINUES the same session (25 < 10+30) then a gap;
+    // the state store must merge across the batch boundary
+    input.addData((t(25), 1L), (t(90), 1L))
+    q.processAllAvailable()
+    // batch 3: watermark pusher far out → all sessions emit
+    input.addData((t(500), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw_sink").where(col("user_id") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: one merged 3-event session spanning 0–25 (+30 gap), one
+    // single-event session at 90; user 2: single event
+    assert(out === Set(
+      (1L, 3L, (25L + 30L) * 60000000L),
+      (1L, 1L, 30L * 60000000L),
+      (2L, 1L, 30L * 60000000L)))
+  }
+
+  test("streaming HLL distinct-count state merges across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDS().toDF("ts", "user_id")
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("hll_sink").start()
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // 60 distinct users split over three batches with overlaps: the
+    // per-window sketch in the state store must union the partials
+    input.addData((0 until 30).map(i => (t(i), i.toLong)): _*)
+    q.processAllAvailable()
+    input.addData((15 until 45).map(i => (t(i), i.toLong)): _*)
+    q.processAllAvailable()
+    input.addData((30 until 60).map(i => (t(i), i.toLong)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val est = spark.table("hll_sink").collect().map(_.getLong(1)).sum
+    // HLL at lgK=12 is exact at this cardinality (sparse mode)
+    assert(est === 60L, s"streamed HLL estimate $est != 60 distinct")
+  }
 }
