@@ -72,6 +72,30 @@ object DevRecall {
         k = 3, dim = 64))
       println(f"[n11] $sf n_truth=${mipsTruth.size} " +
         f"recall=${(mipsLsh intersect mipsTruth).size.toDouble / mipsTruth.size}%.3f")
+
+      // n13: JL compressed-shortlist recall vs brute cosine truth, at
+      // several overscan settings — sets the n13 floor
+      for (os <- Seq(2, 4, 8, 16)) {
+        val jl = pairsOf(Similarity.jlTopK(emb, q, "vec_id", "embedding",
+          k = 3, dim = 64, overscan = os))
+        println(f"[n13] $sf overscan=$os%-3d recall=${rec(jl)}")
+      }
+      for (od <- Seq(64, 128, 256)) {
+        val jl = pairsOf(Similarity.jlTopK(emb, q, "vec_id", "embedding",
+          k = 3, dim = 64, outDim = od, overscan = 4))
+        println(f"[n13] $sf outDim=$od%-4d recall=${rec(jl)}")
+      }
+      // value-competitiveness: avg exact cosine of the JL top-k vs the
+      // true top-k (identity recall is noise-bound on this fixture —
+      // near-random vectors have razor-thin neighbor margins)
+      val truthDf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3, dim = 64)
+      for (os <- Seq(4, 8)) {
+        val jlDf = Similarity.jlTopK(emb, q, "vec_id", "embedding",
+          k = 3, dim = 64, overscan = os)
+        val tAvg = truthDf.agg(avg("cos")).head.getDouble(0)
+        val rAvg = jlDf.agg(avg("cos")).head.getDouble(0)
+        println(f"[n13q] $sf overscan=$os truth_avg=$tAvg%.4f jl_avg=$rAvg%.4f gap=${tAvg - rAvg}%.4f")
+      }
     }
     spark.stop()
   }

@@ -197,6 +197,36 @@ object Similarity {
       }.toDF("id", "ref_id", "max_cos")
   }
 
+  /** ANN through JL compression ([[jlProject]] composed into retrieval):
+    * brute top-(k·overscan) in the `outDim` projected space — the scan
+    * kernel and candidate shuffle carry outDim/dim of the bytes and
+    * flops — then EXACT cosine re-rank of the shortlist in the original
+    * space (approximate recall, exact reported scores: the same
+    * contract as [[lshTopK]]/[[pqTopK]]). Recall comes from the JL
+    * distance-preservation bound plus overscan headroom; the
+    * compressed-then-rerank pattern is what PQ does with codebooks,
+    * done here with a single dense matrix — no training step. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      outDim: Int = 32, overscan: Int = 4, seed: Long = 97L,
+      maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overscan >= 1, s"overscan must be >= 1, got $overscan")
+    val pcorp = jlProject(corpus, idCol, vecCol, dim, outDim, seed)
+    val pqs = jlProject(queries, idCol, vecCol, dim, outDim, seed)
+    val short = bruteForceTopK(pcorp, pqs, "id", "pv", k * overscan, outDim, maxQueries)
+    val v = col(vecCol).cast("array<double>")
+    val cv2 = corpus.select(col(idCol).cast("long").as("corpus_id"), v.as("__cv"))
+    val qv2 = queries.select(col(idCol).cast("long").as("query_id"), v.as("__qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    short.select("query_id", "corpus_id")
+      .join(cv2, Seq("corpus_id")).join(qv2, Seq("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv"), dim))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select("query_id", "corpus_id", "cos", "rk")
+  }
+
   /** Johnson–Lindenstrauss random projection: maps `vecCol` into
     * `outDim` dims through a seeded Gaussian matrix scaled by 1/√outDim,
     * preserving Euclidean distances in expectation (E[‖Px−Py‖²] =

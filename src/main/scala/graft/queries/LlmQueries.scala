@@ -653,6 +653,35 @@ object LlmQueries {
         minRecall = 0.5),
       Some(annRecallOracleSql)),
 
+    // ANN via JL compression (Similarity.jlTopK): shortlist in the
+    // 32-dim projected space, exact re-rank in 64-dim — the train-free
+    // compressed-retrieval twin of PQ. Identity recall is NOISE-BOUND
+    // on this fixture (near-random vectors: the rank-3→rank-50 cosine
+    // margin is thinner than any sketch's distortion — measured 0.17 at
+    // sf0.1 even with overscan 16; outDim=64 only reaches 0.23), so the
+    // pinned contract is VALUE-COMPETITIVENESS: the returned top-k's
+    // mean EXACT cosine trails the true top-k's by ≤ 0.1 (measured gap
+    // 0.028–0.053 across all SFs at overscan 8, DevRecall [n13q]) and
+    // every query gets its full k (n_jl ≡ 3·queries — SQL-checked).
+    Q("n13_ann_jl",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          k = 3, dim = 64)
+        val jl = Similarity.jlTopK(emb, qs, "vec_id", "embedding",
+          k = 3, dim = 64, overscan = 8)
+        qs.agg(count(lit(1)).as("n_queries"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth"), avg(col("cos")).as("__t")))
+          .crossJoin(jl.agg(count(lit(1)).as("n_jl"), avg(col("cos")).as("__r")))
+          .select(col("n_queries"), col("n_truth"), col("n_jl"),
+            (col("__t") - col("__r") <= 0.1).as("quality_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             |CAST(3 * COUNT(*) AS BIGINT) AS n_truth,
+             |CAST(3 * COUNT(*) AS BIGINT) AS n_jl, TRUE AS quality_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     Q("n4_ann_pq",
       (s, d) => annRecallSummary(s, d,
         (emb, qs) => Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
