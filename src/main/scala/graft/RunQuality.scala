@@ -114,8 +114,40 @@ object RunQuality {
     }.reduce(_ unionByName _).orderBy("column", "segment")
     Sinks.writeCsv(outliers, s"$out/outliers.csv")
 
+    // 4. distribution-SHAPE audit: skewness/excess-kurtosis per column
+    // (heavy-tail / truncation signals PSI's 10 bins smear out) and a
+    // two-sample Kolmogorov–Smirnov test vs the same reference/self-split
+    // as §2 (the CDF-shape complement of PSI's binned mass — dq11's
+    // distributed-rank machinery). Gate-only numerics: the built-in
+    // skewness/kurtosis are fine here (no cross-engine oracle to match),
+    // and the KS tie-break is a synthetic unique id (ties across sides
+    // shift D conservatively by at most the tie-run mass — irrelevant at
+    // gate thresholds; the rank helpers materialize internally, so the
+    // result is consistent within a run).
+    val shape = numericCols.map { c =>
+      val x = col(c).cast("double")
+      val r = cur.where(x.isNotNull && !isnan(x))
+        .agg(skewness(x).as("sk"), kurtosis(x).as("ku")).head()
+      val ksRow = Validation.ksTwoSample(
+        refDf.select(x.as("__v")).withColumn("__s", lit("ref"))
+          .unionByName(curDf.select(x.as("__v")).withColumn("__s", lit("cur")))
+          .where(col("__v").isNotNull && !isnan(col("__v")))
+          .withColumn("__t", monotonically_increasing_id()),
+        "__s", "__v", col("__t")).head()
+      (c,
+        math.rint((if (r.isNullAt(0)) 0.0 else r.getDouble(0)) * 1e6) / 1e6,
+        math.rint((if (r.isNullAt(1)) 0.0 else r.getDouble(1)) * 1e6) / 1e6,
+        math.rint(ksRow.getAs[Double]("ks_stat") * 1e6) / 1e6,
+        !ksRow.getAs[Boolean]("drifted"))
+    }
+    val shapeDf = shape.toDF("column", "skewness", "ex_kurtosis", "ks_stat", "ks_stable")
+      .orderBy(desc("ks_stat"))
+    Sinks.writeCsv(shapeDf, s"$out/shape.csv")
+
     val allPass = constraints.where(!col("passed")).isEmpty
     val allStable = drift.forall(_._3)
+    val ksStable = shape.forall(_._5)
+    val admit = allPass && allStable && ksStable
     val summary = Seq[(String, Any)](
       "input" -> in,
       "n_rows" -> cur.count(),
@@ -124,11 +156,13 @@ object RunQuality {
       "max_psi" -> drift.map(_._2).max,
       "psi_action" -> psiAction,
       "drift_stable" -> allStable,
-      "admit" -> (allPass && allStable),
+      "max_ks" -> shape.map(_._4).max,
+      "ks_stable" -> ksStable,
+      "admit" -> admit,
       "wall_s" -> math.rint((System.nanoTime() - t0) / 1e7) / 100)
     Sinks.writeJson(summary, s"$out/quality_summary.json")
-    println(s"[quality] admit=${allPass && allStable} " +
-      s"constraints_pass=$allPass max_psi=${drift.map(_._2).max} -> $out")
-    allPass && allStable
+    println(s"[quality] admit=$admit constraints_pass=$allPass " +
+      s"max_psi=${drift.map(_._2).max} max_ks=${shape.map(_._4).max} -> $out")
+    admit
   }
 }

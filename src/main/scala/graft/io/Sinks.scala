@@ -128,4 +128,30 @@ object Sinks {
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.writeString(p, s)
   }
+
+  /** Small-file compaction: rewrite a parquet dir into
+    * ceil(totalBytes / targetBytes) files — the maintenance pass every
+    * streaming/incremental ingest needs (a 100 TB table fed by
+    * per-batch appends degrades into millions of KB-files whose open/
+    * footer cost dominates scans; compaction restores ~targetBytes
+    * row-group-sized files). File listing + sizing via the Hadoop FS
+    * API (cluster-correct, not java.io), one full read → repartition →
+    * write. Returns (filesBefore, filesAfter). Content is preserved
+    * exactly (row-level; ordering is not part of the parquet contract).
+    * For partitioned tables run per-partition with dynamic overwrite
+    * (p12's pattern) so only hot partitions rewrite. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = files.length
+    val total = files.map(_.getLen).sum
+    val after = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(after)
+      .write.mode("overwrite").parquet(outDir)
+    (before, after)
+  }
 }

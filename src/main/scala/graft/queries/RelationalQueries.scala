@@ -674,6 +674,33 @@ object RelationalQueries {
           "\nORDER BY key"
       }),
 
+    // Small-file compaction (Sinks.compactParquet): a 64-way fragmented
+    // write — the shape per-batch streaming appends leave behind —
+    // rewritten to byte-targeted files; the read-back aggregate proves
+    // row-level losslessness against the ORIGINAL source (the p2/p6
+    // round-trip pattern), and the file accounting proves the
+    // compaction actually happened (64 → a handful).
+    Q("p13_compaction",
+      (s, d) => {
+        val small = scratch(s, "compact_small").toString
+        val out = scratch(s, "compact_out").toString
+        T(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(small)
+        val (before, after) = graft.io.Sinks.compactParquet(
+          s, small, out, targetBytes = 8L * 1024 * 1024)
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_docs"),
+          sumLong(col("doc_id")).as("sum_ids"),
+          sumLong(length(col("text"))).as("sum_chars"),
+          lit(before.toLong).as("files_before"),
+          lit(before > after).as("compacted_fewer"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+             |CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             |CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+             |CAST(64 AS BIGINT) AS files_before, TRUE AS compacted_fewer
+             |FROM documents""".stripMargin)),
+
     // Benford first-significant-digit audit (the fraud/synthetic-data
     // forensic gate: organically-grown magnitudes follow
     // P(d) = log10(1+1/d); uniform or fabricated values don't). Digit

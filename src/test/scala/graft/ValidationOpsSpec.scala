@@ -245,7 +245,8 @@ class ValidationOpsSpec extends SparkSpec {
   test("RunQuality gate runs end-to-end in self-split mode and writes all sections") {
     val out = java.nio.file.Files.createTempDirectory("graft_rq").toString
     RunQuality.gateOnce(spark, "/root/testdata/sf0.001/orders.parquet", out)
-    Seq("constraints.csv", "drift_psi.csv", "outliers.csv", "quality_summary.json")
+    Seq("constraints.csv", "drift_psi.csv", "outliers.csv", "shape.csv",
+        "quality_summary.json")
       .foreach { f =>
         assert(new java.io.File(s"$out/$f").exists(), s"missing $f")
       }
