@@ -158,6 +158,49 @@ object LlmQueries {
 
     // Full dedup resolution: exact-Jaccard pairs → connected components →
     // keep-first dedup; oracle replays it with a recursive CTE.
+    // Dup-cluster SIZE profile — the dedup health report (a spike of
+    // giant clusters means boilerplate/template contamination; the
+    // long tail of 2-clusters is ordinary near-dup noise). Same pair
+    // generation + connected components as d6, reduced to the
+    // size-histogram reviewers actually read.
+    Q("d15_cluster_size_profile",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+        Dedup.dupClusters(pairs)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sumLong(col("cluster_size")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+             |cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1),
+             |cs AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+             |SELECT cluster_size, COUNT(*) AS n_clusters,
+             |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+             |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("d6_dedup_resolve",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -1853,6 +1896,52 @@ object LlmQueries {
     // time per cell and the two engines break it from different
     // representations — while the double-mean's fp error (~1e-15) makes
     // the 1e-6 grid safe (the Det corr/stddev argument).
+    // Embedding-space outlier gate: per-label centroid (v1's aggregate,
+    // exact-decimal means so distances are bit-identical cross-engine),
+    // per-vector Euclidean distance to its centroid (decimal-quantized
+    // squared terms — both engines round identically), then the dq3
+    // median/MAD machinery flags vectors far from their label's mass —
+    // the embedding sanity gate (mislabeled / corrupted / off-manifold
+    // vectors) a training pipeline runs before indexing a drop.
+    Q("v2_embed_outliers",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val ex = T(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        val cent = ex.groupBy(col("label"), col("dim"))
+          .agg(avgExact(col("x")).as("c"))
+        val dist = ex.join(cent, Seq("label", "dim"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sqrt(sum(((col("x") - col("c")) * (col("x") - col("c")))
+            .cast(DecimalType(27, 6))).cast(DoubleType)).as("dist"))
+        graft.core.Validation.robustOutliers(dist, "label", "dist", k = 3.0)
+          .select(col("label"), col("n"), round(col("med"), 6).as("med"),
+            round(col("mad"), 6).as("mad"), col("n_outliers"),
+            round(col("outlier_frac"), 6).as("outlier_frac"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT vec_id, label, CAST(r.range AS INT) AS dim,
+              |    CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x
+              |  FROM embeddings, range(0, 64) r),
+              |cent AS (SELECT label, dim, ${avgExactSql("x")} AS c
+              |  FROM ex GROUP BY 1, 2),
+              |dist AS (
+              |  SELECT vec_id, ex.label,
+              |    SQRT(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(27,6))) AS DOUBLE)) AS v
+              |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+              |  GROUP BY 1, 2),
+              |m AS (SELECT label AS g, CAST(median(v) AS DOUBLE) AS med FROM dist GROUP BY 1),
+              |w AS (SELECT d.label AS g, d.v, m.med FROM dist d JOIN m ON d.label = m.g),
+              |dd AS (SELECT g, CAST(median(abs(v - med)) AS DOUBLE) AS mad FROM w GROUP BY 1)
+              |SELECT w.g AS label, COUNT(v) AS n,
+              |  ROUND(MAX(w.med), 6) AS med, ROUND(MAX(dd.mad), 6) AS mad,
+              |  ${countIfSql("abs(v - w.med) > 3 * 1.4826 * GREATEST(dd.mad, 1e-9)")} AS n_outliers,
+              |  ROUND(SUM(CASE WHEN abs(v - w.med) > 3 * 1.4826 * GREATEST(dd.mad, 1e-9)
+              |    THEN 1 ELSE 0 END) * 1.0 / COUNT(v), 6) AS outlier_frac
+              |FROM w JOIN dd ON w.g = dd.g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("v1_label_centroids",
       (s, d) => {
         import org.apache.spark.sql.types.DoubleType
