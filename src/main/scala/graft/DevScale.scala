@@ -32,6 +32,7 @@ object DevScale {
     if (want("gates12b")) gates12bSection(spark)
     if (want("gates12c")) gates12cSection(spark)
     if (want("gates12d")) gates12dSection(spark)
+    if (want("gates12e")) gates12eSection(spark)
     spark.stop()
   }
 
@@ -192,6 +193,27 @@ object DevScale {
         val t0 = System.nanoTime()
         Bench.exec(fn(spark, dir))
         println(f"[g12d] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** Round-12e operators at ×1/×10/×100 (same g12b dirs): p13 compaction
+    * IO scales with bytes; st14 native session windows — state rows =
+    * active sessions, users scale with data; n13 JL shortlist — map-only
+    * projection + brute kernel over compressed vectors; v2 centroid/
+    * distance/MAD — dim-keyed and label-keyed aggregates; d15 shares
+    * d2/d6's pair-generation scaling (per-replica token suffixes keep
+    * dup structure linear). */
+  private def gates12eSection(spark: SparkSession): Unit = {
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = ensureG12bDir(spark, mult)
+      Seq("p13_compaction", "st14_session_window", "n13_ann_jl",
+          "v2_embed_outliers", "d15_cluster_size_profile").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12e] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
   }

@@ -455,6 +455,15 @@ object EventStream {
     val maxTsRow = static.agg(max(unix_micros(col("ts")))).head
     if (maxTsRow.isNullAt(0))
       return Seq.empty[(Long, Long, Long)].toDF("user_id", "n_events", "dur_us")
+    // RocksDB state store (st8's pattern): a bounded replay holds EVERY
+    // session of the file in one micro-batch's state — the default
+    // in-memory provider OOMs at the ×100 gate (60M events ≈ millions of
+    // open sessions); RocksDB spills, which is also the cluster-correct
+    // provider for session state at any real rate.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val wmMs = intervalMs(watermark)
     val sentinelMicros = maxTsRow.getLong(0) + (gapMs + 2 * wmMs + 3600000L) * 1000L
     val sentinel = Seq((-1L, sentinelMicros, -1L, "sentinel", 0.0, ""))
@@ -465,7 +474,7 @@ object EventStream {
     val stream = normTs(spark.readStream
       .schema(rawEventSchema(spark, d.toString))
       .parquet(d.toString))
-    withReplayPartitions(spark) {
+    try withReplayPartitions(spark) {
       val q = stream
         .withWatermark("ts", watermark)
         .groupBy(session_window(col("ts"), s"$gapMs milliseconds"), col("user_id"))
@@ -481,6 +490,9 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
     }
     rmTree(d)
     spark.table(sinkName).where(col("user_id") =!= -1L)
