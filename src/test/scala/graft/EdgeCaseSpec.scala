@@ -207,4 +207,58 @@ class EdgeCaseSpec extends SparkSpec {
     assert(row.getString(0) === "DATATYPE_MISMATCH: \"(ts div 1000)\"\n\tat line 1")
     assert(row.getString(1) === "back\\slash and  ctrl")
   }
+
+  test("ksTwoSample requires exactly two groups; degenerate same-sample gives ks 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("g", "v", "t")
+    intercept[IllegalArgumentException] {
+      graft.core.Validation.ksTwoSample(one, "g", "v", col("t"))
+    }
+    val three = Seq(("a", 1.0, 1L), ("b", 2.0, 2L), ("c", 3.0, 3L)).toDF("g", "v", "t")
+    intercept[IllegalArgumentException] {
+      graft.core.Validation.ksTwoSample(three, "g", "v", col("t"))
+    }
+    // identical distributions interleaved: D bounded by 1/n, far under crit
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble, i.toLong * 2), ("b", i.toDouble, i.toLong * 2 + 1)))
+      .toDF("g", "v", "t")
+    val r = graft.core.Validation.ksTwoSample(same, "g", "v", col("t")).head
+    assert(r.getAs[Double]("ks_stat") <= 1.0 / 50 + 1e-12)
+    assert(!r.getAs[Boolean]("drifted"))
+  }
+
+  test("compactParquet validates target bytes and compacts a fragmented dir losslessly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(32).write.mode("overwrite").parquet(s"$d/frag")
+    intercept[IllegalArgumentException] {
+      graft.io.Sinks.compactParquet(spark, s"$d/frag", s"$d/out", 0L)
+    }
+    val (before, after) = graft.io.Sinks.compactParquet(
+      spark, s"$d/frag", s"$d/out", targetBytes = 64L * 1024 * 1024)
+    assert(before === 32 && after === 1)
+    val got = spark.read.parquet(s"$d/out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (1L to 1000L))
+  }
+
+  test("jlTopK/maxSimVsSet argument guards and empty-corpus behavior") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.jlTopK(emb, emb.where(col("vec_id") < 2),
+        "vec_id", "embedding", k = 0, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.jlTopK(emb, emb.where(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3, dim = 64, overscan = 0)
+    }
+    val emptyCorpus = emb.where(lit(false))
+    val out = graft.llm.Similarity.maxSimVsSet(
+      emptyCorpus, "vec_id", "embedding",
+      emb.where(col("vec_id") < 3), "vec_id", "embedding")
+    assert(out.count() === 0L)
+  }
 }
