@@ -35,6 +35,35 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Incremental aggregate maintenance (materialized-view delta merge):
+    * hold per-key ALGEBRAIC partials (cnt, decimal sum, min, max) at
+    * rest, fold each arriving batch's partials in with one key-keyed
+    * aggregate — never rescan history. `sum` must already be
+    * decimal-accumulated (exact, so merge order can't change it);
+    * derived stats (avg = sum/cnt) are computed at READ time from the
+    * merged partials, never stored. Returns the same partial schema, so
+    * the output is the next at-rest state. The 100 TB point: the MV
+    * update cost is O(batch + touched keys), not O(history). */
+  def mergeAggState(state: DataFrame, deltaPartials: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(deltaPartials)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum")).as("sum"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** The partial-building twin of [[mergeAggState]]: per-key algebraic
+    * partials of `valueCol` with an exact decimal sum. */
+  def aggPartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("cnt"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(27, 6))).as("sum"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
   def latestWins(snapshot: DataFrame, updates: DataFrame, key: String,
       versionCol: String, deletedCol: Option[String] = None): DataFrame = {
     val tagged = snapshot.withColumn("__side", lit(0))

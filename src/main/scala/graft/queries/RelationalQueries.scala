@@ -674,6 +674,41 @@ object RelationalQueries {
           "\nORDER BY key"
       }),
 
+    // Incremental aggregate maintenance (Merge.aggPartials/
+    // mergeAggState — the materialized-view pattern): per-key algebraic
+    // partials built once, persisted, then each delta batch folds in
+    // with ONE key-keyed aggregate — the MV update never rescans
+    // history. Three batches replayed through the at-rest state; the
+    // read-time view (avg derived from partials) must equal a full
+    // recompute — which is exactly what the oracle runs.
+    Q("u2_incremental_agg",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val stateDir = scratch(s, "u2_state").toString
+        def batch(i: Int) = orders.where(pmod(col("o_orderkey"), lit(3)) === i)
+        // seed state from batch 0, then fold batches 1 and 2 in
+        graft.core.Merge.aggPartials(batch(0), Seq("o_orderstatus"), "o_totalprice")
+          .write.mode("overwrite").parquet(stateDir)
+        (1 to 2).foreach { i =>
+          val merged = graft.core.Merge.mergeAggState(
+            s.read.parquet(stateDir),
+            graft.core.Merge.aggPartials(batch(i), Seq("o_orderstatus"), "o_totalprice"),
+            Seq("o_orderstatus")).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(stateDir)
+        }
+        s.read.parquet(stateDir)
+          .select(col("o_orderstatus"), col("cnt").as("n"),
+            col("sum").cast("double").as("sum_price"),
+            (col("sum").cast("double") / col("cnt")).as("avg_price"),
+            col("mn").as("min_price"), col("mx").as("max_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(o_totalprice) AS n,
+              |${sumExactSql("o_totalprice")} AS sum_price,
+              |${sumExactSql("o_totalprice")} / COUNT(o_totalprice) AS avg_price,
+              |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Small-file compaction (Sinks.compactParquet): a 64-way fragmented
     // write — the shape per-batch streaming appends leave behind —
     // rewritten to byte-targeted files; the read-back aggregate proves

@@ -178,6 +178,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeAggState over any batch split equals the one-shot partials") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(-1000, 1000)))
+      cut1 <- Gen.choose(0, n)
+      cut2 <- Gen.choose(0, n)
+    } yield (rows, math.min(cut1, cut2), math.max(cut1, cut2))
+    forAll(gen, n = 6) { case (rows, c1, c2) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v.toDouble / 7, i) }.toDF("k", "v", "i")
+      val full = graft.core.Merge.aggPartials(df, Seq("k"), "v")
+      val Seq(b0, b1, b2) = Seq(
+        df.where(col("i") < c1),
+        df.where(col("i") >= c1 && col("i") < c2),
+        df.where(col("i") >= c2))
+      val merged = graft.core.Merge.mergeAggState(
+        graft.core.Merge.mergeAggState(
+          graft.core.Merge.aggPartials(b0, Seq("k"), "v"),
+          graft.core.Merge.aggPartials(b1, Seq("k"), "v"), Seq("k")),
+        graft.core.Merge.aggPartials(b2, Seq("k"), "v"), Seq("k"))
+      def canon(x: org.apache.spark.sql.DataFrame) = x.collect().map(r =>
+        (r.getString(0), r.getLong(1), Option(r.getDecimal(2)).map(_.doubleValue),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      assert(canon(merged) === canon(full), s"cuts ($c1,$c2) diverged")
+    }
+  }
+
   test("asofJoin equals the brute-force reference on random data, both directions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
