@@ -77,6 +77,27 @@ object StreamQueries {
              |TRUE AS stream_ok, TRUE AS batch_ok
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming MATERIALIZED-VIEW maintenance (u2's algebraic-partials
+    // merge, streamed through foreachBatch): four chunked micro-batches
+    // fold per-type partials into alternating at-rest generations; the
+    // read-time view (avg derived from partials) must equal the one-shot
+    // GROUP BY — which is what the oracle runs. The per-trigger cost is
+    // O(batch + touched keys); the MV never rescans history.
+    Q("st15_stream_mv_maintenance",
+      (s, d) => {
+        EventStream.runAggMergeOnce(s, s"$d/events.parquet")
+          .select(col("event_type"), col("cnt").as("n"),
+            col("sum").cast("double").as("sum_value"),
+            (col("sum").cast("double") / col("cnt")).as("avg_value"),
+            col("mn").as("min_value"), col("mx").as("max_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, COUNT(value) AS n,
+              |${sumExactSql("value")} AS sum_value,
+              |${sumExactSql("value")} / COUNT(value) AS avg_value,
+              |MIN(value) AS min_value, MAX(value) AS max_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // NATIVE session_window sessionization (state-store session merge +
     // watermark eviction) — the third sessionization path next to the
     // batch lag+cumsum (st2) and the custom flatMapGroupsWithState

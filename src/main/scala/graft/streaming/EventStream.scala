@@ -421,6 +421,59 @@ object EventStream {
     state
   }
 
+  /** Bounded replay of the streaming MATERIALIZED-VIEW maintenance loop
+    * — [[runMergeOnce]]'s shape with AGGREGATE state instead of
+    * key-latest rows: each micro-batch's algebraic partials
+    * ([[graft.core.Merge.aggPartials]]) fold into the at-rest MV via
+    * [[graft.core.Merge.mergeAggState]] (counts / exact decimal sums /
+    * min / max — associative and commutative, so the final state equals
+    * the one-shot aggregate REGARDLESS of batch boundaries), and the MV
+    * update cost per trigger is O(batch + touched keys), never
+    * O(history). Same alternating parquet generations; returns the
+    * final state (localCheckpoint'ed — state rows scale with |keys|). */
+  def runAggMergeOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_aggmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partials = graft.core.Merge.aggPartials(
+            batch, Seq("event_type"), "value")
+          val next =
+            if (gen == 0) partials
+            else graft.core.Merge.mergeAggState(
+              spark.read.parquet(work.resolve(s"state_$gen").toString),
+              partials, Seq("event_type"))
+          next.write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"MV replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
     * repeat within the watermark horizon (e.g. a content hash on a
     * document stream). `dropDuplicatesWithinWatermark` expires dedup state
