@@ -648,6 +648,32 @@ object WindowQueries {
              |FROM win WHERE o_orderkey % 50 = 0
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Cumulative distinct users (users-to-date — the growth-curve
+    // metric): running COUNT(DISTINCT) is quadratic done naively, but
+    // each user contributes exactly once at their FIRST day, so one
+    // user-keyed min-day aggregate + a cumsum over the tiny day spine
+    // gives the exact curve (the spine window rides partitionBy(lit(0))
+    // — calendar-bounded rows, never the data path).
+    Q("w15_cumulative_distinct",
+      (s, d) => {
+        val firstSeen = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+        val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+        firstSeen.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_new_users"))
+          .withColumn("cum_users", sum(col("n_new_users")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_new_users"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+             |pd AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY 1)
+             |SELECT STRFTIME(day, '%Y-%m-%d') AS day, n_new_users,
+             |  CAST(SUM(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+             |FROM pd ORDER BY 1""".stripMargin)),
+
     // OLAP completeness beyond the reference surface: hierarchical
     // rollup totals and a pivoted cross-tab.
     Q("w7_rollup",
