@@ -98,6 +98,34 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rk")
   }
 
+  /** Mutual k-NN graph over an embedding corpus — the standard input to
+    * graph-based clustering, SemDeDup-style community pruning, and
+    * diversity filters: every vector's exact cosine top-k (self
+    * excluded, ranked under the (cos desc, id asc) total order), kept
+    * only where the edge is reciprocal (a ∈ knn(b) ∧ b ∈ knn(a)) — the
+    * mutual filter that strips hub-dominated asymmetric edges. Returns
+    * one row per undirected edge: (id_a < id_b, cos).
+    *
+    * Scale shape: scoring is the [[bruteScoredLocalTopK]] kernel (the
+    * corpus streams map-only against the broadcast node set with
+    * per-partition heaps, so ≤ partitions×|V|×k rows reach the rank
+    * window) — exact and right up to `maxNodes` vectors; beyond that,
+    * generate candidates with the banded LSH ([[lshTopK]]) or IVF
+    * cells and keep the same rank + reciprocity tail. The reciprocity
+    * join itself is |V|·k vs |V|·k rows on (src, dst) — linear in
+    * corpus size, never quadratic. Cosine is bitwise symmetric (same
+    * sequential dot / commutative norm product), so reporting the
+    * forward edge's score is exact. */
+  def knnGraphEdges(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxNodes: Int = DefaultMaxQueries): DataFrame = {
+    val knn = bruteForceTopK(corpus, corpus, idCol, vecCol, k, maxQueries = maxNodes)
+      .select(col("query_id").as("src"), col("corpus_id").as("dst"), col("cos"))
+    val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+    knn.join(rev, Seq("src", "dst"))
+      .where(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
+  }
+
   /** Brute-force MAXIMUM-INNER-PRODUCT top-k (MIPS — the retrieval
     * objective when embeddings carry meaningful norms, e.g. popularity-
     * weighted item vectors where cosine's normalization erases the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Relational, Sampling, WideAgg}
 import graft.stats.{Auc, Correlations}
@@ -809,6 +810,54 @@ object AggQueries {
              |  ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
              |  ROUND(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis
              |FROM m ORDER BY g""".stripMargin)),
+
+    // Shannon-entropy profile of categorical columns (feature-selection /
+    // corpus-balance diagnostic): melt the columns map-only (explode of
+    // a 2-element struct array — no shuffle), one (col, value) count
+    // aggregate, probabilities via a per-column window over the TINY
+    // count frame (≤ distinct values per column), then
+    // H = Σ p·log2(1/p). Each term is rounded to 1e-6 BEFORE an exact
+    // decimal sum (x15's stance: snaps any cross-engine log2 last-bit
+    // drift AND makes the sum order-independent). norm_entropy = H /
+    // log2(|distinct|) — the 0..1 balance score.
+    Q("a24_cat_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val melted = T(s, d, "orders")
+          .select(explode(array(
+            struct(lit("o_orderpriority").as("col_name"), col("o_orderpriority").as("v")),
+            struct(lit("o_orderstatus").as("col_name"), col("o_orderstatus").as("v"))))
+            .as("m"))
+          .select(col("m.col_name"), col("m.v"))
+        val counts = melted.groupBy(col("col_name"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("p", col("cnt").cast(DoubleType) /
+            sum(col("cnt")).over(Window.partitionBy(col("col_name"))).cast(DoubleType))
+          .withColumn("term", round(-col("p") * log2(col("p")), 6).cast(DecimalType(27, 6)))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("term")).cast(DoubleType).as("ent"))
+          .select(col("col_name"), col("n_distinct"),
+            round(col("ent"), 6).as("entropy"),
+            round(col("ent") / log2(col("n_distinct").cast(DoubleType)), 6)
+              .as("norm_entropy"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS v FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', o_orderstatus FROM orders),
+             |c AS (SELECT col_name, v, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+             |t AS (SELECT col_name, cnt,
+             |    CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY col_name) AS DOUBLE) AS p
+             |  FROM c),
+             |e AS (SELECT col_name, COUNT(*) AS n_distinct,
+             |    CAST(SUM(CAST(ROUND(-p * LOG2(p), 6) AS DECIMAL(27,6))) AS DOUBLE) AS ent
+             |  FROM t GROUP BY 1)
+             |SELECT col_name, n_distinct, ROUND(ent, 6) AS entropy,
+             |  ROUND(ent / LOG2(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+             |FROM e ORDER BY col_name""".stripMargin)),
 
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless

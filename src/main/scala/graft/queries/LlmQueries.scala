@@ -725,6 +725,29 @@ object LlmQueries {
              |CAST(3 * COUNT(*) AS BIGINT) AS n_jl, TRUE AS quality_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // Mutual k-NN graph (Similarity.knnGraphEdges): exact cosine top-5
+    // per vector (self excluded), edges kept only when reciprocal — the
+    // graph-clustering / diversity-filter input. Oracle replays the
+    // full scored rank + reciprocity join in SQL; the (cos desc, id)
+    // total order plus bit-exact list_cosine_similarity parity (n1's
+    // twin) makes the edge SET — not just a summary — hash-comparable.
+    Q("n14_knn_graph",
+      (s, d) => Similarity.knnGraphEdges(
+        T(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+             |scored AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    list_cosine_similarity(a.ev, b.ev) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rk
+             |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+             |knn AS (SELECT src, dst, cos FROM scored WHERE rk <= 5)
+             |SELECT k1.src AS id_a, k1.dst AS id_b, ROUND(k1.cos, 6) AS cos
+             |FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+             |WHERE k1.src < k1.dst ORDER BY 1, 2""".stripMargin)),
+
     Q("n4_ann_pq",
       (s, d) => annRecallSummary(s, d,
         (emb, qs) => Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,

@@ -468,6 +468,43 @@ object WindowQueries {
               |    > 1.36 AS drifted
               |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Markov transition matrix over per-user event sequences (behavior-
+    // model / session-sequence training-data statistic): one lag window
+    // under the (ts, event_id) TOTAL order (event_id unique ⇒ the
+    // sequence — hence the bigram multiset — is deterministic even for
+    // same-instant events), then the (prev → next) contingency with
+    // row-normalized transition probabilities. ONE user-keyed shuffle
+    // serves the lag; the (T×T)-key aggregate is map-side combined and
+    // tiny, as is the per-prev normalization window — nothing here
+    // grows with corpus size except the embarrassingly-parallel lag.
+    Q("t12_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .withColumn("p_transition",
+            round(col("n_transitions").cast("double") /
+              sum(col("n_transitions")).over(Window.partitionBy(col("prev_type")))
+                .cast("double"), 6))
+          .orderBy(col("prev_type"), col("event_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type, COUNT(*) AS n_transitions,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+             |    CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             |    AS p_transition
+             |FROM seq WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when

@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraphEdges: reciprocal-only edges, equals the naive directed-kNN intersection") {
+    val k = 4
+    val edges = Similarity.knnGraphEdges(emb, "vec_id", "embedding", k = k).collect()
+    assert(edges.nonEmpty)
+    // naive reference: directed kNN sets from bruteForceTopK, mutual = both directions
+    val directed = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = directed.filter { case (a, b) => a < b && directed((b, a)) }
+    assert(edges.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === expected)
+    // every edge is undirected-canonical and carries the symmetric cosine
+    edges.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") <= 1.0 + 1e-9)
+    }
+    // mutuality genuinely filters: some directed edge must be asymmetric
+    // (otherwise this test would pass vacuously on a symmetric fixture)
+    assert(directed.exists { case (a, b) => !directed((b, a)) })
+  }
+
   test("hardNegatives: never a same-label pair, and equals the filtered brute truth") {
     val hn = Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", k = 3)
     val rows = hn.collect()
