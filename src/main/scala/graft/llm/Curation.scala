@@ -651,4 +651,46 @@ object Curation {
     docs.select(d.as("doc_id"), inp.as("input_text"), tgt.as("target_text"))
       .orderBy("doc_id")
   }
+
+  /** Pairwise inter-source shingle overlap — the corpus-forensics
+    * matrix behind mixture design: how much does each pair of sources
+    * share verbatim n-gram content (mirror detection, scrape-of-a-
+    * scrape, benchmark bleed between domains)? Per-source DISTINCT
+    * w-token shingle sets, then per-pair |∩|, Jaccard and containment
+    * (|∩| / min(|A|,|B|) — the asymmetric-size-robust score).
+    *
+    * Output is SPARSE: one row per source pair with n_common ≥ 1
+    * (zero-overlap pairs are absent — at corpus scale the dense S²
+    * matrix is the caller's trivial completion of a sparse result).
+    *
+    * Scale shape: the distinct is shingle-keyed and map-side combined;
+    * the pair join moves slim (source, shingle) rows and a shingle
+    * present in all S sources fans out to at most S² rows — S is the
+    * mixture's domain count (dozens), never corpus-sized. The per-pair
+    * aggregate is map-side combined onto ≤ S² keys, and the size
+    * attach is a broadcast of the S-row size table. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+      w: Int): DataFrame = {
+    val sets = Dedup.shingles(df, srcCol, textCol, w)
+      .select(col("id").as("source"), col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sets.select(col("source").as("src_a"), col("shingle"))
+        .join(sets.select(col("source").as("src_b"), col("shingle")), Seq("shingle"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"),
+          round(col("n_common").cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("containment"))
+        .localCheckpoint(true) // eager: ≤ S² rows, valid after unpersist
+    } finally sets.unpersist(blocking = false)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-import graft.llm.{Curation, Dedup, Frequency, Importance, Multimodal, Retrieval, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Frequency, Graph, Importance, Multimodal, Retrieval, Similarity, TextStats}
 
 /** LLM-training-data-pipeline queries (dedup, similarity search, text
   * analysis, multimodal) over the documents/embeddings fixtures, with
@@ -50,6 +50,34 @@ object LlmQueries {
         when(col("n_truth") === 0, lit(true))
           .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
   }
+
+  /** Shared oracle CTE chain deriving the mutual k-NN `edges`
+    * (id_a < id_b) exactly as [[Similarity.knnGraphEdges]] — the n14
+    * derivation, reused by the graph-analytics oracles (n15/n16). */
+  private def knnEdgesCtes(k: Int): String =
+    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rk
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |knn AS MATERIALIZED (SELECT src, dst FROM scored WHERE rk <= $k),
+       |edges AS MATERIALIZED (SELECT k1.src AS id_a, k1.dst AS id_b
+       |  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+       |  WHERE k1.src < k1.dst)""".stripMargin
+
+  /** The n16 oracle's iteration chain: `,itK AS (…)` blocks replaying
+    * [[Graph.pageRankFixed]]'s fixed-point step with DuckDB's `//`. */
+  private def pageRankIterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s""",it$k AS (SELECT d.id, d.degree,
+         |    CAST(150000000000 // (SELECT n FROM p)
+         |      + CAST(COALESCE(s.s, 0) AS BIGINT) * 85 // 100 AS BIGINT) AS pr_fp
+         |  FROM deg d LEFT JOIN (
+         |    SELECT dir.dst AS id, SUM(i.pr_fp // i.degree) AS s
+         |    FROM dir JOIN it${k - 1} i ON i.id = dir.src GROUP BY 1) s
+         |    ON s.id = d.id)""".stripMargin
+    }.mkString("\n")
 
   /** The MIPS fixture view: the parquet embeddings are unit-normalized
     * (cosine fixtures), which would make inner-product order ≡ cosine
@@ -200,6 +228,32 @@ object LlmQueries {
              |SELECT cluster_size, COUNT(*) AS n_clusters,
              |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
              |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pairwise inter-source shingle overlap (Curation.sourceOverlap):
+    // the mixture-forensics matrix — per source pair, shared distinct
+    // 5-gram count, Jaccard and containment. Detects mirrors /
+    // scrape-of-a-scrape / cross-domain benchmark bleed BEFORE mixing
+    // weights are chosen. Sparse (pairs with n_common ≥ 1 only).
+    Q("d16_source_overlap",
+      (s, d) => Curation.sourceOverlap(
+        T(s, d, "documents"), "text", "source", w = 5)
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks, text FROM documents),
+             |sh AS (SELECT source, CASE WHEN len(toks) < 5 THEN [text]
+             |  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> array_to_string(toks[i:i+4], ' '))) END AS shl FROM t),
+             |sets AS (SELECT DISTINCT source, unnest(shl) AS shingle FROM sh),
+             |sizes AS (SELECT source, COUNT(*) AS n FROM sets GROUP BY 1),
+             |pairs AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+             |  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+             |  ROUND(CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common), 6) AS jaccard,
+             |  ROUND(CAST(p.n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+             |FROM pairs p
+             |JOIN sizes sa ON sa.source = p.src_a
+             |JOIN sizes sb ON sb.source = p.src_b
+             |ORDER BY 1, 2""".stripMargin)),
 
     Q("d6_dedup_resolve",
       (s, d) => {
@@ -747,6 +801,64 @@ object LlmQueries {
              |SELECT k1.src AS id_a, k1.dst AS id_b, ROUND(k1.cos, 6) AS cos
              |FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
              |WHERE k1.src < k1.dst ORDER BY 1, 2""".stripMargin)),
+
+    // Triangle / clustering-coefficient profile of the mutual k-NN
+    // graph (Graph.triangleStats): the graph-health statistic behind
+    // paraphrase-community detection — dense local triangles mark
+    // near-dup clusters. Oracle replays degree orientation + wedge
+    // closure in SQL over the same replayed edge set; counts are
+    // integers and lcc is a single rounded division, so the full
+    // per-node profile hashes.
+    Q("n15_knn_triangles",
+      (s, d) => Graph.triangleStats(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5))
+        .orderBy(col("id")),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |deg AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM (
+             |    SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
+             |  GROUP BY 1),
+             |dir AS MATERIALIZED (SELECT
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND e.id_a < e.id_b)
+             |      THEN e.id_a ELSE e.id_b END AS src,
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND e.id_a < e.id_b)
+             |      THEN e.id_b ELSE e.id_a END AS dst,
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND e.id_a < e.id_b)
+             |      THEN db.degree ELSE da.degree END AS ddst
+             |  FROM edges e JOIN deg da ON da.id = e.id_a JOIN deg db ON db.id = e.id_b),
+             |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |  FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+             |    AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+             |  WHERE EXISTS (SELECT 1 FROM dir d WHERE d.src = e1.dst AND d.dst = e2.dst)),
+             |tc AS (SELECT id, COUNT(*) AS n_tri FROM (
+             |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+             |  GROUP BY 1)
+             |SELECT deg.id, deg.degree, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+             |  ROUND(CASE WHEN deg.degree >= 2
+             |    THEN 2.0 * COALESCE(tc.n_tri, 0) / (deg.degree * (deg.degree - 1))
+             |    ELSE 0.0 END, 6) AS lcc
+             |FROM deg LEFT JOIN tc ON tc.id = deg.id ORDER BY deg.id""".stripMargin)),
+
+    // Fixed-point PageRank over the mutual k-NN graph
+    // (Graph.pageRankFixed): node importance in 10^-12 integer
+    // arithmetic — bit-exact and order-independent, so the oracle
+    // replays the identical 5 iterations with DuckDB's // integer
+    // division and the raw pr_fp longs hash-compare.
+    Q("n16_pagerank",
+      (s, d) => Graph.pageRankFixed(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5),
+        iters = 5)
+        .orderBy(col("id")),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |dir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
+             |  UNION ALL SELECT id_b, id_a FROM edges),
+             |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree FROM dir GROUP BY 1),
+             |p AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+             |it0 AS (SELECT id, degree,
+             |    CAST(1000000000000 // (SELECT n FROM p) AS BIGINT) AS pr_fp FROM deg)
+             |${pageRankIterSql(iters = 5)}
+             |SELECT id, degree, pr_fp,
+             |  ROUND(CAST(pr_fp AS DOUBLE) / 1000000000000, 9) AS pr
+             |FROM it5 ORDER BY id""".stripMargin)),
 
     Q("n4_ann_pq",
       (s, d) => annRecallSummary(s, d,

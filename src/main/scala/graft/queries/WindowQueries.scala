@@ -505,6 +505,80 @@ object WindowQueries {
              |FROM seq WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Lag-k autocorrelation of daily event volume (k = 1..7): the
+    // pipeline-health time-series fingerprint — a strong weekly ACF
+    // peak means volume seasonality the sampler must stratify over;
+    // near-zero ACF on a series that should be seasonal flags broken
+    // ingestion. Classic sample ACF: r_k = Σ(x_t−x̄)(x_{t−k}−x̄) /
+    // Σ(x_t−x̄)², mean over the FULL series. Scale shape: the daily
+    // aggregate is map-side combined (one shuffle onto ~days keys);
+    // all seven lags ride ONE window pass over the tiny daily frame
+    // (days, not events) before an unpivot + 7-key aggregate. Each
+    // product term is rounded then decimal-summed (x15 stance) so
+    // cross-engine sums are order-independent; x̄ and the final ratio
+    // are single deterministic divisions.
+    Q("t13_daily_acf",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        // ONE scan: mean, denominator, and all seven lags ride windows
+        // over the DAYS-sized aggregate (never the event rows) — the
+        // SinglePartition exchanges below hold the tiny daily series,
+        // which is the only frame a global-order ACF can be defined on.
+        val wAll = Window.partitionBy()
+        val wOrd = Window.orderBy(col("day"))
+        val lagCols = (1 to 7).map(k => lag(col("x"), k).over(wOrd).as(s"l$k"))
+        val base = daily
+          .withColumn("mean",
+            sum(col("x")).over(wAll).cast("double") / count(lit(1)).over(wAll))
+          .withColumn("den",
+            sum(round((col("x") - col("mean")) * (col("x") - col("mean")), 6)
+              .cast(DecimalType(27, 6))).over(wAll))
+        val stacked = base
+          .select(col("x") +: col("mean") +: col("den") +: lagCols: _*)
+          .select(col("x"), col("mean"), col("den"),
+            expr("stack(7, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6, 7, l7) AS (lg, xl)"))
+          .where(col("xl").isNotNull)
+        stacked
+          .groupBy(col("lg").as("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round((col("x") - col("mean")) * (col("xl") - col("mean")), 6)
+              .cast(DecimalType(27, 6))).cast("double").as("num"),
+            max(col("den")).cast("double").as("den"))
+          .select(col("lag"), col("n_pairs"),
+            round(col("num") / col("den"), 6).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+             |m AS (SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean FROM daily),
+             |lagged AS (
+             |  SELECT x, LAG(x, 1) OVER (ORDER BY day) AS l1,
+             |    LAG(x, 2) OVER (ORDER BY day) AS l2,
+             |    LAG(x, 3) OVER (ORDER BY day) AS l3,
+             |    LAG(x, 4) OVER (ORDER BY day) AS l4,
+             |    LAG(x, 5) OVER (ORDER BY day) AS l5,
+             |    LAG(x, 6) OVER (ORDER BY day) AS l6,
+             |    LAG(x, 7) OVER (ORDER BY day) AS l7
+             |  FROM daily),
+             |st AS (
+             |  SELECT lg, xl, x FROM lagged,
+             |  LATERAL (VALUES (1, l1), (2, l2), (3, l3), (4, l4),
+             |                  (5, l5), (6, l6), (7, l7)) AS u(lg, xl)
+             |  WHERE xl IS NOT NULL),
+             |den AS (
+             |  SELECT CAST(SUM(CAST(ROUND((x - mean) * (x - mean), 6)
+             |    AS DECIMAL(27,6))) AS DOUBLE) AS den FROM daily, m),
+             |num AS (
+             |  SELECT lg AS lag, COUNT(*) AS n_pairs,
+             |    CAST(SUM(CAST(ROUND((x - mean) * (xl - mean), 6)
+             |      AS DECIMAL(27,6))) AS DOUBLE) AS num
+             |  FROM st, m GROUP BY 1)
+             |SELECT lag, n_pairs, ROUND(num / den, 6) AS acf
+             |FROM num, den ORDER BY lag""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when

@@ -469,4 +469,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((4L, 3L, 0.75)))
     assert(out(4L) === ((1L, 1L, 1.0)))
   }
+
+  test("sourceOverlap: hand-computed Jaccard/containment; disjoint pair absent") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA shingles (w=3): {a b c, b c d}  srcB: {a b c, b c d} ∪ {x y z}
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c d", "srcB"),
+      (3L, "x y z", "srcB"),
+      // srcC disjoint from everything
+      (4L, "p q r s", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(docs, "text", "source", w = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("containment")))).toMap
+    // srcA={abc,bcd} (2), srcB={abc,bcd,xyz} (3): common 2, J=2/3, cont=2/2
+    assert(out.keySet === Set(("srcA", "srcB")))
+    assert(out(("srcA", "srcB")) === ((2L, 3L, 2L, 0.666667, 1.0)))
+  }
 }
