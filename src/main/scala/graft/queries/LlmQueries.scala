@@ -860,6 +860,51 @@ object LlmQueries {
              |  ROUND(CAST(pr_fp AS DOUBLE) / 1000000000000, 9) AS pr
              |FROM it5 ORDER BY id""".stripMargin)),
 
+    // Per-dimension int8 affine-quantization profile (embedding-storage
+    // engineering: 4× smaller vectors if the reconstruction error is
+    // tolerable): corpus min/max per dim → scale=(max−min)/255 →
+    // q=floor((v−min)/scale+0.5) ∈ [0,255] → reconstruction error
+    // |v−(min+q·scale)|. floor(x+0.5) spells the rounding out so both
+    // engines share one deterministic expression; mean error is
+    // rounded-then-decimal-summed. Scale shape: ONE flatten pass,
+    // a 64-row (dim-keyed, map-side combined) range table broadcast
+    // back onto the flattened stream — no per-vector state anywhere.
+    Q("n17_int8_quant",
+      (s, d) => {
+        val flat = T(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+          .select(col("dim").cast("int").as("dim"), col("vf").cast("double").as("v"))
+        val ranges = flat.groupBy(col("dim"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        flat.join(broadcast(ranges), Seq("dim"))
+          .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+          .withColumn("q", when(col("scale") > 0,
+            floor((col("v") - col("mn")) / col("scale") + 0.5)).otherwise(lit(0L)))
+          .withColumn("err", abs(col("v") - (col("mn") + col("q") * col("scale"))))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            round(max(col("mx") - col("mn")), 6).as("val_range"),
+            round(avgExact(col("err")), 6).as("mean_abs_err"),
+            round(max(col("err")), 6).as("max_abs_err"))
+          .orderBy(col("dim"))
+      },
+      Some(s"""WITH fl AS (
+             |  SELECT CAST(generate_subscripts(ev, 1) - 1 AS INT) AS dim, unnest(ev) AS v
+             |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)),
+             |rg AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM fl GROUP BY 1),
+             |qe AS (
+             |  SELECT fl.dim, fl.v, rg.mn, rg.mx, (rg.mx - rg.mn) / 255.0 AS scale,
+             |    CASE WHEN (rg.mx - rg.mn) / 255.0 > 0
+             |      THEN FLOOR((fl.v - rg.mn) / ((rg.mx - rg.mn) / 255.0) + 0.5)
+             |      ELSE 0 END AS q
+             |  FROM fl JOIN rg ON rg.dim = fl.dim),
+             |er AS (SELECT dim, mx, mn, ABS(v - (mn + q * scale)) AS err FROM qe)
+             |SELECT dim, COUNT(*) AS n,
+             |  ROUND(MAX(mx - mn), 6) AS val_range,
+             |  ROUND(${avgExactSql("err")}, 6) AS mean_abs_err,
+             |  ROUND(MAX(err), 6) AS max_abs_err
+             |FROM er GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("n4_ann_pq",
       (s, d) => annRecallSummary(s, d,
         (emb, qs) => Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
@@ -2615,6 +2660,89 @@ object LlmQueries {
               |  FROM p)
               |SELECT n_types, n_tokens,
               |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+              |FROM a""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth fit (x41's companion corpus-health
+    // gate: V(n) ≈ K·n^β, β≈0.5 for natural text — a flat curve means a
+    // closed template vocabulary, near-linear growth means noise/IDs):
+    // token first-seen doc via a token-keyed MIN aggregate (map-side
+    // combined — the w15 first-seen pattern, never a corpus-wide
+    // cumulative window), doc axis compressed into 100 equal-width
+    // doc_id buckets (integer arithmetic both engines), cumulative
+    // sums over the ≤100-row bucket frame, then the x41 OLS shape on
+    // (ln cum_tokens, ln cum_types) with rounded-decimal sums.
+    Q("x45_heaps_law",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          least(expr(s"(${c.toString} * 100) div ${maxId + 1}"), lit(99L))
+        val toksPerB = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy(bucketOf(col("doc_id")).as("b"))
+          .agg(sumLong(col("n_toks")).as("toks"))
+        val newTypesB = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+          .groupBy(bucketOf(col("first_doc")).as("b"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+          .rowsBetween(Long.MinValue, 0L)
+        val pts = toksPerB.join(newTypesB, Seq("b"), "left")
+          .select(col("b"), col("toks"), coalesce(col("new_types"), lit(0L)).as("nt"))
+          .select(col("b"),
+            sum(col("toks")).over(w).as("cum_toks"),
+            sum(col("nt")).over(w).as("cum_types"))
+          .select(col("cum_toks"), col("cum_types"),
+            log(col("cum_toks").cast("double")).as("x"),
+            log(col("cum_types").cast("double")).as("y"))
+        pts.agg(
+          count(lit(1)).cast("double").as("__n"),
+          max(col("cum_toks")).as("n_tokens"),
+          max(col("cum_types")).as("n_types"),
+          sumExact(col("x")).as("sx"), sumExact(col("y")).as("sy"),
+          sumExact(col("x") * col("y")).as("sxy"),
+          sumExact(col("x") * col("x")).as("sxx"))
+          .select(col("n_tokens"), col("n_types"),
+            round((col("__n") * col("sxy") - col("sx") * col("sy")) /
+              (col("__n") * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"),
+            round((col("sy") - ((col("__n") * col("sxy") - col("sx") * col("sy")) /
+              (col("__n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("__n"), 6).as("heaps_logk"))
+      },
+      Some(s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+              |tp AS (
+              |  SELECT LEAST((doc_id * 100) // ((SELECT m FROM mx) + 1), 99) AS b,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+              |  FROM documents GROUP BY 1),
+              |fs AS (
+              |  SELECT tok, MIN(doc_id) AS first_doc FROM (
+              |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+              |  GROUP BY 1),
+              |nt AS (
+              |  SELECT LEAST((first_doc * 100) // ((SELECT m FROM mx) + 1), 99) AS b,
+              |    COUNT(*) AS new_types
+              |  FROM fs GROUP BY 1),
+              |cm AS (
+              |  SELECT tp.b,
+              |    SUM(tp.toks) OVER (ORDER BY tp.b
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+              |    SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY tp.b
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+              |  FROM tp LEFT JOIN nt ON nt.b = tp.b),
+              |pt AS (SELECT cum_toks, cum_types,
+              |    LN(CAST(cum_toks AS DOUBLE)) AS x, LN(CAST(cum_types AS DOUBLE)) AS y
+              |  FROM cm),
+              |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(MAX(cum_toks) AS BIGINT) AS n_tokens,
+              |    CAST(MAX(cum_types) AS BIGINT) AS n_types,
+              |    ${sumExactSql("x")} AS sx, ${sumExactSql("y")} AS sy,
+              |    ${sumExactSql("x * y")} AS sxy, ${sumExactSql("x * x")} AS sxx
+              |  FROM pt)
+              |SELECT n_tokens, n_types,
+              |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+              |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+              |    AS heaps_logk
               |FROM a""".stripMargin)),
 
     // codepoint survives as a piece" — vocab_size pins the exact-size

@@ -579,6 +579,114 @@ object WindowQueries {
              |SELECT lag, n_pairs, ROUND(num / den, 6) AS acf
              |FROM num, den ORDER BY lag""".stripMargin)),
 
+    // Day-of-week seasonal profile of event volume + seasonality-
+    // adjusted anomaly count: per-weekday mean/std of daily counts
+    // (population std from EXACT integer sums — bit-identical across
+    // engines), and how many days sit beyond 2σ of their own weekday's
+    // baseline. The seasonal twin of t11's CUSUM: a Tuesday dip is only
+    // an anomaly vs Tuesdays. Scale shape: one map-side-combined daily
+    // aggregate; everything after runs windows/aggregates over the
+    // DAYS-sized frame, dow-partitioned.
+    Q("t14_seasonal_profile",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", expr("weekday(day)").cast("int"))
+        val w = Window.partitionBy(col("dow"))
+        val sx = sum(col("x")).over(w).cast("double")
+        val sxx = sum((col("x").cast(DecimalType(19, 0)) *
+          col("x").cast(DecimalType(19, 0)))).over(w).cast("double")
+        val n = count(lit(1)).over(w).cast("double")
+        val mean = sx / n
+        val std = sqrt(sxx / n - mean * mean)
+        daily
+          .withColumn("mean", mean).withColumn("std", std)
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            round(max(col("mean")), 6).as("mean_x"),
+            round(max(col("std")), 6).as("std_x"),
+            countIf(abs(col("x") - col("mean")) > lit(2.0) * col("std"))
+              .as("n_anomalous"))
+          .orderBy(col("dow"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+             |dw AS (SELECT CAST(isodow(day) - 1 AS INT) AS dow, x FROM daily),
+             |st AS (SELECT dow, x,
+             |    CAST(SUM(x) OVER (PARTITION BY dow) AS DOUBLE) AS sx,
+             |    CAST(SUM(x * x) OVER (PARTITION BY dow) AS DOUBLE) AS sxx,
+             |    CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE) AS n
+             |  FROM dw),
+             |sc AS (SELECT dow, x, sx / n AS mean,
+             |    SQRT(sxx / n - (sx / n) * (sx / n)) AS std
+             |  FROM st)
+             |SELECT dow, COUNT(*) AS n_days,
+             |  ROUND(MAX(mean), 6) AS mean_x, ROUND(MAX(std), 6) AS std_x,
+             |  CAST(SUM(CASE WHEN ABS(x - mean) > 2.0 * std THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_anomalous
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-user inter-event burstiness (bot / scripted-traffic signal in
+    // behavioral training data): gaps in EXACT integer micros under the
+    // (ts, event_id) total order, per-user mean/std from exact sums,
+    // Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic
+    // ≈ bot, 0 Poisson, →1 bursty ≈ human). Corpus-level report: one
+    // B-decile histogram row set (users, not events). One user-keyed
+    // shuffle serves the lag; the per-user aggregate is map-side
+    // combined; the decile bucketing is a static-band groupBy.
+    Q("t15_burstiness",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .where(col("gap").isNotNull)
+        val perUser = gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("gap")).cast("double").as("sx"),
+            sum(col("gap").cast(DecimalType(19, 0)) *
+              col("gap").cast(DecimalType(19, 0))).cast("double").as("sxx"))
+          .where(col("n") >= 2)
+          .select(col("user_id"),
+            (col("sx") / col("n")).as("mean"),
+            sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+              .as("std"))
+          .select(col("user_id"),
+            when(col("std") + col("mean") > 0.0,
+              (col("std") - col("mean")) / (col("std") + col("mean")))
+              .otherwise(lit(0.0)).as("b"))
+        perUser
+          .groupBy(least(floor((col("b") + 1.0) * 5.0), lit(9.0)).cast("int").as("b_decile"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avgExact(col("b")), 6).as("mean_b"))
+          .orderBy(col("b_decile"))
+      },
+      Some(s"""WITH g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events),
+             |pu AS (
+             |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(gap) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+             |ms AS (
+             |  SELECT user_id, sx / n AS mean,
+             |    SQRT(sxx / n - (sx / n) * (sx / n)) AS std
+             |  FROM pu WHERE n >= 2),
+             |bb AS (
+             |  SELECT user_id, CASE WHEN std + mean > 0.0
+             |    THEN (std - mean) / (std + mean) ELSE 0.0 END AS b
+             |  FROM ms)
+             |SELECT CAST(LEAST(FLOOR((b + 1.0) * 5.0), 9.0) AS INT) AS b_decile,
+             |  COUNT(*) AS n_users, ROUND(${avgExactSql("b")}, 6) AS mean_b
+             |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when
