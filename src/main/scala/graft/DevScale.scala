@@ -33,7 +33,50 @@ object DevScale {
     if (want("gates12c")) gates12cSection(spark)
     if (want("gates12d")) gates12dSection(spark)
     if (want("gates12e")) gates12eSection(spark)
+    if (want("gates12f")) gates12fSection(spark)
     spark.stop()
+  }
+
+  /** Round-12f: graph operators (Graph.triangleStats / pageRankFixed)
+    * at ×1/×10/×100 on a SYNTHETIC hub-skewed similarity graph —
+    * the kNN edge builder is deliberately bypassed (its brute kernel
+    * is the bounded exact path; the graph ops must scale past it).
+    * Shape: n nodes (100k ×mult), ~5 pseudo-random edges per node via
+    * xxhash64 (deterministic, no RNG), one of which lands in a 100-node
+    * HUB range — at ×100 each hub holds ~100k neighbors, exactly the
+    * skew that breaks a naive wedge join (hub deg² ≈ 10^10 wedges) and
+    * that degree orientation must neutralize (hubs never wedge-fan as
+    * sources). Expected: near-linear for both ops; PageRank flat-ish
+    * per iteration count. */
+  private def gates12fSection(spark: SparkSession): Unit = {
+    import graft.llm.Graph
+    Seq(1, 10, 100).foreach { mult =>
+      val n = 100000L * mult
+      val dir = s"/tmp/graft_scale_g12f_x$mult"
+      if (!new java.io.File(s"$dir/edges.parquet").exists()) {
+        spark.range(n).toDF("src")
+          .select(col("src"),
+            explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+          .select(col("src"),
+            when(col("j") === 1, pmod(xxhash64(col("src"), lit("hub")), lit(100L)))
+              .otherwise(pmod(xxhash64(col("src"), col("j")), lit(n))).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("id_a"),
+            greatest(col("src"), col("dst")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+      }
+      val edges = spark.read.parquet(s"$dir/edges.parquet")
+      def time(label: String)(body: => Unit): Unit = {
+        body // warm
+        val t0 = System.nanoTime()
+        body
+        println(f"[g12f] x$mult%-4d $label%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      time("triangle_stats") { Bench.exec(Graph.triangleStats(edges)) }
+      time("pagerank_fixed") { Bench.exec(Graph.pageRankFixed(edges, iters = 5)) }
+    }
   }
 
   /** Round-12 operators at ×1/×10/×100: lineitem replicated with order-key

@@ -101,4 +101,29 @@ object Merge {
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** CDC-style snapshot diff: classify every key across two corpus
+    * versions as added / removed / changed / unchanged by comparing a
+    * caller-supplied row fingerprint (md5 of the payload, a version
+    * hash — anything equality-comparable). The "what changed between
+    * yesterday's and today's crawl" primitive that decides how much of
+    * an incremental pipeline (dedup index, embeddings, sketches)
+    * actually needs recomputing.
+    *
+    * Caller contract: `keyCol` unique within each snapshot.
+    *
+    * Scale shape: ONE key-keyed full-outer hash join of slim
+    * (key, fingerprint) projections — payload columns never ride the
+    * shuffle; at real scale both snapshots are key-bucketed by the
+    * ingest layout and the shuffle disappears entirely. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+      fpCol: String): DataFrame =
+    prev.select(col(keyCol).as("k"), col(fpCol).as("fp_prev"))
+      .join(cur.select(col(keyCol).as("k"), col(fpCol).as("fp_cur")),
+        Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_cur").isNull, lit("removed"))
+          .when(col("fp_prev") === col("fp_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change_type"))
 }

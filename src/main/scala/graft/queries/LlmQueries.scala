@@ -2745,6 +2745,55 @@ object LlmQueries {
               |    AS heaps_logk
               |FROM a""".stripMargin)),
 
+    // Context-length budget sweep (the "pick max_len" engineering
+    // table): for L ∈ {32, 64, 128} whitespace-tokens, what fraction
+    // of docs truncate, what fraction of corpus tokens are LOST to
+    // truncation, and what fraction of slot capacity is WASTED as
+    // padding if each doc pads to L (the no-packing baseline x7's
+    // packer then beats). ONE pass: per-doc lengths feed a single
+    // aggregate computing all three L's conditional sums, unpivoted
+    // via stack — the frame never re-scans per L.
+    Q("x46_length_budget",
+      (s, d) => {
+        val lens = T(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("n"))
+        val ls = Seq(32, 64, 128)
+        val aggs = Seq(count(lit(1)).as("n_docs"), sumLong(col("n")).as("tot")) ++
+          ls.flatMap { l =>
+            Seq(countIf(col("n") > l).as(s"tr_$l"),
+              sumLong(when(col("n") > l, col("n") - l).otherwise(0L)).as(s"loss_$l"),
+              sumLong(when(col("n") <= l, lit(l.toLong) - col("n")).otherwise(0L))
+                .as(s"pad_$l"))
+          }
+        lens.agg(aggs.head, aggs.tail: _*)
+          .select(col("n_docs"), col("tot"), expr(
+            s"""stack(3, ${ls.map(l => s"$l, tr_$l, loss_$l, pad_$l").mkString(", ")})
+               |AS (max_len, n_truncated, tok_loss, tok_pad)""".stripMargin))
+          .select(col("max_len").cast("int").as("max_len"), col("n_docs"),
+            col("n_truncated"),
+            // rates as exact integer parts-per-million (a .5-boundary
+            // quotient round-trips differently through double across
+            // engines; integer division cannot)
+            expr("(n_truncated * 1000000) div n_docs").as("trunc_doc_ppm"),
+            expr("(tok_loss * 1000000) div tot").as("token_loss_ppm"),
+            expr("(tok_pad * 1000000) div (n_docs * max_len)").as("padding_ppm"))
+          .orderBy(col("max_len"))
+      },
+      Some("""WITH lens AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+             |ls AS (SELECT CAST(u.l AS INT) AS max_len FROM (VALUES (32), (64), (128)) u(l)),
+             |a AS (
+             |  SELECT max_len, COUNT(*) AS n_docs,
+             |    CAST(SUM(n) AS BIGINT) AS tot,
+             |    CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+             |    CAST(SUM(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS BIGINT) AS tok_loss,
+             |    CAST(SUM(CASE WHEN n <= max_len THEN max_len - n ELSE 0 END) AS BIGINT) AS tok_pad
+             |  FROM lens, ls GROUP BY 1)
+             |SELECT max_len, n_docs, n_truncated,
+             |  (n_truncated * 1000000) // n_docs AS trunc_doc_ppm,
+             |  (tok_loss * 1000000) // tot AS token_loss_ppm,
+             |  (tok_pad * 1000000) // (n_docs * max_len) AS padding_ppm
+             |FROM a ORDER BY max_len""".stripMargin)),
+
     // codepoint survives as a piece" — vocab_size pins the exact-size
     // prune contract, probs_ok the normalization contract. Planted-
     // corpus recovery / Viterbi / determinism are UnigramSpec's job.

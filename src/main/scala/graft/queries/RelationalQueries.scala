@@ -709,6 +709,100 @@ object RelationalQueries {
               |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CDC-style corpus snapshot diff (Merge.snapshotDiff): "today's
+    // crawl" derived deterministically from the documents table
+    // (ids ≡5 mod 11 dropped, ids ≡3 mod 7 revised, ids ≡1 mod 13
+    // re-added under offset keys), then one slim key-keyed full-outer
+    // join of md5 fingerprints classifies every key — the decision
+    // input for how much of an incremental pipeline must recompute.
+    // Payloads never ride the shuffle; id_sum pins the exact member
+    // SET per class, not just its size.
+    Q("u3_snapshot_diff",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val kept = docs.where(pmod(col("doc_id"), lit(11)) =!= 5)
+        val cur = kept
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 3, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+          .unionByName(
+            docs.where(pmod(col("doc_id"), lit(13)) === 1)
+              .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        graft.core.Merge.snapshotDiff(
+            docs.withColumn("fp", md5(col("text"))),
+            cur.withColumn("fp", md5(col("text"))),
+            "doc_id", "fp")
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"), sumLong(col("doc_id")).as("id_sum"))
+          .orderBy(col("change_type"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 5
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 13 = 1),
+             |pf AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |cf AS (SELECT doc_id, md5(text) AS fp FROM cur),
+             |df AS (
+             |  SELECT COALESCE(pf.doc_id, cf.doc_id) AS doc_id,
+             |    CASE WHEN pf.fp IS NULL THEN 'added'
+             |      WHEN cf.fp IS NULL THEN 'removed'
+             |      WHEN pf.fp = cf.fp THEN 'unchanged'
+             |      ELSE 'changed' END AS change_type
+             |  FROM pf FULL OUTER JOIN cf ON pf.doc_id = cf.doc_id)
+             |SELECT change_type, COUNT(*) AS n,
+             |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-field consistency audit (dq1's derived-column sibling: not
+    // "is the value in range" but "do related fields AGREE" — the
+    // class of corruption partial backfills introduce). Four checks in
+    // ONE map-side-combined pass over documents (the exact-distinct
+    // uniqueness check shares the same aggregate), unpivoted via stack
+    // to one row per check. Null-safe comparisons throughout (a null
+    // n_chars IS a violation, not a skipped row).
+    Q("dq12_field_consistency",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        docs.agg(
+          count(lit(1)).as("n_rows"),
+          countIf(!(col("n_chars") <=> length(col("text")))).as("v_chars"),
+          countIf(!coalesce(col("source").startsWith("src"), lit(false))).as("v_src"),
+          countIf(!coalesce(col("lang").rlike("^[a-z]{2}$"), lit(false))).as("v_lang"),
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"))
+          .select(expr(
+            """stack(4,
+              |  'chars_matches_length', v_chars,
+              |  'doc_id_unique', v_dup,
+              |  'lang_iso2_format', v_lang,
+              |  'source_prefix', v_src) AS (check_name, n_violations)""".stripMargin),
+            col("n_rows"))
+          .select(col("check_name"), col("n_rows"), col("n_violations"),
+            round(col("n_violations").cast("double") / col("n_rows"), 6)
+              .as("violation_rate"),
+            (col("n_violations") === 0).as("passed"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH m AS (SELECT COUNT(*) AS n_rows,
+             |    CAST(SUM(CASE WHEN n_chars IS DISTINCT FROM LENGTH(text)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+             |    CAST(SUM(CASE WHEN NOT COALESCE(source LIKE 'src%', FALSE)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+             |    CAST(SUM(CASE WHEN NOT COALESCE(regexp_matches(lang, '^[a-z]{2}$'), FALSE)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+             |    COUNT(*) - COUNT(DISTINCT doc_id) AS v_dup
+             |  FROM documents)
+             |SELECT check_name, n_rows, n_violations,
+             |  ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate,
+             |  n_violations = 0 AS passed
+             |FROM (
+             |  SELECT 'chars_matches_length' AS check_name, n_rows, v_chars AS n_violations FROM m
+             |  UNION ALL SELECT 'doc_id_unique', n_rows, v_dup FROM m
+             |  UNION ALL SELECT 'lang_iso2_format', n_rows, v_lang FROM m
+             |  UNION ALL SELECT 'source_prefix', n_rows, v_src FROM m)
+             |ORDER BY check_name""".stripMargin)),
+
     // Small-file compaction (Sinks.compactParquet): a 64-way fragmented
     // write — the shape per-batch streaming appends leave behind —
     // rewritten to byte-targeted files; the read-back aggregate proves
