@@ -657,6 +657,66 @@ object AggQueries {
              |COUNT(DISTINCT user_id % 16) AS n_shards, TRUE AS sketch_ok
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Pairwise audience OVERLAP from sketches at rest (h6's second
+    // serving pattern): HLL cannot intersect, but inclusion–exclusion
+    // over mergeable unions can — |A∩B| ≈ est(A)+est(B)−est(A∪B),
+    // answered entirely from the per-(type, shard) sketch table h6
+    // leaves at rest, never rescanning raw events. The union for each
+    // pair is one hll_union_agg over that pair's ≤32 sketch rows (a
+    // tiny type-pair-keyed aggregate). Error compounds across three
+    // estimates, so the pin is the SUMMED 3σ bound (3·1.6% of each
+    // term at lgK=12); exact intersections come from one slim
+    // user-keyed self-join of the distinct (user, type) frame.
+    Q("h8_audience_overlap",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_type"), col("user_id"))
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_${s.sparkContext.applicationId}", "h8_sketches").toString
+        ev.withColumn("shard", pmod(col("user_id"), lit(16)))
+          .groupBy(col("event_type"), col("shard"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+          .write.mode("overwrite").parquet(out)
+        val shards = s.read.parquet(out)
+        val perType = shards.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        // pair membership as a broadcast table (types are a handful —
+        // driver-side list; an inequality-only join would plan BNLJ)
+        val typeList = shards.select(col("event_type")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val memb = s.createDataFrame(
+          for { a <- typeList; b <- typeList if a < b; t <- Seq(a, b) }
+            yield (t, a, b))
+          .toDF("event_type", "type_a", "type_b")
+        val pairUnion = shards.join(broadcast(memb), Seq("event_type"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+        val users = ev.distinct()
+        val exact = users.select(col("event_type").as("type_a"), col("user_id"))
+          .join(users.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+          .where(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_exact"))
+        exact
+          .join(pairUnion, Seq("type_a", "type_b"))
+          .join(broadcast(perType.select(col("event_type").as("type_a"),
+            col("est").as("est_a"))), Seq("type_a"))
+          .join(broadcast(perType.select(col("event_type").as("type_b"),
+            col("est").as("est_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_exact"),
+            (abs(col("est_a") + col("est_b") - col("est_union") - col("n_exact"))
+              .cast("double") <= lit(3 * 0.016) *
+                (col("est_a") + col("est_b") + col("est_union")).cast("double"))
+              .as("overlap_ok"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  COUNT(*) AS n_exact, TRUE AS overlap_ok
+             |FROM u a JOIN u b ON a.user_id = b.user_id
+             |  AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // MERGEABLE quantile sketches AT REST (KLL): per-(flag, shard)
     // sketches of the price column persisted once, then per-flag medians
     // served by kll_merge_agg over the sketch rows — the rollup-quantile

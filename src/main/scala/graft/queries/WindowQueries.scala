@@ -687,6 +687,66 @@ object WindowQueries {
              |  COUNT(*) AS n_users, ROUND(${avgExactSql("b")}, 6) AS mean_b
              |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Strict-order conversion funnel view → click → purchase, capped
+    // at 7 days from the first view (the classic product/behavior
+    // funnel; for training data it is the label-generation shape for
+    // next-action models). Each stage's earliest QUALIFYING instant is
+    // a per-user conditional MIN after a user-keyed join against the
+    // previous stage — three key-keyed joins, no window over raw
+    // events, stage counts fold to a 3-row report with conversion
+    // ppm vs the funnel head.
+    Q("t17_funnel",
+      (s, d) => {
+        val cap = 7L * 86400L * 1000000L
+        val ev = events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_v"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .where(col("us") >= col("t_v") && col("us") <= col("t_v") + cap)
+          .groupBy(col("user_id"), col("t_v")).agg(min(col("us")).as("t_c"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .where(col("us") >= col("t_c") && col("us") <= col("t_v") + cap)
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_p"))
+        val stages = v.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("stage_idx"), lit("view").as("stage"), col("n_users"))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .select(lit(2).as("stage_idx"), lit("click_after_view").as("stage"),
+              col("n_users")))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .select(lit(3).as("stage_idx"), lit("purchase_after_click").as("stage"),
+              col("n_users")))
+        // head count rides a 3-row window — conversion as exact ppm
+        val wAll = Window.partitionBy()
+        stages
+          .withColumn("head_n", max(when(col("stage_idx") === 1, col("n_users"))).over(wAll))
+          .select(col("stage_idx"), col("stage"), col("n_users"),
+            expr("(n_users * 1000000) div head_n").as("conv_ppm"))
+          .orderBy(col("stage_idx"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |v AS (SELECT user_id, MIN(us) AS t_v FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT ev.user_id, v.t_v, MIN(ev.us) AS t_c
+             |  FROM ev JOIN v ON v.user_id = ev.user_id
+             |  WHERE ev.event_type = 'click' AND ev.us >= v.t_v
+             |    AND ev.us <= v.t_v + 604800000000 GROUP BY 1, 2),
+             |p AS (SELECT ev.user_id, MIN(ev.us) AS t_p
+             |  FROM ev JOIN c ON c.user_id = ev.user_id
+             |  WHERE ev.event_type = 'purchase' AND ev.us >= c.t_c
+             |    AND ev.us <= c.t_v + 604800000000 GROUP BY 1),
+             |st AS (
+             |  SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM v
+             |  UNION ALL SELECT 2, 'click_after_view', COUNT(*) FROM c
+             |  UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM p),
+             |h AS (SELECT stage_idx, stage, n_users,
+             |    MAX(CASE WHEN stage_idx = 1 THEN n_users END) OVER () AS head_n
+             |  FROM st)
+             |SELECT stage_idx, stage, n_users, (n_users * 1000000) // head_n AS conv_ppm
+             |FROM h ORDER BY stage_idx""".stripMargin)),
+
     // Rolling z-score anomaly gate (Validation.rollingAnomalies): each
     // event scored against its user's TRAILING 24 hours (value-based RANGE
     // frame, exclusive of the current instant — tie-safe), flagged when
