@@ -905,6 +905,63 @@ object LlmQueries {
              |  ROUND(MAX(err), 6) AS max_abs_err
              |FROM er GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Matryoshka-truncation quality sweep (MRL-style serving decision:
+    // how much recall do the first m dims retain?): exact top-3 on
+    // PREFIX-truncated vectors vs the full-dim truth, recall per m as
+    // exact integer ppm. Fully SQL-replayed (truncated ranking incl.
+    // the (cos desc, id) tie order) — the recall NUMBER hashes, not a
+    // floor pin. On this near-random fixture recall is noise-level
+    // (n13's documented bound) — the sweep's verdict "do not truncate
+    // these embeddings" is itself the correct, exactly-verified answer;
+    // MRL-trained vectors would show the monotone recall curve. Same
+    // bounded brute kernel per m; at corpus scale the truncated pass is
+    // the cheap shortlist stage (n13's JL shape, slicing not projecting).
+    Q("n18_matryoshka",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val truth = Similarity.bruteForceTopK(
+            emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("corpus_id"))
+        Seq(8, 16, 32).map { m =>
+          val sub = emb.select(col("vec_id"),
+            slice(col("embedding"), 1, m).as("sub"))
+          val res = Similarity.bruteForceTopK(
+              sub, sub.where(col("vec_id") < 10), "vec_id", "sub", k = 3)
+            .select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1))
+          truth.join(res, Seq("query_id", "corpus_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+            .select(lit(m).as("sub_dim"), col("n_truth"), col("n_hit"),
+              expr("(n_hit * 1000000) div n_truth").as("recall_ppm"))
+        }.reduce(_ unionByName _).orderBy(col("sub_dim"))
+      },
+      Some {
+        val dims = Seq(8, 16, 32)
+        val blocks = dims.map { m =>
+          s"""s$m AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.ev[1:$m], b.ev[1:$m]) DESC, b.vec_id) AS rk
+             |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10),
+             |r$m AS (SELECT query_id, corpus_id FROM s$m WHERE rk <= 3)""".stripMargin
+        }.mkString(",\n")
+        val sel = dims.map { m =>
+          s"""SELECT $m AS sub_dim,
+             |  (SELECT COUNT(*) FROM tr) AS n_truth,
+             |  (SELECT COUNT(*) FROM tr JOIN r$m USING (query_id, corpus_id)) AS n_hit""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH v AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           |t AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rk
+           |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10),
+           |tr AS (SELECT query_id, corpus_id FROM t WHERE rk <= 3),
+           |$blocks
+           |SELECT sub_dim, n_truth, n_hit, (n_hit * 1000000) // n_truth AS recall_ppm
+           |FROM ($sel)
+           |ORDER BY sub_dim""".stripMargin
+      }),
+
     Q("n4_ann_pq",
       (s, d) => annRecallSummary(s, d,
         (emb, qs) => Similarity.pqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
@@ -2027,6 +2084,55 @@ object LlmQueries {
     // the GROUP BY/MIN(slot) in the oracle mirrors that dedup). Constant
     // frames make each decoded mean luminance the closed form
     // (id·17 + idx·29) % 256, so the whole codec loop is SQL-checkable.
+    // Format-sniff audit over a MIXED real-codec ingest (the "is the
+    // container what the manifest says" multimodal DQ gate): docs route
+    // to PNG/GIF/WAV builders by id, the DECLARED kind is deliberately
+    // corrupted for ids ≡4 mod 17 (rotated image→audio→video→image),
+    // and the audit re-derives the kind from the payload's MAGIC BYTES
+    // alone (\x89PNG / GIF8 / RIFF). Map-only over payloads (bytes
+    // never shuffle — only the tiny (declared, sniffed) contingency
+    // does); the oracle knows the true routing arithmetic, so a pass
+    // proves sniffing real bytes recovers exactly the planted truth.
+    Q("mm11_format_sniff",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val mixed = Multimodal.fromDocumentsPng(
+            docs.where(pmod(col("doc_id"), lit(3)) === 0))
+          .unionByName(Multimodal.fromDocumentsGif(
+            docs.where(pmod(col("doc_id"), lit(3)) === 1)))
+          .unionByName(Multimodal.fromDocumentsWav(
+            docs.where(pmod(col("doc_id"), lit(3)) === 2)))
+        val declared = when(pmod(col("media_id"), lit(17)) === 4,
+            when(col("kind") === "image", lit("audio"))
+              .when(col("kind") === "audio", lit("video"))
+              .otherwise(lit("image")))
+          .otherwise(col("kind"))
+        val magic = hex(expr("substring(payload, 1, 4)"))
+        val sniffed = when(magic === "89504E47", lit("image"))
+          .when(magic === "47494638", lit("video"))
+          .when(magic === "52494646", lit("audio"))
+          .otherwise(lit("unknown"))
+        mixed.select(declared.as("declared"), sniffed.as("sniffed"))
+          .groupBy(col("declared"), col("sniffed"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("declared"), col("sniffed"), col("n"),
+            (col("declared") =!= col("sniffed")).as("mismatch"))
+          .orderBy(col("declared"), col("sniffed"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS true_kind
+             |  FROM documents),
+             |dd AS (
+             |  SELECT CASE WHEN doc_id % 17 = 4 THEN
+             |      CASE true_kind WHEN 'image' THEN 'audio'
+             |        WHEN 'audio' THEN 'video' ELSE 'image' END
+             |    ELSE true_kind END AS declared,
+             |    true_kind AS sniffed
+             |  FROM m)
+             |SELECT declared, sniffed, COUNT(*) AS n, declared <> sniffed AS mismatch
+             |FROM dd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("mm9_gif_frames",
       (s, d) => Multimodal.gifFrameStats(
         Multimodal.fromDocumentsGif(T(s, d, "documents")), n = 3)
