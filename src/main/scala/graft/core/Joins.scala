@@ -164,6 +164,44 @@ object Joins {
     gated.where(col("__side") === 1).select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** NEAREST as-of join (pandas `merge_asof direction='nearest'`): each
+    * left row takes the right row with the smallest ABSOLUTE time gap —
+    * ties break backward (the at-or-before match), matching pandas.
+    * `toleranceMs` bounds the gap on BOTH sides.
+    *
+    * Built as one backward + one forward [[asofJoin]] pass (the matched
+    * right timestamp rides along as a smuggled value column so the gap
+    * is computable), then a per-row pick. Two key-keyed window shuffles
+    * — one per scan direction; a single-pass nearest would need a
+    * bidirectional running-last, which no ordered window provides.
+    * Emits `valueCols` plus `__asof_dir` ('b'/'f'/null — which side
+    * won; null when nothing matched within tolerance). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def tagged(sfx: String): (DataFrame, Seq[String], String) = {
+      val rts = s"__asof_ts$sfx"
+      val vals = valueCols.map(_ + sfx) :+ rts
+      val r = right.select(
+        keys.map(col) ++ Seq(col(tsCol), col(tsCol).as(rts)) ++
+          valueCols.map(c => col(c).as(c + sfx)): _*)
+      (r, vals, rts)
+    }
+    val (rb, valsB, rtsB) = tagged("__b")
+    val (rf, valsF, rtsF) = tagged("__f")
+    val bwd = asofJoin(left, rb, keys, tsCol, valsB, toleranceMs, "backward")
+    val both = asofJoin(bwd, rf, keys, tsCol, valsF, toleranceMs, "forward")
+    val gapB = unix_millis(col(tsCol)) - unix_millis(col(rtsB))
+    val gapF = unix_millis(col(rtsF)) - unix_millis(col(tsCol))
+    val useB = col(rtsB).isNotNull && (col(rtsF).isNull || gapB <= gapF)
+    val picked = valueCols.map(c =>
+      when(useB, col(c + "__b")).otherwise(col(c + "__f")).as(c)) :+
+      when(useB, lit("b")).when(col(rtsF).isNotNull, lit("f"))
+        .otherwise(lit(null).cast("string")).as("__asof_dir")
+    both.select(leftCols.map(col) ++ picked: _*)
+  }
+
   /** Range (band) join: inner-join rows of `fact` to rows of `bands`
     * where `fact.pointCol ∈ [bands.loCol, bands.hiCol)`. The naive form
     * is a non-equi BroadcastNestedLoopJoin (O(|F|·|B|), no codegen); this

@@ -99,6 +99,106 @@ object WindowQueries {
               |  CAST(SUM(tsu - ptsu) AS BIGINT) AS gap_us
               |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // NEAREST as-of (Joins.asofJoinNearest — pandas merge_asof
+    // direction='nearest' parity, closing the as-of family:
+    // backward/forward/tolerance/nearest): each click takes the
+    // purchase with the smallest |gap| within ±24 h, ties backward.
+    // Two key-keyed window passes (one per direction), per-row pick;
+    // the matched ts rides as a value column so the winning gap is
+    // part of the checked output. Oracle: two chained DuckDB ASOF
+    // joins + the identical ms-truncated gates and pick.
+    Q("t3b_asof_nearest",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+          .withColumn("purchase_ts", col("ts"))
+        graft.core.Joins.asofJoinNearest(clicks, purchases, Seq("user_id"), "ts",
+            Seq("purchase_value", "purchase_ts"), toleranceMs = Some(86400000L))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("purchase_value")).as("n_matched"),
+            countIf(col("__asof_dir") === "b").as("n_backward"),
+            countIf(col("__asof_dir") === "f").as("n_forward"),
+            sumExact(col("purchase_value")).as("sum_purchase"),
+            sum(abs(unix_millis(col("ts")) - unix_millis(col("purchase_ts"))))
+              .as("gap_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS v
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'),
+              |j AS (
+              |  SELECT c.user_id, c.tsu,
+              |    CASE WHEN (c.tsu // 1000) - (pb.tsu // 1000) <= 86400000
+              |      THEN pb.tsu END AS tb,
+              |    CASE WHEN (c.tsu // 1000) - (pb.tsu // 1000) <= 86400000
+              |      THEN pb.v END AS vb,
+              |    CASE WHEN (pf.tsu // 1000) - (c.tsu // 1000) <= 86400000
+              |      THEN pf.tsu END AS tf,
+              |    CASE WHEN (pf.tsu // 1000) - (c.tsu // 1000) <= 86400000
+              |      THEN pf.v END AS vf
+              |  FROM c
+              |  ASOF LEFT JOIN p pb ON c.user_id = pb.user_id AND c.tsu >= pb.tsu
+              |  ASOF LEFT JOIN p pf ON c.user_id = pf.user_id AND c.tsu <= pf.tsu),
+              |pick AS (
+              |  SELECT user_id, tsu,
+              |    tb IS NOT NULL AND (tf IS NULL
+              |      OR (tsu // 1000) - (tb // 1000) <= (tf // 1000) - (tsu // 1000)) AS use_b,
+              |    tb, vb, tf, vf FROM j),
+              |r AS (
+              |  SELECT user_id, tsu,
+              |    CASE WHEN use_b THEN vb ELSE vf END AS purchase_value,
+              |    CASE WHEN use_b THEN tb ELSE tf END AS ptsu,
+              |    CASE WHEN use_b THEN 'b' WHEN tf IS NOT NULL THEN 'f' END AS dir
+              |  FROM pick)
+              |SELECT user_id, COUNT(*) AS n_clicks,
+              |  COUNT(purchase_value) AS n_matched,
+              |  ${countIfSql("dir = 'b'")} AS n_backward,
+              |  ${countIfSql("dir = 'f'")} AS n_forward,
+              |  ${sumExactSql("purchase_value")} AS sum_purchase,
+              |  CAST(SUM(ABS((tsu // 1000) - (ptsu // 1000))) AS BIGINT) AS gap_ms
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time-bucket OHLC resample (the downsampling shape every
+    // event-series store serves: per (type, hour) open/high/low/close):
+    // open/close via min_by/max_by under the (us, event_id) TOTAL order
+    // — deterministic even for same-instant events; ONE map-side-
+    // combined aggregate onto (type × hour) keys, no window over raw
+    // events anywhere.
+    Q("w16_resample_ohlc",
+      (s, d) => {
+        events(s, d)
+          .select(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+            unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n"),
+            expr("min_by(value, struct(us, event_id))").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            expr("max_by(value, struct(us, event_id))").as("close"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id) AS rn_a,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM events)
+             |SELECT event_type, hour, COUNT(*) AS n,
+             |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // FORWARD as-of: each click joins the user's NEXT purchase at-or-after
     // it (time-to-conversion shape). Same single-shuffle plan with the
     // scan order reversed; oracle flips the ASOF inequality.

@@ -161,4 +161,37 @@ class JoinsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
     assert(salted === plain && plain.size === 2000)
   }
+
+  test("asofJoinNearest: min |gap| wins, ties backward, tolerance bounds both sides") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(20), "mid"),    // right at 10 (gap 10) and 26 (gap 6) → forward
+      (1L, ts(18), "tie"),    // right at 10 (gap 8) and 26 (gap 8) → tie → backward
+      (1L, ts(9), "before"),  // only forward candidates (10, 26) → 10
+      (2L, ts(100), "far"),   // nearest right (2, 5) is 95s away
+      (3L, ts(7), "none"))    // no right key
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), 100.0), (1L, ts(26), 260.0), (2L, ts(5), 50.0))
+      .toDF("k", "ts", "v")
+    def run(tol: Option[Long]) =
+      Joins.asofJoinNearest(left, right, Seq("k"), "ts", Seq("v"), tol)
+        .collect().map(r => r.getAs[String]("tag") ->
+          ((Option(r.getAs[java.lang.Double]("v")).map(_.toDouble),
+            Option(r.getAs[String]("__asof_dir"))))).toMap
+    val out = run(None)
+    assert(out("mid") === ((Some(260.0), Some("f"))))
+    assert(out("tie") === ((Some(100.0), Some("b")))) // tie → backward, pandas parity
+    assert(out("before") === ((Some(100.0), Some("f"))))
+    assert(out("far") === ((Some(50.0), Some("b"))))
+    assert(out("none") === ((None, None)))
+    // tolerance 7s: mid's forward gap 6 survives; tie's both gaps (8) null out;
+    // far's 95s match nulls
+    val tol = run(Some(7000L))
+    assert(tol("mid") === ((Some(260.0), Some("f"))))
+    assert(tol("tie") === ((None, None)))
+    assert(tol("far") === ((None, None)))
+    assert(tol("before") === ((Some(100.0), Some("f"))))
+  }
 }
