@@ -201,6 +201,64 @@ object TextStats {
       .select(col("id"), col("n_bigrams"), pow(lit(2.0), col("nll")).as("ppl"))
   }
 
+  /** Cross-source LM cross-entropy matrix — the domain-similarity
+    * signal behind LM-based data selection (the "score candidate data
+    * under the target domain's cheap LM" idea of CCNet/DSIR, lifted to
+    * an all-pairs corpus diagnostic): for every ordered source pair,
+    * the mean bits/bigram of eval-source text under the model-source's
+    * add-α bigram LM (same smoothing as [[bigramPerplexity]]). Low
+    * xent ⇒ eval text looks like model text; each row's minimum is
+    * normally its diagonal — a violated diagonal marks mislabeled or
+    * heavily-mixed sources.
+    *
+    * Scale shape: bigrams aggregate ONCE to per-(source, bigram)
+    * counts (vocab-bounded, map-side combined); the ×S model expansion
+    * is a map-only literal-array explode over those COUNT rows (never
+    * raw tokens), the model lookups are slim bigram-keyed left joins,
+    * and the S-row V table broadcasts. Per-term log2 values are
+    * rounded then decimal-summed weighted by the integer counts, so
+    * the matrix is bit-stable across engines and partitionings. */
+  def crossEntropyMatrix(docs: DataFrame, srcCol: String, textCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val bg = docs.where(n >= 2)
+      .select(col(srcCol).as("src"),
+        explode(transform(sequence(lit(1), n - 1),
+          i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .as("b"))
+      .select(col("src"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("src", "w1", "w2").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c1 = bg.groupBy(col("src").as("model_src"), col("w1"))
+        .agg(sum(col("m")).as("c1"))
+      val v = bg.groupBy(col("src").as("model_src"))
+        .agg(countDistinct(col("w1")).as("v"))
+      val sources = bg.select("src").distinct()
+        .collect().map(_.getString(0)).sorted
+      bg.select(col("src").as("eval_src"), col("w1"), col("w2"), col("m"))
+        .withColumn("model_src",
+          explode(typedLit(sources.toSeq)))
+        .join(bg.select(col("src").as("model_src"), col("w1"), col("w2"),
+          col("m").as("c2")), Seq("model_src", "w1", "w2"), "left")
+        .join(c1, Seq("model_src", "w1"), "left")
+        .join(broadcast(v), Seq("model_src"))
+        .select(col("model_src"), col("eval_src"), col("m"),
+          round(log2((coalesce(col("c2"), lit(0L)) + alpha) /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 6)
+            .cast(DecimalType(27, 6)).as("lp"))
+        .groupBy(col("model_src"), col("eval_src"))
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(col("lp") * col("m")).cast("double").as("slp"))
+        .select(col("model_src"), col("eval_src"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          round(-col("slp") / col("n_bigrams"), 6).as("xent"))
+        .localCheckpoint(true) // eager: S² rows, valid after unpersist
+    } finally bg.unpersist(blocking = false)
+  }
+
   /** Gopher-style word-n-gram repetition gates (Rae et al. 2021 §A1.1,
     * the "repetitious text" filters RefinedWeb/FineWeb reuse): per
     * document,

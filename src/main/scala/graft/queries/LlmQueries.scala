@@ -2768,6 +2768,39 @@ object LlmQueries {
               |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
               |FROM a""".stripMargin)),
 
+    // Cross-source LM cross-entropy matrix (TextStats.crossEntropyMatrix
+    // — the all-pairs "score data under the target domain's cheap LM"
+    // diagnostic of LM-based data selection): bits/bigram of each
+    // source under each source's add-0.1 bigram model. The oracle
+    // replays counts, smoothing, and the rounded-decimal weighted sum
+    // exactly — the full S×S matrix hashes.
+    Q("x47_cross_entropy",
+      (s, d) => TextStats.crossEntropyMatrix(
+        T(s, d, "documents"), "source", "text")
+        .orderBy(col("model_src"), col("eval_src")),
+      Some("""WITH t AS (
+             |  SELECT source AS src, string_split(text, ' ') AS tk FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2),
+             |bgx AS (
+             |  SELECT src, tk[u.i] AS w1, tk[u.i + 1] AS w2
+             |  FROM t, LATERAL (SELECT UNNEST(range(1, len(tk))) AS i) u),
+             |bg AS (SELECT src, w1, w2, COUNT(*) AS m FROM bgx GROUP BY 1, 2, 3),
+             |c1 AS (SELECT src AS model_src, w1, SUM(m) AS c1 FROM bg GROUP BY 1, 2),
+             |vv AS (SELECT src AS model_src, COUNT(DISTINCT w1) AS v FROM bg GROUP BY 1),
+             |srcs AS (SELECT DISTINCT src AS model_src FROM bg),
+             |ex AS (SELECT b.src AS eval_src, b.w1, b.w2, b.m, s.model_src
+             |  FROM bg b CROSS JOIN srcs s),
+             |sc AS (SELECT ex.model_src, ex.eval_src, ex.m,
+             |    CAST(ROUND(LOG2((COALESCE(c2.m, 0) + 0.1) /
+             |      (COALESCE(c1.c1, 0) + 0.1 * vv.v)), 6) AS DECIMAL(27,6)) AS lp
+             |  FROM ex
+             |  LEFT JOIN bg c2 ON c2.src = ex.model_src AND c2.w1 = ex.w1 AND c2.w2 = ex.w2
+             |  LEFT JOIN c1 ON c1.model_src = ex.model_src AND c1.w1 = ex.w1
+             |  JOIN vv ON vv.model_src = ex.model_src)
+             |SELECT model_src, eval_src, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+             |  ROUND(-CAST(SUM(lp * m) AS DOUBLE) / SUM(m), 6) AS xent
+             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Heaps'-law vocabulary-growth fit (x41's companion corpus-health
     // gate: V(n) ≈ K·n^β, β≈0.5 for natural text — a flat curve means a
     // closed template vocabulary, near-linear growth means noise/IDs):
