@@ -34,7 +34,49 @@ object DevScale {
     if (want("gates12d")) gates12dSection(spark)
     if (want("gates12e")) gates12eSection(spark)
     if (want("gates12f")) gates12fSection(spark)
+    if (want("gates12g")) gates12gSection(spark)
     spark.stop()
+  }
+
+  /** Round-12g: the new text/event operators at ×1/×10/×100.
+    * Documents replicate with id offsets + a per-replica suffix token,
+    * KEEPING the source column (sources do NOT multiply with corpus
+    * size — the realistic mixture shape: more docs per domain, same
+    * domains): d16's per-source shingle sets and x47's per-(source,
+    * bigram) count tables grow with content, the S² pair structure
+    * stays fixed. Events replicate with user offsets (t15's per-user
+    * gap windows and t17's staged joins scale with user population). */
+  private def gates12gSection(spark: SparkSession): Unit = {
+    val docsBase = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val eventsBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = s"/tmp/graft_scale_g12g_x$mult"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        (0 until mult).map { i =>
+          docsBase.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" g$i")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        (0 until mult).map { i =>
+          eventsBase.select(
+            (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      Seq("d16_source_overlap", "x47_cross_entropy", "t15_burstiness",
+          "t17_funnel").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[g12g] x$mult%-4d $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
   }
 
   /** Round-12f: graph operators (Graph.triangleStats / pageRankFixed)

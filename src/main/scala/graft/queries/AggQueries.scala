@@ -919,6 +919,36 @@ object AggQueries {
              |  ROUND(ent / LOG2(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
              |FROM e ORDER BY col_name""".stripMargin)),
 
+    // Mixture-concentration index (a24's companion: not "how balanced
+    // within a column" but "how concentrated is the corpus over
+    // sources"): Gini of per-source doc counts via the sorted-cumulative
+    // formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts ranked
+    // ascending — all integer sums (exact), one final double division.
+    // The rank window runs over the S-row count frame, never documents.
+    Q("a25_source_gini",
+      (s, d) => {
+        val counts = T(s, d, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("x"), col("source"))
+        counts
+          .withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n_sources"),
+            sumLong(col("x")).as("n_docs"),
+            sumLong(col("i") * col("x")).as("six"))
+          .select(col("n_sources"), col("n_docs"),
+            round(lit(2.0) * col("six") / (col("n_sources") * col("n_docs"))
+              - (col("n_sources") + lit(1L)).cast("double") / col("n_sources"), 6)
+              .as("gini"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS x FROM documents GROUP BY 1),
+             |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM c),
+             |a AS (SELECT COUNT(*) AS n_sources, CAST(SUM(x) AS BIGINT) AS n_docs,
+             |    CAST(SUM(i * x) AS BIGINT) AS six FROM r)
+             |SELECT n_sources, n_docs,
+             |  ROUND(2.0 * six / (n_sources * n_docs)
+             |    - CAST(n_sources + 1 AS DOUBLE) / n_sources, 6) AS gini
+             |FROM a""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc
