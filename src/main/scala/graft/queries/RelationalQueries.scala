@@ -709,6 +709,45 @@ object RelationalQueries {
               |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental JOIN maintenance — the third piece of the
+    // incremental-compute triad (u2 maintains aggregates, u3 classifies
+    // deltas, u4 maintains a JOIN): the at-rest orders⋈customer result
+    // is folded forward per delta batch with the standard delta-join
+    // identity  Δ(A⋈B) = ΔA⋈B  (B static here — the dimension side;
+    // a two-sided delta adds A⋈ΔB ∪ ΔA⋈ΔB, same plan shapes). Each
+    // fold joins ONLY the delta against the broadcast dimension —
+    // never re-joins the accumulated fact history — then appends.
+    // The oracle is the full recompute: maintained ≡ recomputed is
+    // exactly the invariant incremental pipelines must hold.
+    Q("u4_incremental_join",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val cust = T(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stateDir = scratch(s, "u4_state").toString
+        def batch(i: Int) = orders.where(pmod(col("o_orderkey"), lit(3)) === i)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        batch(0).join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .drop("c_custkey")
+          .write.mode("overwrite").parquet(stateDir)
+        (1 to 2).foreach { i =>
+          batch(i).join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .drop("c_custkey")
+            .write.mode("append").parquet(stateDir)
+        }
+        s.read.parquet(stateDir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumLong(col("o_orderkey")).as("key_sum"),
+            sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+              |${sumLongSql("o_orderkey")} AS key_sum,
+              |${sumExactSql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CDC-style corpus snapshot diff (Merge.snapshotDiff): "today's
     // crawl" derived deterministically from the documents table
     // (ids ≡5 mod 11 dropped, ids ≡3 mod 7 revised, ids ≡1 mod 13
