@@ -255,6 +255,51 @@ object LlmQueries {
              |JOIN sizes sb ON sb.source = p.src_b
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Dup-pair locality matrix (d16's complement at PAIR granularity:
+    // d16 asks "how much content do sources share", d17 asks "where do
+    // the actual near-dup PAIRS live" — a heavy (s,s) diagonal is
+    // within-domain boilerplate for line-dedup, heavy off-diagonal
+    // cells are mirrors for source-level pruning): d2's inverted-index
+    // pair generation, each pair classified by its endpoints' sources
+    // via two slim id-keyed joins (pair volume, not corpus volume).
+    Q("d17_dup_locality",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.jaccardPairs(docs, "doc_id", "text", w = 5, minJaccard = 0.12)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("within_source", col("src_a") === col("src_b"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+             |lab AS (
+             |  SELECT LEAST(da.source, db.source) AS src_a,
+             |    GREATEST(da.source, db.source) AS src_b
+             |  FROM pairs
+             |  JOIN documents da ON da.doc_id = pairs.id_a
+             |  JOIN documents db ON db.doc_id = pairs.id_b)
+             |SELECT src_a, src_b, COUNT(*) AS n_pairs, src_a = src_b AS within_source
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("d6_dedup_resolve",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -1184,6 +1229,75 @@ object LlmQueries {
            |m AS (SELECT *, $maxExpr AS mx FROM scored),
            |p AS (SELECT CASE $pick ELSE 'unknown' END AS lang_id FROM m)
            |SELECT lang_id, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Mixed-language / code-switch detector (x2's intra-document
+    // refinement — a doc whose halves vote for DIFFERENT languages is
+    // a translation pair, a boilerplate sandwich, or scraper glue;
+    // per-language corpora want it flagged): langId on each token-half,
+    // per-source mixed rate as exact ppm. The fixture is single-language
+    // word salad, so docs ≡2 mod 13 are deterministically PLANTED as
+    // code-switched (French head, German tail — mm11's planted-truth
+    // pattern): the detector must recover exactly those ids in both
+    // engines. Map-only scoring (same marker regexes as x2 on the
+    // rejoined halves — single-spaced, lossless), one source-keyed agg.
+    Q("x48_mixed_language",
+      (s, d) => {
+        val fr = "le la de et est un dans le la de et est un dans"
+        val de = "der die das und ist zu ein der die das und ist zu ein"
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val h = (n / 2).cast("int")
+        val half1 = array_join(slice(toks, lit(1), h), " ")
+        val half2 = array_join(slice(toks, h + 1, n - h), " ")
+        T(s, d, "documents")
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(13)) === 2,
+              concat(lit(s"$fr "), col("text"), lit(s" $de")))
+              .otherwise(col("text")))
+          .withColumn("l1", TextStats.langId(half1))
+          .withColumn("l2", TextStats.langId(half2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countIf(col("l1") =!= col("l2") &&
+              col("l1") =!= "unknown" && col("l2") =!= "unknown").as("n_mixed"))
+          .select(col("source"), col("n_docs"), col("n_mixed"),
+            expr("(n_mixed * 1000000) div n_docs").as("mixed_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        def scoresFor(listExpr: String, sfx: String) = markerSql.map {
+          case (lang, inList) =>
+            s"len(list_filter($listExpr, t -> t IN $inList)) AS s_${lang}_$sfx"
+        }.mkString(", ")
+        def pickFor(sfx: String) = {
+          val mx = markerSql.map { case (lang, _) => s"s_${lang}_$sfx" }
+            .mkString("GREATEST(", ", ", ")")
+          val cases = markerSql.map { case (lang, _) =>
+            s"WHEN s_${lang}_$sfx = mx_$sfx AND mx_$sfx > 0 THEN '$lang'"
+          }.mkString(" ")
+          (s"$mx AS mx_$sfx", s"CASE $cases ELSE 'unknown' END AS l$sfx")
+        }
+        val (mx1, p1) = pickFor("1")
+        val (mx2, p2) = pickFor("2")
+        s"""WITH t AS (
+           |  SELECT source, string_split(
+           |    CASE WHEN doc_id % 13 = 2
+           |      THEN 'le la de et est un dans le la de et est un dans ' || text ||
+           |        ' der die das und ist zu ein der die das und ist zu ein'
+           |      ELSE text END, ' ') AS tk
+           |  FROM documents),
+           |h AS (SELECT source,
+           |    tk[1 : len(tk) // 2] AS h1,
+           |    tk[len(tk) // 2 + 1 : len(tk)] AS h2 FROM t),
+           |sc AS (SELECT source, ${scoresFor("h1", "1")}, ${scoresFor("h2", "2")} FROM h),
+           |m AS (SELECT *, $mx1, $mx2 FROM sc),
+           |p AS (SELECT source, $p1, $p2 FROM m)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  ${countIfSql("l1 <> l2 AND l1 <> 'unknown' AND l2 <> 'unknown'")} AS n_mixed,
+           |  (${countIfSql("l1 <> l2 AND l1 <> 'unknown' AND l2 <> 'unknown'")} * 1000000)
+           |    // COUNT(*) AS mixed_ppm
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     Q("x3_quality",
