@@ -869,6 +869,37 @@ object RelationalQueries {
              |CAST(64 AS BIGINT) AS files_before, TRUE AS compacted_fewer
              |FROM documents""".stripMargin)),
 
+    // Schema-evolution read (the ingest reality p11/p13 ignore: early
+    // batches were written BEFORE columns existed): batch 0 lands with
+    // a narrow (doc_id, text) schema, batch 1 with the full one, and a
+    // mergeSchema read must union the footers — early rows surface the
+    // late columns as NULL, aggregates must treat them as such. The
+    // oracle recomputes from the base table with the same even/odd
+    // routing, so the null-fill semantics are exactly pinned.
+    Q("p14_schema_evolution",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = scratch(s, "p14_evolved").toString
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(dir)
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .agg(count(lit(1)).as("n_rows"),
+            countIf(col("source").isNull).as("n_pre_schema"),
+            sumLong(coalesce(col("n_chars"), lit(0L))).as("chars_late"),
+            sumLong(length(col("text"))).as("chars_all"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pre_schema,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             |    AS chars_late,
+             |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_all
+             |FROM documents""".stripMargin)),
+
     // Benford first-significant-digit audit (the fraud/synthetic-data
     // forensic gate: organically-grown magnitudes follow
     // P(d) = log10(1+1/d); uniform or fabricated values don't). Digit
