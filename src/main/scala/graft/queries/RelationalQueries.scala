@@ -900,6 +900,51 @@ object RelationalQueries {
              |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_all
              |FROM documents""".stripMargin)),
 
+    // Data-layout clustering audit (the "should this table be
+    // re-sorted / Z-ordered" decision input — at 100 TB, key-disjoint
+    // files are what make min/max file skipping work): the same table
+    // written range-sorted vs hash-scattered, then per-file (min, max)
+    // key envelopes from the read-back, and the MAX STABBING DEPTH of
+    // those intervals (how many files a point lookup must open).
+    // Range-sorted ⇒ depth 1 (perfect skipping); hash ⇒ every file
+    // spans the key range ⇒ depth = file count. The envelope frame is
+    // file-count-sized — depth is computed driver-side on ≤8 rows
+    // (metadata, not data). Booleans keep the contract robust to the
+    // range partitioner's boundary sampling.
+    Q("p15_clustering_audit",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        def audit(layout: String, write: String => Unit): (String, Long, Boolean, Boolean) = {
+          val dir = scratch(s, s"p15_$layout").toString
+          write(dir)
+          val files = s.read.parquet(dir)
+            .groupBy(input_file_name().as("f"))
+            .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+              count(lit(1)).as("n"))
+            .collect()
+          val nRows = files.map(_.getAs[Long]("n")).sum
+          val iv = files.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+          val depth = iv.map { case (lo, _) =>
+            iv.count { case (l2, h2) => l2 <= lo && lo <= h2 }
+          }.max
+          (layout, nRows, depth == 1, depth == iv.length && iv.length > 1)
+        }
+        val rows = Seq(
+          audit("range_sorted", dir => docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(dir)),
+          audit("hash_scattered", dir => docs.repartition(8, pmod(col("doc_id"), lit(8)))
+            .write.mode("overwrite").parquet(dir)))
+        import s.implicits._
+        rows.toDF("layout", "n_rows", "clustered", "depth_is_file_count")
+          .orderBy(col("layout"))
+      },
+      Some("""SELECT 'hash_scattered' AS layout, COUNT(*) AS n_rows,
+             |  FALSE AS clustered, TRUE AS depth_is_file_count FROM documents
+             |UNION ALL
+             |SELECT 'range_sorted', COUNT(*), TRUE, FALSE FROM documents
+             |ORDER BY layout""".stripMargin)),
+
     // Benford first-significant-digit audit (the fraud/synthetic-data
     // forensic gate: organically-grown magnitudes follow
     // P(d) = log10(1+1/d); uniform or fabricated values don't). Digit
