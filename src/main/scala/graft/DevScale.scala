@@ -35,7 +35,79 @@ object DevScale {
     if (want("gates12e")) gates12eSection(spark)
     if (want("gates12f")) gates12fSection(spark)
     if (want("gates12g")) gates12gSection(spark)
+    if (want("gates12h")) gates12hSection(spark)
     spark.stop()
+  }
+
+  /** Round-12h: this session's new operators at ×1/×10/×100.
+    * Link prediction on a bounded-degree graph (the mutual-kNN contract
+    * shape: deg ≤ ~10, exact scores — expect near-linear) AND on the
+    * gates12f hub-skewed graph with the maxHubDegree=64 guard (expect
+    * near-linear BECAUSE the cap prunes hub wedges; uncapped would be
+    * quadratic in the ~1k–100k hub degrees). Chi-square drift replays
+    * events with user offsets (k-row shuffles — expect flat beyond the
+    * scan). VAD runs spark.range-driven synthetic clips (map-only real
+    * codec both directions — expect linear). */
+  private def gates12hSection(spark: SparkSession): Unit = {
+    import graft.llm.{Graph, Multimodal}
+    import graft.core.Validation
+    Seq(1, 10, 100).foreach { mult =>
+      def time(label: String)(body: => Unit): Unit = {
+        body // warm
+        val t0 = System.nanoTime()
+        body
+        println(f"[g12h] x$mult%-4d $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      // bounded-degree graph: 5 out-edges per node, no hub row
+      val n = 100000L * mult
+      val bdir = s"/tmp/graft_scale_g12h_x$mult"
+      if (!new java.io.File(s"$bdir/edges.parquet").exists()) {
+        spark.range(n).toDF("src")
+          .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+          .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("id_a"),
+            greatest(col("src"), col("dst")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$bdir/edges.parquet")
+      }
+      val bounded = spark.read.parquet(s"$bdir/edges.parquet")
+      time("linkpred_bounded") { Bench.exec(Graph.linkPrediction(bounded)) }
+      // hub-skewed graph: gates12f's recipe (100 hubs of degree ~n/100),
+      // built here too so the section runs standalone
+      val hdir = s"/tmp/graft_scale_g12f_x$mult"
+      if (!new java.io.File(s"$hdir/edges.parquet").exists()) {
+        spark.range(n).toDF("src")
+          .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+          .select(col("src"),
+            when(col("j") === 1, pmod(xxhash64(col("src"), lit("hub")), lit(100L)))
+              .otherwise(pmod(xxhash64(col("src"), col("j")), lit(n))).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("id_a"),
+            greatest(col("src"), col("dst")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$hdir/edges.parquet")
+      }
+      val hubby = spark.read.parquet(s"$hdir/edges.parquet")
+      time("linkpred_hub_cap") {
+        Bench.exec(Graph.linkPrediction(hubby, maxHubDegree = Some(64L)))
+      }
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val evN = Seq.tabulate(mult) { i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }.reduce(_ unionAll _)
+      time("chi2_drift") {
+        Bench.exec(Validation.chiSquareDrift(
+          evN.where(pmod(col("user_id"), lit(2)) === 0),
+          evN.where(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+      }
+      val clips = spark.range(20000L * mult).toDF("doc_id")
+      time("vad_segments") {
+        Bench.exec(Multimodal.vadSegments(Multimodal.fromDocumentsWavVad(clips)))
+      }
+    }
   }
 
   /** Round-12g: the new text/event operators at ×1/×10/×100.

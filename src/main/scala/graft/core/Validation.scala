@@ -453,4 +453,68 @@ object Validation {
         .localCheckpoint(true)
     } finally globalRanked.unpersist()
   }
+
+  /** Chi-square homogeneity test between two categorical samples — the
+    * drift gate for DISCRETE columns, completing the family next to
+    * [[driftPsi]] (numeric bins) and [[ksTwoSample]] (continuous CDFs):
+    * did the category MIX shift between the reference and current
+    * snapshots?
+    *
+    * Scale stance: one count aggregate per side keyed on the category
+    * (map-side combined; the shuffles carry k rows), a full-outer join
+    * of the two k-row count frames (a category absent from one side
+    * counts 0 there — those cells still contribute), and a 1-row totals
+    * frame broadcast back. Expected counts use the pooled margins
+    * E = rowTotal·colTotal/N; chi² = Σ (O−E)²/E over both columns. Each
+    * per-category term is a double expression over integer counts
+    * (bit-identical cross-engine), rounded to 1e-9 and decimal-summed so
+    * the k-term reduction is order-independent (a24's entropy stance).
+    *
+    * The verdict thresholds on Cramér's V = sqrt(chi²/N) (min(r−1,c−1)
+    * = 1 for a two-sample table), NOT on the chi² p-value: at corpus
+    * scale N makes chi² reject on irrelevantly tiny mix shifts, while V
+    * is the sample-size-free effect size (0.1 ≈ "small" by Cohen's
+    * convention).
+    *
+    * Returns one row: (n_ref, n_cur, k, chi2, df, cramers_v, drifted). */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, catCol: String,
+      vThreshold: Double = 0.1): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_ref"))
+    val c = cur.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("o_cur"))
+    val cells = r.join(c, Seq("cat"), "full_outer")
+      .select(coalesce(col("o_ref"), lit(0L)).as("o_ref"),
+        coalesce(col("o_cur"), lit(0L)).as("o_cur"))
+    chiSquareFromCells(cells, vThreshold)
+  }
+
+  /** [[chiSquareDrift]]'s statistic computed from PRE-AGGREGATED cells
+    * (`o_ref`, `o_cur` long counts, one row per category) — the entry
+    * point for count state maintained elsewhere (e.g. a streaming MV of
+    * per-category counts: the drift gate then reads k at-rest rows
+    * instead of re-scanning two corpora). Same math, same output row. */
+  def chiSquareFromCells(cells: DataFrame,
+      vThreshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val totals = cells.agg(
+      sum(col("o_ref")).as("t_ref"), sum(col("o_cur")).as("t_cur"),
+      count(lit(1)).as("k"))
+    val n = (col("t_ref") + col("t_cur")).cast(DoubleType)
+    val rowTot = (col("o_ref") + col("o_cur")).cast(DoubleType)
+    def cellTerm(o: Column, colTot: Column): Column = {
+      val e = rowTot * colTot.cast(DoubleType) / n
+      (o.cast(DoubleType) - e) * (o.cast(DoubleType) - e) / e
+    }
+    val term = cellTerm(col("o_ref"), col("t_ref")) +
+      cellTerm(col("o_cur"), col("t_cur"))
+    cells.crossJoin(broadcast(totals)) // 1-row scalar attach
+      .groupBy(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"), col("k"))
+      .agg(sum(round(term, 9).cast(DecimalType(27, 9))).cast(DoubleType).as("chi2"))
+      .select(col("n_ref"), col("n_cur"), col("k"),
+        round(col("chi2"), 6).as("chi2"),
+        (col("k") - 1L).as("df"),
+        round(sqrt(col("chi2") / (col("n_ref") + col("n_cur")).cast(DoubleType)), 6)
+          .as("cramers_v"),
+        (sqrt(col("chi2") / (col("n_ref") + col("n_cur")).cast(DoubleType))
+          > vThreshold).as("drifted"))
+  }
 }

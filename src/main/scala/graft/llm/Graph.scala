@@ -143,4 +143,67 @@ object Graph {
       dirE.unpersist(blocking = false)
     }
   }
+
+  /** Link-prediction scores for NON-adjacent node pairs sharing at least
+    * one common neighbor — the "which documents are probably near-dups
+    * the kNN cutoff missed" / "which edges should the similarity graph
+    * grow next" ranking. Three classic neighborhood scores per pair:
+    * common-neighbor count, Jaccard = cn/(d_u + d_v − cn), and
+    * Adamic–Adar = Σ_{w ∈ Γu∩Γv} 1/ln(deg w) (every common neighbor has
+    * degree ≥ 2 by construction, so ln is bounded away from 0).
+    *
+    * Scale shape: candidate pairs come from ONE wedge self-join of the
+    * directed adjacency keyed on the shared neighbor w — the same
+    * band-join shape as LSH candidate generation, with fan-out
+    * Σ deg(w)² bounded by k²·N on a k-NN graph (deg ≤ k by
+    * construction). [[Graph.triangleStats]]'s orientation does not
+    * apply here (both wedge *ends* are wanted, ordered only u < v), so
+    * for GENERAL graphs the quadratic guard is `maxHubDegree`: common
+    * neighbors with degree above the cap are excluded from the wedge
+    * join — the d³-LSH-bucket-cap argument, and semantically aligned
+    * (a neighbor shared with half the corpus carries ~no link signal;
+    * its AA weight 1/ln(d) is already the score family saying so).
+    * With a cap, cn/aa are LOWER bounds and pairs whose only common
+    * neighbors are super-hubs drop out — documented approximation,
+    * default off. Existing edges leave via one anti-join; degrees
+    * attach by two N-row joins. The ln terms are rounded to 1e-9 and
+    * decimal-summed (order-independent, cross-engine-safe — the a24
+    * entropy stance).
+    *
+    * Output: (id_a, id_b, cn, jaccard, adamic_adar), one row per
+    * candidate pair. */
+  def linkPrediction(edges: DataFrame, maxHubDegree: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = edges.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adj = e.select(col("id_a").as("id"), col("id_b").as("nb"))
+        .unionAll(e.select(col("id_b").as("id"), col("id_a").as("nb")))
+      val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      // attach the shared-neighbor degree BEFORE the self-join so a hub
+      // cap prunes the fan-out on both sides of the wedge
+      val wDeg = deg.select(col("id").as("w"),
+        col("degree").as("dw"))
+      val wSide = adj.select(col("nb").as("w"), col("id").as("u"))
+        .join(maxHubDegree.fold(wDeg)(cap => wDeg.where(col("dw") <= cap)), Seq("w"))
+      val wedges = wSide
+        .join(wSide.select(col("w"), col("u").as("v")), Seq("w"))
+        .where(col("u") < col("v"))
+      val scored = wedges
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"),
+          sum(round(lit(1.0) / log(col("dw").cast(DoubleType)), 9)
+            .cast(DecimalType(27, 9))).cast(DoubleType).as("aa"))
+      scored
+        .join(e.select(col("id_a").as("u"), col("id_b").as("v")),
+          Seq("u", "v"), "left_anti")
+        .join(deg.select(col("id").as("u"), col("degree").as("du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("degree").as("dv")), Seq("v"))
+        .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
+          round(col("cn").cast(DoubleType) /
+            (col("du") + col("dv") - col("cn")).cast(DoubleType), 6).as("jaccard"),
+          round(col("aa"), 6).as("adamic_adar"))
+        .localCheckpoint(true) // eager: candidate-pair-sized, valid after unpersist
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -658,6 +658,123 @@ object Multimodal {
     }(enc)
   }
 
+  /** Media table with REAL WAV payloads carrying a voiced/silence
+    * SEGMENT pattern (the VAD fixture): doc `id` becomes `id%20+10`
+    * blocks of `blockSamples` 16-bit samples each — block `b` is
+    * "voiced" (constant amplitude 12000) iff `(b + id) % 4 < 2`, else
+    * silent (0). The pattern is a closed form of the id, so the
+    * segmentation a VAD recovers (segment count, lengths, voiced
+    * fraction) is SQL-expressible without an oracle-side codec. Encoded
+    * through the JDK's own RIFF writer like [[fromDocumentsWav]];
+    * map-only executor-side encode. */
+  def fromDocumentsWavVad(docs: DataFrame, idCol: String = "doc_id",
+      blockSamples: Int = 160): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nBlocks = (Math.floorMod(id, 20) + 10).toInt
+        val amp: Short = 12000
+        val pcm = new Array[Byte](nBlocks * blockSamples * 2)
+        var b = 0
+        while (b < nBlocks) {
+          if (Math.floorMod(b + id, 4) < 2) {
+            var i = 0
+            while (i < blockSamples) {
+              val off = (b * blockSamples + i) * 2
+              pcm(off) = (amp & 0xFF).toByte
+              pcm(off + 1) = ((amp >> 8) & 0xFF).toByte
+              i += 1
+            }
+          } // silent blocks stay zero-initialized
+          b += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, (nBlocks * blockSamples).toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Energy-based voice-activity segmentation over REAL decoded WAV
+    * audio (the speech-data curation step between decode and ASR: how
+    * much of each clip is speech, in how many segments): decode the
+    * RIFF payload with the JDK parser, compute per-block RMS energy
+    * over `blockSamples`-sample windows, threshold into voiced/silent,
+    * and run-length the voiced blocks into segments.
+    *
+    * The segmentation runs INSIDE the decode loop — per-file PCM is
+    * local to its executor task and a VAD walk over one clip is
+    * inherently sequential, so streaming the run-length state through
+    * the sample loop is the distributed-correct shape (the parallelism
+    * axis is files, never samples). Map-only; payloads never shuffle.
+    * Undecodable payloads THROW ([[decodeImages]]'s stance).
+    *
+    * Output per clip: (media_id, n_blocks, n_voiced, n_segments,
+    * longest_run, voiced_frac). Trailing samples short of a full block
+    * are ignored (standard frame-aligned VAD). */
+  def vadSegments(media: DataFrame, blockSamples: Int = 160,
+      threshold: Double = 500.0): DataFrame = {
+    require(blockSamples >= 1, s"blockSamples must be >= 1, got $blockSamples")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_blocks", LongType, nullable = false),
+      StructField("n_voiced", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("longest_run", LongType, nullable = false),
+      StructField("voiced_frac", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              sys.error(s"media_id=$id: payload is not a decodable audio container ($e)")
+          }
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val buf = in.readAllBytes()
+          val nBlocks = (buf.length / 2) / blockSamples
+          var (nVoiced, nSegments, longest, run) = (0L, 0L, 0L, 0L)
+          var b = 0
+          while (b < nBlocks) {
+            var sumSq = 0.0
+            var i = 0
+            while (i < blockSamples) {
+              val off = (b * blockSamples + i) * 2
+              val s = ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort.toDouble
+              sumSq += s * s
+              i += 1
+            }
+            val voiced = math.sqrt(sumSq / blockSamples) > threshold
+            if (voiced) {
+              nVoiced += 1
+              if (run == 0) nSegments += 1
+              run += 1
+              if (run > longest) longest = run
+            } else run = 0
+            b += 1
+          }
+          Row(id, nBlocks.toLong, nVoiced, nSegments, longest,
+            if (nBlocks == 0) 0.0 else nVoiced.toDouble / nBlocks)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
   /** Frame-sample: slice the payload into `n` evenly-spaced fixed-width
     * binary frames (video keyframe-sampling shape). Pure projection. */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {

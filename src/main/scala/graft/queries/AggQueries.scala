@@ -949,6 +949,91 @@ object AggQueries {
              |    - CAST(n_sources + 1 AS DOUBLE) / n_sources, 6) AS gini
              |FROM a""".stripMargin)),
 
+    // Robust location estimates per group (the outlier-resistant twin of
+    // a6's plain means, feeding threshold decisions that a handful of
+    // corrupt prices must not move): 10% two-sided TRIMMED mean (drop
+    // values outside [p10, p90]) and WINSORIZED mean (clamp to the same
+    // band). One grouped exact-percentile pass produces the per-group
+    // thresholds (a12's cross-engine interpolated-percentile parity), a
+    // broadcast of the G-row threshold frame puts them back on the scan,
+    // and both means ride the exact-decimal path. Membership (v in
+    // [lo, hi]) is safe against last-bit threshold drift: an interpolated
+    // threshold lies strictly between two adjacent observed values, so a
+    // ±1ulp engine difference cannot flip any row.
+    Q("a26_trimmed_stats",
+      (s, d) => {
+        val v = T(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+        val th = v.groupBy(col("g")).agg(
+          percentile(col("v"), lit(0.1)).as("lo"),
+          percentile(col("v"), lit(0.9)).as("hi"))
+        val kept = col("v") >= col("lo") && col("v") <= col("hi")
+        v.join(broadcast(th), Seq("g"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            round(avgExact(col("v")), 6).as("mean"),
+            count(when(kept, 1)).as("n_kept"),
+            round(avgExact(when(kept, col("v"))), 6).as("trimmed_mean"),
+            round(avgExact(greatest(col("lo"), least(col("hi"), col("v")))), 6)
+              .as("winsorized_mean"))
+          .orderBy(col("g"))
+      },
+      Some(s"""WITH v AS (
+             |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+             |th AS (SELECT g, QUANTILE_CONT(v, 0.1) AS lo, QUANTILE_CONT(v, 0.9) AS hi
+             |  FROM v GROUP BY 1)
+             |SELECT v.g, COUNT(*) AS n,
+             |  ROUND(${avgExactSql("v.v")}, 6) AS mean,
+             |  CAST(SUM(CASE WHEN v.v >= lo AND v.v <= hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  ROUND(${avgExactSql("CASE WHEN v.v >= lo AND v.v <= hi THEN v.v END")}, 6)
+             |    AS trimmed_mean,
+             |  ROUND(${avgExactSql("GREATEST(lo, LEAST(hi, v.v))")}, 6) AS winsorized_mean
+             |FROM v JOIN th ON th.g = v.g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hill tail-index estimator (the heavy-tail exponent of the
+    // document-length distribution — the corpus-forensics companion to
+    // x41's Zipf slope and x45's Heaps fit; a finite-variance verdict
+    // decides whether mean-based length budgets are even meaningful):
+    // α = k / Σᵢ ln(xᵢ/x_thr) over the k largest values with x_thr the
+    // (k+1)-th order statistic. ONE TakeOrdered(k+1) global top-N (the
+    // w2 shape — never a full sort), then a 201-row aggregate. The
+    // threshold row contributes ln(1)=0, so summing over all k+1 rows
+    // with divisor k is tie-safe and identical in both engines; ln
+    // terms are rounded to 1e-9 and decimal-summed (a24's stance).
+    // Deterministic under boundary ties via the (length desc, id) total
+    // order.
+    Q("a27_hill_tail",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val top = T(s, d, "documents")
+          .select(col("n_chars").cast(DoubleType).as("v"), col("doc_id"))
+          .orderBy(col("v").desc, col("doc_id")).limit(201)
+        val thr = top.agg(min(col("v")).as("x_thr"))
+        top.crossJoin(broadcast(thr)) // 1-row scalar attach
+          .agg(count(lit(1)).as("n_top"),
+            first(col("x_thr")).as("x_thr"),
+            sum(round(log(col("v") / col("x_thr")), 9)
+              .cast(DecimalType(27, 9))).cast(DoubleType).as("ln_sum"))
+          .select((col("n_top") - 1L).as("k"), col("x_thr"),
+            round(col("ln_sum"), 6).as("ln_sum"),
+            round(when(col("ln_sum") > 0, (col("n_top") - 1L).cast(DoubleType) / col("ln_sum")), 6)
+              .as("alpha"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  ORDER BY n_chars DESC, doc_id LIMIT 201),
+             |thr AS (SELECT MIN(v) AS x_thr FROM t),
+             |a AS (SELECT COUNT(*) AS n_top, MIN(x_thr) AS x_thr,
+             |    CAST(SUM(CAST(ROUND(LN(v / x_thr), 9) AS DECIMAL(27,9))) AS DOUBLE)
+             |      AS ln_sum
+             |  FROM t, thr)
+             |SELECT CAST(n_top - 1 AS BIGINT) AS k, x_thr,
+             |  ROUND(ln_sum, 6) AS ln_sum,
+             |  ROUND(CASE WHEN ln_sum > 0
+             |    THEN CAST(n_top - 1 AS DOUBLE) / ln_sum END, 6) AS alpha
+             |FROM a""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc

@@ -905,6 +905,36 @@ object LlmQueries {
              |  ROUND(CAST(pr_fp AS DOUBLE) / 1000000000000, 9) AS pr
              |FROM it5 ORDER BY id""".stripMargin)),
 
+    // Link prediction over the mutual k-NN graph (Graph.linkPrediction):
+    // common-neighbor / Jaccard / Adamic–Adar scores for NON-adjacent
+    // pairs — "which near-dup edges did the kNN cutoff miss". The wedge
+    // self-join is the LSH-band candidate shape (fan-out ≤ k² per node
+    // on this graph); the oracle replays wedges, the NOT EXISTS edge
+    // filter, and the rounded-term decimal AA sum over the same
+    // replayed edge set, so the full scored candidate list hashes.
+    Q("n19_link_prediction",
+      (s, d) => Graph.linkPrediction(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |adjn AS MATERIALIZED (SELECT id_a AS id, id_b AS nb FROM edges
+             |  UNION ALL SELECT id_b, id_a FROM edges),
+             |degn AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM adjn GROUP BY 1),
+             |wedge AS (SELECT a1.nb AS w, a1.id AS u, a2.id AS v
+             |  FROM adjn a1 JOIN adjn a2 ON a1.nb = a2.nb AND a1.id < a2.id),
+             |sc AS (SELECT u, v, COUNT(*) AS cn,
+             |    CAST(SUM(CAST(ROUND(1.0 / LN(CAST(dg.degree AS DOUBLE)), 9)
+             |      AS DECIMAL(27,9))) AS DOUBLE) AS aa
+             |  FROM wedge JOIN degn dg ON dg.id = wedge.w GROUP BY 1, 2),
+             |cand AS (SELECT sc.* FROM sc WHERE NOT EXISTS (
+             |    SELECT 1 FROM edges e WHERE e.id_a = sc.u AND e.id_b = sc.v))
+             |SELECT cand.u AS id_a, cand.v AS id_b, CAST(cn AS BIGINT) AS cn,
+             |  ROUND(CAST(cn AS DOUBLE) / CAST(du.degree + dv.degree - cn AS DOUBLE), 6)
+             |    AS jaccard,
+             |  ROUND(aa, 6) AS adamic_adar
+             |FROM cand JOIN degn du ON du.id = cand.u JOIN degn dv ON dv.id = cand.v
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Per-dimension int8 affine-quantization profile (embedding-storage
     // engineering: 4× smaller vectors if the reconstruction error is
     // tolerable): corpus min/max per dim → scale=(max−min)/255 →
@@ -2286,6 +2316,42 @@ object LlmQueries {
              |  ROUND(CAST((doc_id * 37) % 30000 - 15000 AS DOUBLE), 6) AS mean_sample,
              |  ROUND(CAST(ABS((doc_id * 37) % 30000 - 15000) AS DOUBLE), 6) AS rms
              |FROM documents ORDER BY 1""".stripMargin)),
+
+    // Voice-activity segmentation over REAL WAV audio
+    // (Multimodal.vadSegments over fromDocumentsWavVad): the JDK codec
+    // decodes each clip, per-block RMS energy thresholds into
+    // voiced/silent, run-length → segments — the speech-curation step
+    // between decode and ASR. The planted block pattern
+    // (voiced iff (b + id) % 4 < 2 over id%20+10 blocks) is a closed
+    // form of the id, so the oracle recovers the SAME segmentation with
+    // generate_series + gaps-and-islands — no oracle-side codec, yet
+    // the Spark side runs the real RIFF parse + energy walk end-to-end.
+    Q("mm12_audio_vad",
+      (s, d) => Multimodal.vadSegments(
+        Multimodal.fromDocumentsWavVad(T(s, d, "documents")))
+        .select(col("media_id"), col("n_blocks"), col("n_voiced"),
+          col("n_segments"), col("longest_run"),
+          round(col("voiced_frac"), 6).as("voiced_frac"))
+        .orderBy(col("media_id")),
+      Some("""WITH bl AS (
+             |  SELECT doc_id, UNNEST(generate_series(0, doc_id % 20 + 9)) AS b
+             |  FROM documents),
+             |vv AS (
+             |  SELECT doc_id, b,
+             |    b - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) AS grp
+             |  FROM bl WHERE (b + doc_id) % 4 < 2),
+             |runs AS (SELECT doc_id, COUNT(*) AS run_len FROM vv GROUP BY doc_id, grp),
+             |agg AS (SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_voiced,
+             |    COUNT(*) AS n_segments, CAST(MAX(run_len) AS BIGINT) AS longest_run
+             |  FROM runs GROUP BY 1)
+             |SELECT d.doc_id AS media_id, CAST(d.doc_id % 20 + 10 AS BIGINT) AS n_blocks,
+             |  COALESCE(a.n_voiced, 0) AS n_voiced,
+             |  COALESCE(a.n_segments, 0) AS n_segments,
+             |  COALESCE(a.longest_run, 0) AS longest_run,
+             |  ROUND(CAST(COALESCE(a.n_voiced, 0) AS DOUBLE)
+             |    / CAST(d.doc_id % 20 + 10 AS DOUBLE), 6) AS voiced_frac
+             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY 1""".stripMargin)),
 
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,

@@ -794,6 +794,51 @@ object RelationalQueries {
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
              |FROM df GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Chi-square categorical drift gate (Validation.chiSquareDrift —
+    // completes the drift family: dq2 PSI bins numerics, dq11 KS walks
+    // continuous CDFs, this one tests the category MIX). Reference =
+    // even-user events; current = odd-user events with 60% of 'view'
+    // rows planted-removed (event_id % 5 < 3) — a real, closed-form mix
+    // shift both engines replay, so the gate must FIRE (Cramér's V over
+    // the 0.1 small-effect bar), not just compute. Shuffles carry k=5
+    // category rows; the verdict thresholds on V, not the p-value —
+    // at corpus scale chi² rejects on irrelevantly tiny shifts.
+    Q("dq13_chi2_drift",
+      (s, d) => {
+        val ev = graft.core.Tables.readEvents(s, d)
+        val ref = ev.where(pmod(col("user_id"), lit(2)) === 0)
+        val cur = ev.where(pmod(col("user_id"), lit(2)) === 1 &&
+          !(col("event_type") === "view" && pmod(col("event_id"), lit(5)) < 3))
+        Validation.chiSquareDrift(ref, cur, "event_type", vThreshold = 0.1)
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_ref,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 1
+             |      AND NOT (event_type = 'view' AND event_id % 5 < 3)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS o_cur
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(o_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(o_cur) AS BIGINT) AS t_cur, COUNT(*) AS k FROM cells),
+             |e AS (SELECT t_ref, t_cur, k,
+             |    CAST(o_ref AS DOUBLE) AS o_r, CAST(o_cur AS DOUBLE) AS o_c,
+             |    CAST(o_ref + o_cur AS DOUBLE) * CAST(t_ref AS DOUBLE)
+             |      / CAST(t_ref + t_cur AS DOUBLE) AS e_r,
+             |    CAST(o_ref + o_cur AS DOUBLE) * CAST(t_cur AS DOUBLE)
+             |      / CAST(t_ref + t_cur AS DOUBLE) AS e_c
+             |  FROM cells, tot),
+             |terms AS (SELECT t_ref, t_cur, k,
+             |    CAST(ROUND((o_r - e_r) * (o_r - e_r) / e_r
+             |      + (o_c - e_c) * (o_c - e_c) / e_c, 9) AS DECIMAL(27,9)) AS term
+             |  FROM e),
+             |agg AS (SELECT t_ref AS n_ref, t_cur AS n_cur, k,
+             |    CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms GROUP BY 1, 2, 3)
+             |SELECT n_ref, n_cur, k, ROUND(chi2, 6) AS chi2,
+             |  CAST(k - 1 AS BIGINT) AS df,
+             |  ROUND(SQRT(chi2 / (n_ref + n_cur)), 6) AS cramers_v,
+             |  SQRT(chi2 / (n_ref + n_cur)) > 0.1 AS drifted
+             |FROM agg""".stripMargin)),
+
     // Cross-field consistency audit (dq1's derived-column sibling: not
     // "is the value in range" but "do related fields AGREE" — the
     // class of corruption partial backfills introduce). Four checks in
@@ -944,6 +989,79 @@ object RelationalQueries {
              |UNION ALL
              |SELECT 'range_sorted', COUNT(*), TRUE, FALSE FROM documents
              |ORDER BY layout""".stripMargin)),
+
+    // ROW-GROUP-level pruning audit (p15's file-envelope audit one
+    // level deeper — the granularity parquet min/max skipping actually
+    // operates at): write the table key-sorted with a small
+    // parquet.block.size so every file carries MULTIPLE row groups,
+    // re-open the files with the REAL footer API
+    // (org.apache.parquet.hadoop.ParquetFileReader — the same stats a
+    // scan's predicate pushdown consults, not Spark-side re-aggregation)
+    // and evaluate a point-range probe against the per-row-group
+    // min/max: how many row groups must be read, and do the stats
+    // actually cover the matching rows? The footer walk is driver-side
+    // over the file list — METADATA, bounded by file count (at scale
+    // this loop maps over the file manifest; the payload never moves).
+    // Booleans keep the contract independent of the writer's exact
+    // row-group flush points; the row counts are closed-form.
+    Q("p16_rowgroup_pruning",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val docs = T(s, d, "documents")
+        val dir = scratch(s, "p16_rowgroups").toString
+        docs.repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite")
+          // force sub-file row groups even on the small-SF fixture: tiny
+          // block budget + frequent size checks (defaults check only
+          // every ~100 rows, which can leave one group per file)
+          .option("parquet.block.size", 8 * 1024)
+          .option("parquet.page.size", 4 * 1024)
+          .option("parquet.page.size.row.check.min", 10)
+          .parquet(dir)
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(conf)
+        val rgs = fs.listStatus(root).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .flatMap { st =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+            try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == "doc_id")
+                .getOrElse(sys.error("doc_id column chunk missing from footer"))
+              val stats = c.getStatistics
+              (stats.genericGetMin.asInstanceOf[Long],
+                stats.genericGetMax.asInstanceOf[Long], b.getRowCount)
+            } finally rdr.close()
+          }
+        // probe: doc_id in [lo, hi] — narrow enough that a sorted layout
+        // must skip most row groups
+        val (lo, hi) = (100L, 199L)
+        val selected = rgs.filter { case (mn, mx, _) => mn <= hi && mx >= lo }
+        val nMatch = docs.where(col("doc_id").between(lo, hi)).count()
+        val sorted = rgs.sortBy(_._1)
+        val disjoint = sorted.zip(sorted.drop(1)).forall { case ((_, mx1, _), (mn2, _, _)) =>
+          mx1 < mn2
+        }
+        import s.implicits._
+        Seq((
+          rgs.map(_._3).sum,                    // n_rows (footer row counts)
+          nMatch,                               // n_match
+          rgs.length > 4,                       // multi_rowgroup_files
+          disjoint,                             // rowgroups_key_disjoint
+          selected.map(_._3).sum >= nMatch,     // stats_cover_matches
+          selected.map(_._3).sum < rgs.map(_._3).sum // pruning_effective
+        )).toDF("n_rows", "n_match", "multi_rowgroup_files",
+          "rowgroups_key_disjoint", "stats_cover_matches", "pruning_effective")
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN doc_id BETWEEN 100 AND 199 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_match,
+             |  TRUE AS multi_rowgroup_files, TRUE AS rowgroups_key_disjoint,
+             |  TRUE AS stats_cover_matches, TRUE AS pruning_effective
+             |FROM documents""".stripMargin)),
 
     // Benford first-significant-digit audit (the fraud/synthetic-data
     // forensic gate: organically-grown magnitudes follow

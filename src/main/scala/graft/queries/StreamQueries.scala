@@ -106,6 +106,56 @@ object StreamQueries {
     // replays the INCLUSIVE merge boundary (break strictly > gap) in
     // micros — durations included, so merge semantics are value-checked,
     // not just counts.
+    // Streaming DRIFT MONITOR (dq13 served incrementally): the current
+    // slice's per-category counts are maintained as a streaming k-row
+    // count MV (EventStream.runCountMvOnce — integer partials fold per
+    // micro-batch, O(batch + k) per trigger), and the chi-square gate
+    // evaluates from the AT-REST cells against a static reference —
+    // never re-scanning the corpus. Integer count state ≡ the one-shot
+    // GROUP BY regardless of batch boundaries, so the oracle is exactly
+    // dq13's SQL: stream ≡ batch is the correctness contract.
+    Q("st16_stream_drift_monitor",
+      (s, d) => {
+        val cur = EventStream.runCountMvOnce(s, s"$d/events.parquet",
+          pmod(col("user_id"), lit(2)) === 1 &&
+            !(col("event_type") === "view" && pmod(col("event_id"), lit(5)) < 3))
+        val ref = graft.core.Tables.readEvents(s, d)
+          .where(pmod(col("user_id"), lit(2)) === 0)
+          .groupBy(col("event_type").as("cat")).agg(count(lit(1)).as("o_ref"))
+        val cells = ref.join(cur, Seq("cat"), "full_outer")
+          .select(coalesce(col("o_ref"), lit(0L)).as("o_ref"),
+            coalesce(col("o_cur"), lit(0L)).as("o_cur"))
+        graft.core.Validation.chiSquareFromCells(cells, vThreshold = 0.1)
+      },
+      // dq13's oracle verbatim: the stream maintains the same cells
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_ref,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 1
+             |      AND NOT (event_type = 'view' AND event_id % 5 < 3)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS o_cur
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(o_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(o_cur) AS BIGINT) AS t_cur, COUNT(*) AS k FROM cells),
+             |e AS (SELECT t_ref, t_cur, k,
+             |    CAST(o_ref AS DOUBLE) AS o_r, CAST(o_cur AS DOUBLE) AS o_c,
+             |    CAST(o_ref + o_cur AS DOUBLE) * CAST(t_ref AS DOUBLE)
+             |      / CAST(t_ref + t_cur AS DOUBLE) AS e_r,
+             |    CAST(o_ref + o_cur AS DOUBLE) * CAST(t_cur AS DOUBLE)
+             |      / CAST(t_ref + t_cur AS DOUBLE) AS e_c
+             |  FROM cells, tot),
+             |terms AS (SELECT t_ref, t_cur, k,
+             |    CAST(ROUND((o_r - e_r) * (o_r - e_r) / e_r
+             |      + (o_c - e_c) * (o_c - e_c) / e_c, 9) AS DECIMAL(27,9)) AS term
+             |  FROM e),
+             |agg AS (SELECT t_ref AS n_ref, t_cur AS n_cur, k,
+             |    CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms GROUP BY 1, 2, 3)
+             |SELECT n_ref, n_cur, k, ROUND(chi2, 6) AS chi2,
+             |  CAST(k - 1 AS BIGINT) AS df,
+             |  ROUND(SQRT(chi2 / (n_ref + n_cur)), 6) AS cramers_v,
+             |  SQRT(chi2 / (n_ref + n_cur)) > 0.1 AS drifted
+             |FROM agg""".stripMargin)),
+
     Q("st14_session_window",
       (s, d) => {
         val sink = s"st14_sink_${System.nanoTime()}"

@@ -474,6 +474,60 @@ object EventStream {
     state
   }
 
+  /** Bounded replay of a streaming CATEGORY-COUNT materialized view —
+    * the state a continuously-served drift monitor keeps at rest: each
+    * micro-batch's per-category counts fold into a k-row count table
+    * (associative integer sums — final state ≡ one-shot GROUP BY
+    * regardless of batch boundaries), so the chi-square gate
+    * ([[graft.core.Validation.chiSquareFromCells]]) reads k rows per
+    * evaluation instead of re-scanning the corpus. `filter` selects the
+    * monitored (current) slice of the replayed table. Per-trigger cost
+    * O(batch + k); same alternating parquet generations as
+    * [[runAggMergeOnce]]. Returns the final (cat, o_cur) state. */
+  def runCountMvOnce(spark: SparkSession, path: String,
+      filter: org.apache.spark.sql.Column, nChunks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_countmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partials = batch.where(filter)
+            .groupBy(col("event_type").as("cat"))
+            .agg(count(lit(1)).as("o_cur"))
+          val next =
+            if (gen == 0) partials
+            else spark.read.parquet(work.resolve(s"state_$gen").toString)
+              .unionByName(partials)
+              .groupBy(col("cat")).agg(sum(col("o_cur")).as("o_cur"))
+          next.write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"count-MV replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
     * repeat within the watermark horizon (e.g. a content hash on a
     * document stream). `dropDuplicatesWithinWatermark` expires dedup state

@@ -107,4 +107,78 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankFixed(star.where(lit(false)))
     }
   }
+
+  /** Driver-side naive link-prediction truth from adjacency sets. */
+  private def naiveLinkPred(edges: Seq[(Long, Long)]): Map[(Long, Long), (Long, Double, Double)] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val es = edges.toSet
+    val nodes = adj.keySet.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes if u < v
+      if !es.contains((u, v))
+      common = adj(u).intersect(adj(v)) if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val jac = cn.toDouble / (adj(u).size + adj(v).size - cn)
+      val aa = common.toSeq.map { w =>
+        BigDecimal(1.0 / math.log(adj(w).size.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (u, v) -> (cn, jac, aa)
+    }).toMap
+  }
+
+  test("linkPrediction equals the naive adjacency-set truth on the kNN graph") {
+    val edges = knnEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = naiveLinkPred(edges)
+    val got = Graph.linkPrediction(knnEdges).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("jaccard"), r.getAs[Double]("adamic_adar")))
+      .toMap
+    assert(got.keySet === truth.keySet)
+    assert(truth.nonEmpty) // else vacuous
+    got.foreach { case (pair, (cn, jac, aa)) =>
+      val (tcn, tjac, taa) = truth(pair)
+      assert(cn === tcn, s"pair $pair cn")
+      assert(math.abs(jac - tjac) < 2e-6, s"pair $pair jaccard")
+      assert(math.abs(aa - taa) < 2e-6, s"pair $pair adamic_adar")
+    }
+  }
+
+  test("linkPrediction hand fixture: square predicts both diagonals, no existing edges") {
+    // 4-cycle 1-2-3-4: diagonals (1,3) and (2,4) each share two degree-2
+    // neighbors → cn=2, jaccard=2/(2+2-2)=1, aa=2/ln(2)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.linkPrediction(sq).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("jaccard"), r.getAs[Double]("adamic_adar")))
+      .toMap
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    val expAa = 2 * BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.values.foreach { case (cn, jac, aa) =>
+      assert(cn === 2L && jac === 1.0)
+      assert(math.abs(aa - expAa) < 1e-6)
+    }
+  }
+
+  test("linkPrediction maxHubDegree drops hub-mediated candidates only") {
+    // hub 0 touches 1..4; 1-2 is also a direct path via 5 (degree 2)
+    val e = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 5L), (2L, 5L)))
+      .toDF("id_a", "id_b")
+    val full = Graph.linkPrediction(e).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("cn")).toMap
+    // capped at 3: hub 0 (degree 4) is excluded as an intermediate;
+    // only the (1,2)-via-5 candidate survives, with cn reduced to 1
+    val capped = Graph.linkPrediction(e, maxHubDegree = Some(3L)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("cn")).toMap
+    // uncapped: hub wedges give (3,4) etc.; (0,5) is itself a candidate
+    // (common neighbors 1 and 2)
+    assert(full((1L, 2L)) === 2L && full((3L, 4L)) === 1L && full((0L, 5L)) === 2L)
+    // capped at 3: hub 0 (degree 4) is excluded as an INTERMEDIATE — the
+    // hub-only candidates (1,3)(1,4)(2,3)(2,4)(3,4) vanish, (1,2) drops
+    // to its via-5 count, and (0,5) keeps both degree-2 intermediates
+    assert(capped === Map((1L, 2L) -> 1L, (0L, 5L) -> 2L))
+  }
 }

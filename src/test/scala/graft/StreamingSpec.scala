@@ -256,6 +256,23 @@ class StreamingSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("streaming count-MV state is chunking-independent and equals the batch GROUP BY") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val filter = pmod(col("user_id"), lit(2)) === 1
+    def state(n: Int) = graft.streaming.EventStream
+      .runCountMvOnce(spark, path, filter, nChunks = n)
+      .orderBy(col("cat")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = state(2)
+    val b = state(5)
+    assert(a == b, "count MV must not depend on micro-batch boundaries")
+    val expected = graft.core.Tables.readEventsPath(spark, path)
+      .where(filter)
+      .groupBy(col("event_type").as("cat")).agg(count(lit(1)).as("o_cur"))
+      .orderBy(col("cat")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == expected)
+  }
+
   test("near-dup ingest stream equals the full-corpus run, independent of chunking") {
     val path = "/root/testdata/sf0.001/documents.parquet"
     def run(n: Int) = graft.streaming.IngestStream

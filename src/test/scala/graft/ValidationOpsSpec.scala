@@ -413,4 +413,88 @@ class ValidationOpsSpec extends SparkSpec {
     assert(s.getAs[Long]("distinct_ref") == 3 && s.getAs[Long]("distinct_cur") == 1)
     assert(s.isNullAt(s.fieldIndex("mean_ref")) && s.isNullAt(s.fieldIndex("mean_shift")))
   }
+
+  // ---- chiSquareDrift ------------------------------------------------------
+
+  test("chiSquareDrift: identical mixes don't fire; a planted shift does") {
+    val ref = Seq.tabulate(900)(i => ("c" + (i % 3)): String).toDF("cat")
+    val same = SingleRow.of(Validation.chiSquareDrift(ref, ref, "cat"))
+    assert(same.getAs[Long]("n_ref") == 900 && same.getAs[Long]("n_cur") == 900)
+    assert(same.getAs[Long]("k") == 3 && same.getAs[Long]("df") == 2)
+    assert(same.getAs[Double]("chi2") == 0.0 && !same.getAs[Boolean]("drifted"))
+    // current: c2's share doubles (50% vs 33%) — a real mix shift
+    val cur = Seq.tabulate(1200)(i => ("c" + ((i % 4) min 2)): String).toDF("cat")
+    val hit = SingleRow.of(Validation.chiSquareDrift(ref, cur, "cat"))
+    assert(hit.getAs[Double]("chi2") > 0.0)
+    assert(hit.getAs[Boolean]("drifted"), s"V=${hit.getAs[Double]("cramers_v")}")
+  }
+
+  test("chiSquareDrift: a category absent from one side still contributes") {
+    val ref = Seq.fill(100)("a").toDF("cat")
+    val cur = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("cat")
+    val r = SingleRow.of(Validation.chiSquareDrift(ref, cur, "cat"))
+    assert(r.getAs[Long]("k") == 2, "absent-on-ref category must appear as a 0 cell")
+    // driver-side truth: cells a=(100,50), b=(0,50); margins 150/50, 100/100
+    val terms = Seq((100.0, 50.0, 150.0), (0.0, 50.0, 50.0)).map { case (or, oc, rt) =>
+      val (er, ec) = (rt * 100 / 200, rt * 100 / 200)
+      (or - er) * (or - er) / er + (oc - ec) * (oc - ec) / ec
+    }
+    val expected = BigDecimal(terms.map(t =>
+      BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-9,
+      s"chi2=${r.getAs[Double]("chi2")} expected=$expected")
+  }
+
+  // ---- vadSegments ---------------------------------------------------------
+
+  test("vadSegments recovers the planted voiced/silence pattern through a real codec") {
+    val docs = Seq(0L, 1L, 2L, 3L, 17L, 811L).toDF("doc_id")
+    val rows = Multimodal.vadSegments(Multimodal.fromDocumentsWavVad(docs))
+      .orderBy("media_id").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val nb = (Math.floorMod(id, 20) + 10).toInt
+      val voiced = (0 until nb).map(b => Math.floorMod(b + id, 4) < 2)
+      val runs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) if acc.nonEmpty && acc.head == 0 => acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_blocks") == nb, s"id=$id n_blocks")
+      assert(r.getAs[Long]("n_voiced") == voiced.count(identity), s"id=$id n_voiced")
+      assert(r.getAs[Long]("n_segments") == runs.size, s"id=$id n_segments")
+      assert(r.getAs[Long]("longest_run") == runs.max, s"id=$id longest_run")
+    }
+  }
+
+  test("vadSegments: all-silent → 0 segments; constant-loud → 1; short clip → 0 blocks") {
+    val clips = Seq(
+      (1L, "audio", Multimodal.syntheticWav(8000, 480, 0.toShort)),      // silent
+      (2L, "audio", Multimodal.syntheticWav(8000, 480, 12000.toShort)),  // loud
+      (3L, "audio", Multimodal.syntheticWav(8000, 100, 12000.toShort)))  // < 1 block
+      .toDF("media_id", "kind", "payload")
+    val byId = Multimodal.vadSegments(clips).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val silent = byId(1L)
+    assert(silent.getAs[Long]("n_blocks") == 3 && silent.getAs[Long]("n_voiced") == 0)
+    assert(silent.getAs[Long]("n_segments") == 0 && silent.getAs[Long]("longest_run") == 0)
+    assert(silent.getAs[Double]("voiced_frac") == 0.0)
+    val loud = byId(2L)
+    assert(loud.getAs[Long]("n_segments") == 1 && loud.getAs[Long]("longest_run") == 3)
+    assert(loud.getAs[Double]("voiced_frac") == 1.0)
+    val short = byId(3L)
+    assert(short.getAs[Long]("n_blocks") == 0 && short.getAs[Double]("voiced_frac") == 0.0)
+  }
+}
+
+/** Tiny helper: collect a frame expected to hold exactly one row. */
+private object SingleRow {
+  def of(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = {
+    val rows = df.collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    rows.head
+  }
 }
