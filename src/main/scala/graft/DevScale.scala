@@ -73,7 +73,7 @@ object DevScale {
           .write.mode("overwrite").parquet(s"$bdir/edges.parquet")
       }
       val bounded = spark.read.parquet(s"$bdir/edges.parquet")
-      time("linkpred_bounded") { Bench.exec(Graph.linkPrediction(bounded)) }
+      time("linkpred_bounded") { Bench.exec(Graph.linkPredictionPlan(bounded)) }
       // hub-skewed graph: gates12f's recipe (100 hubs of degree ~n/100),
       // built here too so the section runs standalone
       val hdir = s"/tmp/graft_scale_g12f_x$mult"
@@ -92,7 +92,7 @@ object DevScale {
       }
       val hubby = spark.read.parquet(s"$hdir/edges.parquet")
       time("linkpred_hub_cap") {
-        Bench.exec(Graph.linkPrediction(hubby, maxHubDegree = Some(64L)))
+        Bench.exec(Graph.linkPredictionPlan(hubby, maxHubDegree = Some(64L)))
       }
       val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val evN = Seq.tabulate(mult) { i =>

@@ -454,6 +454,30 @@ object Validation {
     } finally globalRanked.unpersist()
   }
 
+  /** Schema-drift audit between two snapshots of a table (the contract
+    * gate an ingest pipeline runs BEFORE data-level checks: a silently
+    * added/removed/retyped column breaks downstream readers long before
+    * any value-level drift fires). Pure METADATA — the diff reads two
+    * schemas (parquet footers at rest), never a row; driver-side by
+    * nature and O(columns). Output: one row per column in either
+    * snapshot — (col_name, change_type ∈ added|removed|type_changed|
+    * unchanged, ref_type, cur_type as Spark simpleStrings). */
+  def schemaDiff(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (r.keySet ++ c.keySet).toSeq.sorted.map { n =>
+      (r.get(n), c.get(n)) match {
+        case (Some(a), Some(b)) if a == b => (n, "unchanged", a, b)
+        case (Some(a), Some(b)) => (n, "type_changed", a, b)
+        case (Some(a), None) => (n, "removed", a, null)
+        case (None, Some(b)) => (n, "added", null, b)
+        case (None, None) => sys.error("unreachable")
+      }
+    }.toDF("col_name", "change_type", "ref_type", "cur_type")
+  }
+
   /** Chi-square homogeneity test between two categorical samples — the
     * drift gate for DISCRETE columns, completing the family next to
     * [[driftPsi]] (numeric bins) and [[ksTwoSample]] (continuous CDFs):
@@ -495,7 +519,11 @@ object Validation {
   def chiSquareFromCells(cells: DataFrame,
       vThreshold: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val totals = cells.agg(
+    // the k-row cell frame feeds BOTH the totals branch and the term
+    // branch — materialize it once (eager, k rows) or the upstream
+    // corpus counts run twice (PlanAudit showed 4 events scans)
+    val cellsM = cells.localCheckpoint(true)
+    val totals = cellsM.agg(
       sum(col("o_ref")).as("t_ref"), sum(col("o_cur")).as("t_cur"),
       count(lit(1)).as("k"))
     val n = (col("t_ref") + col("t_cur")).cast(DoubleType)
@@ -506,7 +534,7 @@ object Validation {
     }
     val term = cellTerm(col("o_ref"), col("t_ref")) +
       cellTerm(col("o_cur"), col("t_cur"))
-    cells.crossJoin(broadcast(totals)) // 1-row scalar attach
+    cellsM.crossJoin(broadcast(totals)) // 1-row scalar attach
       .groupBy(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"), col("k"))
       .agg(sum(round(term, 9).cast(DecimalType(27, 9))).cast(DoubleType).as("chi2"))
       .select(col("n_ref"), col("n_cur"), col("k"),

@@ -173,37 +173,55 @@ object Graph {
     * Output: (id_a, id_b, cn, jaccard, adamic_adar), one row per
     * candidate pair. */
   def linkPrediction(edges: DataFrame, maxHubDegree: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // convenience path for DERIVED edge lists (e.g. an in-query kNN
+    // graph): pin the edge frame so its (possibly expensive) derivation
+    // runs once across the plan's three edge branches, and eagerly
+    // materialize the result so it stays valid after the unpersist.
+    // The output is candidate-PAIR-sized, so this wrapper is for graphs
+    // whose score table fits storage comfortably — at corpus scale use
+    // [[linkPredictionPlan]] over at-rest edges and write the result
+    // straight to its sink instead of checkpointing it.
     val e = edges.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val adj = e.select(col("id_a").as("id"), col("id_b").as("nb"))
-        .unionAll(e.select(col("id_b").as("id"), col("id_a").as("nb")))
-      val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("degree"))
-      // attach the shared-neighbor degree BEFORE the self-join so a hub
-      // cap prunes the fan-out on both sides of the wedge
-      val wDeg = deg.select(col("id").as("w"),
-        col("degree").as("dw"))
-      val wSide = adj.select(col("nb").as("w"), col("id").as("u"))
-        .join(maxHubDegree.fold(wDeg)(cap => wDeg.where(col("dw") <= cap)), Seq("w"))
-      val wedges = wSide
-        .join(wSide.select(col("w"), col("u").as("v")), Seq("w"))
-        .where(col("u") < col("v"))
-      val scored = wedges
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("cn"),
-          sum(round(lit(1.0) / log(col("dw").cast(DoubleType)), 9)
-            .cast(DecimalType(27, 9))).cast(DoubleType).as("aa"))
-      scored
-        .join(e.select(col("id_a").as("u"), col("id_b").as("v")),
-          Seq("u", "v"), "left_anti")
-        .join(deg.select(col("id").as("u"), col("degree").as("du")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("degree").as("dv")), Seq("v"))
-        .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
-          round(col("cn").cast(DoubleType) /
-            (col("du") + col("dv") - col("cn")).cast(DoubleType), 6).as("jaccard"),
-          round(col("aa"), 6).as("adamic_adar"))
-        .localCheckpoint(true) // eager: candidate-pair-sized, valid after unpersist
-    } finally e.unpersist(blocking = false)
+    try linkPredictionPlan(e, maxHubDegree).localCheckpoint(true)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** [[linkPrediction]]'s pure PLAN — no caching, no materialization:
+    * the corpus-scale entry point. `edges` must be cheap to re-scan
+    * (at rest in parquet, or caller-persisted): the plan reads it three
+    * times (two adjacency branches + the existing-edge anti-join).
+    * Compose with a direct sink write so the pair-sized result streams
+    * to storage instead of materializing twice. */
+  def linkPredictionPlan(edges: DataFrame,
+      maxHubDegree: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = edges.select(col("id_a"), col("id_b"))
+    val adj = e.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(e.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // attach the shared-neighbor degree BEFORE the self-join so a hub
+    // cap prunes the fan-out on both sides of the wedge
+    val wDeg = deg.select(col("id").as("w"),
+      col("degree").as("dw"))
+    val wSide = adj.select(col("nb").as("w"), col("id").as("u"))
+      .join(maxHubDegree.fold(wDeg)(cap => wDeg.where(col("dw") <= cap)), Seq("w"))
+    val wedges = wSide
+      .join(wSide.select(col("w"), col("u").as("v")), Seq("w"))
+      .where(col("u") < col("v"))
+    val scored = wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("dw").cast(DoubleType)), 9)
+          .cast(DecimalType(27, 9))).cast(DoubleType).as("aa"))
+    scored
+      .join(e.select(col("id_a").as("u"), col("id_b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), Seq("v"))
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
+        round(col("cn").cast(DoubleType) /
+          (col("du") + col("dv") - col("cn")).cast(DoubleType), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
   }
 }

@@ -255,6 +255,55 @@ object LlmQueries {
              |JOIN sizes sb ON sb.source = p.src_b
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Dedup-savings report ("what does dedup actually buy, by source" —
+    // the effective-dataset-size number a training-mix planner reads:
+    // raw vs post-dedup token counts and the savings ratio): exact
+    // content dedup (d1's md5 fingerprint), survivor = min doc_id per
+    // fingerprint group (deterministic), token counts via the x1 parity
+    // tokenizer. One fingerprint-keyed agg + one slim id semi-join —
+    // the corpus never shuffles by anything wider than (fp) / (doc_id).
+    // Rates are exact integer ppm (x46's stance: no cross-engine float
+    // rounding on the report surface).
+    Q("x49_dedup_savings",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+        val keep = docs.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val kept = toks.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"), sumLong(col("n_tok")).as("kept_tokens"))
+        // raw side leads: a source whose every doc loses to a lower-id
+        // twin elsewhere must still report (kept = 0), not vanish
+        toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("raw_docs"), sumLong(col("n_tok")).as("raw_tokens"))
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("raw_docs"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            col("raw_tokens"), coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+          .withColumn("savings_ppm",
+            expr("(raw_tokens - kept_tokens) * 1000000L div raw_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+             |SELECT t.source,
+             |  COUNT(*) AS raw_docs,
+             |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS kept_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+             |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
+             |    AS kept_tokens,
+             |  (CAST(SUM(n_tok) AS BIGINT)
+             |    - CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT))
+             |    * 1000000 // CAST(SUM(n_tok) AS BIGINT) AS savings_ppm
+             |FROM toks t LEFT JOIN keep k ON k.doc_id = t.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Dup-pair locality matrix (d16's complement at PAIR granularity:
     // d16 asks "how much content do sources share", d17 asks "where do
     // the actual near-dup PAIRS live" — a heavy (s,s) diagonal is

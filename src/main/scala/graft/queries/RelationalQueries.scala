@@ -990,6 +990,31 @@ object RelationalQueries {
              |SELECT 'range_sorted', COUNT(*), TRUE, FALSE FROM documents
              |ORDER BY layout""".stripMargin)),
 
+    // Schema-drift audit (Validation.schemaDiff — the CONTRACT gate
+    // ahead of the data-level dq gates: a column added, dropped, or
+    // retyped between snapshots breaks readers before any value
+    // drifts). Current snapshot = documents with three planted changes
+    // (lang dropped, quality_score added, n_chars widened to double);
+    // pure metadata — two schemas in, one row per column out, no data
+    // scanned. The oracle knows the planted truth.
+    Q("dq14_schema_drift",
+      (s, d) => {
+        val ref = T(s, d, "documents")
+        val cur = ref.drop("lang")
+          .withColumn("n_chars", col("n_chars").cast("double"))
+          .withColumn("quality_score", lit(0.5))
+        Validation.schemaDiff(ref, cur).orderBy(col("col_name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('doc_id', 'unchanged', 'bigint', 'bigint'),
+             |  ('lang', 'removed', 'string', NULL),
+             |  ('n_chars', 'type_changed', 'bigint', 'double'),
+             |  ('quality_score', 'added', NULL, 'double'),
+             |  ('source', 'unchanged', 'string', 'string'),
+             |  ('text', 'unchanged', 'string', 'string'))
+             |AS t(col_name, change_type, ref_type, cur_type)
+             |ORDER BY col_name""".stripMargin)),
+
     // ROW-GROUP-level pruning audit (p15's file-envelope audit one
     // level deeper — the granularity parquet min/max skipping actually
     // operates at): write the table key-sorted with a small
