@@ -187,6 +187,104 @@ object Graph {
     finally e.unpersist(blocking = false)
   }
 
+  /** Synchronous label propagation (community detection) over an
+    * undirected canonical edge list — the "which paraphrase community
+    * does each document belong to" partitioner a curation pipeline runs
+    * over its similarity graph (communities are coarser than connected
+    * components: a CC chains through single weak edges, LPA groups by
+    * neighborhood majority).
+    *
+    * Semantics (fully deterministic — classic LPA breaks ties randomly,
+    * which can never hash-compare): labels start as node ids; each of
+    * the `iters` SYNCHRONOUS rounds relabels every node to the most
+    * frequent label among its NEIGHBORS (the node's own label does not
+    * vote), ties broken by smallest label. Fixed iteration count, no
+    * convergence test — the bounded-round fixed-point stance of
+    * [[pageRankFixed]].
+    *
+    * Scale shape: per round ONE (neighbor-keyed) join of the 2E
+    * directed edges against the N-row label frame, one map-side-
+    * combined (id, label) count, and one min_by argmax agg — all
+    * integer, order-independent. Edges persist across rounds; the label
+    * frame is a shallow linear chain (each round reads only its
+    * predecessor), so no per-round checkpoint is needed at small fixed
+    * `iters`; the result is eagerly materialized before the cache
+    * releases.
+    *
+    * Output: (id, label, community_size), one row per node. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val adj = edges.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(edges.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = adj.select(col("id")).distinct().withColumn("lbl", col("id"))
+      for (_ <- 1 to iters) {
+        labels = adj
+          .join(labels.select(col("id").as("nb"), col("lbl")), Seq("nb"))
+          .groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id"), col("lbl").as("label"), col("community_size"))
+        .localCheckpoint(true) // eager: N rows, valid after unpersist
+    } finally adj.unpersist(blocking = false)
+  }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of the
+    * endpoint degrees over all directed edge instances (each undirected
+    * edge counted in both directions) — ONE number saying whether
+    * high-degree nodes attach to other high-degree nodes (r > 0,
+    * "paraphrase cores link to each other") or to leaves (r < 0,
+    * hub-and-spoke). The standard graph-health summary next to
+    * [[triangleStats]]' local clustering.
+    *
+    * Determinism: degrees are integers, so all five sufficient sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs — the final correlation
+    * is one double expression over identical integers in both engines,
+    * rounded to 6dp per the house float stance. Scale shape: one degree
+    * agg + two N-row joins onto the edge list + one map-side-combined
+    * integer agg; nothing is node-quadratic. Symmetric by construction
+    * (both directions), so Σx = Σy and the formula collapses — kept in
+    * full so the code states the statistic, not a fixture identity.
+    *
+    * Output: single row (n_nodes, n_edges, assortativity). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    // the plan reads `edges` four ways (degree agg + two degree-join
+    // branches over both directions) — pin it so a derived edge list
+    // (kNN) computes once; the 1-row result is eagerly materialized
+    // before the cache releases
+    val e = edges.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+    val deg = degrees(e)
+    val dirDeg = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(e.select(col("id_b").as("u"), col("id_a").as("v")))
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), Seq("v"))
+    val s = dirDeg.agg(
+      count(lit(1)).as("m"),
+      sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+      sum(col("du") * col("dv")).as("sxy"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("dv") * col("dv")).as("syy"))
+    val m = col("m").cast(DoubleType)
+    val cov = col("sxy").cast(DoubleType) / m -
+      (col("sx").cast(DoubleType) / m) * (col("sy").cast(DoubleType) / m)
+    val vx = col("sxx").cast(DoubleType) / m -
+      (col("sx").cast(DoubleType) / m) * (col("sx").cast(DoubleType) / m)
+    val vy = col("syy").cast(DoubleType) / m -
+      (col("sy").cast(DoubleType) / m) * (col("sy").cast(DoubleType) / m)
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(broadcast(s)) // 1-row scalar attach
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        round(cov / sqrt(vx * vy), 6).as("assortativity"))
+      .localCheckpoint(true) // eager: 1 row, valid after unpersist
+    } finally e.unpersist(blocking = false)
+  }
+
   /** [[linkPrediction]]'s pure PLAN — no caching, no materialization:
     * the corpus-scale entry point. `edges` must be cheap to re-scan
     * (at rest in parquet, or caller-persisted): the plan reads it three

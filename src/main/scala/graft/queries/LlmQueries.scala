@@ -79,6 +79,21 @@ object LlmQueries {
          |    ON s.id = d.id)""".stripMargin
     }.mkString("\n")
 
+  /** The n20 oracle's iteration chain: `,lpK AS MATERIALIZED (…)` blocks
+    * replaying [[Graph.labelPropagation]]'s synchronous round (neighbor
+    * majority vote, ties to the smallest label). MATERIALIZED: each
+    * round references the previous one twice-removed through the
+    * argmax subquery — re-inlining would blow the chain up
+    * exponentially (the n15 lesson). */
+  private def lpaIterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s""",lp$k AS MATERIALIZED (SELECT id, lbl FROM (
+         |    SELECT a.id, l.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY COUNT(*) DESC, l.lbl) AS rk
+         |    FROM adjn a JOIN lp${k - 1} l ON l.id = a.nb
+         |    GROUP BY a.id, l.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString("\n")
+
   /** The MIPS fixture view: the parquet embeddings are unit-normalized
     * (cosine fixtures), which would make inner-product order ≡ cosine
     * order — so n10/n11 scale each vector by a deterministic
@@ -983,6 +998,65 @@ object LlmQueries {
              |  ROUND(aa, 6) AS adamic_adar
              |FROM cand JOIN degn du ON du.id = cand.u JOIN degn dv ON dv.id = cand.v
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Community detection over the mutual k-NN graph
+    // (Graph.labelPropagation): deterministic synchronous LPA — 4
+    // rounds of neighbor-majority relabeling, ties to the smallest
+    // label (classic LPA's random tie-break can never hash-compare).
+    // Communities are the paraphrase-group partitioner one level
+    // coarser than near-dup CCs. The oracle replays the identical
+    // rounds as unrolled MATERIALIZED argmax CTEs over the same
+    // replayed edge set; everything is integer, so the full per-node
+    // assignment hashes.
+    Q("n20_label_propagation",
+      (s, d) => Graph.labelPropagation(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5),
+        iters = 4)
+        .orderBy(col("id")),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |adjn AS MATERIALIZED (SELECT id_a AS id, id_b AS nb FROM edges
+             |  UNION ALL SELECT id_b, id_a FROM edges),
+             |lp0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM adjn)
+             |${lpaIterSql(iters = 4)}
+             |SELECT l.id, l.lbl AS label, sz.community_size
+             |FROM lp4 l JOIN (
+             |  SELECT lbl, COUNT(*) AS community_size FROM lp4 GROUP BY 1) sz
+             |  ON sz.lbl = l.lbl
+             |ORDER BY l.id""".stripMargin)),
+
+    // Degree assortativity of the mutual k-NN graph
+    // (Graph.assortativity): Newman's r — do well-connected documents
+    // link to each other (r > 0) or to leaves (r < 0)? One number, from
+    // five exact BIGINT sufficient sums over the directed edge list
+    // (degrees are integers, so the only float op is the final closed
+    // form over identical longs — bit-equal, rounded 6dp by stance).
+    Q("n21_assortativity",
+      (s, d) => Graph.assortativity(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5)),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |deg AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM (
+             |    SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
+             |  GROUP BY 1),
+             |dd AS (SELECT du.degree AS du, dv.degree AS dv
+             |  FROM (SELECT id_a AS u, id_b AS v FROM edges
+             |        UNION ALL SELECT id_b, id_a FROM edges) e
+             |  JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+             |st AS (SELECT COUNT(*) AS m,
+             |    CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+             |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             |    CAST(SUM(du * du) AS BIGINT) AS sxx,
+             |    CAST(SUM(dv * dv) AS BIGINT) AS syy
+             |  FROM dd)
+             |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             |  CAST(m / 2 AS BIGINT) AS n_edges,
+             |  ROUND((CAST(sxy AS DOUBLE) / m
+             |      - (CAST(sx AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))
+             |    / SQRT((CAST(sxx AS DOUBLE) / m
+             |        - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+             |      * (CAST(syy AS DOUBLE) / m
+             |        - (CAST(sy AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))), 6)
+             |    AS assortativity
+             |FROM st""".stripMargin)),
 
     // Per-dimension int8 affine-quantization profile (embedding-storage
     // engineering: 4× smaller vectors if the reconstruction error is
