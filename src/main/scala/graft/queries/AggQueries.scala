@@ -1034,6 +1034,63 @@ object AggQueries {
              |    THEN CAST(n_top - 1 AS DOUBLE) / ln_sum END, 6) AS alpha
              |FROM a""".stripMargin)),
 
+    // Spearman rank correlation with textbook AVERAGE tie ranks (the
+    // robust monotone-association twin of a13's Pearson — quantity is
+    // 50 discrete values, so ties dominate and the tie convention IS
+    // the statistic). Exactness trick: the average rank of a tied value
+    // is min_rank + (cnt−1)/2 — a HALF-integer — so both engines carry
+    // 2·avg_rank = 2·min_rank + cnt − 1 as exact BIGINTs (Spearman is
+    // affine-invariant, the doubling cancels), and the correlation is
+    // one closed-form double over five decimal-exact sums. Scale shape:
+    // per column one distributed prefix-sum rank (withGlobalRank — no
+    // global window) + a value-keyed min/count agg, mapped back by a
+    // value-keyed join; nothing single-partition.
+    Q("a28_spearman",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val li = T(s, d, "lineitem").select(
+          col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        def rank2(vc: String): DataFrame =
+          Relational.withGlobalRank(
+              li.select(col(vc), col("k1"), col("k2")),
+              Seq(col(vc), col("k1"), col("k2")), "__rk", "__n")
+            .groupBy(col(vc))
+            .agg((lit(2L) * min(col("__rk")) + count(lit(1)) - 1L).as(s"r$vc"))
+        val joined = li.join(rank2("x"), Seq("x")).join(rank2("y"), Seq("y"))
+        val dec = DecimalType(38, 0)
+        val st = joined.agg(
+          count(lit(1)).as("n"),
+          sum(col("rx").cast(dec)).cast(DoubleType).as("sx"),
+          sum(col("ry").cast(dec)).cast(DoubleType).as("sy"),
+          sum((col("rx") * col("ry")).cast(dec)).cast(DoubleType).as("sxy"),
+          sum((col("rx") * col("rx")).cast(dec)).cast(DoubleType).as("sxx"),
+          sum((col("ry") * col("ry")).cast(dec)).cast(DoubleType).as("syy"))
+        val m = col("n").cast(DoubleType)
+        st.select(col("n").as("n_rows"),
+          round((col("sxy") / m - (col("sx") / m) * (col("sy") / m)) /
+            sqrt((col("sxx") / m - (col("sx") / m) * (col("sx") / m)) *
+              (col("syy") / m - (col("sy") / m) * (col("sy") / m))), 6)
+            .as("spearman"))
+      },
+      Some("""WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |rx AS MATERIALIZED (SELECT x, 2 * MIN(rk) + COUNT(*) - 1 AS rx
+             |  FROM (SELECT x, RANK() OVER (ORDER BY x) AS rk FROM b) GROUP BY x),
+             |ry AS MATERIALIZED (SELECT y, 2 * MIN(rk) + COUNT(*) - 1 AS ry
+             |  FROM (SELECT y, RANK() OVER (ORDER BY y) AS rk FROM b) GROUP BY y),
+             |st AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM b JOIN rx USING (x) JOIN ry USING (y))
+             |SELECT n AS n_rows,
+             |  ROUND((sxy / n - (sx / n) * (sy / n))
+             |    / SQRT((sxx / n - (sx / n) * (sx / n))
+             |      * (syy / n - (sy / n) * (sy / n))), 6) AS spearman
+             |FROM st""".stripMargin)),
+
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless
     // (no compaction → exact observed-value quantiles, quantile_disc

@@ -1169,6 +1169,47 @@ object WindowQueries {
       Some("""SELECT event_type, COUNT(*) AS n,
              |CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
              |CAST(SUM(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-series EWMA (exponential smoothing, the classic trend filter):
+    // s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁, α = 0.25 (exact in binary, so
+    // both factors are representable). The fold is inherently SEQUENTIAL
+    // per series — the parallelism axis is series (users), so each
+    // user's events collect into one sorted array and fold via the
+    // codegen'd `aggregate` higher-order function: per-user state is
+    // O(events-per-user) (bounded, session-scale), the plan is ONE
+    // user-keyed shuffle, and no window or driver loop anywhere.
+    // Cross-engine: both engines run the IDENTICAL sequence of IEEE
+    // double ops (0.25·v + 0.75·s in order), so the result is bit-equal;
+    // the oracle replays the recurrence as a recursive CTE.
+    Q("t18_ewma",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        ev.groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .select(col("user_id"),
+            size(col("evs")).cast("long").as("n_events"),
+            round(aggregate(
+              expr("slice(evs, 2, size(evs) - 1)"),
+              element_at(col("evs"), 1).getField("value"),
+              (acc, e) => lit(0.25) * e.getField("value") + lit(0.75) * acc), 6)
+              .as("ewma"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT user_id, rn, value AS s FROM ev WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn, 0.25 * e.value + 0.75 * r.s
+             |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT m.user_id, m.n AS n_events, ROUND(r.s, 6) AS ewma
+             |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
+             |ORDER BY m.user_id""".stripMargin))
   )
 }
