@@ -102,6 +102,84 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** ATTRIBUTE-COMPRESSED SCD2 history from raw events: one interval row
+    * per attribute RUN (consecutive events with the same `attrCol`
+    * collapse), unlike [[scd2FromChangelog]] where every changelog row is
+    * a version. `(tsCol, idCol)` must order each key's events uniquely.
+    * Output: (key, attr, valid_from_ts, valid_from_id, valid_to_ts,
+    * valid_to_id), open interval = null valid_to.
+    *
+    * Scale shape: ONE key-keyed shuffle; the lag-filter and the lead
+    * over surviving change rows share the same partitioning (one
+    * exchange, two sorts), and a key's row count is its change count —
+    * bounded by ingest cadence, never corpus size. */
+  def scd2Compressed(events: DataFrame, key: String, tsCol: String,
+      idCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(idCol))
+    val changes = events.select(col(key), col(tsCol), col(idCol), col(attrCol))
+      .withColumn("__p", lag(col(attrCol), 1).over(w))
+      .where(col("__p").isNull || col("__p") =!= col(attrCol))
+    changes.select(col(key), col(attrCol).as("attr"),
+      col(tsCol).as("valid_from_ts"), col(idCol).as("valid_from_id"),
+      lead(col(tsCol), 1).over(w).as("valid_to_ts"),
+      lead(col(idCol), 1).over(w).as("valid_to_id"))
+  }
+
+  /** Incremental SCD2 maintenance: fold one append batch of raw events
+    * into an at-rest [[scd2Compressed]] dimension WITHOUT rescanning
+    * history — the u2/u4 stance applied to the dimension table itself.
+    * Contract: `scd2Fold(scd2Compressed(E₁), E₂) ≡ scd2Compressed(E₁∪E₂)`
+    * whenever every batch event sorts strictly after every at-rest event
+    * of the same key (append-only ingest — a time-cutoff split satisfies
+    * it). The fold:
+    * 1. compresses the batch internally ([[scd2Compressed]] on the batch
+    *    alone — O(batch)),
+    * 2. drops each key's FIRST batch change when it matches the key's
+    *    open at-rest attr (the run continues across the boundary),
+    * 3. closes affected open rows at the surviving chain's first change,
+    * 4. appends the surviving chain.
+    * Closed at-rest rows pass through UNTOUCHED — per cycle the work is
+    * O(batch + touched keys), never O(history); at real scale the
+    * touched-key joins are the only shuffles and both sides are
+    * batch-sized or key-bucketed. */
+  def scd2Fold(state: DataFrame, batch: DataFrame, key: String,
+      tsCol: String, idCol: String, attrCol: String): DataFrame = {
+    val cols = Seq(col(key), col("attr"),
+      col("valid_from_ts"), col("valid_from_id"),
+      col("valid_to_ts"), col("valid_to_id"))
+    val bc = scd2Compressed(batch, key, tsCol, idCol, attrCol)
+    val open = state.where(col("valid_to_ts").isNull)
+    val closed = state.where(col("valid_to_ts").isNotNull)
+    // first change per batch key: min over (ts, id, attr) struct — the
+    // unique (ts, id) prefix carries the attr along, aggregate not window
+    val first = bc.groupBy(col(key)).agg(
+      min(struct(col("valid_from_ts"), col("valid_from_id"), col("attr"))).as("f"))
+      .select(col(key), col("f.valid_from_ts").as("__f_ts"),
+        col("f.valid_from_id").as("__f_id"), col("f.attr").as("__f_attr"))
+    // keys whose open run continues across the boundary → their first
+    // batch change is not a change at all
+    val dropFirst = open.select(col(key), col("attr").as("__open_attr"))
+      .join(first, Seq(key))
+      .where(col("__open_attr") === col("__f_attr"))
+      .select(col(key), col("__f_ts"), col("__f_id"))
+    val chain = bc.join(dropFirst, bc(key) === dropFirst(key) &&
+        col("valid_from_ts") === col("__f_ts") &&
+        col("valid_from_id") === col("__f_id"), "left_anti")
+    // close open rows at the surviving chain's first change (none → the
+    // key's run is still open, valid_to stays null)
+    val chainFirst = chain.groupBy(col(key)).agg(
+      min(struct(col("valid_from_ts"), col("valid_from_id"))).as("cf"))
+      .select(col(key), col("cf.valid_from_ts").as("__n_ts"),
+        col("cf.valid_from_id").as("__n_id"))
+    val openUpd = open.drop("valid_to_ts", "valid_to_id")
+      .join(chainFirst, Seq(key), "left")
+      .withColumn("valid_to_ts", col("__n_ts"))
+      .withColumn("valid_to_id", col("__n_id"))
+    closed.select(cols: _*)
+      .unionByName(openUpd.select(cols: _*))
+      .unionByName(chain.select(cols: _*))
+  }
+
   /** CDC-style snapshot diff: classify every key across two corpus
     * versions as added / removed / changed / unchanged by comparing a
     * caller-supplied row fingerprint (md5 of the payload, a version
