@@ -36,8 +36,74 @@ object DevScale {
     if (want("gates12f")) gates12fSection(spark)
     if (want("gates12g")) gates12gSection(spark)
     if (want("gates12h")) gates12hSection(spark)
+    if (want("gates13a")) gates13aSection(spark)
+    if (want("gates13b")) gates13bSection(spark)
+    if (want("gates13c")) gates13cSection(spark)
+    if (want("gates13d")) gates13dSection(spark)
     spark.stop()
   }
+
+  /** Shared runner: time each declared query against the replicated
+    * g12b dir at ×1/×10/×100, one warm pass then one timed pass. */
+  private def gateQueries(spark: SparkSession, tag: String,
+      names: Seq[String], mults: Seq[Int] = Seq(1, 10, 100)): Unit = {
+    mults.foreach { mult =>
+      val dir = ensureG12bDir(spark, mult)
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        Bench.exec(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        Bench.exec(fn(spark, dir))
+        println(f"[$tag] x$mult%-4d $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+
+  /** Round-13a: similarity-graph community/assortativity ops whose
+    * ×100 behavior was unproven (VERDICT r12 #3). n20 LPA iterates a
+    * neighbor join + mode agg per round — cost should track edges per
+    * round (near-linear); n21 is five integer sums over the edge list
+    * (linear scan). Embeddings replicate as exact copies (vec_id
+    * offsets), so kNN candidate buckets densify — the harder shape. */
+  private def gates13aSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13a", Seq("n20_label_propagation", "n21_assortativity"))
+
+  /** Round-13b: the percentile-class rewrites (VERDICT r12 #1). All
+    * four previously buffered full columns in ≤5 built-in exact
+    * percentile/median aggregation buffers — the a21/h7 OOM class,
+    * heap-dead at ×100. Now all ride weightedQuantiles' histogram-
+    * compressed pass (a26/a7 on value histograms; dq3's MAD medians on
+    * near-distinct doubles — the worst case, where compression buys
+    * little and the per-group spillable window sort is the load-bearing
+    * difference; dq9 on per-key count histograms). Expect: finite,
+    * near-linear, no OOM. */
+  private def gates13bSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13b", Seq("a7_groupby_median", "a26_trimmed_stats",
+      "dq3_outlier_mad", "dq9_skew_profile"))
+
+  /** Round-13c: remaining ungated round-12 batch (VERDICT r12 #3).
+    * a28 — two distributed prefix-sum ranks + value-keyed joins (the
+    * most expensive ungated entry; expect near-linear, no OOM); t18 —
+    * one user-keyed shuffle, per-user sequential fold (users scale with
+    * data → linear); x49 — d1's fingerprint groupBy + slim semi-join
+    * (linear); dq14 — parquet-footer metadata only (flat). */
+  private def gates13cSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13c", Seq("a28_spearman", "t18_ewma",
+      "x49_dedup_savings", "dq14_schema_drift"))
+
+  /** Round-13d: incremental/maintenance ops (VERDICT r12 #3 + u5). u4 —
+    * per-batch delta⋈broadcast-dim; fact history scales ×100 but each
+    * fold touches only its batch (expect linear in TOTAL because the
+    * fixture folds thirds of the whole table — the per-batch claim is
+    * batch-size-bound, measured by the flat ingest12 tables); u5 — fold
+    * is O(batch + touched keys), but the materialized output unions the
+    * full closed history (scan-only pass-through, no shuffle) → expect
+    * linear scan cost, shuffles batch-sized; st16 — streaming replay,
+    * per-trigger state is k category rows (expect cost ~ replay volume);
+    * p16 — footer stats over a fixed file manifest (flat-ish). */
+  private def gates13dSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13d", Seq("u4_incremental_join", "u5_scd2_incremental",
+      "st16_stream_drift_monitor", "p16_rowgroup_pruning"))
 
   /** Round-12h: this session's new operators at ×1/×10/×100.
     * Link prediction on a bounded-degree graph (the mutual-kNN contract
@@ -281,6 +347,7 @@ object DevScale {
         (0 until mult).map { i =>
           lineBase.select(
             (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            col("l_linenumber"),
             col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
         }.reduce(_ unionByName _).repartition(32)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -304,6 +371,18 @@ object DevScale {
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
         spark.read.parquet(s"$sf/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    }
+    // l_linenumber added later (gates13 — a28 ranks on it) — backfill
+    // into dirs built before by rewriting ONLY the lineitem file
+    if (new java.io.File(s"$dir/lineitem.parquet").exists() &&
+        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_linenumber")) {
+      val rebuilt = (0 until mult).map { i =>
+        lineBase.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      }.reduce(_ unionByName _).repartition(32) // reads sf0.1, not the target
+      rebuilt.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
     // embeddings added later (gates12d) — backfill into dirs built before
     if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {

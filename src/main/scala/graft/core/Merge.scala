@@ -196,12 +196,18 @@ object Merge {
     * ingest layout and the shuffle disappears entirely. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
       fpCol: String): DataFrame =
-    prev.select(col(keyCol).as("k"), col(fpCol).as("fp_prev"))
-      .join(cur.select(col(keyCol).as("k"), col(fpCol).as("fp_cur")),
-        Seq("k"), "full_outer")
+    // presence is carried by EXPLICIT per-side flags, never inferred from
+    // fingerprint nullness: a key present in both snapshots with a NULL
+    // fingerprint (md5 of a null payload) must classify by the null-safe
+    // <=> compare (null <=> null → unchanged), not masquerade as added/
+    // removed
+    prev.select(col(keyCol).as("k"), col(fpCol).as("fp_prev"),
+        lit(true).as("in_prev"))
+      .join(cur.select(col(keyCol).as("k"), col(fpCol).as("fp_cur"),
+        lit(true).as("in_cur")), Seq("k"), "full_outer")
       .select(col("k").as(keyCol),
-        when(col("fp_prev").isNull, lit("added"))
-          .when(col("fp_cur").isNull, lit("removed"))
-          .when(col("fp_prev") === col("fp_cur"), lit("unchanged"))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(col("fp_prev") <=> col("fp_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("change_type"))
 }

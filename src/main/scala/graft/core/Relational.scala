@@ -74,8 +74,21 @@ object Relational {
     * sorted+mid frame is therefore materialized ONCE via eager
     * `localCheckpoint` — both branches read the same partitions, with
     * lineage truncated so a recompute (which would re-sample boundaries)
-    * can never happen. Cost: one extra in-memory/disk copy of the slim
-    * rank input, freed on driver GC. */
+    * can never happen.
+    *
+    * COST + ROBUSTNESS CONTRACT: the checkpoint copies the FULL input
+    * frame, payload columns included — a slim-only copy is impossible in
+    * general, because joining payload back afterwards needs a row key
+    * that is stable across recomputes, and minting one
+    * (monotonically_increasing_id on the input) is itself unstable under
+    * shuffle-fetch reordering unless the full frame is materialized
+    * first. So: CALLERS PASS SLIM FRAMES (order cols + whatever the rank
+    * feeds; every committed caller does) and join wide payload back on
+    * their own key. localCheckpoint also truncates lineage: on a real
+    * cluster, losing an executor holding checkpoint blocks fails the job
+    * (no recompute path) — the price of deterministic ranks; use cluster
+    * `checkpoint()` to reliable storage if that tradeoff is wrong for a
+    * deployment. */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
       totalCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -355,7 +368,8 @@ object Relational {
     val slim = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"),
         col(weightCol).cast("long").as("__w"))
-      .where(col("__w") > 0)
+      // null values are excluded, matching percentile/median/QUANTILE_CONT
+      .where(col("__v").isNotNull && col("__w") > 0)
       // HISTOGRAM-COMPRESS first: collapsing to (group, DISTINCT value,
       // Σw) is a fully-parallel map-side-combined aggregate, so the
       // per-group window below — whose parallelism is the group count —

@@ -143,17 +143,25 @@ object Validation {
       k: Double = 3.0, minMad: Double = 1e-9): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
-    // Column-based median (no SQL-string interpolation — a column name
-    // needing backticks would break expr parsing) and collision-safe
-    // internal aliases: the joined frames add __med/__mad, never med/mad,
-    // so an input table that already has those columns stays unambiguous.
-    // group-count-sized frames each feed two consumers: materialize once
-    // so the base scans exactly 3× (the algorithm's floor — MAD needs med)
-    val meds = df.groupBy(g).agg(median(v).cast("double").as("__med"))
+    // Both exact medians ride Relational.weightedQuantiles' histogram-
+    // compressed pass (p=0.5, w=1 ≡ built-in `median`'s quantile_cont,
+    // nulls skipped identically) — built-in exact median with few groups
+    // buffers the whole column per group, the a21/h7/a26 OOM class.
+    // Collision-safe internal aliases: the joined frames add __med/__mad,
+    // never med/mad, so an input table that already has those columns
+    // stays unambiguous. Group-count-sized frames each feed two
+    // consumers: materialize once so the base scans exactly 3× (the
+    // algorithm's floor — MAD needs med).
+    val meds = Relational.weightedQuantiles(
+        df.select(g, v.as("__rv"), lit(1L).as("__rw")),
+        groupCol, "__rv", "__rw", Seq(0.5))
+      .select(col(groupCol), col("q_0_5").as("__med"))
       .localCheckpoint()
     val withMed = df.join(broadcast(meds), Seq(groupCol))
-    val mads = withMed.groupBy(g)
-      .agg(median(abs(v - col("__med"))).cast("double").as("__mad"))
+    val mads = Relational.weightedQuantiles(
+        withMed.select(g, abs(v - col("__med")).as("__rv"), lit(1L).as("__rw")),
+        groupCol, "__rv", "__rw", Seq(0.5))
+      .select(col(groupCol), col("q_0_5").as("__mad"))
       .localCheckpoint()
     withMed.join(broadcast(mads), Seq(groupCol))
       .groupBy(g)
@@ -305,22 +313,35 @@ object Validation {
     * skew mitigation (salting, AQE skew-join, broadcast) — per-key row
     * counts summarized to the numbers that drive the decision: how many
     * keys, how big the biggest key is absolutely and as a share of the
-    * table, and the p50/p90/p99 key sizes (exact percentiles over the
+    * table, and the p50/p90/p99 key sizes (exact quantile_cont over the
     * key-count distribution). `skew_ratio` = max key size / mean key
     * size — ≈1 means uniform, ≫1 means one reducer will eat the key.
     *
-    * Two aggregates: one shuffle keyed on the key itself (the same
-    * exchange the real join would do), then a one-row summary. */
+    * The quantiles ride [[Relational.weightedQuantiles]]' histogram-
+    * compressed pass (value = a key's row count, w = 1 → compressed to
+    * (distinct count value, #keys) — tiny even at billions of keys,
+    * since counts repeat), NOT built-in exact `percentile`, whose single
+    * global buffer over the per-key count frame is the a21/h7/a26 OOM
+    * class at billion-key scale. One key-keyed shuffle for the counts
+    * (the same exchange the real join would do; recomputed once by each
+    * consumer — two scans beat persisting a billion-key frame), then
+    * one-row summaries joined by cross of two 1-row frames. */
   def skewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewProfile: at least one key column")
-    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val q = Relational.weightedQuantiles(
+        counts.select(lit(0).as("__qg"), col("__n"), lit(1L).as("__w")),
+        "__qg", "__n", "__w", Seq(0.5, 0.9, 0.99))
+      .select(
+        round(col("q_0_5"), 6).as("p50_key_rows"),
+        round(col("q_0_9"), 6).as("p90_key_rows"),
+        round(col("q_0_99"), 6).as("p99_key_rows"))
+    counts
       .agg(
         sum(col("__n")).as("n_rows"),
         count(lit(1)).as("n_keys"),
-        max(col("__n")).as("max_key_rows"),
-        round(percentile(col("__n"), lit(0.5)), 6).as("p50_key_rows"),
-        round(percentile(col("__n"), lit(0.9)), 6).as("p90_key_rows"),
-        round(percentile(col("__n"), lit(0.99)), 6).as("p99_key_rows"))
+        max(col("__n")).as("max_key_rows"))
+      .crossJoin(broadcast(q))
       .select(
         lit(keyCols.mkString(",")).as("key"),
         col("n_rows"), col("n_keys"), col("max_key_rows"),
@@ -412,10 +433,17 @@ object Validation {
     * value at α=0.05, drifted). Requires exactly two groups. */
   def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
       tieBreak: Column): DataFrame = {
-    val slim = df.select(col(groupCol).as("__g"),
+    // group labels are compared as strings (cast in the slim projection,
+    // not getString on collect — a non-string group column must not CCE)
+    // and nulls are rejected loudly: a null group would silently claim
+    // half the CDF mass of whichever side it hashed into
+    val slim = df.select(col(groupCol).cast("string").as("__g"),
       col(valueCol).cast("double").as("__v"), tieBreak.as("__t"))
-    val groups = slim.select(col("__g")).distinct().limit(3).collect()
-      .map(_.getString(0)).sorted
+    val rawGroups = slim.select(col("__g")).distinct().limit(4).collect()
+      .map(r => Option(r.getString(0)))
+    require(rawGroups.forall(_.isDefined),
+      s"ksTwoSample: null values in group column '$groupCol' — filter or impute them first")
+    val groups = rawGroups.flatten.sorted
     require(groups.length == 2,
       s"ksTwoSample needs exactly two groups, got ${groups.mkString(", ")}")
     val Array(ga, gb) = groups

@@ -145,10 +145,19 @@ object Sinks {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val entries = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+    // this sizes TOP-LEVEL files only; a hive-partitioned table (data in
+    // key=value subdirs) would size to 0 and silently collapse every
+    // partition into one file — refuse it and point at the documented
+    // per-partition pattern instead of doing the wrong thing quietly
+    require(!entries.exists(_.isDirectory),
+      s"compactParquet: $inDir contains subdirectories (partitioned table?) — " +
+        "compact per-partition with dynamic overwrite (p12's pattern) instead")
+    val files = entries.filter(_.isFile)
     val before = files.length
     val total = files.map(_.getLen).sum
+    require(before > 0 && total > 0,
+      s"compactParquet: no sizable data files under $inDir (files=$before, bytes=$total)")
     val after = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(after)
       .write.mode("overwrite").parquet(outDir)

@@ -203,6 +203,16 @@ object Similarity {
     require(refs.length <= maxRefs,
       s"maxSimVsSet: reference set exceeds $maxRefs rows — this kernel is " +
         "for small eval/benchmark sets; use the LSH/IVF paths for corpus-vs-corpus")
+    // loud-failure stance (matching the other kernels): an empty
+    // reference set or a zero-norm vector on either side would otherwise
+    // silently emit ref_id=-1 / max_cos=-Inf or a 0/0 NaN cosine that
+    // poisons every downstream sum and threshold flag
+    require(refs.nonEmpty,
+      "maxSimVsSet: empty reference set — nothing to decontaminate against")
+    refs.foreach { case (rid, rv) =>
+      require(Dedup.dotArr(rv, rv) > 0.0,
+        s"maxSimVsSet: zero-norm reference vector id=$rid — cosine undefined")
+    }
     val sorted = refs.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(sorted)
     corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -211,6 +221,8 @@ object Similarity {
         val rs = bc.value
         it.map { case (id, v) =>
           val naa = Dedup.dotArr(v, v)
+          require(naa > 0.0,
+            s"maxSimVsSet: zero-norm corpus vector id=$id — cosine undefined")
           var best = Double.NegativeInfinity
           var bestId = -1L
           var i = 0

@@ -104,16 +104,31 @@ object AggQueries {
               |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
               |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The exact median rides Relational.weightedQuantiles' histogram-
+    // compressed pass (p=0.5, w=1 — quantile_cont semantics, identical
+    // to built-in `median`), NOT the built-in exact median/percentile:
+    // with 5 priority groups, the built-in buffers the whole price
+    // column in 5 aggregation buffers — the a21/h7/a26 OOM class
+    // (PlanSpec's percentile-class guard now rejects that shape).
     Q("a7_groupby_median",
-      (s, d) => T(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          countDistinct(col("o_custkey")).as("n_cust"),
-          avgExact(col("o_totalprice")).as("avg_price"),
-          round(median(col("o_totalprice")), 4).as("med_price"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"))
-        .orderBy(col("o_orderpriority")),
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val med = graft.core.Relational.weightedQuantiles(
+            o.select(col("o_orderpriority"),
+              col("o_totalprice").cast("double").as("v"), lit(1L).as("w")),
+            "o_orderpriority", "v", "w", Seq(0.5))
+          .select(col("o_orderpriority"), round(col("q_0_5"), 4).as("med_price"))
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            avgExact(col("o_totalprice")).as("avg_price"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .join(broadcast(med), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n_cust"), col("avg_price"),
+            col("med_price"), col("min_price"), col("max_price"))
+          .orderBy(col("o_orderpriority"))
+      },
       Some(s"""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
               |${avgExactSql("o_totalprice")} AS avg_price,
               |ROUND(MEDIAN(o_totalprice), 4) AS med_price,
@@ -166,6 +181,16 @@ object AggQueries {
               |${sumExactSql("COALESCE(NULLIF(l_tax, 0.0), mean_tax)")} AS sum_imputed
               |FROM lineitem, m""".stripMargin)),
 
+    // SCALE CAVEAT (the decileQcut caveat, same class): built-in exact
+    // `percentile` buffers every value in ONE global aggregation buffer —
+    // O(rows) driver-of-OOM state, the shape DevScale gates12b measured
+    // heap-dead at 60M rows / few groups (fixed in a21/h7/a26/dq9 via
+    // Relational.weightedQuantiles' histogram-compressed pass). a12 is
+    // the DELIBERATE exact-parity pin for cross-engine interpolated-
+    // percentile semantics on a bounded table; its approx twins h3/h4
+    // (approx_percentile / KLL) are the 100 TB path. Keep it pinned;
+    // never copy this shape onto an unbounded column (PlanSpec's
+    // percentile-class guard now fails any new query that does).
     Q("a12_quantile",
       (s, d) => T(s, d, "orders").agg(
         round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
@@ -953,8 +978,12 @@ object AggQueries {
     // a6's plain means, feeding threshold decisions that a handful of
     // corrupt prices must not move): 10% two-sided TRIMMED mean (drop
     // values outside [p10, p90]) and WINSORIZED mean (clamp to the same
-    // band). One grouped exact-percentile pass produces the per-group
-    // thresholds (a12's cross-engine interpolated-percentile parity), a
+    // band). The per-group thresholds come from the HISTOGRAM-COMPRESSED
+    // distributed quantile pass (Relational.weightedQuantiles, w=1 — the
+    // same quantile_cont interpolation as a12, but O(distinct values)
+    // state instead of buffering every price in G=3 aggregation buffers:
+    // built-in exact `percentile` with few groups is the a21/h7 OOM
+    // class, measured heap-dead at ×100 in DevScale gates12b). A
     // broadcast of the G-row threshold frame puts them back on the scan,
     // and both means ride the exact-decimal path. Membership (v in
     // [lo, hi]) is safe against last-bit threshold drift: an interpolated
@@ -964,9 +993,9 @@ object AggQueries {
       (s, d) => {
         val v = T(s, d, "lineitem")
           .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
-        val th = v.groupBy(col("g")).agg(
-          percentile(col("v"), lit(0.1)).as("lo"),
-          percentile(col("v"), lit(0.9)).as("hi"))
+        val th = graft.core.Relational.weightedQuantiles(
+            v.withColumn("w", lit(1L)), "g", "v", "w", Seq(0.1, 0.9))
+          .select(col("g"), col("q_0_1").as("lo"), col("q_0_9").as("hi"))
         val kept = col("v") >= col("lo") && col("v") <= col("hi")
         v.join(broadcast(th), Seq("g"))
           .groupBy(col("g"))

@@ -719,6 +719,15 @@ object RelationalQueries {
     // never re-joins the accumulated fact history — then appends.
     // The oracle is the full recompute: maintained ≡ recomputed is
     // exactly the invariant incremental pipelines must hold.
+    //
+    // BROADCAST BOUND: the `broadcast(cust)` hint is a CHOICE for this
+    // fixture's dimension (customer ≪ executor memory), not part of the
+    // fold's contract. With a dimension too big to broadcast (a 100 TB
+    // entity table), drop the hint — the identical fold runs as a
+    // key-keyed sort-merge join of delta against dimension, and if both
+    // sides are bucketed on the key (j14's layout machinery) even that
+    // exchange disappears. IncrementalJoinSpec proves the non-broadcast
+    // path: same results, SortMergeJoin in the plan.
     Q("u4_incremental_join",
       (s, d) => {
         val orders = T(s, d, "orders")
@@ -793,6 +802,62 @@ object RelationalQueries {
              |SELECT change_type, COUNT(*) AS n,
              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
              |FROM df GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental SCD2 maintenance (Merge.scd2Fold — the dimension-table
+    // member of the incremental triad: u2 aggregates, u3 classifies, u4
+    // joins, u5 maintains the SLOWLY-CHANGING DIMENSION itself): at-rest
+    // compressed history is built from events before a time cutoff,
+    // persisted to parquet (the real at-rest shape, like u2's state),
+    // then ONE fold absorbs the post-cutoff batch without rescanning
+    // history — O(batch + touched keys) work. The oracle recomputes
+    // scd2Compressed over ALL events in SQL: fold ≡ recompute is the
+    // contract (Scd2FoldSpec pins the row-level boundary cases — run
+    // continuation across the split, multi-change batches, new keys).
+    // Interval timestamps are pinned via modular sums (epoch_us sums
+    // overflow int64 under ANSI; residues mod 1e9+7 pin the multiset).
+    Q("u5_scd2_incremental",
+      (s, d) => {
+        val cutoff = 1705881600000000L // 2024-01-22T00:00:00Z in epoch µs
+        val ev = graft.core.Tables.readEvents(s, d).select(
+          col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        val stateDir = scratch(s, "u5_state").toString
+        graft.core.Merge.scd2Compressed(ev.where(col("tsu") < cutoff),
+            "user_id", "tsu", "event_id", "event_type")
+          .write.mode("overwrite").parquet(stateDir)
+        val folded = graft.core.Merge.scd2Fold(s.read.parquet(stateDir),
+          ev.where(col("tsu") >= cutoff),
+          "user_id", "tsu", "event_id", "event_type")
+        val M = lit(1000000007L)
+        folded.groupBy(col("attr")).agg(
+            count(lit(1)).as("n_intervals"),
+            countDistinct(col("user_id")).as("n_keys"),
+            sumLong(pmod(col("valid_from_ts"), M)).as("from_us_sum"),
+            sumLong(col("valid_from_id")).as("from_id_sum"),
+            count(col("valid_to_ts")).as("n_closed"),
+            sumLong(coalesce(pmod(col("valid_to_ts"), M), lit(0L))).as("to_us_sum"),
+            sumLong(coalesce(col("valid_to_id"), lit(0L))).as("to_id_sum"))
+          .orderBy(col("attr"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+             |m AS (SELECT *, LAG(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY tsu, event_id) AS p FROM e),
+             |c AS (SELECT user_id, event_type, tsu, event_id FROM m
+             |  WHERE p IS NULL OR p <> event_type),
+             |f AS (SELECT user_id, event_type AS attr,
+             |    tsu AS vf_ts, event_id AS vf_id,
+             |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS vt_ts,
+             |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS vt_id
+             |  FROM c)
+             |SELECT attr, COUNT(*) AS n_intervals,
+             |  COUNT(DISTINCT user_id) AS n_keys,
+             |  CAST(SUM(vf_ts % 1000000007) AS BIGINT) AS from_us_sum,
+             |  CAST(SUM(vf_id) AS BIGINT) AS from_id_sum,
+             |  COUNT(vt_ts) AS n_closed,
+             |  CAST(COALESCE(SUM(vt_ts % 1000000007), 0) AS BIGINT) AS to_us_sum,
+             |  CAST(COALESCE(SUM(vt_id), 0) AS BIGINT) AS to_id_sum
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Chi-square categorical drift gate (Validation.chiSquareDrift —
     // completes the drift family: dq2 PSI bins numerics, dq11 KS walks

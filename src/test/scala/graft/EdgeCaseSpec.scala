@@ -243,6 +243,74 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.toSeq === (1L to 1000L))
   }
 
+  test("ksTwoSample: non-string group columns cast cleanly; null groups rejected loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // integer group labels must not ClassCastException (cast in the slim
+    // projection, not getString on collect)
+    val ints = (1 to 40).flatMap(i =>
+      Seq((0, i.toDouble, i.toLong * 2), (1, i.toDouble, i.toLong * 2 + 1)))
+      .toDF("g", "v", "t")
+    val r = graft.core.Validation.ksTwoSample(ints, "g", "v", col("t")).head
+    assert(r.getAs[Double]("ks_stat") <= 1.0 / 40 + 1e-12)
+    // a null group label is a data bug, not a third group — loud error
+    val withNull = Seq((Option("a"), 1.0, 1L), (Option.empty[String], 2.0, 2L),
+      (Option("b"), 3.0, 3L)).toDF("g", "v", "t")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Validation.ksTwoSample(withNull, "g", "v", col("t"))
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("snapshotDiff classifies by key PRESENCE, null-safe on null fingerprints") {
+    import spark.implicits._
+    // key 2 exists in BOTH snapshots with a null fingerprint (md5 of a
+    // null payload) — presence flags must say 'unchanged' (null <=> null),
+    // never 'added'/'removed'; key 3 goes value → null = 'changed'
+    val prev = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option("y")))
+      .toDF("k", "fp")
+    val cur = Seq((2L, Option.empty[String]), (3L, Option.empty[String]), (4L, Option("z")))
+      .toDF("k", "fp")
+    val diff = graft.core.Merge.snapshotDiff(prev, cur, "k", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("maxSimVsSet: empty ref set and zero-norm vectors fail loudly, not NaN/-Inf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.maxSimVsSet(one, "vec_id", "embedding",
+        one.where(lit(false)), "vec_id", "embedding")
+    }
+    val zref = Seq((7L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.maxSimVsSet(one, "vec_id", "embedding",
+        zref, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("zero-norm"))
+    // zero-norm CORPUS vector surfaces from inside the job (wrapped)
+    val e2 = intercept[Exception] {
+      graft.llm.Similarity.maxSimVsSet(zref, "vec_id", "embedding",
+        one, "vec_id", "embedding").collect()
+    }
+    assert(e2.getMessage.contains("zero-norm") ||
+      Option(e2.getCause).exists(_.getMessage.contains("zero-norm")))
+  }
+
+  test("compactParquet refuses a hive-partitioned dir instead of collapsing it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_compact13").toString
+    (1L to 10L).toDF("id").withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(s"$d/part")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Sinks.compactParquet(spark, s"$d/part", s"$d/out", 1024L * 1024)
+    }
+    assert(e.getMessage.contains("per-partition"))
+  }
+
   test("jlTopK/maxSimVsSet argument guards and empty-corpus behavior") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

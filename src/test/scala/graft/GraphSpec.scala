@@ -95,6 +95,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation is partitioning-invariant (deterministic min-label tie-break)") {
+    // n20's oracle replay only works because LPA's tie-break is the
+    // deterministic min-label-among-modal-neighbors — a random or
+    // arrival-order tie-break would give different communities per
+    // partitioning. Pin it the way n16's integer PR is pinned.
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(df, iters = 3).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"),
+          r.getAs[Long]("community_size"))).sortBy(_._1).toSeq
+    val base = run(knnEdges)
+    Seq(1, 3, 32).foreach { p =>
+      assert(run(knnEdges.repartition(p)) === base, s"partitions=$p")
+    }
+  }
+
   test("pageRankFixed star graph: hub outranks leaves; misuse rejected") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
     val pr = Graph.pageRankFixed(star, iters = 5).collect()
