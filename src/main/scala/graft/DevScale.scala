@@ -40,7 +40,78 @@ object DevScale {
     if (want("gates13b")) gates13bSection(spark)
     if (want("gates13c")) gates13cSection(spark)
     if (want("gates13d")) gates13dSection(spark)
+    if (want("gates13e")) gates13eSection(spark)
     spark.stop()
+  }
+
+  /** Round-13e: the round's NEW operators at ×1/×10/×100. a29 collapses
+    * onto domain-bounded contingency cells (expect ~scan cost, flat
+    * structure); h9's counters are 3×1024×shards rows (same); n22 PPR
+    * has n16's exact per-iteration shape (src-keyed edge join +
+    * map-side-combined sum) on the synthetic graphs (the declared query
+    * rides the require-capped brute kNN builder, like n16/n20); n23's
+    * peel rounds shrink the edge list monotonically — hub graph
+    * included because peeling k=3 deletes most of a hub-star in round
+    * one (the favorable case) while the bounded graph keeps ~all edges
+    * (the worst case: 4 full-size rounds). */
+  private def gates13eSection(spark: SparkSession): Unit = {
+    import graft.llm.Graph
+    gateQueries(spark, "g13e", Seq("a29_kendall", "h9_cms_at_rest"))
+    Seq(1, 10, 100).foreach { mult =>
+      def time(label: String)(body: => Unit): Unit = {
+        body // warm
+        val t0 = System.nanoTime()
+        body
+        println(f"[g13e] x$mult%-4d $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val bounded = spark.read.parquet(ensureBoundedGraph(spark, mult))
+      val hubby = spark.read.parquet(ensureHubGraph(spark, mult))
+      val seeds = bounded.select(col("id_a").as("id"))
+        .where(pmod(col("id"), lit(17)) === 0).distinct()
+      time("ppr_bounded") { Bench.exec(Graph.personalizedPageRank(bounded, seeds, iters = 5)) }
+      time("kcore_bounded") { Bench.exec(Graph.kCorePeel(bounded, k = 3, rounds = 4)) }
+      time("kcore_hub") { Bench.exec(Graph.kCorePeel(hubby, k = 3, rounds = 4)) }
+    }
+  }
+
+  /** Bounded-degree synthetic graph (~5 out-edges per node, no hubs —
+    * the mutual-kNN contract shape), 100k·mult nodes. Idempotent. */
+  private def ensureBoundedGraph(spark: SparkSession, mult: Int): String = {
+    val n = 100000L * mult
+    val path = s"/tmp/graft_scale_g12h_x$mult/edges.parquet"
+    if (!new java.io.File(path).exists()) {
+      spark.range(n).toDF("src")
+        .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+        .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("id_a"),
+          greatest(col("src"), col("dst")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Hub-skewed synthetic graph (gates12f's recipe: 100 hubs of degree
+    * ~n/100 plus the bounded background), 100k·mult nodes. Idempotent. */
+  private def ensureHubGraph(spark: SparkSession, mult: Int): String = {
+    val n = 100000L * mult
+    val path = s"/tmp/graft_scale_g12f_x$mult/edges.parquet"
+    if (!new java.io.File(path).exists()) {
+      spark.range(n).toDF("src")
+        .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+        .select(col("src"),
+          when(col("j") === 1, pmod(xxhash64(col("src"), lit("hub")), lit(100L)))
+            .otherwise(pmod(xxhash64(col("src"), col("j")), lit(n))).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("id_a"),
+          greatest(col("src"), col("dst")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
   }
 
   /** Shared runner: time each declared query against the replicated
@@ -60,13 +131,33 @@ object DevScale {
   }
 
   /** Round-13a: similarity-graph community/assortativity ops whose
-    * ×100 behavior was unproven (VERDICT r12 #3). n20 LPA iterates a
-    * neighbor join + mode agg per round — cost should track edges per
-    * round (near-linear); n21 is five integer sums over the edge list
-    * (linear scan). Embeddings replicate as exact copies (vec_id
-    * offsets), so kNN candidate buckets densify — the harder shape. */
-  private def gates13aSection(spark: SparkSession): Unit =
-    gateQueries(spark, "g13a", Seq("n20_label_propagation", "n21_assortativity"))
+    * ×100 behavior was unproven (VERDICT r12 #3). The declared queries
+    * build edges via knnGraphEdges, a require-capped brute kernel (10k
+    * vectors — exactly its documented contract), so the scale gate runs
+    * the OPERATORS directly on gates12h's synthetic edge lists: the
+    * bounded-degree graph (the mutual-kNN contract shape) AND the
+    * hub-skewed one (100 hubs of degree ~n/100 — LPA's worst case: the
+    * per-round neighbor join fans a hub's label to all its neighbors,
+    * but rows stay (id, lbl)-keyed so no single reducer eats a hub).
+    * n20 — 4 rounds of neighbor join + mode agg (expect near-linear in
+    * edges); n21 — five integer sums over the edge list (linear). */
+  private def gates13aSection(spark: SparkSession): Unit = {
+    import graft.llm.Graph
+    Seq(1, 10, 100).foreach { mult =>
+      def time(label: String)(body: => Unit): Unit = {
+        body // warm
+        val t0 = System.nanoTime()
+        body
+        println(f"[g13a] x$mult%-4d $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val bounded = spark.read.parquet(ensureBoundedGraph(spark, mult))
+      val hubby = spark.read.parquet(ensureHubGraph(spark, mult))
+      time("lpa_bounded") { Bench.exec(Graph.labelPropagation(bounded, iters = 4)) }
+      time("lpa_hub") { Bench.exec(Graph.labelPropagation(hubby, iters = 4)) }
+      time("assortativity_bounded") { Bench.exec(Graph.assortativity(bounded)) }
+      time("assortativity_hub") { Bench.exec(Graph.assortativity(hubby)) }
+    }
+  }
 
   /** Round-13b: the percentile-class rewrites (VERDICT r12 #1). All
     * four previously buffered full columns in ≤5 built-in exact
@@ -124,39 +215,9 @@ object DevScale {
         body
         println(f"[g12h] x$mult%-4d $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
-      // bounded-degree graph: 5 out-edges per node, no hub row
-      val n = 100000L * mult
-      val bdir = s"/tmp/graft_scale_g12h_x$mult"
-      if (!new java.io.File(s"$bdir/edges.parquet").exists()) {
-        spark.range(n).toDF("src")
-          .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
-          .select(col("src"), pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"))
-          .where(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("id_a"),
-            greatest(col("src"), col("dst")).as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$bdir/edges.parquet")
-      }
-      val bounded = spark.read.parquet(s"$bdir/edges.parquet")
+      val bounded = spark.read.parquet(ensureBoundedGraph(spark, mult))
       time("linkpred_bounded") { Bench.exec(Graph.linkPredictionPlan(bounded)) }
-      // hub-skewed graph: gates12f's recipe (100 hubs of degree ~n/100),
-      // built here too so the section runs standalone
-      val hdir = s"/tmp/graft_scale_g12f_x$mult"
-      if (!new java.io.File(s"$hdir/edges.parquet").exists()) {
-        spark.range(n).toDF("src")
-          .select(col("src"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
-          .select(col("src"),
-            when(col("j") === 1, pmod(xxhash64(col("src"), lit("hub")), lit(100L)))
-              .otherwise(pmod(xxhash64(col("src"), col("j")), lit(n))).as("dst"))
-          .where(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("id_a"),
-            greatest(col("src"), col("dst")).as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$hdir/edges.parquet")
-      }
-      val hubby = spark.read.parquet(s"$hdir/edges.parquet")
+      val hubby = spark.read.parquet(ensureHubGraph(spark, mult))
       time("linkpred_hub_cap") {
         Bench.exec(Graph.linkPredictionPlan(hubby, maxHubDegree = Some(64L)))
       }

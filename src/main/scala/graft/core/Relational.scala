@@ -118,6 +118,48 @@ object Relational {
       .drop("__mid", "__pid", "__pid2", "__lrk", "__off")
   }
 
+  /** DISTRIBUTED global running total: `cumCol` = Σ weight over all rows
+    * at-or-before this row in the global `order` — the weighted
+    * generalization of [[withGlobalRank]] (rank = cumsum of weight 1),
+    * built on the same machinery: one range exchange + per-partition
+    * sorted window (O(1) state, parallel across partitions) + a
+    * broadcast of per-partition prefix offsets. No single-partition
+    * stage anywhere. The same branch-consistency rule applies, so the
+    * sorted frame is eagerly checkpointed once (full-frame copy — pass
+    * SLIM frames, see withGlobalRank's contract note).
+    *
+    * Primary use: cumulative counts over VALUE HISTOGRAMS (CDFs, exact
+    * tie-aware ranks à la a28 — group to (value, count) first, then
+    * cumsum the counts; the checkpoint then holds distinct values, not
+    * rows). Ties in `order` get order-dependent intermediate cumsums —
+    * include a unique tie-break, or pre-aggregate so ties cannot exist
+    * (the histogram pattern does exactly that). */
+  def withGlobalCumSum(df: DataFrame, order: Seq[Column], weight: Column,
+      cumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val withMid = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val wOff = Window.partitionBy(lit(0)).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withMid
+      .select(shiftright(col("__mid"), 33).cast("int").as("__pid"), col("__w"))
+      .groupBy("__pid").agg(sum(col("__w")).as("__pw"))
+      .withColumn("__off", coalesce(sum("__pw").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val wLoc = Window.partitionBy(col("__pid2")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMid
+      .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lc", sum(col("__w")).over(wLoc))
+      .join(broadcast(offsets), col("__pid2") === col("__pid"))
+      .withColumn(cumCol, col("__lc") + col("__off"))
+      .drop("__w", "__mid", "__pid", "__pid2", "__lc")
+  }
+
   /** W4 (exact): decile bucketing with NTILE tie semantics over a global
     * order, computed from the distributed [[withGlobalRank]] — no
     * single-partition window. NTILE(n) closed form: with N rows, the first

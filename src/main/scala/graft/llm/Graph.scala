@@ -144,6 +144,136 @@ object Graph {
     }
   }
 
+  /** k-CORE PEEL (fixed rounds): iteratively remove nodes of degree < k
+    * together with their edges — after enough rounds the survivors are
+    * the k-core, the densely-interlinked CORE of the similarity graph
+    * (paraphrase/boilerplate nuclei), while peeled nodes are the
+    * periphery (docs with only incidental similarity). The
+    * core/periphery verdict drives opposite curation actions: cores
+    * get aggressive dedup, periphery gets kept for diversity.
+    *
+    * Runs a FIXED `rounds` of peeling rather than to convergence so the
+    * result is a deterministic closed form both engines replay exactly
+    * (a data-dependent fixpoint would need an unbounded oracle); on
+    * k-NN-sized degrees 3–4 rounds are empirically at or near the
+    * fixpoint, and `in_core`/`core_degree` are exact for whatever
+    * `rounds` says.
+    *
+    * Each round is one map-side-combined degree count + two key-keyed
+    * semi-joins, with the surviving edge list MATERIALIZED eagerly per
+    * round (columnar persist + count, previous generation released — at
+    * most two generations resident, compressed and disk-spillable).
+    * Eager per round is load-bearing twice over: (1) three lazily-
+    * stacked consumers per round would recompute the base 3^rounds
+    * times; (2) even WITH lazy caching, a round's degree-exchange and
+    * two semi-join probe-exchange stages are independent siblings that
+    * the scheduler runs concurrently, racing to compute the uncached
+    * parent generation (measured 49 s vs 12 s at sf0.01 over a brute-
+    * kNN input). The first cut held eager ROW-based localCheckpoints of
+    * all generations instead and died of java-heap OOM at ×100/24M
+    * edges (gates13e) — the peel is fully deterministic (no range
+    * exchange, no id minting), so spillable cache-for-cost is correct
+    * and checkpoint-for-consistency was never needed.
+    *
+    * COST NOTE: rounds dominate wall-clock as fixed per-round stage/
+    * codegen overhead on small graphs (~1.5–3 s/round regardless of
+    * size) — unlike pageRankFixed's single-consumer lazy chain, the
+    * peel cannot fuse rounds into one job. Pick the smallest `rounds`
+    * the analysis needs; n23 declares 2.
+    *
+    * Output: one row per ORIGINAL node — (id, degree, core_degree,
+    * in_core), core_degree = surviving degree after the last peel. */
+  def kCorePeel(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10,
+      s"need k >= 1 and rounds in [1, 10], got k=$k rounds=$rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val orig = edges.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      orig.count() // one cache fill — every consumer below reads it
+      var e = orig
+      for (_ <- 1 to rounds) {
+        val keep = degrees(e).where(col("deg") >= k).select(col("id"))
+        val next = e
+          .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent generation
+        if (e ne orig) e.unpersist(blocking = false)
+        e = next
+      }
+      val res = degrees(orig).withColumnRenamed("deg", "degree")
+        .join(degrees(e).withColumnRenamed("deg", "core_degree"), Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+          col("core_degree").isNotNull.as("in_core"))
+        .localCheckpoint(true) // eager: N node rows, valid after unpersist
+      if (e ne orig) e.unpersist(blocking = false)
+      res
+    } finally orig.unpersist(blocking = false)
+  }
+
+  /** PERSONALIZED PageRank (random walk with restart to a SEED SET) —
+    * the seed-expansion primitive of curated-data pipelines: given a
+    * small trusted set (hand-picked quality docs, a benchmark's topic
+    * exemplars), rank every document by proximity in the similarity
+    * graph and harvest the high-PPR non-seeds as expansion candidates.
+    * Identical integer fixed-point arithmetic to [[pageRankFixed]]
+    * (10^-12 units, `div` truncation, order-independent sums → bit-
+    * exact and oracle-replayable); the only change is WHERE the 15%
+    * restart mass lands — uniformly on the seeds instead of all nodes:
+    *
+    *   ppr' = [is_seed] · (15·PrScale/100) div |S| + (85 · Σ in) div 100
+    *
+    * Seeds not present in the graph are ignored (they have no edges to
+    * walk); requires at least one seed to survive the intersection.
+    * Scale shape: same as pageRankFixed — per iteration one src-keyed
+    * edge join + one map-side-combined sum; the seed flag rides the
+    * persisted node frame, never a broadcast of the seed list (the
+    * seed set may itself be large).
+    *
+    * Output: (id, degree, is_seed, ppr_fp, ppr) per node. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val dirE = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirE.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .join(seeds.select(col("id")).distinct().withColumn("__seed", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ns = nodes.where(col("is_seed")).count()
+      require(ns > 0, "personalizedPageRank: no seed id is a node of the graph")
+      val init = PrScale / ns
+      val base = (PrScale * 15L / 100L) / ns
+      var ppr = nodes.select(col("id"), col("degree"), col("is_seed"),
+        when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("ppr_fp"))
+      for (_ <- 1 to iters) {
+        val contrib = dirE
+          .join(ppr.select(col("id").as("src"), col("degree"), col("ppr_fp")),
+            Seq("src"))
+          .select(col("dst").as("id"), expr("ppr_fp div degree").as("c"))
+        val inSum = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+        ppr = nodes.join(inSum, Seq("id"), "left")
+          .select(col("id"), col("degree"), col("is_seed"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+              expr("coalesce(s, 0L) * 85 div 100")).as("ppr_fp"))
+      }
+      ppr.select(col("id"), col("degree"), col("is_seed"), col("ppr_fp"),
+        round(col("ppr_fp").cast("double") / PrScale, 9).as("ppr"))
+        .localCheckpoint(true) // eager: N rows, valid after unpersist
+    } finally {
+      nodes.unpersist(blocking = false)
+      dirE.unpersist(blocking = false)
+    }
+  }
+
   /** Link-prediction scores for NON-adjacent node pairs sharing at least
     * one common neighbor — the "which documents are probably near-dups
     * the kNN cutoff missed" / "which edges should the similarity graph

@@ -742,6 +742,76 @@ object AggQueries {
              |  AND a.event_type < b.event_type
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // COUNT-MIN SKETCH AT REST with EXPLICIT universal hashes (h5's
+    // datasketches CMS pins a coarse eps window; this one is built from
+    // first principles — h_i(x) = ((a_i·x + b_i) mod p) mod w with
+    // literal constants — so the DuckDB oracle replays the EXACT
+    // estimates, not just their error bound). The at-rest pattern: one
+    // pass builds per-(shard, depth, bucket) counters (3×1024 bounded
+    // rows per shard — CMS merge is elementwise ADD, so the shard
+    // roll-up is a plain keyed sum and any later batch folds in the
+    // same way, never rescanning history); point frequency estimates
+    // for a probe set are then served from the ≤3k-row counter table:
+    // est(u) = min over depths of counter[d][h_d(u)], with the CMS
+    // guarantee est ≥ exact pinned per probe. Everything is integer.
+    Q("h9_cms_at_rest",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val P = 2147483647L // 2^31 − 1 (Mersenne prime)
+        val W = 1024
+        val params = Seq((1103515245L, 12345L), (1234567891L, 54321L),
+          (987654321L, 192837465L))
+        def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long)
+            : org.apache.spark.sql.Column =
+          pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(W))
+        val ev = T(s, d, "events").select(col("user_id"))
+        val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_${s.sparkContext.applicationId}", "h9_counters").toString
+        ev.select(col("user_id"), posexplode(array(
+            params.map { case (a, b) => bucket(col("user_id"), a, b) }: _*))
+            .as(Seq("depth", "bucket")))
+          .withColumn("shard", pmod(col("user_id"), lit(8)))
+          .groupBy(col("shard"), col("depth"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(out)
+        val counters = s.read.parquet(out)
+          .groupBy(col("depth"), col("bucket")).agg(sum(col("c")).as("c"))
+        val probes = (1L to 10L).toDF("u")
+        val est = probes.select(col("u"), posexplode(array(
+            params.map { case (a, b) => bucket(col("u"), a, b) }: _*))
+            .as(Seq("depth", "bucket")))
+          .join(counters, Seq("depth", "bucket"), "left")
+          .groupBy(col("u")).agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+        val exact = ev.where(col("user_id").between(1, 10))
+          .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("n_exact"))
+        probes.join(est, Seq("u")).join(exact, Seq("u"), "left")
+          .select(col("u").as("user_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("cms_est"),
+            (col("cms_est") >= coalesce(col("n_exact"), lit(0L)))
+              .as("overcount_nonneg"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH par AS (SELECT * FROM (VALUES
+             |    (0, 1103515245, 12345), (1, 1234567891, 54321),
+             |    (2, 987654321, 192837465)) AS t(d, a, b)),
+             |counters AS (SELECT d,
+             |    ((a * user_id + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
+             |  FROM events, par GROUP BY 1, 2),
+             |probes AS (SELECT UNNEST(range(1, 11)) AS u),
+             |est AS (SELECT p.u, MIN(COALESCE(c.c, 0)) AS cms_est
+             |  FROM probes p CROSS JOIN par
+             |  LEFT JOIN counters c ON c.d = par.d
+             |    AND c.bucket = ((par.a * p.u + par.b) % 2147483647) % 1024
+             |  GROUP BY 1),
+             |exact AS (SELECT user_id AS u, COUNT(*) AS n
+             |  FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+             |SELECT p.u AS user_id, COALESCE(x.n, 0) AS n_exact,
+             |  CAST(e.cms_est AS BIGINT) AS cms_est,
+             |  e.cms_est >= COALESCE(x.n, 0) AS overcount_nonneg
+             |FROM probes p JOIN est e ON e.u = p.u LEFT JOIN exact x ON x.u = p.u
+             |ORDER BY 1""".stripMargin)),
+
     // MERGEABLE quantile sketches AT REST (KLL): per-(flag, shard)
     // sketches of the price column persisted once, then per-flag medians
     // served by kll_merge_agg over the sketch rows — the rollup-quantile
@@ -1071,21 +1141,33 @@ object AggQueries {
     // 2·avg_rank = 2·min_rank + cnt − 1 as exact BIGINTs (Spearman is
     // affine-invariant, the doubling cancels), and the correlation is
     // one closed-form double over five decimal-exact sums. Scale shape:
-    // per column one distributed prefix-sum rank (withGlobalRank — no
-    // global window) + a value-keyed min/count agg, mapped back by a
+    // per column one map-side-combined histogram + one distributed
+    // weighted prefix-sum over DISTINCT VALUES (withGlobalCumSum — no
+    // global window, no row-scale materialization), mapped back by a
     // value-keyed join; nothing single-partition.
     Q("a28_spearman",
       (s, d) => {
         import org.apache.spark.sql.types.{DecimalType, DoubleType}
         val li = T(s, d, "lineitem").select(
-          col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        // Doubled average tie rank STRAIGHT FROM THE VALUE HISTOGRAM:
+        // min_rank(v) = (rows with smaller value) + 1 = cum(v) − cnt(v) + 1
+        // (cum = inclusive running count over distinct values), so
+        // 2·avg = 2·min + cnt − 1 = 2·cum − cnt + 1 — tie order never
+        // matters, so NO row-scale rank pass is needed. The original
+        // shape (two withGlobalRank passes over all rows, each eagerly
+        // checkpointing a 4-column row-scale frame) exhausted executor
+        // memory at ×100 (gates13c: AGGREGATE_OUT_OF_MEMORY with both
+        // 60M-row checkpoints resident); this one checkpoints only the
+        // distinct-value histograms (≤ |price grid| rows) inside
+        // withGlobalCumSum and is the same histogram-compression move
+        // as weightedQuantiles.
         def rank2(vc: String): DataFrame =
-          Relational.withGlobalRank(
-              li.select(col(vc), col("k1"), col("k2")),
-              Seq(col(vc), col("k1"), col("k2")), "__rk", "__n")
-            .groupBy(col(vc))
-            .agg((lit(2L) * min(col("__rk")) + count(lit(1)) - 1L).as(s"r$vc"))
+          Relational.withGlobalCumSum(
+              li.groupBy(col(vc)).agg(count(lit(1)).as("__cnt")),
+              Seq(col(vc)), col("__cnt"), "__cum")
+            .select(col(vc),
+              (lit(2L) * col("__cum") - col("__cnt") + 1L).as(s"r$vc"))
         val joined = li.join(rank2("x"), Seq("x")).join(rank2("y"), Seq("y"))
         val dec = DecimalType(38, 0)
         val st = joined.agg(
@@ -1119,6 +1201,70 @@ object AggQueries {
              |    / SQRT((sxx / n - (sx / n) * (sx / n))
              |      * (syy / n - (sy / n) * (sy / n))), 6) AS spearman
              |FROM st""".stripMargin)),
+
+    // Kendall tau-b (the third leg of the correlation family: a13
+    // Pearson, a28 Spearman, a29 Kendall — concordance-based, the most
+    // tie-robust of the three) between two DISCRETE columns. The key
+    // scale move: with bounded domains (quantity 1–50 × linenumber
+    // 1–7), every pairwise statistic collapses onto the CONTINGENCY
+    // CELL table — one map-side-combined groupBy to ≤350 cells, then
+    // concordant/discordant pair mass from a broadcast cell self-join
+    // (≤350² pairs — a nested-loop join over an AGGREGATED frame is
+    // fine; the guard against BNLJ is for row-scale inputs). Counts
+    // multiply as DECIMAL(38,0) (cell products overflow int64 at
+    // trillion-row scale); tau-b's denominator uses
+    // n(n−1) − Σ t(t−1) kept exact in decimal, halved in double
+    // (÷2 is exact in IEEE), so both engines compute identical doubles.
+    Q("a29_kendall",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(18, 0)
+        val cells = T(s, d, "lineitem")
+          .groupBy(col("l_quantity").cast("long").as("x"),
+            col("l_linenumber").cast("long").as("y"))
+          .agg(count(lit(1)).as("cn"))
+        val prod = col("n1").cast(dec) * col("n2").cast(dec)
+        val cd = cells.select(col("x").as("x1"), col("y").as("y1"), col("cn").as("n1"))
+          .join(broadcast(cells.select(
+            col("x").as("x2"), col("y").as("y2"), col("cn").as("n2"))),
+            col("x2") > col("x1"))
+          .agg(
+            sum(when(col("y2") > col("y1"), prod).otherwise(lit(0).cast(dec))).as("c"),
+            sum(when(col("y2") < col("y1"), prod).otherwise(lit(0).cast(dec))).as("dd"))
+        def tieSum(k: String) = cells.groupBy(col(k)).agg(sum(col("cn")).as("t"))
+          .agg(sum(col("t").cast(dec) * (col("t") - 1).cast(dec)).as(s"s$k"))
+        val tot = cells.agg(sum(col("cn")).as("n"), count(lit(1)).as("n_cells"))
+        val nn = col("n").cast(dec) * (col("n") - 1).cast(dec)
+        tot.crossJoin(broadcast(cd))
+          .crossJoin(broadcast(tieSum("x"))).crossJoin(broadcast(tieSum("y")))
+          .select(col("n"), col("n_cells"),
+            col("c").cast("long").as("concordant"),
+            col("dd").cast("long").as("discordant"),
+            round((col("c") - col("dd")).cast("double") /
+              (sqrt((nn - col("sx")).cast("double") / 2) *
+                sqrt((nn - col("sy")).cast("double") / 2)), 6).as("tau_b"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(l_linenumber AS BIGINT) AS y, COUNT(*) AS cn
+             |  FROM lineitem GROUP BY 1, 2),
+             |cd AS (SELECT
+             |    COALESCE(SUM(CASE WHEN b.y > a.y THEN a.cn * b.cn END), 0) AS c,
+             |    COALESCE(SUM(CASE WHEN b.y < a.y THEN a.cn * b.cn END), 0) AS d
+             |  FROM cells a JOIN cells b ON b.x > a.x),
+             |sx AS (SELECT SUM(t * (t - 1)) AS sx
+             |  FROM (SELECT SUM(cn) AS t FROM cells GROUP BY x)),
+             |sy AS (SELECT SUM(t * (t - 1)) AS sy
+             |  FROM (SELECT SUM(cn) AS t FROM cells GROUP BY y)),
+             |tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS n, COUNT(*) AS n_cells
+             |  FROM cells)
+             |SELECT n, n_cells,
+             |  CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+             |  ROUND(CAST(c - d AS DOUBLE)
+             |    / (SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) - sx AS DOUBLE) / 2)
+             |      * SQRT(CAST(CAST(n AS HUGEINT) * (n - 1) - sy AS DOUBLE) / 2)), 6)
+             |    AS tau_b
+             |FROM tot, cd, sx, sy""".stripMargin)),
 
     // GROUPED quantile sketch: percentile_approx per group at an accuracy
     // far above the per-group distinct count keeps the GK sketch lossless

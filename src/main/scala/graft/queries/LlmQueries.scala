@@ -68,6 +68,33 @@ object LlmQueries {
 
   /** The n16 oracle's iteration chain: `,itK AS (…)` blocks replaying
     * [[Graph.pageRankFixed]]'s fixed-point step with DuckDB's `//`. */
+  /** The n22 oracle's iteration chain: `,pitK AS (…)` blocks replaying
+    * [[Graph.personalizedPageRank]]'s fixed-point step — identical to
+    * [[pageRankIterSql]] except the restart mass lands only on seeds. */
+  private def pprIterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s""",pit$k AS (SELECT d.id, d.degree, d.is_seed,
+         |    CAST(CASE WHEN d.is_seed
+         |        THEN 150000000000 // (SELECT ns FROM sp) ELSE 0 END
+         |      + CAST(COALESCE(s.s, 0) AS BIGINT) * 85 // 100 AS BIGINT) AS ppr_fp
+         |  FROM nds d LEFT JOIN (
+         |    SELECT dir.dst AS id, SUM(i.ppr_fp // i.degree) AS s
+         |    FROM dir JOIN pit${k - 1} i ON i.id = dir.src GROUP BY 1) s
+         |    ON s.id = d.id)""".stripMargin
+    }.mkString("\n")
+
+  /** The n23 oracle's peel chain: per round, degrees over the surviving
+    * edge list, then edges keep only endpoints with deg ≥ k. */
+  private def kCorePeelSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s""",kd$r AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT id_a AS id FROM ke${r - 1} UNION ALL SELECT id_b FROM ke${r - 1})
+         |  GROUP BY 1),
+         |ke$r AS MATERIALIZED (SELECT id_a, id_b FROM ke${r - 1}
+         |  WHERE id_a IN (SELECT id FROM kd$r WHERE deg >= $k)
+         |    AND id_b IN (SELECT id FROM kd$r WHERE deg >= $k))""".stripMargin
+    }.mkString("\n")
+
   private def pageRankIterSql(iters: Int): String =
     (1 to iters).map { k =>
       s""",it$k AS (SELECT d.id, d.degree,
@@ -1057,6 +1084,67 @@ object LlmQueries {
              |        - (CAST(sy AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))), 6)
              |    AS assortativity
              |FROM st""".stripMargin)),
+
+    // Seed expansion via personalized PageRank
+    // (Graph.personalizedPageRank): random walk with restart to a seed
+    // set (vec_id ≡ 0 mod 17 — the "hand-curated trusted docs") over
+    // the mutual k-NN graph; high-PPR non-seeds are the expansion
+    // candidates a curation pipeline harvests. Same 10^-12 integer
+    // fixed-point as n16 (bit-exact, order-independent), so the oracle
+    // replays the 5 iterations with restart mass only on seeds and the
+    // raw ppr_fp longs hash-compare.
+    Q("n22_seed_expansion",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Graph.personalizedPageRank(
+            Similarity.knnGraphEdges(emb, "vec_id", "embedding", k = 5),
+            emb.select(col("vec_id").as("id"))
+              .where(pmod(col("id"), lit(17)) === 0),
+            iters = 5)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |dir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
+             |  UNION ALL SELECT id_b, id_a FROM edges),
+             |nds AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree,
+             |    src % 17 = 0 AS is_seed FROM dir GROUP BY src),
+             |sp AS MATERIALIZED (SELECT COUNT(*) AS ns FROM nds WHERE is_seed),
+             |pit0 AS (SELECT id, degree, is_seed,
+             |    CAST(CASE WHEN is_seed
+             |      THEN 1000000000000 // (SELECT ns FROM sp) ELSE 0 END AS BIGINT)
+             |    AS ppr_fp FROM nds)
+             |${pprIterSql(iters = 5)}
+             |SELECT id, degree, is_seed, ppr_fp,
+             |  ROUND(CAST(ppr_fp AS DOUBLE) / 1000000000000, 9) AS ppr
+             |FROM pit5 ORDER BY id""".stripMargin)),
+
+    // Core/periphery split of the similarity graph (Graph.kCorePeel):
+    // 2 rounds of 3-core peeling — survivors are the densely-
+    // interlinked paraphrase/boilerplate nuclei (aggressive-dedup
+    // targets), peeled nodes the diversity-preserving periphery. Fixed
+    // rounds (not a data-dependent fixpoint) keep the result a closed
+    // form; the oracle replays the identical peels as unrolled CTEs and
+    // the full per-node (degree, core_degree, in_core) profile hashes.
+    // 2 rounds here (each round is a fixed-cost materialization — see
+    // kCorePeel's cost note); gates13e runs the 4-round variant ×100.
+    Q("n23_kcore",
+      (s, d) => Graph.kCorePeel(
+        Similarity.knnGraphEdges(T(s, d, "embeddings"), "vec_id", "embedding", k = 5),
+        k = 3, rounds = 2)
+        .orderBy(col("id")),
+      Some(s"""WITH ${knnEdgesCtes(5)},
+             |ke0 AS MATERIALIZED (SELECT id_a, id_b FROM edges)
+             |${kCorePeelSql(k = 3, rounds = 2)},
+             |od AS (SELECT id, COUNT(*) AS degree FROM (
+             |    SELECT id_a AS id FROM ke0 UNION ALL SELECT id_b FROM ke0)
+             |  GROUP BY 1),
+             |fd AS (SELECT id, COUNT(*) AS core_degree FROM (
+             |    SELECT id_a AS id FROM ke2 UNION ALL SELECT id_b FROM ke2)
+             |  GROUP BY 1)
+             |SELECT od.id, od.degree,
+             |  CAST(COALESCE(fd.core_degree, 0) AS BIGINT) AS core_degree,
+             |  fd.id IS NOT NULL AS in_core
+             |FROM od LEFT JOIN fd ON fd.id = od.id ORDER BY od.id""".stripMargin)),
 
     // Per-dimension int8 affine-quantization profile (embedding-storage
     // engineering: 4× smaller vectors if the reconstruction error is

@@ -85,6 +85,38 @@ class CoreSpec extends SparkSpec {
     assert(Relational.unseenValues(l, r, "k").collect().map(_.getString(0)).toSeq === Seq("a", "c"))
   }
 
+  test("withGlobalCumSum equals the driver prefix sum at any partition count") {
+    import spark.implicits._
+    // unique order values (the documented contract: pre-aggregate so
+    // ties cannot exist), deterministic pseudo-random weights
+    val rows = (1 to 500).map(i => (((i * 37) % 499) * 1000 + i, (i % 7 + 1).toLong))
+    val truth = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (v, w)) => (v.toLong, acc + w) }
+      .drop(1).toMap
+    for (p <- Seq(1, 3, 8)) {
+      val df = rows.toDF("v", "w").repartition(p)
+      val got = graft.core.Relational
+        .withGlobalCumSum(df, Seq(col("v")), col("w"), "cum")
+        .collect().map(r => r.getAs[Int]("v").toLong -> r.getAs[Long]("cum")).toMap
+      assert(got === truth, s"partitions=$p")
+    }
+  }
+
+  test("withGlobalCumSum on a histogram reproduces the doubled average tie rank (a28 identity)") {
+    import spark.implicits._
+    val vals = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5).map(_.toDouble)
+    val hist = vals.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val got = graft.core.Relational
+      .withGlobalCumSum(hist, Seq(col("v")), col("cnt"), "cum")
+      .select(col("v"), (lit(2L) * col("cum") - col("cnt") + 1L).as("r2"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // driver truth: 2 * average rank (ranks 1..n over the sorted multiset)
+    val sorted = vals.sorted.zipWithIndex.map { case (v, i) => (v, i + 1) }
+    val truth = sorted.groupBy(_._1).map { case (v, rs) =>
+      v -> (2 * rs.map(_._2).sum / rs.size).toLong }
+    assert(got === truth)
+  }
+
   test("nullProfile preserves null vs value distinction") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, null), (2.0, null), (3.0, 1.0))

@@ -95,6 +95,97 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Driver replication of personalizedPageRank's integer fixed point. */
+  private def naivePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val dir = edges ++ edges.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    val s = deg.keySet.intersect(seeds)
+    val ns = s.size.toLong
+    val base = (Graph.PrScale * 15L / 100L) / ns
+    var pr = deg.map { case (k, _) =>
+      k -> (if (s(k)) Graph.PrScale / ns else 0L) }
+    for (_ <- 1 to iters) {
+      val in = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = deg.map { case (k, _) =>
+        k -> ((if (s(k)) base else 0L) + in.getOrElse(k, 0L) * 85L / 100L) }
+    }
+    pr
+  }
+
+  test("personalizedPageRank is bit-exact vs the driver replication; seeds pull rank") {
+    val edges = knnEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val seedSet = edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(_ % 17 == 0).toSet
+    val seedsDf = seedSet.toSeq.toDF("id")
+    val got = Graph.personalizedPageRank(knnEdges, seedsDf, iters = 5).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ppr_fp"), r.getAs[Boolean]("is_seed"))).toMap
+    val truth = naivePpr(edges, seedSet, iters = 5)
+    assert(got.view.mapValues(_._1).toMap === truth)
+    assert(got.filter(_._2._2).keySet === seedSet)
+    // restart mass stays near the seed set: mean seed ppr > mean non-seed
+    val (sv, nv) = got.values.partition(_._2)
+    assert(sv.map(_._1).sum / sv.size > nv.map(_._1).sum / nv.size)
+  }
+
+  test("personalizedPageRank star graph: seed leaf outranks other leaves; no-seed rejected") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val ppr = Graph.personalizedPageRank(star, Seq(2L).toDF("id"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ppr_fp")).toMap
+    assert(ppr(2L) > ppr(3L)) // the seed keeps its restart mass
+    assert(ppr(3L) === ppr(4L)) // symmetric non-seed leaves tie exactly
+    assert(ppr(1L) > ppr(3L)) // the hub drains the seed's walk
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(star, Seq(99L).toDF("id"), iters = 3)
+    }
+  }
+
+  test("personalizedPageRank is partitioning-invariant (integer sums commute)") {
+    // seed on ids known to be graph nodes (mutual-kNN may drop vec_ids)
+    val seeds = knnEdges.select(col("id_a").as("id")).distinct()
+      .orderBy(col("id")).limit(3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.personalizedPageRank(df, seeds, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("ppr_fp"))).sortBy(_._1).toSeq
+    val base = run(knnEdges)
+    Seq(1, 7).foreach { p =>
+      assert(run(knnEdges.repartition(p)) === base, s"partitions=$p")
+    }
+  }
+
+  /** Driver replication of kCorePeel's fixed-round peel. */
+  private def naiveKCore(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, (Long, Long, Boolean)] = {
+    def degs(es: Seq[(Long, Long)]): Map[Long, Long] =
+      (es ++ es.map(_.swap)).groupBy(_._1).map { case (n, vs) => n -> vs.size.toLong }
+    val orig = degs(edges)
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val d = degs(e)
+      e = e.filter { case (a, b) => d(a) >= k && d(b) >= k }
+    }
+    val fd = degs(e)
+    orig.map { case (n, d0) => n -> (d0, fd.getOrElse(n, 0L), fd.contains(n)) }
+  }
+
+  test("kCorePeel: triangle survives the 2-core, the tail peels; naive parity on the kNN graph") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.kCorePeel(g, k = 2, rounds = 3).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("degree"),
+        x.getAs[Long]("core_degree"), x.getAs[Boolean]("in_core"))).toMap
+    assert(r(4L) === ((1L, 0L, false)))
+    assert(r(3L) === ((3L, 2L, true))) // loses the tail edge, keeps the triangle
+    assert(r(1L) === ((2L, 2L, true)))
+    assert(r(2L) === ((2L, 2L, true)))
+    val edges = knnEdges.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val got = Graph.kCorePeel(knnEdges, k = 3, rounds = 4).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("degree"),
+        x.getAs[Long]("core_degree"), x.getAs[Boolean]("in_core"))).toMap
+    assert(got === naiveKCore(edges, k = 3, rounds = 4))
+  }
+
   test("labelPropagation is partitioning-invariant (deterministic min-label tie-break)") {
     // n20's oracle replay only works because LPA's tie-break is the
     // deterministic min-label-among-modal-neighbors — a random or
