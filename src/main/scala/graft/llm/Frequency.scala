@@ -26,6 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** Count-Min sketch with EXPLICIT universal hashes — shared by the
+    * at-rest build (h9) and the streaming maintenance twin (st17) so
+    * stream ≡ batch is an identity of the SAME arithmetic, and by the
+    * DuckDB oracles, which replay `((a·x + b) mod p) mod w` exactly.
+    * Counters are (depth, bucket) → count rows; merge = keyed SUM
+    * (elementwise add — any batch/shard/stream decomposition folds to
+    * the identical table). Estimate = min over depths. */
+  object Cms {
+    val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+    val W: Int = 1024
+    val Params: Seq[(Long, Long)] =
+      Seq((1103515245L, 12345L), (1234567891L, 54321L), (987654321L, 192837465L))
+
+    def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long)
+        : org.apache.spark.sql.Column =
+      pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(W))
+
+    /** (depth, bucket) per input row of `keyCol` — group + count to get
+      * partial counters; sum partials to merge. */
+    def expand(df: DataFrame, keyCol: String): DataFrame =
+      df.select(col(keyCol), posexplode(array(
+          Params.map { case (a, b) => bucket(col(keyCol), a, b) }: _*))
+        .as(Seq("depth", "bucket")))
+
+    /** Serve min-over-depths point estimates for `probes`(u) from a
+      * merged `counters`(depth, bucket, c) table. */
+    def estimates(probes: DataFrame, counters: DataFrame): DataFrame =
+      probes.select(col("u"), posexplode(array(
+          Params.map { case (a, b) => bucket(col("u"), a, b) }: _*))
+          .as(Seq("depth", "bucket")))
+        .join(counters, Seq("depth", "bucket"), "left")
+        .groupBy(col("u")).agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
   /** Classic Misra–Gries: k counters over a token stream. Total work is
     * O(n): each decrement-all sweep cancels k prior increments. */
   private[graft] def misraGries(it: Iterator[String], k: Int): mutable.HashMap[String, Long] = {

@@ -757,19 +757,11 @@ object AggQueries {
     Q("h9_cms_at_rest",
       (s, d) => {
         val s2 = s; import s2.implicits._
-        val P = 2147483647L // 2^31 − 1 (Mersenne prime)
-        val W = 1024
-        val params = Seq((1103515245L, 12345L), (1234567891L, 54321L),
-          (987654321L, 192837465L))
-        def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long)
-            : org.apache.spark.sql.Column =
-          pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(W))
+        val Cms = graft.llm.Frequency.Cms
         val ev = T(s, d, "events").select(col("user_id"))
         val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_${s.sparkContext.applicationId}", "h9_counters").toString
-        ev.select(col("user_id"), posexplode(array(
-            params.map { case (a, b) => bucket(col("user_id"), a, b) }: _*))
-            .as(Seq("depth", "bucket")))
+        Cms.expand(ev, "user_id")
           .withColumn("shard", pmod(col("user_id"), lit(8)))
           .groupBy(col("shard"), col("depth"), col("bucket"))
           .agg(count(lit(1)).as("c"))
@@ -777,11 +769,7 @@ object AggQueries {
         val counters = s.read.parquet(out)
           .groupBy(col("depth"), col("bucket")).agg(sum(col("c")).as("c"))
         val probes = (1L to 10L).toDF("u")
-        val est = probes.select(col("u"), posexplode(array(
-            params.map { case (a, b) => bucket(col("u"), a, b) }: _*))
-            .as(Seq("depth", "bucket")))
-          .join(counters, Seq("depth", "bucket"), "left")
-          .groupBy(col("u")).agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+        val est = Cms.estimates(probes, counters)
         val exact = ev.where(col("user_id").between(1, 10))
           .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("n_exact"))
         probes.join(est, Seq("u")).join(exact, Seq("u"), "left")

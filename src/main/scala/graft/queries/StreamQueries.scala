@@ -440,5 +440,49 @@ object StreamQueries {
               |  ${countIfSql("c >= 5")} AS n_scored,
               |  ${countIfSql("ABS(z) > 3.0")} AS n_anomalies,
               |  ROUND(MAX(ABS(z)), 6) AS max_abs_z
-              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming Count-Min maintenance (EventStream.runCmsMvOnce — h9's
+    // streaming twin, st16's MV pattern applied to a sketch): per
+    // micro-batch the (depth, bucket) partial counters fold into the
+    // at-rest table by one keyed sum; CMS merge is elementwise add, so
+    // the folded state ≡ a one-shot batch build regardless of batch
+    // boundaries, and the probe serve produces EXACTLY h9's numbers —
+    // the oracle is h9's SQL verbatim.
+    Q("st17_stream_cms_mv",
+      (s, d) => {
+        val s2 = s; import s2.implicits._
+        val counters = EventStream.runCmsMvOnce(s, s"$d/events.parquet")
+        val probes = (1L to 10L).toDF("u")
+        val est = graft.llm.Frequency.Cms.estimates(probes, counters)
+        val exact = graft.core.Tables.readEvents(s, d)
+          .where(col("user_id").between(1, 10))
+          .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("n_exact"))
+        probes.join(est, Seq("u")).join(exact, Seq("u"), "left")
+          .select(col("u").as("user_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("cms_est"),
+            (col("cms_est") >= coalesce(col("n_exact"), lit(0L)))
+              .as("overcount_nonneg"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH par AS (SELECT * FROM (VALUES
+             |    (0, 1103515245, 12345), (1, 1234567891, 54321),
+             |    (2, 987654321, 192837465)) AS t(d, a, b)),
+             |counters AS (SELECT d,
+             |    ((a * user_id + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
+             |  FROM events, par GROUP BY 1, 2),
+             |probes AS (SELECT UNNEST(range(1, 11)) AS u),
+             |est AS (SELECT p.u, MIN(COALESCE(c.c, 0)) AS cms_est
+             |  FROM probes p CROSS JOIN par
+             |  LEFT JOIN counters c ON c.d = par.d
+             |    AND c.bucket = ((par.a * p.u + par.b) % 2147483647) % 1024
+             |  GROUP BY 1),
+             |exact AS (SELECT user_id AS u, COUNT(*) AS n
+             |  FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+             |SELECT p.u AS user_id, COALESCE(x.n, 0) AS n_exact,
+             |  CAST(e.cms_est AS BIGINT) AS cms_est,
+             |  e.cms_est >= COALESCE(x.n, 0) AS overcount_nonneg
+             |FROM probes p JOIN est e ON e.u = p.u LEFT JOIN exact x ON x.u = p.u
+             |ORDER BY 1""".stripMargin)))
 }

@@ -528,6 +528,60 @@ object EventStream {
     state
   }
 
+  /** Streaming COUNT-MIN MAINTENANCE (st17 — h9's streaming twin, and
+    * st16's pattern applied to a sketch): per micro-batch, build the
+    * batch's (depth, bucket) partial counters and FOLD them into the
+    * at-rest counter table with one keyed sum — CMS merge is
+    * elementwise add, so the folded state is IDENTICAL to a one-shot
+    * batch build regardless of micro-batch boundaries (the stream ≡
+    * batch identity the oracle pins). Per trigger the work is
+    * O(batch + 3·1024) — the at-rest table is bounded by depth×width,
+    * never by corpus size, which is what makes the point-frequency
+    * serve (`Frequency.Cms.estimates`) answerable at any corpus scale
+    * without a rescan. Returns the final merged counter table. */
+  def runCmsMvOnce(spark: SparkSession, path: String, nChunks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val Cms = graft.llm.Frequency.Cms
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cmsmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partials = Cms.expand(batch, "user_id")
+            .groupBy(col("depth"), col("bucket"))
+            .agg(count(lit(1)).as("c"))
+          val next =
+            if (gen == 0) partials
+            else spark.read.parquet(work.resolve(s"state_$gen").toString)
+              .unionByName(partials)
+              .groupBy(col("depth"), col("bucket")).agg(sum(col("c")).as("c"))
+          next.write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"CMS-MV replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`
     * repeat within the watermark horizon (e.g. a content hash on a
     * document stream). `dropDuplicatesWithinWatermark` expires dedup state

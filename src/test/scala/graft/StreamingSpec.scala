@@ -273,6 +273,22 @@ class StreamingSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("streaming CMS-MV state is chunking-independent and equals the batch sketch build") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    def state(n: Int) = graft.streaming.EventStream
+      .runCmsMvOnce(spark, path, nChunks = n)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = state(2)
+    val b = state(5)
+    assert(a == b, "CMS merge is elementwise add — boundaries must not matter")
+    val batch = graft.llm.Frequency.Cms
+      .expand(graft.core.Tables.readEventsPath(spark, path).select(col("user_id")), "user_id")
+      .groupBy(col("depth"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == batch)
+  }
+
   test("near-dup ingest stream equals the full-corpus run, independent of chunking") {
     val path = "/root/testdata/sf0.001/documents.parquet"
     def run(n: Int) = graft.streaming.IngestStream
