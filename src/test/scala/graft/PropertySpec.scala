@@ -207,6 +207,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2Fold(compressed(E1), E2) ≡ compressed(E1 ∪ E2) over random events and cutoffs") {
+    // the u5 identity on GENERATED data: random per-key event sequences
+    // (few attrs → dense runs and run-continuations across the split),
+    // random time cutoff — every cutoff satisfies the append-only
+    // contract, including cutoffs that leave a key entirely in state,
+    // entirely in batch, or empty on either side.
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      keys <- Gen.choose(2, 6)
+      attrs <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, keys.toLong)
+        a <- Gen.choose(0, attrs - 1)
+      } yield (k, a))
+      cutFrac <- Gen.choose(0.0, 1.0)
+    } yield (rows, cutFrac)
+    forAll(gen, n = 8) { case (rows, cutFrac) =>
+      // ts = index (unique per key only together with id = index too)
+      val evRows = rows.zipWithIndex.map { case ((k, a), i) =>
+        (k, i.toLong, i.toLong, s"a$a") }
+      val ev = evRows.toDF("k", "ts", "id", "attr")
+      val cutoff = (rows.size * cutFrac).toLong
+      val folded = graft.core.Merge.scd2Fold(
+        graft.core.Merge.scd2Compressed(ev.where(col("ts") < cutoff),
+          "k", "ts", "id", "attr"),
+        ev.where(col("ts") >= cutoff), "k", "ts", "id", "attr")
+      val full = graft.core.Merge.scd2Compressed(ev, "k", "ts", "id", "attr")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(canon(folded) === canon(full), s"cutoff=$cutoff rows=${rows.size}")
+    }
+  }
+
+  test("weightedQuantiles equals the expanded-multiset quantile_cont on random data") {
+    // the primitive now under a7/a21/a26/dq3/dq9/h7/v2: random grouped
+    // weighted values (small domains → heavy ties, weights 0–3 → zero-
+    // weight drops), checked against the literal definition: expand each
+    // row w times, sort, pos = p·(W−1), linear interpolation.
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val ps = Seq(0.1, 0.25, 0.5, 0.9)
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 9)
+        w <- Gen.choose(0L, 3L)
+      } yield (g, v.toDouble, w))
+    } yield rows
+    def truth(vs: Seq[(Double, Long)], p: Double): Option[Double] = {
+      val ex = vs.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+      if (ex.isEmpty) None else {
+        val pos = p * (ex.size - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        Some(ex(lo) + (pos - lo) * (ex(hi) - ex(lo)))
+      }
+    }
+    forAll(gen, n = 8) { rows =>
+      val df = rows.toDF("g", "v", "w")
+      val got = graft.core.Relational
+        .weightedQuantiles(df, "g", "v", "w", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(2 + i))).toMap
+      rows.groupBy(_._1).foreach { case (g, grows) =>
+        val vs = grows.map(t => (t._2, t._3)).filter(_._2 > 0)
+        val want = ps.map(truth(vs, _))
+        if (want.head.isEmpty) assert(!got.contains(g))
+        else ps.indices.foreach { i =>
+          assert(math.abs(got(g)(i) - want(i).get) < 1e-9,
+            s"g=$g p=${ps(i)}: got ${got(g)(i)} want ${want(i).get}")
+        }
+      }
+    }
+  }
+
   test("asofJoin equals the brute-force reference on random data, both directions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
