@@ -41,8 +41,16 @@ object DevScale {
     if (want("gates13c")) gates13cSection(spark)
     if (want("gates13d")) gates13dSection(spark)
     if (want("gates13e")) gates13eSection(spark)
+    if (want("gates13f")) gates13fSection(spark)
     spark.stop()
   }
+
+  /** Round-13f: st17 streaming CMS maintenance at ×1/×10/×100 — the
+    * fold's per-trigger state is 3×1024 counter rows regardless of
+    * corpus size, so cost should track replay volume (the scan), like
+    * st16. */
+  private def gates13fSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13f", Seq("st17_stream_cms_mv"))
 
   /** Round-13e: the round's NEW operators at ×1/×10/×100. a29 collapses
     * onto domain-bounded contingency cells (expect ~scan cost, flat
