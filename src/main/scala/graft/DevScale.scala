@@ -42,8 +42,26 @@ object DevScale {
     if (want("gates13d")) gates13dSection(spark)
     if (want("gates13e")) gates13eSection(spark)
     if (want("gates13f")) gates13fSection(spark)
+    if (want("gates13g")) gates13gSection(spark)
     spark.stop()
   }
+
+  /** Round-13g: the session's NEW operators at ×1/×10/×100. t19's
+    * boundary table is 2 rows/session (≪ events) and withGlobalCumSum
+    * is one range exchange — expect ~scan-bound; t20/dq16 collapse to
+    * week-/candidate-count frames (flat beyond the scan); u6's state is
+    * the distinct (type, user) set — grows with replica count (user ids
+    * are offset per replica) but each fold is batch-distinct + one
+    * keyed anti-join; u7/st18 state is k·groups rows at EVERY scale
+    * (expect flat beyond scan/replay); a30 is one map-side-combined
+    * moment pass; dq15 one user-keyed window whose per-key row count is
+    * change-count-bounded. */
+  private def gates13gSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13g", Seq(
+      "t19_max_concurrency", "t20_period_over_period",
+      "u6_incremental_distinct", "u7_incremental_topk",
+      "a30_weighted_corr", "dq15_interval_audit",
+      "dq16_candidate_keys", "st18_stream_topk_mv"))
 
   /** Round-13f: st17 streaming CMS maintenance at ×1/×10/×100 — the
     * fold's per-trigger state is 3×1024 counter rows regardless of
@@ -417,7 +435,8 @@ object DevScale {
           lineBase.select(
             (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
             col("l_linenumber"),
-            col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_returnflag"))
         }.reduce(_ unionByName _).repartition(32)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         (0 until mult).map { i =>
@@ -441,15 +460,19 @@ object DevScale {
         spark.read.parquet(s"$sf/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     }
-    // l_linenumber added later (gates13 — a28 ranks on it) — backfill
-    // into dirs built before by rewriting ONLY the lineitem file
-    if (new java.io.File(s"$dir/lineitem.parquet").exists() &&
-        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_linenumber")) {
+    // l_linenumber (gates13 — a28 ranks on it) and l_discount (gates13g
+    // — a30's y column) added later — backfill into dirs built before by
+    // rewriting ONLY the lineitem file
+    if (new java.io.File(s"$dir/lineitem.parquet").exists() && {
+        val cols = spark.read.parquet(s"$dir/lineitem.parquet").columns
+        !cols.contains("l_linenumber") || !cols.contains("l_discount")
+      }) {
       val rebuilt = (0 until mult).map { i =>
         lineBase.select(
           (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
           col("l_linenumber"),
-          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"))
       }.reduce(_ unionByName _).repartition(32) // reads sf0.1, not the target
       rebuilt.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }

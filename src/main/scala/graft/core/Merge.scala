@@ -210,4 +210,65 @@ object Merge {
           .when(col("in_cur").isNull, lit("removed"))
           .when(col("fp_prev") <=> col("fp_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("change_type"))
+
+  /** Bounded TOP-K maintenance (the leaderboard materialized view —
+    * the ranking member of the incremental triad next to
+    * [[mergeAggState]]'s aggregates and [[scd2Fold]]'s dimension
+    * history): hold the current top-k rows per group at rest, fold each
+    * arriving batch in by unioning candidates and keeping the k best per
+    * group under `order`. Returns the same shape, so the output is the
+    * next at-rest state.
+    *
+    * Correctness: top-k under a TOTAL order is a commutative,
+    * associative fold over row sets — topK(topK(A) ∪ B) = topK(A ∪ B) —
+    * so the maintained state equals a one-shot recompute REGARDLESS of
+    * batch order or boundaries (TopKFoldSpec property-tests random
+    * splits and shuffled batch arrival). Caller contract: `order` must
+    * totally order rows within a group (include a unique tie-break
+    * column — at a rank-k tie the survivor would otherwise be
+    * partition-order dependent), and a given row arrives in exactly one
+    * batch (exactly-once replay; a re-delivered row would occupy two of
+    * the k slots).
+    *
+    * Scale shape: ONE hash shuffle on the group keys carrying
+    * |state| (= k·groups rows, bounded) + |batch|; the keep-k filter is
+    * `row_number() <= k`, which Spark compiles to WindowGroupLimit —
+    * a per-partition top-k heap on each map side, so the exchange
+    * carries at most k surviving rows per (map partition, group).
+    * History beyond the current top-k is never revisited: per-trigger
+    * cost is O(batch + k·touched groups), not O(history). */
+  def topKFold(state: DataFrame, batch: DataFrame, groupCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    state.unionByName(batch)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Exact DISTINCT-SET maintenance (the first-seen fold behind an
+    * exactly-maintained COUNT(DISTINCT) materialized view — the
+    * aggregate streaming engines cannot maintain natively because its
+    * state IS the key set): given the at-rest set of already-seen key
+    * tuples and a new batch, return ONLY the batch's genuinely-new
+    * tuples (batch-distinct → left_anti against state). The caller
+    * APPENDS the result to the at-rest state — append-only state is
+    * what keeps maintenance cheap (no rewrite of history), and the
+    * read-time view is a plain count per group over the state.
+    *
+    * Fold ≡ recompute: state after folding batches B₁…Bₙ in any order
+    * is exactly distinct(B₁ ∪ … ∪ Bₙ) — new(B) ∩ state = ∅ by the
+    * anti-join and every tuple of B is either in state or in new(B)
+    * (FirstSeenFoldSpec property-tests random splits).
+    *
+    * Scale shape: one distinct shuffle over the BATCH (map-side
+    * combined) + one key-keyed anti-join against state. The anti-join
+    * is the O(state) term; at real scale the state side is key-bucketed
+    * (j14's layout) so the probe prunes to the batch's buckets, or the
+    * exactness knob is dropped entirely for h6's mergeable HLL when ±2%
+    * serves. */
+  def firstSeenNew(state: DataFrame, batch: DataFrame,
+      cols: Seq[String]): DataFrame =
+    batch.select(cols.map(col): _*).distinct()
+      .join(state.select(cols.map(col): _*), cols, "left_anti")
 }

@@ -1287,6 +1287,58 @@ object AggQueries {
       Some(Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90", 0.99 -> "p99").map {
         case (q, l) =>
           s"SELECT '$l' AS p, quantile_disc(o_totalprice, $q) AS value FROM orders"
-      }.mkString("", " UNION ALL ", " ORDER BY p")))
+      }.mkString("", " UNION ALL ", " ORDER BY p"))),
+
+    // WEIGHTED Pearson correlation per group (a13/a16's frequency-
+    // weighted sibling — the shape survey pipelines need when rows
+    // carry multiplicities: price vs discount weighted by quantity).
+    // All six weighted moments (Σw, Σwx, Σwy, Σwx², Σwy², Σwxy)
+    // accumulate in ONE map-side-combined pass through exact DECIMAL
+    // (order-independent), the closed form runs on the six resulting
+    // bit-identical doubles with the SAME expression tree both engines
+    // evaluate in IEEE order, and the O(1) ratio takes the usual 1e-6
+    // rounding grid. Decimal headroom: Σw·x² ≤ ~6e11/row → ~4e17 at
+    // sf0.1, inside DECIMAL(27,6)'s 1e21 — re-derive before pointing
+    // at a column with |x| ≫ 1e5 at larger SFs.
+    Q("a30_weighted_corr",
+      (s, d) => {
+        val (x, y, wt) = (col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        def m(c: org.apache.spark.sql.Column) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            m(wt).as("sw"), m(wt * x).as("swx"), m(wt * y).as("swy"),
+            m(wt * x * x).as("swxx"), m(wt * y * y).as("swyy"),
+            m(wt * x * y).as("swxy"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("swx") / col("sw"), 6).as("wmean_x"),
+            round(col("swy") / col("sw"), 6).as("wmean_y"),
+            round(
+              (col("sw") * col("swxy") - col("swx") * col("swy")) /
+                sqrt((col("sw") * col("swxx") - col("swx") * col("swx")) *
+                  (col("sw") * col("swyy") - col("swy") * col("swy"))), 6)
+              .as("weighted_corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        def m(e: String) =
+          s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE)"
+        s"""WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+           |  ${m("l_quantity")} AS sw,
+           |  ${m("l_quantity*l_extendedprice")} AS swx,
+           |  ${m("l_quantity*l_discount")} AS swy,
+           |  ${m("l_quantity*l_extendedprice*l_extendedprice")} AS swxx,
+           |  ${m("l_quantity*l_discount*l_discount")} AS swyy,
+           |  ${m("l_quantity*l_extendedprice*l_discount")} AS swxy
+           |FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ROUND(swx / sw, 6) AS wmean_x,
+           |  ROUND(swy / sw, 6) AS wmean_y,
+           |  ROUND((sw * swxy - swx * swy) /
+           |    SQRT((sw * swxx - swx * swx) * (sw * swyy - swy * swy)), 6)
+           |    AS weighted_corr
+           |FROM s ORDER BY l_returnflag""".stripMargin
+      })
   )
 }

@@ -859,6 +859,185 @@ object RelationalQueries {
              |  CAST(COALESCE(SUM(vt_id), 0) AS BIGINT) AS to_id_sum
              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact COUNT(DISTINCT) materialized-view maintenance
+    // (Merge.firstSeenNew — the distinct member of the incremental
+    // triad: u2 sums, u4 joins, u5 dimensions, u6 distinct sets).
+    // Exact distinct is the one aggregate streaming engines cannot
+    // maintain natively (its state IS the key set), so the at-rest
+    // state here is exactly that key set: distinct (event_type,
+    // user_id) pairs in parquet, appended-to only — each batch
+    // contributes batch-distinct → anti-join → new pairs, never a
+    // rewrite of history. Read-time view = count per type over the
+    // state. Oracle = one-shot COUNT(DISTINCT): fold ≡ recompute is
+    // the contract (FirstSeenFoldSpec pins it over random splits);
+    // user_id_sum pins the member SET, not just its size. The approx
+    // twin that drops the O(distinct) state is h6's mergeable HLL.
+    Q("u6_incremental_distinct",
+      (s, d) => {
+        val ev = graft.core.Tables.readEvents(s, d)
+        val stateDir = scratch(s, "u6_state").toString
+        def batch(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+          .select(col("event_type"), col("user_id"))
+        batch(0).distinct().write.mode("overwrite").parquet(stateDir)
+        (1 to 2).foreach { i =>
+          // materialize the new rows BEFORE the append touches the dir
+          // the anti-join is still lazily reading from
+          val fresh = graft.core.Merge.firstSeenNew(
+            s.read.parquet(stateDir), batch(i),
+            Seq("event_type", "user_id")).localCheckpoint(true)
+          fresh.write.mode("append").parquet(stateDir)
+        }
+        s.read.parquet(stateDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct_users"),
+            sumLong(col("user_id")).as("user_id_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users,
+             |CAST(SUM(DISTINCT user_id) AS BIGINT) AS user_id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bounded TOP-K maintenance (Merge.topKFold — the leaderboard MV):
+    // the at-rest state is the current top-5 orders by price per
+    // priority (k·groups rows, bounded forever); each delta batch folds
+    // in with one group-keyed WindowGroupLimit pass over state ∪ batch —
+    // history below the cut is never revisited. Top-k under the total
+    // order (price DESC, orderkey ASC tie-break) is a commutative fold,
+    // so the state equals the one-shot window recompute the oracle runs
+    // regardless of batch boundaries (TopKFoldSpec property-tests random
+    // splits AND shuffled batch order).
+    Q("u7_incremental_topk",
+      (s, d) => {
+        val k = 5
+        val orders = T(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+        val stateDir = scratch(s, "u7_state").toString
+        def batch(i: Int) = orders.where(pmod(col("o_orderkey"), lit(3)) === i)
+        graft.core.Merge.topKFold(orders.limit(0), batch(0),
+            Seq("o_orderpriority"), ord, k)
+          .write.mode("overwrite").parquet(stateDir)
+        (1 to 2).foreach { i =>
+          val next = graft.core.Merge.topKFold(s.read.parquet(stateDir),
+            batch(i), Seq("o_orderpriority"), ord, k).localCheckpoint(true)
+          next.write.mode("overwrite").parquet(stateDir)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        s.read.parquet(stateDir)
+          .withColumn("rk", row_number().over(w))
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rk"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderpriority,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk,
+             |    o_orderkey, o_totalprice
+             |  FROM orders)
+             |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin)),
+
+    // Interval-integrity audit (the SCD2/validity-table data-quality
+    // gate dq8 is to foreign keys: does the dimension's interval chain
+    // actually tile time?). Intervals derive from events per t9's lead
+    // chain, then three corruption classes are PLANTED deterministically
+    // (event_id residues mod 17: +1s overlap into the successor, −1s
+    // clamped gap, zero-length collapse) so the audit must FIRE with
+    // closed-form counts — both engines replay the same corruption.
+    // Classes are disjoint (zero-length excluded from gaps; the clamp
+    // makes sub-1s-gap %17=3 rows zero-length, not gaps) and the check
+    // is adjacent-pair based: ONE user-keyed window shuffle, and a
+    // key's interval count is its change count — bounded by ingest
+    // cadence, never corpus size. bad_id_sum pins WHICH rows violate.
+    Q("dq15_interval_audit",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsu"))
+        val iv = graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("valid_from", col("tsu"))
+          .withColumn("next_from", lead(col("tsu"), 1).over(w))
+          .withColumn("valid_to",
+            when(col("next_from").isNull, lit(null).cast("long"))
+              .when(pmod(col("event_id"), lit(17)) === 2,
+                col("next_from") + lit(1000000L))
+              .when(pmod(col("event_id"), lit(17)) === 3,
+                greatest(col("valid_from"), col("next_from") - lit(1000000L)))
+              .when(pmod(col("event_id"), lit(17)) === 5, col("valid_from"))
+              .otherwise(col("next_from")))
+        val bad = col("valid_to").isNotNull && col("valid_to") =!= col("next_from")
+        iv.agg(
+          count(lit(1)).as("n_intervals"),
+          countIf(col("valid_to").isNull).as("n_open"),
+          countIf(col("valid_to") > col("next_from")).as("n_overlaps"),
+          countIf(col("valid_to") < col("next_from") &&
+            col("valid_to") =!= col("valid_from")).as("n_gaps"),
+          countIf(col("valid_to") === col("valid_from")).as("n_zero_len"),
+          sumLong(when(bad, col("event_id"))).as("bad_id_sum"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+              |iv AS (SELECT user_id, event_id, tsu AS valid_from,
+              |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS next_from
+              |  FROM e),
+              |c AS (SELECT *, CASE
+              |    WHEN next_from IS NULL THEN NULL
+              |    WHEN event_id % 17 = 2 THEN next_from + 1000000
+              |    WHEN event_id % 17 = 3 THEN GREATEST(valid_from, next_from - 1000000)
+              |    WHEN event_id % 17 = 5 THEN valid_from
+              |    ELSE next_from END AS valid_to FROM iv)
+              |SELECT COUNT(*) AS n_intervals,
+              |  ${countIfSql("valid_to IS NULL")} AS n_open,
+              |  ${countIfSql("valid_to > next_from")} AS n_overlaps,
+              |  ${countIfSql("valid_to < next_from AND valid_to <> valid_from")} AS n_gaps,
+              |  ${countIfSql("valid_to = valid_from")} AS n_zero_len,
+              |  CAST(SUM(CASE WHEN valid_to IS NOT NULL AND valid_to <> next_from
+              |    THEN event_id END) AS BIGINT) AS bad_id_sum
+              |FROM c""".stripMargin)),
+
+    // Candidate-key discovery (the uniqueness face of the dq7
+    // functional-dependency audit): for each declared candidate column
+    // set, one slim groupBy-count pass yields exact cardinality,
+    // uniqueness ratio, and an is_key verdict (max group size 1). Each
+    // candidate reads ONLY its columns (parquet column pruning) and its
+    // counts combine map-side; at 100 TB the first pass is
+    // approx_count_distinct to shortlist candidates and only the
+    // shortlist pays the exact groupBy — same plan shape, cheaper knob.
+    Q("dq16_candidate_keys",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        def audit(label: String, cols: Seq[String]) =
+          orders.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("n_distinct"), sumLong(col("cnt")).as("n_rows"),
+              max(col("cnt")).as("max_dup"))
+            .select(lit(label).as("candidate"), col("n_rows"), col("n_distinct"),
+              round(col("n_distinct").cast("double") / col("n_rows"), 6)
+                .as("uniqueness"),
+              (col("max_dup") === 1).as("is_key"))
+        audit("o_orderkey", Seq("o_orderkey"))
+          .unionByName(audit("o_custkey", Seq("o_custkey")))
+          .unionByName(audit("o_custkey,o_orderdate", Seq("o_custkey", "o_orderdate")))
+          .unionByName(audit("o_orderstatus,o_orderpriority",
+            Seq("o_orderstatus", "o_orderpriority")))
+          .orderBy(col("candidate"))
+      },
+      Some {
+        def one(label: String, group: String) =
+          s"""SELECT '$label' AS candidate, n_rows, n_distinct,
+             |  ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
+             |  max_dup = 1 AS is_key
+             |FROM (SELECT COUNT(*) AS n_distinct, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |    MAX(cnt) AS max_dup
+             |  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY $group))""".stripMargin
+        Seq(
+          one("o_orderkey", "o_orderkey"),
+          one("o_custkey", "o_custkey"),
+          one("o_custkey,o_orderdate", "o_custkey, o_orderdate"),
+          one("o_orderstatus,o_orderpriority", "o_orderstatus, o_orderpriority"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+      }),
+
     // Chi-square categorical drift gate (Validation.chiSquareDrift —
     // completes the drift family: dq2 PSI bins numerics, dq11 KS walks
     // continuous CDFs, this one tests the category MIX). Reference =

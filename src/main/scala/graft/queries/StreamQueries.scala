@@ -484,5 +484,33 @@ object StreamQueries {
              |  CAST(e.cms_est AS BIGINT) AS cms_est,
              |  e.cms_est >= COALESCE(x.n, 0) AS overcount_nonneg
              |FROM probes p JOIN est e ON e.u = p.u LEFT JOIN exact x ON x.u = p.u
-             |ORDER BY 1""".stripMargin)))
+             |ORDER BY 1""".stripMargin)),
+
+    // Streaming TOP-K LEADERBOARD maintenance (u7's streaming twin —
+    // Merge.topKFold folded per micro-batch through foreachBatch): the
+    // at-rest state is the top-5 events by value per type, k·groups
+    // rows at every generation. Top-k under the total order (value
+    // DESC, event_id ASC) is a commutative fold, so the MV is correct
+    // under the file source's arbitrary batch order — unlike the
+    // order-sensitive SCD2 fold (u5), which is exactly why THIS is the
+    // state shape a streaming leaderboard serves. Oracle = the one-shot
+    // window recompute: stream ≡ batch is the contract.
+    Q("st18_stream_topk_mv",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        EventStream.runTopKMergeOnce(s, s"$d/events.parquet", k = 5)
+          .withColumn("rk", row_number().over(w))
+          .select(col("event_type"), col("rk"), col("event_id"),
+            round(col("value"), 6).as("value"))
+          .orderBy(col("event_type"), col("rk"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT event_type,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id) AS INTEGER) AS rk,
+             |    event_id, ROUND(value, 6) AS value
+             |  FROM events)
+             |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin)))
 }

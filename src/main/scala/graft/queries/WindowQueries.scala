@@ -1210,6 +1210,99 @@ object WindowQueries {
              |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
              |SELECT m.user_id, m.n AS n_events, ROUND(r.s, 6) AS ewma
              |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
-             |ORDER BY m.user_id""".stripMargin))
+             |ORDER BY m.user_id""".stripMargin)),
+
+    // Peak concurrency via the SWEEP-LINE (the "max concurrent
+    // sessions / connections / jobs" capacity question): sessions are
+    // the st2/st14 30-min-gap islands per user (end = last event + 1µs,
+    // end-EXCLUSIVE so a session ending exactly when another starts
+    // never overlaps it, and single-event sessions still span 1µs);
+    // each session emits a +1 boundary at start and −1 at end, deltas
+    // at the same instant pre-aggregate to one net row (making the
+    // global order tie-free — withGlobalCumSum's contract), and the
+    // DISTRIBUTED cumulative sum over boundary time IS the concurrency
+    // curve. Reported per day as the max over that day's boundary
+    // points (a curve segment spanning midnight is attributed to the
+    // day of its defining boundary — same convention both engines).
+    // Scale shape: one user-keyed shuffle (sessionize), one boundary-ts
+    // shuffle (net deltas), then withGlobalCumSum's range exchange over
+    // the BOUNDARY table (2 rows per session, ≪ events) — no
+    // single-partition stage anywhere.
+    Q("t19_max_concurrency",
+      (s, d) => {
+        val gapUs = 1800000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        val sess = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .withColumn("brk",
+            when(col("tsu") - lag(col("tsu"), 1).over(w) > gapUs ||
+              lag(col("tsu"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("tsu")).as("st"), (max(col("tsu")) + 1).as("en"))
+        val bounds = sess.select(col("st").as("tsu"), lit(1L).as("d"))
+          .unionByName(sess.select(col("en").as("tsu"), lit(-1L).as("d")))
+          .groupBy(col("tsu")).agg(sum(col("d")).as("nd"))
+        graft.core.Relational.withGlobalCumSum(
+            bounds, Seq(col("tsu")), col("nd"), "conc")
+          .groupBy(date_format(timestamp_micros(col("tsu")), "yyyy-MM-dd").as("day"))
+          .agg(max(col("conc")).as("max_concurrency"),
+            count(lit(1)).as("n_boundaries"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |m AS (SELECT user_id, tsu, CASE WHEN tsu - LAG(tsu) OVER w > 1800000000
+             |    OR LAG(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+             |s AS (SELECT user_id, tsu,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu) AS sid FROM m),
+             |iv AS (SELECT user_id, sid, MIN(tsu) AS st, MAX(tsu) + 1 AS en
+             |  FROM s GROUP BY 1, 2),
+             |b AS (SELECT st AS tsu, 1 AS d FROM iv
+             |  UNION ALL SELECT en, -1 FROM iv),
+             |agg AS (SELECT tsu, SUM(d) AS nd FROM b GROUP BY 1),
+             |c AS (SELECT tsu, SUM(nd) OVER (ORDER BY tsu) AS conc FROM agg)
+             |SELECT STRFTIME(make_timestamp(tsu), '%Y-%m-%d') AS day,
+             |  CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+             |  COUNT(*) AS n_boundaries
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Period-over-period deltas (the WoW/MoM reporting shape): weekly
+    // revenue from one groupBy(week) pass, then lag/delta/pct-change
+    // over the PRE-AGGREGATED week frame — the unpartitioned window is
+    // the documented safe pattern (≤ O(weeks) rows, never row-scale;
+    // same class as the Heaps-bucket and daily windows). The delta is
+    // computed in exact DECIMAL before the double cast so subtraction
+    // can't reintroduce accumulation-order noise.
+    Q("t20_period_over_period",
+      (s, d) => {
+        val wk = Window.partitionBy(lit(0)).orderBy(col("week"))
+        T(s, d, "orders")
+          .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+            .as("week"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+              .as("revd"))
+          .withColumn("prevd", lag(col("revd"), 1).over(wk))
+          .select(col("week"), col("n_orders"),
+            col("revd").cast("double").as("revenue"),
+            (col("revd") - col("prevd")).cast("double").as("delta"),
+            round((col("revd") - col("prevd")).cast("double") /
+              col("prevd").cast("double"), 6).as("pct_change"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT STRFTIME(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+             |    COUNT(*) AS n_orders,
+             |    SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS revd
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT week, n_orders, revd,
+             |    LAG(revd) OVER (ORDER BY week) AS prevd FROM wk)
+             |SELECT week, n_orders, CAST(revd AS DOUBLE) AS revenue,
+             |  CAST(revd - prevd AS DOUBLE) AS delta,
+             |  ROUND(CAST(revd - prevd AS DOUBLE) / CAST(prevd AS DOUBLE), 6)
+             |    AS pct_change
+             |FROM l ORDER BY week""".stripMargin))
   )
 }

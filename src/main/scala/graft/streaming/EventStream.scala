@@ -528,6 +528,56 @@ object EventStream {
     state
   }
 
+  /** Streaming TOP-K LEADERBOARD maintenance (st18 — u7's streaming
+    * twin): per micro-batch, fold the batch into the bounded top-k
+    * state with [[graft.core.Merge.topKFold]]. Top-k under a total
+    * order is a commutative fold over row sets, so — unlike the
+    * order-SENSITIVE scd2Fold, which needs time-ordered batches — this
+    * MV is correct under the file source's ARBITRARY batch order: the
+    * final state is identical to a one-shot window recompute, which is
+    * what the oracle pins. State is k rows per group at every
+    * generation (k·groups at rest, never corpus-scale), per-trigger
+    * cost O(batch + k·touched groups). Returns the final state. */
+  def runTopKMergeOnce(spark: SparkSession, path: String, k: Int,
+      nChunks: Int = 4): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ord = Seq(col("value").desc, col("event_id").asc)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val state =
+            if (gen == 0) batch.limit(0)
+            else spark.read.parquet(work.resolve(s"state_$gen").toString)
+          graft.core.Merge.topKFold(state, batch, Seq("event_type"), ord, k)
+            .write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"top-k replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Streaming COUNT-MIN MAINTENANCE (st17 — h9's streaming twin, and
     * st16's pattern applied to a sketch): per micro-batch, build the
     * batch's (depth, bucket) partial counters and FOLD them into the

@@ -488,6 +488,63 @@ class ValidationOpsSpec extends SparkSpec {
     val short = byId(3L)
     assert(short.getAs[Long]("n_blocks") == 0 && short.getAs[Double]("voiced_frac") == 0.0)
   }
+
+  // ---- t19 sweep-line semantics over a planted mini corpus -----------------
+
+  test("t19_max_concurrency: overlap counts, end-exclusive boundary, 30-min session split") {
+    // users 1 and 2 overlap (both sessions span ~10:00-10:05) → max 2.
+    // user 3's single event lands EXACTLY at user 4's session end + 0:
+    // 4's session is [09:00:00, 09:00:10.000001) (end = last event + 1µs),
+    // 3's single event at 09:00:10.000001 starts a new 1µs session at the
+    // same instant — end-EXCLUSIVE, so they never overlap (max stays 1
+    // in that window). user 5 has two events 40 min apart → TWO sessions
+    // (4 boundaries), not one.
+    val dir = plantEvents(Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "view", "2024-01-01 10:05:00", 2L, 1.0),
+      (2L, "view", "2024-01-01 10:01:00", 3L, 1.0),
+      (4L, "view", "2024-01-01 09:00:00", 4L, 1.0),
+      (4L, "view", "2024-01-01 09:00:10", 5L, 1.0),
+      (3L, "view", "2024-01-01 09:00:10.000001", 6L, 1.0),
+      (5L, "view", "2024-01-02 08:00:00", 7L, 1.0),
+      (5L, "view", "2024-01-02 08:40:00", 8L, 1.0)))
+    val out = SparkEntry.queries("t19_max_concurrency")(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("max_concurrency"), r.getAs[Long]("n_boundaries")))
+      .toMap
+    // day 1: sessions u1[10:00,10:05+1µs) u2[10:01,10:01+1µs) overlap → 2;
+    //   u4/u3 back-to-back never overlap. 4 sessions → 7 boundary rows,
+    //   not 8: u4's −1 end and u3's +1 start share the instant
+    //   09:00:10.000001 and NET to one zero-delta row — the end-exclusive
+    //   semantics made concrete (concurrency never reaches 2 there).
+    assert(out("2024-01-01") == ((2L, 7L)), s"got ${out("2024-01-01")}")
+    // day 2: one user, 40-min gap → two disjoint sessions, max 1, 4 boundaries
+    assert(out("2024-01-02") == ((1L, 4L)), s"got ${out("2024-01-02")}")
+  }
+
+  // ---- dq15 planted-corruption classification -------------------------------
+
+  test("dq15_interval_audit: each planted corruption class counted once, clamp yields zero-length not gap") {
+    // user 1, events 10s apart, ids chosen by residue mod 17:
+    //   id=2 → overlap (+1s past next start), id=3 → gap (−1s clamp has
+    //   headroom), id=5 → zero-length, id=1 → last interval stays open.
+    // user 2: id=20 (≡3 mod 17) but the NEXT event is only 0.5s away —
+    //   the −1s clamp floors at valid_from → counted ZERO-LENGTH, not gap.
+    val dir = plantEvents(Seq(
+      (1L, "view", "2024-01-01 10:00:00", 2L, 1.0),
+      (1L, "view", "2024-01-01 10:00:10", 3L, 1.0),
+      (1L, "view", "2024-01-01 10:00:20", 5L, 1.0),
+      (1L, "view", "2024-01-01 10:00:30", 1L, 1.0),
+      (2L, "view", "2024-01-01 11:00:00", 20L, 1.0),
+      (2L, "view", "2024-01-01 11:00:00.5", 21L, 1.0)))
+    val r = SingleRow.of(SparkEntry.queries("dq15_interval_audit")(spark, dir))
+    assert(r.getAs[Long]("n_intervals") == 6L)
+    assert(r.getAs[Long]("n_open") == 2L)
+    assert(r.getAs[Long]("n_overlaps") == 1L)
+    assert(r.getAs[Long]("n_gaps") == 1L)
+    assert(r.getAs[Long]("n_zero_len") == 2L)
+    assert(r.getAs[Long]("bad_id_sum") == (2L + 3L + 5L + 20L))
+  }
 }
 
 /** Tiny helper: collect a frame expected to hold exactly one row. */
