@@ -1339,6 +1339,57 @@ object AggQueries {
            |    SQRT((sw * swxx - swx * swx) * (sw * swyy - swy * swy)), 6)
            |    AS weighted_corr
            |FROM s ORDER BY l_returnflag""".stripMargin
-      })
+      }),
+
+    // Durbin–Watson autocorrelation statistic over the daily-total
+    // series (t13's ACF asks "how correlated at lag k"; DW is the
+    // classic 0–4 residual-independence gate regression diagnostics
+    // thread first): daily totals come from one groupBy(day) pass with
+    // exact decimal sums, the mean is decimal-exact, and the lag-1
+    // differences run over the PRE-AGGREGATED day frame (O(days) rows —
+    // the documented safe unpartitioned-window class). Per-term squares
+    // are rounded-then-decimal-summed (a29/dq13's pattern) so the
+    // O(days) float accumulation cannot reorder across engines.
+    // DW ≈ 2(1 − ρ₁): <2 positive autocorrelation, >2 negative.
+    Q("a31_durbin_watson",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = graft.core.Tables.readEvents(s, d)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("value").cast(DecimalType(27, 6))).as("vd"))
+        val tot = daily.agg(
+          count(lit(1)).as("n_days"),
+          sum(col("vd")).cast("double").as("sv"))
+        val wd = Window.partitionBy(lit(0)).orderBy(col("day"))
+        val terms = daily.crossJoin(broadcast(tot))
+          .withColumn("dev", col("vd").cast("double") - col("sv") / col("n_days"))
+          .withColumn("prev", lag(col("dev"), 1).over(wd))
+          .select(col("n_days"),
+            round((col("dev") - col("prev")) * (col("dev") - col("prev")), 9)
+              .cast(DecimalType(27, 9)).as("num_t"),
+            round(col("dev") * col("dev"), 9).cast(DecimalType(27, 9)).as("den_t"))
+        terms.groupBy(col("n_days"))
+          .agg(round(sum(col("num_t")).cast("double") /
+            sum(col("den_t")).cast("double"), 6).as("dw"))
+          .select(col("n_days"), col("dw"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    SUM(CAST(value AS DECIMAL(27,6))) AS vd
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_days,
+             |    CAST(SUM(vd) AS DOUBLE) AS sv FROM daily),
+             |dev AS (SELECT n_days,
+             |    CAST(vd AS DOUBLE) - sv / n_days AS dev,
+             |    LAG(CAST(vd AS DOUBLE) - sv / n_days)
+             |      OVER (ORDER BY day) AS prev
+             |  FROM daily, tot),
+             |t AS (SELECT n_days,
+             |    CAST(ROUND((dev - prev) * (dev - prev), 9) AS DECIMAL(27,9)) AS num_t,
+             |    CAST(ROUND(dev * dev, 9) AS DECIMAL(27,9)) AS den_t
+             |  FROM dev)
+             |SELECT n_days,
+             |  ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE), 6) AS dw
+             |FROM t GROUP BY 1""".stripMargin))
   )
 }

@@ -1038,6 +1038,52 @@ object RelationalQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
       }),
 
+    // Co-null PATTERN profile (dq1 counts nulls per column; partial
+    // backfills and joiner bugs produce CORRELATED nulls — the pattern
+    // "value and props null together" is the fingerprint of a failed
+    // enrichment stage, invisible in per-column rates). Nulls are
+    // PLANTED deterministically (event_id residues mod 7/11/13 nullify
+    // value/props/event_type) so the profile has closed-form counts
+    // both engines replay, including the co-null patterns at the
+    // residue intersections (e.g. id ≡ 1 mod 7 ∧ ≡ 2 mod 11). One
+    // map-side-combined groupBy over the 3-bit pattern key (≤8 rows);
+    // shares are exact integer ppm — no float division anywhere.
+    Q("dq17_null_patterns",
+      (s, d) => {
+        val ev = graft.core.Tables.readEvents(s, d)
+          .select(col("event_id"),
+            when(pmod(col("event_id"), lit(7)) === 1, lit(null).cast("double"))
+              .otherwise(col("value")).as("value"),
+            when(pmod(col("event_id"), lit(11)) === 2, lit(null).cast("string"))
+              .otherwise(col("props")).as("props"),
+            when(pmod(col("event_id"), lit(13)) === 3, lit(null).cast("string"))
+              .otherwise(col("event_type")).as("event_type"))
+        val bit = (c: org.apache.spark.sql.Column) =>
+          when(c.isNull, lit("0")).otherwise(lit("1"))
+        val pat = concat(bit(col("value")), bit(col("props")), bit(col("event_type")))
+        ev.groupBy(pat.as("pattern"))
+          .agg(count(lit(1)).as("n"))
+          // the unpartitioned total-window runs over the ≤8-row grouped
+          // frame — the documented safe class
+          .withColumn("ppm", expr("CAST(n * 1000000 DIV SUM(n) OVER () AS BIGINT)"))
+          .select(col("pattern"), col("n"), col("ppm"))
+          .orderBy(col("pattern"))
+      },
+      Some("""WITH e AS (SELECT
+             |    CASE WHEN event_id % 7 = 1 THEN NULL ELSE value END AS value,
+             |    CASE WHEN event_id % 11 = 2 THEN NULL ELSE props END AS props,
+             |    CASE WHEN event_id % 13 = 3 THEN NULL ELSE event_type END AS et
+             |  FROM events),
+             |g AS (SELECT
+             |    (CASE WHEN value IS NULL THEN '0' ELSE '1' END) ||
+             |    (CASE WHEN props IS NULL THEN '0' ELSE '1' END) ||
+             |    (CASE WHEN et IS NULL THEN '0' ELSE '1' END) AS pattern,
+             |    COUNT(*) AS n
+             |  FROM e GROUP BY 1)
+             |SELECT pattern, n,
+             |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS ppm
+             |FROM g ORDER BY pattern""".stripMargin)),
+
     // Chi-square categorical drift gate (Validation.chiSquareDrift —
     // completes the drift family: dq2 PSI bins numerics, dq11 KS walks
     // continuous CDFs, this one tests the category MIX). Reference =

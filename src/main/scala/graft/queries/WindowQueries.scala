@@ -1303,6 +1303,103 @@ object WindowQueries {
              |  CAST(revd - prevd AS DOUBLE) AS delta,
              |  ROUND(CAST(revd - prevd AS DOUBLE) / CAST(prevd AS DOUBLE), 6)
              |    AS pct_change
-             |FROM l ORDER BY week""".stripMargin))
+             |FROM l ORDER BY week""".stripMargin)),
+
+    // Per-series OLS trend slope (the "is this user's activity trending
+    // up" regression a30's weighted-moment machinery answers per key):
+    // x = days since 2024-01-01 (long subtraction then one float
+    // divide — bit-identical both engines), four moments accumulate in
+    // ONE map-side-combined exact-DECIMAL pass (no window, no sort),
+    // and the closed form runs over bit-identical doubles. Degenerate
+    // series (single event / zero x-variance) yield EXPLICIT nulls via
+    // a denominator guard on both sides — never an engine-specific
+    // NaN/error. Round 6 on the O(1) ratios.
+    Q("t21_trend_slope",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        def m(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(27, 6))).cast("double")
+        val x = (unix_micros(col("ts")) - lit(1704067200000000L)) /
+          lit(86400000000.0)
+        val stats = events(s, d)
+          .select(col("user_id"), x.as("x"), col("value").as("y"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            m(col("x")).as("sx"), m(col("y")).as("sy"),
+            m(col("x") * col("x")).as("sxx"), m(col("x") * col("y")).as("sxy"))
+        val nD = col("n_events").cast("double")
+        val denom = nD * col("sxx") - col("sx") * col("sx")
+        stats.select(col("user_id"), col("n_events"),
+            when(denom === 0.0, lit(null).cast("double"))
+              .otherwise(round((nD * col("sxy") - col("sx") * col("sy")) / denom, 6))
+              .as("slope"),
+            when(denom === 0.0, lit(null).cast("double"))
+              .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy")) / denom, 6))
+              .as("intercept"))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        def m(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE)"
+        s"""WITH e AS (SELECT user_id,
+           |    (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x,
+           |    value AS y FROM events),
+           |s AS (SELECT user_id, COUNT(*) AS n_events,
+           |    ${m("x")} AS sx, ${m("y")} AS sy,
+           |    ${m("x*x")} AS sxx, ${m("x*y")} AS sxy
+           |  FROM e GROUP BY 1),
+           |f AS (SELECT user_id, n_events,
+           |    CAST(n_events AS DOUBLE) * sxx - sx * sx AS denom,
+           |    CAST(n_events AS DOUBLE) * sxy - sx * sy AS num_s,
+           |    sy * sxx - sx * sxy AS num_i
+           |  FROM s)
+           |SELECT user_id, n_events,
+           |  CASE WHEN denom = 0.0 THEN NULL
+           |    ELSE ROUND(num_s / denom, 6) END AS slope,
+           |  CASE WHEN denom = 0.0 THEN NULL
+           |    ELSE ROUND(num_i / denom, 6) END AS intercept
+           |FROM f ORDER BY user_id""".stripMargin
+      }),
+
+    // Rolling EXACT median (the order-statistic complement of w9's
+    // rolling sums — robust smoothing that a spike can't drag): per
+    // user, trailing 5-row frame, median = the LOWER-MIDDLE element of
+    // the sorted frame (no interpolation — the value is an observed
+    // datum, bit-exact across engines; for a partial leading frame of
+    // n rows it's element ⌈n/2⌉). Spark side sorts the collected frame
+    // (bounded at 5 elements — the frame bound, never row-scale);
+    // DuckDB's windowed QUANTILE_DISC(0.5) picks the identical element
+    // (floor((n−1)/2)+1 = (n+1) div 2). Per-user rollup pins the whole
+    // rolling series: each median is an observed double datum, so the
+    // per-user sum goes through the standard exact-decimal accumulation,
+    // plus rounded min/max. ONE user-keyed shuffle; frame state is 5 rows.
+    Q("t22_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("value"))
+          .withColumn("win", sort_array(collect_list(col("value")).over(w)))
+          .withColumn("rmed", expr("element_at(win, (size(win) + 1) div 2)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sumExact(col("rmed")).as("med_sum"),
+            round(min(col("rmed")), 6).as("med_min"),
+            round(max(col("rmed")), 6).as("med_max"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+              |  FROM events),
+              |r AS (SELECT user_id,
+              |    QUANTILE_DISC(value, 0.5) OVER (PARTITION BY user_id
+              |      ORDER BY tsu, event_id
+              |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rmed
+              |  FROM e)
+              |SELECT user_id, COUNT(*) AS n_events,
+              |  ${sumExactSql("rmed")} AS med_sum,
+              |  ROUND(MIN(rmed), 6) AS med_min,
+              |  ROUND(MAX(rmed), 6) AS med_max
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
