@@ -43,8 +43,55 @@ object DevScale {
     if (want("gates13e")) gates13eSection(spark)
     if (want("gates13f")) gates13fSection(spark)
     if (want("gates13g")) gates13gSection(spark)
+    if (want("gates13h")) gates13hSection(spark)
+    if (want("gates13i")) gates13iSection(spark)
+    if (want("gates13j")) gates13jSection(spark)
+    if (want("gates13k")) gates13kSection(spark)
     spark.stop()
   }
+
+  /** Round-13k: fifth operator batch at ×1/×10/×100. j16 is the
+    * fact-chain shape — expect scan/shuffle-linear on lineitem⋈orders
+    * with the dim broadcasts flat; u9 is one co-moment pass per batch
+    * (a30's curve); n24 rides the embeddings table (row-bounded in the
+    * replicas) plus the require-capped brute truth, so it gates the
+    * FOLD plumbing, not corpus growth. */
+  private def gates13kSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13k", Seq(
+      "j16_star_join", "u9_incremental_corr", "n24_incremental_ivf"))
+
+  /** Round-13j: fourth operator batch at ×1/×10/×100. w17 rides the
+    * distinct (day, user) pair table (≪ events) through a bounded 7×
+    * explode — expect near-flat beyond the scan+distinct; st20's state
+    * is the distinct key set (the honest exact-distinct cost — u6's
+    * curve); dq18 is two key-keyed aggregates over slim (id, fp)
+    * projections; p18 is a write-bound layout job (base sort + delta
+    * compaction dominate). */
+  private def gates13jSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13j", Seq(
+      "w17_sliding_distinct", "st20_stream_distinct_mv",
+      "dq18_conflicting_keys", "p18_incremental_compaction"))
+
+  /** Round-13i: third operator batch at ×1/×10/×100. st19's per-trigger
+    * state is one sketch row per key (expect replay-volume cost, st17's
+    * curve); x50 rides d2's pair cost law (replica suffix tokens keep
+    * shingle joins intra-replica, so pair volume scales ~linearly);
+    * p17 is a text round-trip + map-only parse (linear in the write+
+    * scan); t23's 168-cell profile broadcasts back (scan-linear). */
+  private def gates13iSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13i", Seq(
+      "t23_seasonal_anomaly", "p17_corrupt_record_audit",
+      "x50_threshold_sweep", "st19_stream_kll_mv"))
+
+  /** Round-13h: second operator batch at ×1/×10/×100. t21 is one
+    * map-side-combined moment pass (expect a30's scan-linear curve);
+    * t22 is one user-keyed window with a 5-row frame (state bounded by
+    * the frame, per-key rows by change count); a31/dq17 collapse to
+    * day-/pattern-count frames (flat beyond the scan). */
+  private def gates13hSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13h", Seq(
+      "t21_trend_slope", "t22_rolling_median",
+      "a31_durbin_watson", "dq17_null_patterns"))
 
   /** Round-13g: the session's NEW operators at ×1/×10/×100. t19's
     * boundary table is 2 rows/session (≪ events) and withGlobalCumSum
@@ -459,6 +506,14 @@ object DevScale {
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
         spark.read.parquet(s"$sf/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+        spark.read.parquet(s"$sf/region.parquet")
+          .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    }
+    // region added later (gates13k — j16's third dimension hop) —
+    // backfill into dirs built before
+    if (!new java.io.File(s"$dir/region.parquet").exists()) {
+      spark.read.parquet(s"$sf/region.parquet")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
     }
     // l_linenumber (gates13 — a28 ranks on it) and l_discount (gates13g
     // — a30's y column) added later — backfill into dirs built before by

@@ -64,6 +64,41 @@ object Merge {
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
 
+  /** Second-order CO-MOMENT partials (the [[aggPartials]] of
+    * correlation/covariance: cnt + five exact-decimal sums Σx Σy Σx²
+    * Σy² Σxy per key). Decimal accumulation is order-independent, so
+    * partials built per batch and folded with [[mergeCorrState]] equal
+    * a one-shot build EXACTLY — not just approximately — and the
+    * read-time Pearson r / covariance derive from six bit-identical
+    * doubles. Caller contract: x and y non-null together (cnt counts
+    * rows; route through a pair-null filter first if the source can
+    * hold one-sided nulls). */
+  def corrPartials(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 6)
+    val (x, y) = (col(xCol), col(yCol))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+        sum((x * x).cast(dec)).as("sxx"), sum((y * y).cast(dec)).as("syy"),
+        sum((x * y).cast(dec)).as("sxy"))
+  }
+
+  /** Fold a delta batch's [[corrPartials]] into the at-rest state: one
+    * key-keyed aggregate of exact decimal sums — O(batch + touched
+    * keys), never O(history); same schema out, so the output is the
+    * next at-rest state. */
+  def mergeCorrState(state: DataFrame, deltaPartials: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(deltaPartials)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+        sum(col("sxy")).as("sxy"))
+
   def latestWins(snapshot: DataFrame, updates: DataFrame, key: String,
       versionCol: String, deletedCol: Option[String] = None): DataFrame = {
     val tagged = snapshot.withColumn("__side", lit(0))

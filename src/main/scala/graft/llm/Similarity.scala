@@ -444,6 +444,43 @@ object Similarity {
       model.clusterCenters.map(_.toArray))
   }
 
+  /** Assign vectors to EXISTING (frozen) centroids — the INCREMENTAL
+    * half of [[ivfIndex]]: a serving pipeline retrains its coarse
+    * quantizer rarely (retraining moves every cell boundary and forces
+    * a full index rewrite); day-to-day, new vectors are assigned to the
+    * frozen centroids and APPENDED to their cell partitions, touching
+    * nothing else. Euclidean argmin (the metric the KMeans quantizer
+    * trained with), lowest cell index on ties — deterministic, so an
+    * incremental fold and a recompute against the same centroids agree
+    * exactly (n24 pins fold ≡ recompute). Map-only over a broadcast
+    * nlist-row centroid array; output schema matches [[ivfIndex]]'s
+    * assignments, ready for `partitionBy("cell")` append. */
+  def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var dist = 0.0
+          var j = 0
+          while (j < v.length) { val t = v(j) - c(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = i }
+          i += 1
+        }
+        (id, v, best)
+      }.toDF("corpus_id", "cv", "cell")
+  }
+
   /** Probe half of [[ivfTopK]] over an existing index — in-memory or
     * re-read from its at-rest partitioned layout. The scan is filtered
     * to the UNION of all queries' probed cells before scoring, so over

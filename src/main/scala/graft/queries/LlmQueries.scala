@@ -3459,6 +3459,119 @@ object LlmQueries {
            |FROM fused
            |QUALIFY rk <= 5
            |ORDER BY query_id, rk""".stripMargin
-      })
+      }),
+
+    // Dedup THRESHOLD SWEEP (the curve a dedup planner reads before
+    // picking d3's minJaccard: pairs flagged vs threshold — too low
+    // merges distinct docs, too high leaks near-dups): d2's exact pair
+    // table bucketed by Jaccard decile, with the cumulative pairs-at-
+    // or-above running over the ≤10-row bucket frame (the safe
+    // unpartitioned-window class). Pair volume, not corpus volume,
+    // rides every shuffle — the d2/d17 cost law; j = 1.0 collapses
+    // into the 0.9 bucket (LEAST cap, both engines).
+    Q("x50_threshold_sweep",
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text",
+          w = 5, minJaccard = 0.12)
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("bucket").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        pairs
+          .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cum_pairs_ge", sum(col("n_pairs")).over(wd))
+          .select((col("bucket") / 10.0).as("threshold_lo"),
+            col("n_pairs"), col("cum_pairs_ge"))
+          .orderBy(col("threshold_lo"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             |      ELSE [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)] END AS shs
+             |    FROM toks), UNNEST(shs) AS u(sh)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pj AS (SELECT CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS j
+             |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+             |b AS (SELECT CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS bucket,
+             |    COUNT(*) AS n_pairs
+             |  FROM pj GROUP BY 1)
+             |SELECT bucket / 10.0 AS threshold_lo, n_pairs,
+             |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_pairs_ge
+             |FROM b ORDER BY threshold_lo""".stripMargin)),
+
+    // INCREMENTAL IVF index maintenance (the at-rest ANN serving story
+    // n7 starts, completed: a production index retrains its coarse
+    // quantizer rarely — day-to-day, new vectors are ASSIGNED to the
+    // frozen centroids and appended to their cell partitions, touching
+    // no other cell). Base trains the quantizer; the delta batch folds
+    // in via Similarity.assignToCentroids + a cell-partitioned APPEND;
+    // fold ≡ recompute-against-the-same-centroids is pinned exactly
+    // (n7's full-outer row compare), and recall vs the brute truth over
+    // the FULL corpus must clear the same 0.5 bar. At 100 TB the fold
+    // touches O(delta) rows; the probe still partition-prunes to the
+    // probed cells.
+    Q("n24_incremental_ivf",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val base = emb.where(pmod(col("vec_id"), lit(3)) =!= 2)
+        val delta = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+        val qs = emb.where(col("vec_id") < 10)
+        val (assignedBase, cents) = Similarity.ivfIndex(base, "vec_id", "embedding")
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_incr")
+        assignedBase.write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+        val assignedDelta = Similarity.assignToCentroids(delta, cents, "vec_id", "embedding")
+        assignedDelta.write.mode("append").partitionBy("cell").parquet(dir.toString)
+        val fromRest = Similarity.ivfTopKFromIndex(
+          s.read.parquet(dir.toString), cents, qs, "vec_id", "embedding", k = 3)
+        val recompute = Similarity.ivfTopKFromIndex(
+          assignedBase.unionByName(assignedDelta), cents, qs, "vec_id", "embedding", k = 3)
+        def keyed(df: DataFrame, tag: String) = df.select(
+          col("query_id"), col("corpus_id"), col("rk"),
+          round(col("cos"), 9).as("cos"), lit(1).as(tag))
+        val eq = keyed(fromRest, "in_r")
+          .join(keyed(recompute, "in_m"),
+            Seq("query_id", "corpus_id", "rk", "cos"), "full_outer")
+          .agg(sum(when(col("in_r").isNull || col("in_m").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_mismatch"))
+        val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+        val hits = truth.select(col("query_id"), col("corpus_id"))
+          .join(fromRest.select(col("query_id"), col("corpus_id")).withColumn("hit", lit(1)),
+            Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        val out = qs.agg(count(lit(1)).as("n_queries"))
+          .crossJoin(hits).crossJoin(eq)
+          .select(col("n_queries"), col("n_truth"),
+            when(col("n_truth") === 0, lit(true))
+              .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
+            (col("n_mismatch") === 0L).as("fold_equals_recompute"))
+          .localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        out
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id)
+             |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+             |  COUNT(*) AS n_truth, TRUE AS recall_ok, TRUE AS fold_equals_recompute
+             |FROM scored WHERE rk <= 3""".stripMargin))
   )
 }

@@ -1084,6 +1084,212 @@ object RelationalQueries {
              |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS ppm
              |FROM g ORDER BY pattern""".stripMargin)),
 
+    // Corrupt-record ingest audit (the PERMISSIVE-parse quarantine
+    // every raw-text/CSV landing zone needs: count, isolate, and PIN
+    // the malformed rows instead of failing the job or silently
+    // dropping them). A CSV is round-tripped with PLANTED type
+    // corruption (orderkey ≡ 7 mod 50 writes "xx" where the price
+    // belongs), re-read with an explicit schema + columnNameOfCorrupt-
+    // Record; PERMISSIVE keeps the fields that DID parse, so the audit
+    // pins the corrupt-row KEY SET (corrupt_key_sum), not just its
+    // size, and the good-row price mass must survive the string
+    // round-trip bit-exactly (shortest-roundtrip double formatting).
+    // Map-only besides the final 1-row aggregate.
+    Q("p17_corrupt_record_audit",
+      (s, d) => {
+        val dir = scratch(s, "p17_csv").toString
+        T(s, d, "orders").select(concat_ws(",",
+            col("o_orderkey"), col("o_orderstatus"),
+            when(pmod(col("o_orderkey"), lit(50)) === 7, lit("xx"))
+              .otherwise(col("o_totalprice").cast("string"))).as("value"))
+          .write.mode("overwrite").text(dir)
+        s.read
+          .schema("k LONG, st STRING, p DOUBLE, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countIf(col("_corrupt_record").isNull).as("n_good"),
+            countIf(col("_corrupt_record").isNotNull).as("n_corrupt"),
+            sumExact(when(col("_corrupt_record").isNull, col("p")))
+              .as("good_price_sum"),
+            sumLong(when(col("_corrupt_record").isNotNull, col("k")))
+              .as("corrupt_key_sum"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows,
+              |  ${countIfSql("o_orderkey % 50 <> 7")} AS n_good,
+              |  ${countIfSql("o_orderkey % 50 = 7")} AS n_corrupt,
+              |  ${sumExactSql("CASE WHEN o_orderkey % 50 <> 7 THEN o_totalprice END")}
+              |    AS good_price_sum,
+              |  CAST(SUM(CASE WHEN o_orderkey % 50 = 7 THEN o_orderkey END) AS BIGINT)
+              |    AS corrupt_key_sum
+              |FROM orders""".stripMargin)),
+
+    // Conflicting-key audit (the "dirty upsert source" gate ahead of
+    // u1/p9's MERGE: a changelog claiming key-uniqueness but carrying
+    // the SAME key with DIFFERENT payloads makes latest-wins order-
+    // dependent). The messy changelog is derived deterministically
+    // (original docs ∪ revised twins for doc_id ≡ 3 mod 7 — u3's
+    // revision plant), fingerprints are md5 so payloads never ride the
+    // shuffle, and ONE key-keyed aggregate classifies every key. The
+    // conflict id-sum pins WHICH keys, not just how many.
+    Q("dq18_conflicting_keys",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val log = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+          .unionByName(docs.where(pmod(col("doc_id"), lit(7)) === 3)
+            .select(col("doc_id"), md5(concat(col("text"), lit(" rev2"))).as("fp")))
+        log.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("fp")).as("n_payloads"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            countIf(col("n_rows") > 1).as("n_multi_row"),
+            countIf(col("n_payloads") > 1).as("n_conflicting"),
+            sumLong(when(col("n_payloads") > 1, col("doc_id"))).as("conflict_id_sum"),
+            max(col("n_payloads")).as("max_payloads"))
+      },
+      Some(s"""WITH log AS (
+              |  SELECT doc_id, md5(text) AS fp FROM documents
+              |  UNION ALL
+              |  SELECT doc_id, md5(text || ' rev2') AS fp FROM documents
+              |  WHERE doc_id % 7 = 3),
+              |k AS (SELECT doc_id, COUNT(*) AS n_rows,
+              |    COUNT(DISTINCT fp) AS n_payloads FROM log GROUP BY 1)
+              |SELECT COUNT(*) AS n_keys,
+              |  ${countIfSql("n_rows > 1")} AS n_multi_row,
+              |  ${countIfSql("n_payloads > 1")} AS n_conflicting,
+              |  CAST(SUM(CASE WHEN n_payloads > 1 THEN doc_id END) AS BIGINT)
+              |    AS conflict_id_sum,
+              |  MAX(n_payloads) AS max_payloads
+              |FROM k""".stripMargin)),
+
+    // INCREMENTAL layout maintenance (p13 compacts a whole table; the
+    // production background job touches ONLY the delta partition —
+    // rewriting a 100 TB base to absorb a 0.1% delta is the anti-
+    // pattern): base lands range-sorted once, small delta files land
+    // beside it, maintenance compacts the DELTA DIRECTORY alone and the
+    // base's files are verifiably untouched (file-count equality on the
+    // base manifest — metadata only). The read-back union must carry
+    // the full corpus (count + id-sum pins), which is what the oracle
+    // recomputes.
+    Q("p18_incremental_compaction",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val base = scratch(s, "p18_base").toString
+        val delta = scratch(s, "p18_delta").toString
+        val compacted = scratch(s, "p18_compacted").toString
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 4)
+          .repartitionByRange(8, col("doc_id"))
+          .write.mode("overwrite").parquet(base)
+        docs.where(pmod(col("doc_id"), lit(5)) === 4)
+          .repartition(16)
+          .write.mode("overwrite").parquet(delta)
+        def nFiles(p: String) =
+          new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+        val baseBefore = nFiles(base)
+        val (deltaBefore, deltaAfter) = graft.io.Sinks.compactParquet(
+          s, delta, compacted, targetBytes = 8L * 1024 * 1024)
+        val merged = s.read.parquet(base)
+          .unionByName(s.read.parquet(compacted))
+        merged.agg(
+          count(lit(1)).as("n_docs"),
+          sumLong(col("doc_id")).as("sum_ids"),
+          lit(deltaBefore.toLong).as("delta_files_before"),
+          lit(deltaBefore > deltaAfter).as("delta_compacted"),
+          lit(nFiles(base) == baseBefore).as("base_untouched"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+             |CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             |CAST(16 AS BIGINT) AS delta_files_before,
+             |TRUE AS delta_compacted, TRUE AS base_untouched
+             |FROM documents""".stripMargin)),
+
+    // Incremental CORRELATION maintenance (the second-order member of
+    // the incremental triad — u2 keeps first-order partials, this one
+    // keeps co-moments: cnt + Σx Σy Σx² Σy² Σxy per key, all exact
+    // DECIMAL so the fold equals a one-shot build EXACTLY, not
+    // approximately). Three batches fold through Merge.mergeCorrState
+    // into at-rest parquet; the read-time Pearson r derives from six
+    // bit-identical doubles — which is exactly what the oracle computes
+    // from scratch. O(batch + touched keys) per fold, never O(history).
+    Q("u9_incremental_corr",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val stateDir = scratch(s, "u9_state").toString
+        def batch(i: Int) = li.where(pmod(col("l_orderkey"), lit(3)) === i)
+        graft.core.Merge.corrPartials(batch(0), Seq("l_returnflag"),
+            "l_extendedprice", "l_discount")
+          .write.mode("overwrite").parquet(stateDir)
+        (1 to 2).foreach { i =>
+          val merged = graft.core.Merge.mergeCorrState(
+            s.read.parquet(stateDir),
+            graft.core.Merge.corrPartials(batch(i), Seq("l_returnflag"),
+              "l_extendedprice", "l_discount"),
+            Seq("l_returnflag")).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(stateDir)
+        }
+        val st = s.read.parquet(stateDir)
+        val nD = col("cnt").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        st.select(col("l_returnflag"), col("cnt").as("n"),
+            round(dd("sx") / nD, 6).as("mean_x"),
+            round(dd("sy") / nD, 6).as("mean_y"),
+            round((nD * dd("sxy") - dd("sx") * dd("sy")) /
+              sqrt((nD * dd("sxx") - dd("sx") * dd("sx")) *
+                (nD * dd("syy") - dd("sy") * dd("sy"))), 6).as("corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        def m(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE)"
+        s"""WITH s AS (SELECT l_returnflag, COUNT(*) AS cnt,
+           |  ${m("l_extendedprice")} AS sx, ${m("l_discount")} AS sy,
+           |  ${m("l_extendedprice*l_extendedprice")} AS sxx,
+           |  ${m("l_discount*l_discount")} AS syy,
+           |  ${m("l_extendedprice*l_discount")} AS sxy
+           |FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, cnt AS n,
+           |  ROUND(sx / cnt, 6) AS mean_x,
+           |  ROUND(sy / cnt, 6) AS mean_y,
+           |  ROUND((cnt * sxy - sx * sy) /
+           |    SQRT((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6) AS corr
+           |FROM s ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // Star-schema join chain (the TPC-H Q5 shape: one fact chain +
+    // three dimension hops — lineitem⋈orders shuffles on the fact key,
+    // then customer/nation/region CASCADE as broadcasts so the big side
+    // never re-shuffles after the first exchange). Revenue =
+    // extendedprice·(1−discount), exact-decimal summed. BROADCAST
+    // BOUND: customer is a hint for THIS fixture — at a 100 TB customer
+    // dimension drop the hint (sort-merge on the key) or bucket both
+    // sides (j14's layout) and the exchange disappears; nation/region
+    // are bounded by geography and broadcast at any corpus size.
+    Q("j16_star_join",
+      (s, d) => {
+        val li = T(s, d, "lineitem").select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val o = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        val c = T(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n = T(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"))
+        val r = T(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), sumExact(col("rev")).as("revenue"))
+          .orderBy(col("r_name"), col("o_orderpriority"))
+      },
+      Some(s"""SELECT r_name, o_orderpriority, COUNT(*) AS n_items,
+              |${sumExactSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Chi-square categorical drift gate (Validation.chiSquareDrift —
     // completes the drift family: dq2 PSI bins numerics, dq11 KS walks
     // continuous CDFs, this one tests the category MIX). Reference =

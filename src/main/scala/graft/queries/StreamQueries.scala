@@ -512,5 +512,58 @@ object StreamQueries {
              |      ORDER BY value DESC, event_id) AS INTEGER) AS rk,
              |    event_id, ROUND(value, 6) AS value
              |  FROM events)
-             |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin)))
+             |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin)),
+
+    // Streaming QUANTILE-SKETCH maintenance (h7's streaming twin —
+    // completes the sketch-MV triad: st13 HLL distincts, st17 CMS
+    // frequencies, st19 quantiles): per micro-batch KLL partials fold
+    // into a one-sketch-row-per-key at-rest table via
+    // kll_merge_agg_double; the served median must land inside the
+    // EXACT [p40, p60] band (h7's verification contract — the exact
+    // side rides the histogram-compressed weightedQuantiles pass, never
+    // built-in exact percentile). Counts are sketch-exact (n is
+    // tracked, not estimated), so counts_agree pins replay coverage.
+    Q("st19_stream_kll_mv",
+      (s, d) => {
+        val merged = EventStream.runKllMvOnce(s, s"$d/events.parquet")
+          .select(col("event_type"),
+            kll_sketch_get_n_double(col("sk")).as("n_rows"),
+            kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("est_med"))
+        val exact = graft.core.Relational.weightedQuantiles(
+          graft.core.Tables.readEvents(s, d)
+            .select(col("event_type"), col("value")).withColumn("w", lit(1L)),
+          "event_type", "value", "w", Seq(0.4, 0.5, 0.6))
+        exact.join(merged, Seq("event_type"))
+          .select(col("event_type"),
+            col("total_weight").as("n_exact"),
+            (col("n_rows") === col("total_weight")).as("counts_agree"),
+            round(col("q_0_5"), 4).as("exact_median"),
+            (col("est_med") >= col("q_0_4") && col("est_med") <= col("q_0_6"))
+              .as("sketch_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_exact, TRUE AS counts_agree,
+             |ROUND(QUANTILE_CONT(value, 0.5), 4) AS exact_median,
+             |TRUE AS sketch_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming EXACT-DISTINCT maintenance (u6's streaming twin —
+    // Merge.firstSeenNew folded per micro-batch; set union is
+    // commutative, so like st18 it is correct under the file source's
+    // arbitrary batch order). The at-rest state is the distinct
+    // (type, user) key set itself — the exact aggregate streaming
+    // engines can't hold natively; st13's HLL is the bounded-state
+    // approx twin. Oracle = one-shot COUNT(DISTINCT) with the member
+    // set pinned via SUM(DISTINCT): stream ≡ batch.
+    Q("st20_stream_distinct_mv",
+      (s, d) => {
+        EventStream.runFirstSeenMvOnce(s, s"$d/events.parquet")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct_users"),
+            sumLong(col("user_id")).as("user_id_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users,
+             |CAST(SUM(DISTINCT user_id) AS BIGINT) AS user_id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

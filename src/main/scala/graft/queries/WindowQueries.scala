@@ -1381,7 +1381,8 @@ object WindowQueries {
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
             col("event_id"), col("value"))
           .withColumn("win", sort_array(collect_list(col("value")).over(w)))
-          .withColumn("rmed", expr("element_at(win, (size(win) + 1) div 2)"))
+          .withColumn("rmed",
+            expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sumExact(col("rmed")).as("med_sum"),
@@ -1400,6 +1401,93 @@ object WindowQueries {
               |  ${sumExactSql("rmed")} AS med_sum,
               |  ROUND(MIN(rmed), 6) AS med_min,
               |  ROUND(MAX(rmed), 6) AS med_max
-              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SEASONAL-ADJUSTED anomaly gate (t8 z-scores against a rolling
+    // window; t14 profiles day-of-week counts; this one z-scores each
+    // VALUE against its (dow, hour) seasonal cell — the deseasonalized
+    // residual monitor that doesn't page on every Monday-morning ramp):
+    // the 168-cell profile comes from ONE exact-decimal moment pass and
+    // broadcasts back onto the stream, so the scan is the only
+    // row-scale work. All z inputs are decimal-exact doubles; the
+    // per-day rollup keys on the event's day. Threshold 1.5σ (the
+    // fixture's value distribution is bounded — 3σ would never fire;
+    // the gate's JOB here is firing deterministically, both engines
+    // replay the same counts).
+    Q("t23_seasonal_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ev = events(s, d).select(col("ts"), col("value"),
+          expr("weekday(ts)").cast("int").as("dow"), hour(col("ts")).as("hr"))
+        val prof = ev.groupBy(col("dow"), col("hr"))
+          .agg(count(col("value")).as("n"),
+            sum(col("value").cast(DecimalType(27, 6))).cast("double").as("sv"),
+            sum((col("value") * col("value")).cast(DecimalType(27, 6)))
+              .cast("double").as("svv"))
+          .select(col("dow"), col("hr"), (col("sv") / col("n")).as("mu"),
+            sqrt(col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")))
+              .as("sd"))
+        ev.join(broadcast(prof), Seq("dow", "hr"))
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countIf(abs(col("z")) > 1.5).as("n_anomalies"),
+            round(max(abs(col("z"))), 6).as("max_abs_z"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH e AS (SELECT ts, value, CAST(isodow(ts) - 1 AS INT) AS dow,
+              |    EXTRACT(hour FROM ts) AS hr FROM events),
+              |p AS (SELECT dow, hr, COUNT(value) AS n,
+              |    ${sumExactSql("value")} AS sv,
+              |    ${sumExactSql("value*value")} AS svv
+              |  FROM e GROUP BY 1, 2),
+              |m AS (SELECT dow, hr, sv / n AS mu,
+              |    SQRT(svv / n - (sv / n) * (sv / n)) AS sd FROM p),
+              |z AS (SELECT STRFTIME(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+              |    (value - mu) / sd AS z
+              |  FROM e JOIN m USING (dow, hr))
+              |SELECT day, COUNT(*) AS n_events,
+              |  ${countIfSql("ABS(z) > 1.5")} AS n_anomalies,
+              |  ROUND(MAX(ABS(z)), 6) AS max_abs_z
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sliding-window EXACT distinct (trailing-7-day active users per
+    // day — the DAU/WAU report, and the op naive plans get wrong at
+    // scale: a range join of calendar × events is a nested loop, and a
+    // windowed countDistinct is unsupported). The scale-correct rewrite:
+    // distinct (day, user) pairs FIRST (one shuffle, day-level rows ≪
+    // events), then each pair EXPLODES to the ≤7 window-end days it
+    // covers (a bounded 7× fan of the small pair table — the band-join
+    // rewrite rj1 uses, materialized as an equi-groupBy), exact
+    // countDistinct per target day, semi-joined back to observed days
+    // (no ghost days past the corpus end). w15's cumulative distinct is
+    // the unbounded-window sibling.
+    Q("w17_sliding_distinct",
+      (s, d) => {
+        val pairs = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val cal = pairs.select(col("day")).distinct()
+        val expanded = pairs
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+          .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        expanded.join(cal, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_active_7d"))
+          .join(pairs.groupBy(col("day"))
+            .agg(count(lit(1)).as("n_active_1d")), Seq("day"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_active_1d"), col("n_active_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |cal AS (SELECT DISTINCT day FROM p),
+             |w AS (SELECT c.day AS day, p.user_id
+             |  FROM cal c JOIN p ON p.day BETWEEN c.day - 6 AND c.day)
+             |SELECT STRFTIME(w.day, '%Y-%m-%d') AS day,
+             |  (SELECT COUNT(*) FROM p WHERE p.day = w.day) AS n_active_1d,
+             |  COUNT(DISTINCT user_id) AS n_active_7d
+             |FROM w GROUP BY w.day ORDER BY 1""".stripMargin))
   )
 }

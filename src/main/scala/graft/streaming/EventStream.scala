@@ -528,6 +528,113 @@ object EventStream {
     state
   }
 
+  /** Streaming EXACT-DISTINCT maintenance (st20 — u6's streaming twin):
+    * per micro-batch, [[graft.core.Merge.firstSeenNew]] anti-joins the
+    * batch's distinct key tuples against the at-rest seen-set and only
+    * the genuinely-new tuples extend the state. Set union is
+    * commutative/idempotent over tuples, so the MV is correct under the
+    * file source's ARBITRARY batch order, and the final state is
+    * exactly distinct(corpus) — the aggregate streaming engines cannot
+    * maintain natively (the state IS the key set; st13's HLL is the
+    * bounded-state approx twin). Per-trigger cost O(batch + keyed
+    * probe); returns the final distinct-pair state. */
+  def runFirstSeenMvOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_fsmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val cols = Seq("event_type", "user_id")
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val next =
+            if (gen == 0) batch.select(cols.map(col): _*).distinct()
+            else {
+              val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+              state.unionByName(
+                graft.core.Merge.firstSeenNew(state, batch, cols))
+            }
+          next.write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"first-seen replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
+  /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,
+    * completing the sketch-MV triad: st13 HLL distincts, st17 CMS
+    * frequencies, this one quantiles): per micro-batch, build per-key
+    * KLL partials and FOLD them into the at-rest sketch table with one
+    * keyed kll_merge_agg_double. KLL merge is commutative/associative,
+    * so the folded sketch answers the same rank queries as a one-shot
+    * build REGARDLESS of batch boundaries (same error envelope — the
+    * estimate is pinned inside the exact [p40, p60] band, h7's
+    * contract). State is one ~KB sketch row per key at every
+    * generation; per-trigger cost O(batch + keys) — quantile serving at
+    * any corpus size without a rescan. Returns the final sketch table. */
+  def runKllMvOnce(spark: SparkSession, path: String, k: Int = 400,
+      nChunks: Int = 4): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_kllmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    var gen = 0
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partials = batch.groupBy(col("event_type"))
+            .agg(kll_sketch_agg_double(col("value"), k).as("sk"))
+          val next =
+            if (gen == 0) partials
+            else spark.read.parquet(work.resolve(s"state_$gen").toString)
+              .unionByName(partials)
+              .groupBy(col("event_type"))
+              .agg(kll_merge_agg_double(col("sk")).as("sk"))
+          next.write.mode("overwrite")
+            .parquet(work.resolve(s"state_${gen + 1}").toString)
+          gen += 1
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(gen >= 2, s"KLL-MV replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Streaming TOP-K LEADERBOARD maintenance (st18 — u7's streaming
     * twin): per micro-batch, fold the batch into the bounded top-k
     * state with [[graft.core.Merge.topKFold]]. Top-k under a total

@@ -545,6 +545,25 @@ class ValidationOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_zero_len") == 2L)
     assert(r.getAs[Long]("bad_id_sum") == (2L + 3L + 5L + 20L))
   }
+
+  // ---- t22 rolling-median order-statistic semantics ------------------------
+
+  test("t22_rolling_median: lower-middle element per trailing frame, partial leading frames included") {
+    // values [5,1,9,3,7] → frames [5] [1,5] [1,5,9] [1,3,5,9] [1,3,5,7,9]
+    // → medians 5, 1, 5, 3, 5 (lower-middle on even counts, no
+    // interpolation): sum 19, min 1, max 5
+    val dir = plantEvents(Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 5.0),
+      (1L, "view", "2024-01-01 10:01:00", 2L, 1.0),
+      (1L, "view", "2024-01-01 10:02:00", 3L, 9.0),
+      (1L, "view", "2024-01-01 10:03:00", 4L, 3.0),
+      (1L, "view", "2024-01-01 10:04:00", 5L, 7.0)))
+    val r = SingleRow.of(SparkEntry.queries("t22_rolling_median")(spark, dir))
+    assert(r.getAs[Long]("n_events") == 5L)
+    assert(math.abs(r.getAs[Double]("med_sum") - 19.0) < 1e-9)
+    assert(r.getAs[Double]("med_min") == 1.0)
+    assert(r.getAs[Double]("med_max") == 5.0)
+  }
 }
 
 /** Tiny helper: collect a frame expected to hold exactly one row. */
