@@ -47,8 +47,18 @@ object DevScale {
     if (want("gates13i")) gates13iSection(spark)
     if (want("gates13j")) gates13jSection(spark)
     if (want("gates13k")) gates13kSection(spark)
+    if (want("gates13l")) gates13lSection(spark)
     spark.stop()
   }
+
+  /** Round-13l: sixth operator batch at ×1/×10/×100. t25 chains three
+    * decileExact range-rank passes over the USER frame (user count
+    * grows with replicas — the honest distributed-NTILE cost); w18
+    * rides the weeks×segments frame after one broadcast join (scan-
+    * bound); dq19 is one per-feed aggregate + 1-row broadcast (flat). */
+  private def gates13lSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g13l", Seq(
+      "t25_rfm_segments", "w18_top_movers", "dq19_freshness_lag"))
 
   /** Round-13k: fifth operator batch at ×1/×10/×100. j16 is the
     * fact-chain shape — expect scan/shuffle-linear on lineitem⋈orders

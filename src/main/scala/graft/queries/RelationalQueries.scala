@@ -1287,8 +1287,41 @@ object RelationalQueries {
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation ON c_nationkey = n_nationkey
-              |JOIN region ON n_regionkey = r_regionkey
+              |JOIN region ON r_regionkey = n_regionkey
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Freshness-lag audit (the SLA gate every multi-feed ingest runs:
+    // which feeds have stopped, measured against the freshest feed —
+    // an ABSOLUTE now() would make the query nondeterministic and
+    // untestable; the relative-to-global-max lag is the replayable
+    // form). One per-feed aggregate + a 1-row broadcast of the global
+    // max; lag in whole hours (integer division — no float), stale at
+    // ≥ 24h. n_last_24h doubles as the volume check a flatlined feed
+    // fails first.
+    Q("dq19_freshness_lag",
+      (s, d) => {
+        val ev = graft.core.Tables.readEvents(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("tsu"))
+        val perFeed = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), max(col("tsu")).as("last_tsu"))
+        val gmax = perFeed.agg(max(col("last_tsu")).as("gmax"))
+        perFeed.crossJoin(broadcast(gmax))
+          .select(col("event_type"), col("n_rows"),
+            date_format(timestamp_micros(col("last_tsu")), "yyyy-MM-dd HH:mm:ss")
+              .as("last_seen"),
+            expr("CAST((gmax - last_tsu) DIV 3600000000 AS BIGINT)").as("lag_hours"),
+            (col("gmax") - col("last_tsu") >= 24L * 3600000000L).as("stale"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu FROM events),
+             |p AS (SELECT event_type, COUNT(*) AS n_rows, MAX(tsu) AS last_tsu
+             |  FROM e GROUP BY 1),
+             |g AS (SELECT MAX(last_tsu) AS gmax FROM p)
+             |SELECT event_type, n_rows,
+             |  STRFTIME(make_timestamp(last_tsu), '%Y-%m-%d %H:%M:%S') AS last_seen,
+             |  CAST((gmax - last_tsu) // 3600000000 AS BIGINT) AS lag_hours,
+             |  (gmax - last_tsu) >= 86400000000 AS stale
+             |FROM p, g ORDER BY event_type""".stripMargin)),
 
     // Chi-square categorical drift gate (Validation.chiSquareDrift —
     // completes the drift family: dq2 PSI bins numerics, dq11 KS walks

@@ -1488,6 +1488,101 @@ object WindowQueries {
              |SELECT STRFTIME(w.day, '%Y-%m-%d') AS day,
              |  (SELECT COUNT(*) FROM p WHERE p.day = w.day) AS n_active_1d,
              |  COUNT(DISTINCT user_id) AS n_active_7d
-             |FROM w GROUP BY w.day ORDER BY 1""".stripMargin))
+             |FROM w GROUP BY w.day ORDER BY 1""".stripMargin)),
+
+    // RFM segmentation (recency / frequency / monetary quartiles — the
+    // classic lifecycle segmentation, and a reuse test for the
+    // DISTRIBUTED quartile machinery: each NTILE(4) rides
+    // Relational.decileExact's range-exchange rank, never a global
+    // single-partition window, because at corpus scale the user frame
+    // is billions of rows). Unique user_id tie-breaks make every
+    // quartile boundary deterministic; monetary is decimal-exact before
+    // the double ordering. Output: the 4×4×4 segment grid with user
+    // counts and monetary mass.
+    Q("t25_rfm_segments",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val u = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("f"),
+            sum(col("value").cast(DecimalType(27, 6))).cast("double").as("m"),
+            max(to_date(col("ts"))).as("last_day"))
+        val gmax = u.agg(max(col("last_day")).as("gmax"))
+        val base = u.crossJoin(broadcast(gmax))
+          .withColumn("rec", datediff(col("gmax"), col("last_day")))
+          .select(col("user_id"), col("rec"), col("f"), col("m"))
+        def quartile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+            name: String) =
+          graft.core.Relational.decileExact(df, order, n = 4)
+            .withColumnRenamed("decile", name)
+        val q = quartile(quartile(quartile(base,
+            Seq(col("rec"), col("user_id")), "rq"),
+            Seq(col("f"), col("user_id")), "fq"),
+            Seq(col("m"), col("user_id")), "mq")
+        q.groupBy(col("rq"), col("fq"), col("mq"))
+          .agg(count(lit(1)).as("n_users"), sumExact(col("m")).as("monetary"))
+          .orderBy(col("rq"), col("fq"), col("mq"))
+      },
+      Some(s"""WITH u AS (SELECT user_id, COUNT(*) AS f,
+              |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS m,
+              |    MAX(CAST(ts AS DATE)) AS last_day
+              |  FROM events GROUP BY 1),
+              |g AS (SELECT MAX(last_day) AS gmax FROM u),
+              |r AS (SELECT user_id, f, m, (gmax - last_day) AS rec FROM u, g),
+              |q AS (SELECT m,
+              |    NTILE(4) OVER (ORDER BY rec, user_id) AS rq,
+              |    NTILE(4) OVER (ORDER BY f, user_id) AS fq,
+              |    NTILE(4) OVER (ORDER BY m, user_id) AS mq
+              |  FROM r)
+              |SELECT rq, fq, mq, COUNT(*) AS n_users,
+              |  ${sumExactSql("m")} AS monetary
+              |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Top WoW movers per week (the "what changed most" report layered
+    // on t20's period-over-period): weekly revenue per market segment
+    // (orders ⋈ broadcast customer), per-segment lag over the
+    // O(weeks×segments) pre-aggregated frame, then the top-3 absolute
+    // movers per week via row_number ≤ 3 — WindowGroupLimit, so even a
+    // high-cardinality segment axis would heap-prune map-side. Deltas
+    // computed in exact DECIMAL; first-week rows (no prior) drop on
+    // both sides.
+    Q("w18_top_movers",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val wk = T(s, d, "orders")
+          .join(broadcast(T(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+            .as("week"), col("c_mktsegment"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("revd"))
+        val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("week"))
+        val wWeek = Window.partitionBy(col("week"))
+          .orderBy(abs(col("delta")).desc, col("c_mktsegment"))
+        wk.withColumn("delta", (col("revd") - lag(col("revd"), 1).over(wSeg))
+            .cast("double"))
+          .where(col("delta").isNotNull)
+          .withColumn("rk", row_number().over(wWeek))
+          .where(col("rk") <= 3)
+          .select(col("week"), col("rk"), col("c_mktsegment"),
+            col("revd").cast("double").as("revenue"), col("delta"))
+          .orderBy(col("week"), col("rk"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT STRFTIME(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+             |    c_mktsegment,
+             |    SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS revd
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |l AS (SELECT week, c_mktsegment, revd,
+             |    CAST(revd - LAG(revd) OVER (PARTITION BY c_mktsegment ORDER BY week)
+             |      AS DOUBLE) AS delta
+             |  FROM wk),
+             |r AS (SELECT week, c_mktsegment, revd, delta,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY week
+             |      ORDER BY ABS(delta) DESC, c_mktsegment) AS INTEGER) AS rk
+             |  FROM l WHERE delta IS NOT NULL)
+             |SELECT week, rk, c_mktsegment, CAST(revd AS DOUBLE) AS revenue, delta
+             |FROM r WHERE rk <= 3 ORDER BY week, rk""".stripMargin))
   )
 }
