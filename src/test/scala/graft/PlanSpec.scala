@@ -239,4 +239,42 @@ class PlanSpec extends SparkSpec {
         .foreach(q => java.nio.file.Files.deleteIfExists(q))
     }
   }
+
+  test("j16: star chain never degenerates to a nested loop; dimensions broadcast") {
+    val p = plan("j16_star_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the three dimension hops broadcast (the fact join may also
+    // broadcast at fixture scale — both are hash joins either way)
+    assert(p.split("BroadcastHashJoin").length >= 4, p)
+  }
+
+  test("w17: sliding distinct is the explode rewrite — never a BETWEEN-join nested loop") {
+    val p = plan("w17_sliding_distinct")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("t25: RFM quartiles ride the distributed rank — no global ntile window") {
+    val p = plan("t25_rfm_segments")
+    assert(!p.contains("ntile"), p)
+    // single-partition exchanges may only sit above aggregates (the
+    // tiny offset/total frames), never over the data path — w4's rule
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val child = lines.drop(i + 1).headOption.getOrElse("")
+        assert(child.contains("HashAggregate"),
+          s"t25 single-partition exchange over non-aggregate data:\n$p")
+    }
+  }
+
+  test("topKFold: the keep-k filter compiles to WindowGroupLimit (map-side top-k heap)") {
+    val s = spark; import s.implicits._
+    val a = Seq(("a", 1L, 5), ("a", 2L, 7)).toDF("g", "id", "v")
+    val b = Seq(("a", 3L, 6)).toDF("g", "id", "v")
+    val p = graft.core.Merge.topKFold(a, b, Seq("g"),
+        Seq(col("v").desc, col("id").asc), 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
