@@ -1357,11 +1357,14 @@ object AggQueries {
         val daily = graft.core.Tables.readEvents(s, d)
           .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
           .agg(sum(col("value").cast(DecimalType(27, 6))).as("vd"))
-        val tot = daily.agg(
-          count(lit(1)).as("n_days"),
-          sum(col("vd")).cast("double").as("sv"))
+        // totals via a constant-partition window over the O(days) frame
+        // (the documented safe class) — a 1-row crossJoin would plan as
+        // BroadcastNestedLoopJoin, which the plan audit bans outright
+        val wAll = Window.partitionBy(lit(0))
         val wd = Window.partitionBy(lit(0)).orderBy(col("day"))
-        val terms = daily.crossJoin(broadcast(tot))
+        val terms = daily
+          .withColumn("n_days", count(lit(1)).over(wAll))
+          .withColumn("sv", sum(col("vd")).over(wAll).cast("double"))
           .withColumn("dev", col("vd").cast("double") - col("sv") / col("n_days"))
           .withColumn("prev", lag(col("dev"), 1).over(wd))
           .select(col("n_days"),

@@ -1304,8 +1304,12 @@ object RelationalQueries {
           .select(col("event_type"), unix_micros(col("ts")).as("tsu"))
         val perFeed = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_rows"), max(col("tsu")).as("last_tsu"))
-        val gmax = perFeed.agg(max(col("last_tsu")).as("gmax"))
-        perFeed.crossJoin(broadcast(gmax))
+        // global max via a constant-partition window over the k-feed
+        // frame (safe class) — a 1-row crossJoin would plan as the
+        // banned BroadcastNestedLoopJoin
+        perFeed
+          .withColumn("gmax", max(col("last_tsu")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
           .select(col("event_type"), col("n_rows"),
             date_format(timestamp_micros(col("last_tsu")), "yyyy-MM-dd HH:mm:ss")
               .as("last_seen"),
