@@ -48,8 +48,58 @@ object DevScale {
     if (want("gates13j")) gates13jSection(spark)
     if (want("gates13k")) gates13kSection(spark)
     if (want("gates13l")) gates13lSection(spark)
+    if (want("gates14a")) gates14aSection(spark)
+    if (want("gates14b")) gates14bSection(spark)
+    if (want("gates14c")) gates14cSection(spark)
+    if (want("gates14d")) gates14dSection(spark)
     spark.stop()
   }
+
+  /** Round-14a: stats/window batch at ×1/×10/×100. a32 is one
+    * conditional-sum scan (map-side combined — the scan IS the work,
+    * expect linear); a33 rides the pooled value HISTOGRAM through
+    * withGlobalCumSum (distinct values grow sublinearly vs rows for
+    * repeated measures, near-linear here since event values are
+    * near-distinct doubles — the honest worst case, a28's curve); w19
+    * rides the distinct-price frame through withGlobalCumMax (replica
+    * price offsets grow it with mult); w20 is scan + O(days×8) frame
+    * work (expect scan-bound). */
+  private def gates14aSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14a", Seq("a32_welch_ttest", "a33_mann_whitney",
+      "w19_skyline", "w20_lag_xcorr"))
+
+  /** Round-14b: temporal batch at ×1/×10/×100. t24 — two user-keyed
+    * window passes + session-grained agg (per-key rows = user cadence;
+    * expect linear in events); t26 — one keyed lag window + the
+    * histogram-compressed quantile pass (gap vocabulary ≪ rows; a21's
+    * curve); j17 — asofJoin's single key-keyed union window shuffle +
+    * one aggregate (t2's curve). */
+  private def gates14bSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14b", Seq("t24_session_conversion",
+      "t26_interarrival", "j17_scd2_point_in_time"))
+
+  /** Round-14c: DQ/incremental batch at ×1/×10/×100. dq20 rides the
+    * un-replicated customer table (gates the plan, not growth — two
+    * map-side-combined aggregates, trivially linear on a real
+    * dimension); dq21 rides the distinct (week, domain) frame (vocab ×
+    * weeks bounded — expect scan-bound); u10 is three batch scans +
+    * keyed 10-row folds (scan-bound; state flat). */
+  private def gates14cSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14c", Seq("dq20_l_diversity",
+      "dq21_valueset_drift", "u10_incremental_psi"))
+
+  /** Round-14d: stats/index/text batch at ×1/×10/×100. a34 — a33's
+    * histogram-rank machinery + one value-keyed join (near-linear in
+    * distinct values; event values are near-distinct doubles, the
+    * honest worst case); u11 — three key scans + ≤1024-row BIT_OR
+    * folds + one broadcast probe join (scan-bound, state flat); mm13 —
+    * decode+hash is the row-scale work, the class frame is gradient-
+    * vocabulary-bounded (≤96 distinct hashes) so the banded join is
+    * flat; x51 — one explode + map-side-combined agg (token-linear). */
+  private def gates14dSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14d", Seq("a34_kruskal_wallis",
+      "u11_incremental_bloom", "mm13_image_neardup_probe",
+      "x51_lexical_complexity"))
 
   /** Round-13l: sixth operator batch at ×1/×10/×100. t25 chains three
     * decileExact range-rank passes over the USER frame (user count
@@ -540,6 +590,20 @@ object DevScale {
           col("l_returnflag"))
       }.reduce(_ unionByName _).repartition(32) // reads sf0.1, not the target
       rebuilt.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    // part added later (gates14a — w19 skyline) — backfill into dirs
+    // built before; the per-replica PRICE offset keeps the distinct-price
+    // frame (the frame withGlobalCumMax actually rides) growing with
+    // mult instead of collapsing to the base vocabulary
+    if (!new java.io.File(s"$dir/part.parquet").exists()) {
+      val partBase = spark.read.parquet(s"$sf/part.parquet")
+      (0 until mult).map { i =>
+        partBase.select(
+          (col("p_partkey") + lit(i.toLong * 10000000L)).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          (col("p_retailprice") + lit(i * 0.01)).as("p_retailprice"))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
     }
     // embeddings added later (gates12d) — backfill into dirs built before
     if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {

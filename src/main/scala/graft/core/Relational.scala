@@ -160,6 +160,50 @@ object Relational {
       .drop("__w", "__mid", "__pid", "__pid2", "__lc")
   }
 
+  /** DISTRIBUTED strict-prior running MAX: `outCol` = max(`value`) over
+    * all rows strictly BEFORE this row in the global `order` (null when
+    * no predecessor) — the running-extreme sibling of
+    * [[withGlobalCumSum]], built on the same machinery: one range
+    * exchange + per-partition sorted window (rowsBetween(-∞,-1), O(1)
+    * state, parallel across partitions) + a broadcast of per-partition
+    * STRICT-prior prefix maxima. No single-partition stage on the data
+    * path. The eager checkpoint carries the same branch-consistency
+    * rationale as withGlobalRank — pass slim frames.
+    *
+    * Primary use: dominance tests over a sorted axis (the 2-D skyline,
+    * w19: a point survives iff its y beats the strict running max over
+    * the x order). Rows TIED in `order` do not see each other (both get
+    * the max over strictly-smaller keys) ONLY if pre-aggregated to one
+    * row per order key — do that first, same rule as withGlobalCumSum's
+    * histogram pattern. */
+  def withGlobalCumMax(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val withMid = df.withColumn("__v", value)
+      .repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    // Tiny side: one row per partition → strict-prior prefix max over
+    // partition index (≤ nPart rows, constant partition key).
+    val wOff = Window.partitionBy(lit(0)).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withMid
+      .select(shiftright(col("__mid"), 33).cast("int").as("__pid"), col("__v"))
+      .groupBy("__pid").agg(max(col("__v")).as("__pm"))
+      .withColumn("__offm", max("__pm").over(wOff))
+      .select("__pid", "__offm")
+    val wLoc = Window.partitionBy(col("__pid2")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withMid
+      .withColumn("__pid2", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lm", max(col("__v")).over(wLoc))
+      .join(broadcast(offsets), col("__pid2") === col("__pid"))
+      .withColumn(outCol, greatest(col("__lm"), col("__offm")))
+      .drop("__v", "__mid", "__pid", "__pid2", "__lm", "__offm")
+  }
+
   /** W4 (exact): decile bucketing with NTILE tie semantics over a global
     * order, computed from the distributed [[withGlobalRank]] — no
     * single-partition window. NTILE(n) closed form: with N rows, the first

@@ -60,6 +60,65 @@ object Frequency {
         .groupBy(col("u")).agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
+  /** Bloom filter with EXPLICIT universal hashes — [[Cms]]'s stance
+    * applied to membership: because the hash family is
+    * `((a·x + b) mod p) mod m` (not an engine-private digest), the
+    * DuckDB oracle can replay the ENTIRE filter — including which
+    * probes are false positives — so the membership answers themselves
+    * are exact-checkable, not just the no-false-negative floor.
+    *
+    * State is (idx, w) 64-bit words (m = 65536 bits = ≤1024 rows);
+    * merge = keyed BIT_OR, which is idempotent AND commutative — any
+    * batch/shard/stream decomposition, including at-least-once
+    * REDELIVERY, folds to the identical bitset (counting sketches like
+    * [[Cms]] only get commutativity). Serving a probe batch is a
+    * broadcast join against the ≤1024-row state — membership at any
+    * corpus size without rescanning keys (u11's contract). */
+  object Bloom {
+    val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+    val MBits: Long = 65536L
+    val Params: Seq[(Long, Long)] =
+      Seq((1103515245L, 12345L), (1234567891L, 54321L), (987654321L, 192837465L))
+
+    def bitPos(u: org.apache.spark.sql.Column, a: Long, b: Long)
+        : org.apache.spark.sql.Column =
+      pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(MBits))
+
+    private def withWord(df: DataFrame, extra: Seq[String]): DataFrame =
+      df.select(extra.map(col) ++ Seq(
+        expr("cast(bit div 64 as int)").as("idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pmod(bit, 64) as int))")
+          .as("w")): _*)
+
+    /** Partial bitset of a key batch: (idx, w) word rows. */
+    def build(keys: DataFrame, keyCol: String): DataFrame =
+      withWord(keys.select(explode(array(
+          Params.map { case (a, b) => bitPos(col(keyCol), a, b) }: _*))
+        .as("bit")), Nil)
+        .groupBy(col("idx")).agg(expr("bit_or(w)").as("w"))
+
+    /** Fold a partial into the at-rest bitset (keyed BIT_OR). */
+    def merge(state: DataFrame, partial: DataFrame): DataFrame =
+      state.unionByName(partial)
+        .groupBy(col("idx")).agg(expr("bit_or(w)").as("w"))
+
+    /** (key, bloom_hit) per probe: hit iff EVERY hash bit is set. A
+      * probe whose hashes collide contributes duplicate (idx, mask)
+      * rows — the all-rows-set test is still correct. */
+    def memberHits(probes: DataFrame, state: DataFrame, keyCol: String)
+        : DataFrame =
+      withWord(probes.select(col(keyCol), explode(array(
+          Params.map { case (a, b) => bitPos(col(keyCol), a, b) }: _*))
+        .as("bit")), Seq(keyCol))
+        .withColumnRenamed("w", "m")
+        .join(broadcast(state), Seq("idx"), "left")
+        .withColumn("set",
+          coalesce(col("w"), lit(0L)).bitwiseAND(col("m")) =!= 0)
+        .groupBy(col(keyCol))
+        .agg((sum(when(col("set"), 1L).otherwise(0L)) === count(lit(1)))
+          .as("bloom_hit"))
+  }
+
   /** Classic Misra–Gries: k counters over a token stream. Total work is
     * O(n): each decrement-all sweep cancels k prior increments. */
   private[graft] def misraGries(it: Iterator[String], k: Int): mutable.HashMap[String, Long] = {

@@ -387,27 +387,39 @@ object Multimodal {
     * [[imageNearDupResolve]] can reuse one decode+hash pass for both the
     * pair generation and the cluster inventory. Output additionally
     * carries each side's class representative (rep_a/rep_b). */
-  private def nearDupClassPairs(
-      classes: DataFrame, maxHamming: Int, nBands: Int): DataFrame = {
+  private def requireBands(maxHamming: Int, nBands: Int): Unit = {
     require(nBands >= 1 && 64 % nBands == 0, s"nBands $nBands must divide 64")
     require(maxHamming >= 0 && maxHamming <= nBands - 1,
       s"band blocking is exact only for maxHamming <= nBands-1 " +
         s"(got maxHamming=$maxHamming, nBands=$nBands)")
+  }
+
+  /** Band split of a class frame: one (ahash, n, rep_id, band, key) row
+    * per band — the blocking key the within-snapshot pair join (mm7)
+    * and the cross-snapshot probe (mm13) both meet on. */
+  private def bandedClasses(classes: DataFrame, nBands: Int): DataFrame = {
     val r = 64 / nBands
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"), substring(col("ahash"), b * r + 1, r).as("key"))
     }: _*)
-    val banded = classes
+    classes
       .select(col("ahash"), col("n"), col("rep_id"), explode(bandArr).as("bk"))
       .select(col("ahash"), col("n"), col("rep_id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    // Hamming over the '0'/'1' hash strings: four 16-bit chunks through
-    // conv(·,2,10) → xor → bit_count, all codegen'd builtins
-    def ham(a: Column, b: Column): Column =
-      (0 until 4).map { c =>
-        bit_count(conv(substring(a, c * 16 + 1, 16), 2, 10).cast("long")
-          .bitwiseXOR(conv(substring(b, c * 16 + 1, 16), 2, 10).cast("long")))
-      }.reduce(_ + _)
+  }
+
+  /** Hamming over the '0'/'1' hash strings: four 16-bit chunks through
+    * conv(·,2,10) → xor → bit_count, all codegen'd builtins. */
+  private def hamming64(a: Column, b: Column): Column =
+    (0 until 4).map { c =>
+      bit_count(conv(substring(a, c * 16 + 1, 16), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, c * 16 + 1, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+
+  private def nearDupClassPairs(
+      classes: DataFrame, maxHamming: Int, nBands: Int): DataFrame = {
+    requireBands(maxHamming, nBands)
+    val banded = bandedClasses(classes, nBands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.ahash") < col("b.ahash"))
@@ -415,7 +427,33 @@ object Multimodal {
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
       .dropDuplicates("hash_a", "hash_b")
-      .withColumn("hamming", ham(col("hash_a"), col("hash_b")).cast("int"))
+      .withColumn("hamming", hamming64(col("hash_a"), col("hash_b")).cast("int"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental image near-dup PROBE (mm13 — the d12 at-rest-index
+    * pattern applied to images): the new batch's aHash classes meet the
+    * AT-REST class index on (band, key) only — pigeonhole-exact recall
+    * for maxHamming ≤ nBands−1, mm7's blocking guarantee — then
+    * candidates pass the exact Hamming gate. Per ingest batch the work
+    * is O(batch decode+hash + banded candidates); at rest the class
+    * index would live band-partitioned, so the equi join prunes to the
+    * batch's band keys (n7's partition-pruning shape). Cross-snapshot
+    * EXACT dups (hamming 0) are deliberately included — a probe must
+    * flag a re-upload as loudly as a near-dup. Output: one row per
+    * (old, new) class pair within the radius. */
+  def imageNearDupProbe(atRest: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    requireBands(maxHamming, nBands)
+    val old = bandedClasses(classCounts(atRest), nBands)
+    val neu = bandedClasses(classCounts(batch), nBands)
+    old.as("a").join(neu.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.ahash").as("hash_old"), col("b.ahash").as("hash_new"),
+        col("a.n").as("n_old"), col("b.n").as("n_new"))
+      .dropDuplicates("hash_old", "hash_new")
+      .withColumn("hamming",
+        hamming64(col("hash_old"), col("hash_new")).cast("int"))
       .where(col("hamming") <= maxHamming)
   }
 

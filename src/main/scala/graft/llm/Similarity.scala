@@ -466,6 +466,11 @@ object Similarity {
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val cs = bc.value
+        // Dimension mismatch must fail fast with a clear message: a
+        // longer vector would throw AIOOBE mid-kernel, a shorter one
+        // would silently score a prefix distance and return a WRONG cell.
+        require(v.length == cs(0).length,
+          s"assignToCentroids: vector dim ${v.length} != centroid dim ${cs(0).length}")
         var best = 0
         var bestD = Double.MaxValue
         var i = 0

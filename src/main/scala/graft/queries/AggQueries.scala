@@ -1393,6 +1393,207 @@ object AggQueries {
              |  FROM dev)
              |SELECT n_days,
              |  ROUND(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE), 6) AS dw
-             |FROM t GROUP BY 1""".stripMargin))
+             |FROM t GROUP BY 1""".stripMargin)),
+
+    // Welch's unequal-variance t-test (two-segment mean comparison, the
+    // A/B-readout companion to a16's point-biserial): click vs view
+    // event values. ONE conditional-sum scan (map-side combined, no
+    // join, no pivot) produces each side's exact-decimal n/Σx/Σx²;
+    // t and the Welch–Satterthwaite df are closed-form doubles over
+    // those bit-identical inputs, rounded on both sides. Sample
+    // variance (n−1) per the test's definition.
+    Q("a32_welch_ttest",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val x = col("value")
+        def side(t: String, nm: String) = {
+          val m = col("event_type") === t
+          Seq(countIf(m).cast(DoubleType).as(s"n_$nm"),
+            sum(when(m, x).cast(DecimalType(27, 6))).cast(DoubleType).as(s"s1_$nm"),
+            sum(when(m, x * x).cast(DecimalType(27, 6))).cast(DoubleType).as(s"s2_$nm"))
+        }
+        def v(nm: String) =
+          (col(s"s2_$nm") - col(s"s1_$nm") * col(s"s1_$nm") / col(s"n_$nm")) /
+            (col(s"n_$nm") - 1d)
+        def se2(nm: String) = v(nm) / col(s"n_$nm")
+        graft.core.Tables.readEvents(s, d)
+          .where(col("event_type").isin("click", "view"))
+          .agg((side("click", "a") ++ side("view", "b")).head,
+            (side("click", "a") ++ side("view", "b")).tail: _*)
+          .select(
+            col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+            round(col("s1_a") / col("n_a"), 6).as("mean_a"),
+            round(col("s1_b") / col("n_b"), 6).as("mean_b"),
+            round((col("s1_a") / col("n_a") - col("s1_b") / col("n_b")) /
+              sqrt(se2("a") + se2("b")), 6).as("t_stat"),
+            round((se2("a") + se2("b")) * (se2("a") + se2("b")) /
+              (se2("a") * se2("a") / (col("n_a") - 1d) +
+                se2("b") * se2("b") / (col("n_b") - 1d)), 6).as("df"))
+      },
+      Some("""WITH s AS (SELECT
+             |    CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+             |    CAST(SUM(CAST(CASE WHEN event_type='click' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS s1_a,
+             |    CAST(SUM(CAST(CASE WHEN event_type='click' THEN value*value END AS DECIMAL(27,6))) AS DOUBLE) AS s2_a,
+             |    CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+             |    CAST(SUM(CAST(CASE WHEN event_type='view' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS s1_b,
+             |    CAST(SUM(CAST(CASE WHEN event_type='view' THEN value*value END AS DECIMAL(27,6))) AS DOUBLE) AS s2_b
+             |  FROM events WHERE event_type IN ('click','view')),
+             |v AS (SELECT n_a, n_b, s1_a, s1_b,
+             |    ((s2_a - s1_a*s1_a/n_a)/(n_a - 1))/n_a AS se2a,
+             |    ((s2_b - s1_b*s1_b/n_b)/(n_b - 1))/n_b AS se2b
+             |  FROM s)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  ROUND(s1_a/n_a, 6) AS mean_a, ROUND(s1_b/n_b, 6) AS mean_b,
+             |  ROUND((s1_a/n_a - s1_b/n_b)/SQRT(se2a + se2b), 6) AS t_stat,
+             |  ROUND((se2a + se2b)*(se2a + se2b) /
+             |    (se2a*se2a/(n_a - 1) + se2b*se2b/(n_b - 1)), 6) AS df
+             |FROM v""".stripMargin)),
+
+    // Mann–Whitney U (rank-sum two-sample test — the nonparametric twin
+    // of a32, and a28's histogram-rank machinery reused): tie-aware
+    // midranks come from ONE distributed cumulative count over the
+    // pooled (value → count, count-in-A) HISTOGRAM via withGlobalCumSum
+    // — never a row-level global window; the frame after the scan is
+    // distinct values. All rank sums are kept in BIGINT (2·midrank is
+    // an integer) so every engine sees bit-identical inputs to the
+    // final z closed form (normal approximation with the standard tie
+    // correction). Tie runs are value-bounded, so t³ stays far inside
+    // BIGINT at any corpus scale with real-valued measures.
+    Q("a33_mann_whitney",
+      (s, d) => {
+        val h = graft.core.Tables.readEvents(s, d)
+          .where(col("event_type").isin("click", "view"))
+          .groupBy(col("value").as("v"))
+          .agg(count(lit(1)).as("t"),
+            countIf(col("event_type") === "click").as("t1"))
+        val c = Relational.withGlobalCumSum(h, Seq(col("v")), col("t"), "cum")
+        val nd = (nm: String) => col(nm).cast("double")
+        c.agg(sumLong(col("t1")).as("n1"),
+            sumLong(col("t") - col("t1")).as("n2"),
+            // Σ over group A of 2·midrank = Σ t1·(2·(cum−t) + t + 1)
+            sumLong(col("t1") * (lit(2L) * col("cum") - col("t") + lit(1L)))
+              .as("r2"),
+            sumLong(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+          .select(col("n1"), col("n2"),
+            round(nd("r2") / 2d - nd("n1") * (col("n1") + 1) / 2d, 6).as("u1"),
+            round((nd("r2") / 2d - nd("n1") * (col("n1") + 1) / 2d -
+              nd("n1") * col("n2") / 2d) /
+              sqrt(nd("n1") * col("n2") / 12d *
+                ((col("n1") + col("n2") + 1) -
+                  nd("tie3") / ((col("n1") + col("n2")) *
+                    (col("n1") + col("n2") - 1).cast("double")))), 6).as("z"))
+      },
+      Some("""WITH e AS (SELECT value AS v,
+             |    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS g1
+             |  FROM events WHERE event_type IN ('click','view')),
+             |h AS (SELECT v, COUNT(*) AS t, SUM(g1) AS t1 FROM e GROUP BY 1),
+             |c AS (SELECT t, t1, SUM(t) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM h),
+             |s AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+             |    CAST(SUM(t - t1) AS BIGINT) AS n2,
+             |    CAST(SUM(t1 * (2*cum - t + 1)) AS BIGINT) AS r2,
+             |    CAST(SUM(t*t*t - t) AS BIGINT) AS tie3 FROM c)
+             |SELECT n1, n2,
+             |  ROUND(CAST(r2 AS DOUBLE)/2 - CAST(n1 AS DOUBLE)*(n1 + 1)/2, 6) AS u1,
+             |  ROUND((CAST(r2 AS DOUBLE)/2 - CAST(n1 AS DOUBLE)*(n1 + 1)/2 -
+             |      CAST(n1 AS DOUBLE)*n2/2) /
+             |    SQRT(CAST(n1 AS DOUBLE)*n2/12 *
+             |      ((n1 + n2 + 1) - CAST(tie3 AS DOUBLE)/((n1 + n2)*CAST(n1 + n2 - 1 AS DOUBLE)))),
+             |    6) AS z
+             |FROM s""".stripMargin)),
+
+    // Kruskal–Wallis H (the k-sample extension of a33 — one rank pass,
+    // five groups): the same pooled-histogram midrank machinery
+    // (withGlobalCumSum over distinct values), per-group rank sums from
+    // ONE value-keyed equi join of the (value, group) counts onto the
+    // cumulative frame, everything BIGINT until the closed form. The
+    // five per-group terms fold into H in EXPLICIT alphabetical order
+    // on both engines — a SUM over group rows would make the 5-term
+    // double accumulation order engine-dependent. The 1-row tie frame
+    // reaches the pivot through unionByName + max-ignoring-nulls,
+    // never a 1-row join (the banned BNLJ shape).
+    Q("a34_kruskal_wallis",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = graft.core.Tables.readEvents(s, d)
+          .select(col("value").as("v"), col("event_type").as("g"))
+        val h = ev.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        val c = Relational.withGlobalCumSum(h, Seq(col("v")), col("t"), "cum")
+        val per = ev.groupBy(col("v"), col("g")).agg(count(lit(1)).as("tg"))
+          .join(c, Seq("v"))
+          .groupBy(col("g"))
+          .agg(sumLong(col("tg")).as("n"),
+            sumLong(col("tg") * (lit(2L) * col("cum") - col("t") + lit(1L)))
+              .as("r2"))
+          .select(col("g"), col("n"), col("r2"),
+            lit(null).cast("long").as("tie3"), lit(null).cast("long").as("nn"))
+        val ties = c.agg(
+            sumLong(col("t") * col("t") * col("t") - col("t")).as("tie3"),
+            sumLong(col("t")).as("nn"))
+          .select(lit(null).cast("string").as("g"),
+            lit(null).cast("long").as("n"), lit(null).cast("long").as("r2"),
+            col("tie3"), col("nn"))
+        val wide = per.unionByName(ties).agg(
+          (types.map(t => max(when(col("g") === t, col("n"))).as(s"n_$t")) ++
+            types.map(t => max(when(col("g") === t, col("r2"))).as(s"r2_$t")) ++
+            Seq(max(col("tie3")).as("tie3"), max(col("nn")).as("nn"))).head,
+          (types.map(t => max(when(col("g") === t, col("n"))).as(s"n_$t")) ++
+            types.map(t => max(when(col("g") === t, col("r2"))).as(s"r2_$t")) ++
+            Seq(max(col("tie3")).as("tie3"), max(col("nn")).as("nn"))).tail: _*)
+        val nd = col("nn").cast("double")
+        def term(t: String) =
+          (col(s"r2_$t").cast("double") / 2d) *
+            (col(s"r2_$t").cast("double") / 2d) / col(s"n_$t")
+        val hraw = lit(12.0) / (nd * (col("nn") + 1)) *
+          types.map(term).reduce(_ + _) - lit(3) * (col("nn") + 1)
+        wide.withColumn("hraw", hraw)
+          .select(col("nn").as("n_total"),
+            round(col("hraw"), 6).as("h_stat"),
+            round(col("hraw") /
+              (lit(1.0) - col("tie3").cast("double") / (nd * nd * nd - col("nn"))),
+              6).as("h_tied"))
+      },
+      Some("""WITH e AS (SELECT value AS v, event_type AS g FROM events),
+             |h AS (SELECT v, COUNT(*) AS t FROM e GROUP BY 1),
+             |c AS (SELECT v, t, SUM(t) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM h),
+             |gc AS (SELECT v, g, COUNT(*) AS tg FROM e GROUP BY 1, 2),
+             |per AS (SELECT g, CAST(SUM(tg) AS BIGINT) AS n,
+             |    CAST(SUM(tg * (2*cum - t + 1)) AS BIGINT) AS r2
+             |  FROM gc JOIN c USING (v) GROUP BY 1),
+             |ties AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tie3,
+             |    CAST(SUM(t) AS BIGINT) AS nn FROM c),
+             |u AS (SELECT g, n, r2, CAST(NULL AS BIGINT) AS tie3,
+             |    CAST(NULL AS BIGINT) AS nn FROM per
+             |  UNION ALL SELECT NULL, NULL, NULL, tie3, nn FROM ties),
+             |w AS (SELECT
+             |    MAX(CASE WHEN g='click' THEN n END) AS n_click,
+             |    MAX(CASE WHEN g='error' THEN n END) AS n_error,
+             |    MAX(CASE WHEN g='purchase' THEN n END) AS n_purchase,
+             |    MAX(CASE WHEN g='signup' THEN n END) AS n_signup,
+             |    MAX(CASE WHEN g='view' THEN n END) AS n_view,
+             |    MAX(CASE WHEN g='click' THEN r2 END) AS r2_click,
+             |    MAX(CASE WHEN g='error' THEN r2 END) AS r2_error,
+             |    MAX(CASE WHEN g='purchase' THEN r2 END) AS r2_purchase,
+             |    MAX(CASE WHEN g='signup' THEN r2 END) AS r2_signup,
+             |    MAX(CASE WHEN g='view' THEN r2 END) AS r2_view,
+             |    MAX(tie3) AS tie3, MAX(nn) AS nn
+             |  FROM u),
+             |f AS (SELECT nn, tie3,
+             |    12.0/(CAST(nn AS DOUBLE)*(nn + 1)) * (
+             |      (CAST(r2_click AS DOUBLE)/2)*(CAST(r2_click AS DOUBLE)/2)/n_click +
+             |      (CAST(r2_error AS DOUBLE)/2)*(CAST(r2_error AS DOUBLE)/2)/n_error +
+             |      (CAST(r2_purchase AS DOUBLE)/2)*(CAST(r2_purchase AS DOUBLE)/2)/n_purchase +
+             |      (CAST(r2_signup AS DOUBLE)/2)*(CAST(r2_signup AS DOUBLE)/2)/n_signup +
+             |      (CAST(r2_view AS DOUBLE)/2)*(CAST(r2_view AS DOUBLE)/2)/n_view
+             |    ) - 3*(nn + 1) AS hraw
+             |  FROM w)
+             |SELECT nn AS n_total, ROUND(hraw, 6) AS h_stat,
+             |  ROUND(hraw / (1.0 - CAST(tie3 AS DOUBLE) /
+             |    (CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE) - nn)),
+             |    6) AS h_tied
+             |FROM f""".stripMargin))
   )
 }

@@ -2564,6 +2564,96 @@ object LlmQueries {
              |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
              |ORDER BY 1""".stripMargin)),
 
+    // Incremental IMAGE near-dup probe (mm13 — what d12 is to text
+    // shingles, for the image corpus: a new ingest batch probes the
+    // AT-REST aHash class index through the banded equi join, never an
+    // all-pairs scan; pigeonhole makes recall exact at hamming ≤ 3 with
+    // 4 bands). At-rest = doc_id % 4 ≠ 0, batch = % 4 = 0; the oracle
+    // replays the synthetic-gradient aHash closed form (mm7's pixel
+    // CTE) and checks the FULL cross-snapshot pair set — so banding
+    // must find every pair, not a sample. Exact cross-snapshot dups
+    // (hamming 0) are included by contract.
+    Q("mm13_image_neardup_probe",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Multimodal.imageNearDupProbe(
+            Multimodal.fromDocumentsPng(docs.where(pmod(col("doc_id"), lit(4)) =!= 0)),
+            Multimodal.fromDocumentsPng(docs.where(pmod(col("doc_id"), lit(4)) === 0)),
+            maxHamming = 3)
+          .select(col("hash_old"), col("hash_new"), col("hamming"),
+            col("n_old"), col("n_new"))
+          .orderBy(col("hash_old"), col("hash_new"))
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, y, x,
+             |    ((x * (doc_id % 32 + 4)) // 8) + ((y * (doc_id % 24 + 4)) // 8) AS v
+             |  FROM documents, range(8) rx(x), range(8) ry(y)),
+             |m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM px GROUP BY 1),
+             |h AS (
+             |  SELECT p.doc_id,
+             |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+             |      ORDER BY y, x) AS ahash
+             |  FROM px p JOIN m USING (doc_id) GROUP BY 1),
+             |o AS (SELECT ahash, COUNT(*) AS n FROM h WHERE doc_id % 4 <> 0
+             |  GROUP BY 1),
+             |nw AS (SELECT ahash, COUNT(*) AS n FROM h WHERE doc_id % 4 = 0
+             |  GROUP BY 1),
+             |pairs AS (
+             |  SELECT o.ahash AS hash_old, nw.ahash AS hash_new,
+             |    length(list_filter(range(1, 65),
+             |      i -> substring(o.ahash, i, 1) <> substring(nw.ahash, i, 1)))
+             |      AS hamming,
+             |    o.n AS n_old, nw.n AS n_new
+             |  FROM o, nw)
+             |SELECT hash_old, hash_new, CAST(hamming AS INTEGER) AS hamming,
+             |  n_old, n_new
+             |FROM pairs WHERE hamming <= 3
+             |ORDER BY hash_old, hash_new""".stripMargin)),
+
+    // Lexical-complexity profile per source (the readability face of
+    // the x3 quality gates): syllables are proxied by VOWEL RUNS
+    // (regexp collapse to a marker, count markers — integer-exact and
+    // replayable on both engines; the corpus has no sentence
+    // punctuation, so sentence-based scores like Flesch are out of
+    // contract). One explode + one map-side-combined aggregate; all
+    // means derive from BIGINT sums.
+    Q("x51_lexical_complexity",
+      (s, d) => T(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .withColumn("rep", regexp_replace(col("w"), "[aeiou]+", "#"))
+        .withColumn("syl",
+          length(col("rep")) - length(regexp_replace(col("rep"), "#", "")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sumLong(length(col("w"))).as("sum_len"),
+          sumLong(col("syl")).as("sum_syl"),
+          countIf(col("syl") <= 1).as("n_mono"))
+        .select(col("source"), col("n_words"),
+          round(col("sum_len").cast("double") / col("n_words"), 6)
+            .as("mean_word_len"),
+          round(col("sum_syl").cast("double") / col("n_words"), 6)
+            .as("mean_syllables"),
+          round(col("n_mono").cast("double") / col("n_words"), 6)
+            .as("mono_frac"))
+        .orderBy(col("source")),
+      Some(s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+              |  FROM documents),
+              |f AS (SELECT source, w,
+              |    regexp_replace(w, '[aeiou]+', '#', 'g') AS rep
+              |  FROM w WHERE length(w) > 0),
+              |g AS (SELECT source, length(w) AS wl,
+              |    length(rep) - length(regexp_replace(rep, '#', '', 'g')) AS syl
+              |  FROM f)
+              |SELECT source, COUNT(*) AS n_words,
+              |  ROUND(CAST(${sumLongSql("wl")} AS DOUBLE) / COUNT(*), 6)
+              |    AS mean_word_len,
+              |  ROUND(CAST(${sumLongSql("syl")} AS DOUBLE) / COUNT(*), 6)
+              |    AS mean_syllables,
+              |  ROUND(CAST(${countIfSql("syl <= 1")} AS DOUBLE) / COUNT(*), 6)
+              |    AS mono_frac
+              |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries

@@ -953,8 +953,12 @@ object RelationalQueries {
     // cadence, never corpus size. bad_id_sum pins WHICH rows violate.
     Q("dq15_interval_audit",
       (s, d) => {
+        // event_id tie-break (t22's rule): the corruption class pairs a
+        // row's event_id residue with lead(tsu), so two same-timestamp
+        // events under a tsu-only order would make the pairing (and the
+        // audit counts) tie-order dependent vs the oracle.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("tsu"))
+          .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
         val iv = graft.core.Tables.readEvents(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
           .withColumn("valid_from", col("tsu"))
@@ -979,7 +983,7 @@ object RelationalQueries {
       },
       Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
               |iv AS (SELECT user_id, event_id, tsu AS valid_from,
-              |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS next_from
+              |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS next_from
               |  FROM e),
               |c AS (SELECT *, CASE
               |    WHEN next_from IS NULL THEN NULL
@@ -2250,6 +2254,296 @@ object RelationalQueries {
       Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Point-in-time SCD2 enrichment (the lakehouse temporal join t2's
+    // plain as-of does NOT express): facts join the dimension version
+    // VALID at the fact's timestamp, where validity can EXPIRE — each
+    // version lives until min(next version, 2 days), so facts in a
+    // coverage gap match a version but land outside its validity
+    // (n_expired), unlike an unbounded as-of which would silently
+    // enrich them. Dimension versions are signup/error events collapsed
+    // to unique (user, tsu); facts are purchases. The Spark side is ONE
+    // Joins.asofJoin key-keyed window shuffle (linear, no interval
+    // nested loop at any scale) + a validity predicate; the oracle
+    // replays it as join + QUALIFY, affordable at fixture scale.
+    Q("j17_scd2_point_in_time",
+      (s, d) => {
+        val ev = graft.core.Tables.readEvents(s, d)
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsu"))
+        val dim = ev.where(col("event_type").isin("signup", "error"))
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .agg(max(col("event_id")).as("attr"))
+          .withColumn("valid_to",
+            least(coalesce(lead(col("tsu"), 1).over(byUser),
+              lit(Long.MaxValue)), col("tsu") + lit(172800000000L)))
+          .select(col("user_id"), col("tsu"), col("tsu").as("vtsu"),
+            col("valid_to"), col("attr"))
+        val facts = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"))
+        graft.core.Joins.asofJoin(facts, dim, Seq("user_id"), "tsu",
+            Seq("vtsu", "valid_to", "attr"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countIf(col("vtsu").isNotNull && col("tsu") < col("valid_to"))
+              .as("n_valid"),
+            countIf(col("vtsu").isNotNull && col("tsu") >= col("valid_to"))
+              .as("n_expired"),
+            countIf(col("vtsu").isNull).as("n_unversioned"),
+            sumLong(when(col("vtsu").isNotNull && col("tsu") < col("valid_to"),
+              col("attr"))).as("attr_sum"))
+      },
+      Some(s"""WITH v0 AS (SELECT user_id, epoch_us(ts) AS vtsu,
+              |    MAX(event_id) AS attr
+              |  FROM events WHERE event_type IN ('signup','error')
+              |  GROUP BY 1, 2),
+              |v AS (SELECT user_id, vtsu, attr,
+              |    LEAST(COALESCE(LEAD(vtsu) OVER (PARTITION BY user_id
+              |        ORDER BY vtsu), 9223372036854775807),
+              |      vtsu + 172800000000) AS valid_to
+              |  FROM v0),
+              |f AS (SELECT user_id, epoch_us(ts) AS ftsu, event_id
+              |  FROM events WHERE event_type = 'purchase'),
+              |m AS (SELECT f.ftsu, v.vtsu, v.valid_to, v.attr
+              |  FROM f LEFT JOIN v
+              |    ON f.user_id = v.user_id AND v.vtsu <= f.ftsu
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f.user_id, f.ftsu,
+              |    f.event_id ORDER BY v.vtsu DESC) = 1)
+              |SELECT COUNT(*) AS n_purchases,
+              |  ${countIfSql("vtsu IS NOT NULL AND ftsu < valid_to")} AS n_valid,
+              |  ${countIfSql("vtsu IS NOT NULL AND ftsu >= valid_to")} AS n_expired,
+              |  ${countIfSql("vtsu IS NULL")} AS n_unversioned,
+              |  CAST(SUM(CASE WHEN vtsu IS NOT NULL AND ftsu < valid_to
+              |    THEN attr END) AS BIGINT) AS attr_sum
+              |FROM m""".stripMargin)),
+
+    // l-diversity audit (k-anonymity's sibling — dq4 counts group SIZES,
+    // this one counts distinct SENSITIVE values per quasi-identifier
+    // group: a k-anonymous group where everyone shares one sensitive
+    // value still leaks it). Quasi-id = (nation, segment); sensitive =
+    // the account-balance band. Two map-side-combined aggregates; the
+    // report is the l-histogram (groups at l = 1 are the disclosure
+    // risk).
+    Q("dq20_l_diversity",
+      (s, d) => T(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(floor(col("c_acctbal") / 500).cast("long")).as("l"))
+        .groupBy(col("l")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("l")),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |    COUNT(DISTINCT CAST(FLOOR(c_acctbal / 500) AS BIGINT)) AS l
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT l, COUNT(*) AS n_groups FROM g
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Category-DOMAIN drift (dq14 tracks schema drift, dq13 tracks
+    // count-distribution drift — this one tracks the VALUE SET itself:
+    // which (event_type, props.k) domain values appear each week, and
+    // the week-over-week Jaccard of those sets — new/retired domain
+    // values move it below 1 even when counts stay stable). Everything
+    // after the scan rides the distinct (week, domain) frame (bounded
+    // by weeks × domain vocabulary, never rows); the WoW intersection
+    // is a dom-keyed equi join on that frame.
+    Q("dq21_valueset_drift",
+      (s, d) => {
+        val kCol = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k")
+        val wkd = graft.core.Tables.readEvents(s, d)
+          .select(to_date(date_trunc("week", col("ts"))).as("week"),
+            concat_ws(":", col("event_type"), kCol).as("dom"))
+          .distinct()
+        val sizes = wkd.groupBy(col("week")).agg(count(lit(1)).as("n"))
+        val inter = wkd.join(
+            wkd.select(col("week").as("bweek"), col("dom")), Seq("dom"))
+          .where(col("bweek") === date_add(col("week"), 7))
+          .groupBy(col("week")).agg(count(lit(1)).as("n_inter"))
+        sizes.select(col("week"), col("n").as("n_cur"))
+          .join(sizes.select(col("week").as("nweek"), col("n").as("n_next")),
+            date_add(col("week"), 7) === col("nweek"))
+          .join(inter, Seq("week"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+            col("n_cur"), col("n_next"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("n_cur") + col("n_next") - col("n_inter")), 6).as("jaccard"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH wkd AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+             |    AS week, event_type || ':' || (props->>'k') AS dom
+             |  FROM events),
+             |s AS (SELECT week, COUNT(*) AS n FROM wkd GROUP BY 1),
+             |i AS (SELECT a.week AS week, COUNT(*) AS n_inter
+             |  FROM wkd a JOIN wkd b ON a.dom = b.dom AND b.week = a.week + 7
+             |  GROUP BY 1),
+             |p AS (SELECT sa.week AS week, sa.n AS n_cur, sb.n AS n_next,
+             |    COALESCE(i.n_inter, 0) AS n_inter
+             |  FROM s sa JOIN s sb ON sb.week = sa.week + 7
+             |  LEFT JOIN i ON i.week = sa.week)
+             |SELECT STRFTIME(week, '%Y-%m-%d') AS week, n_cur, n_next, n_inter,
+             |  ROUND(CAST(n_inter AS DOUBLE) / (n_cur + n_next - n_inter), 6)
+             |    AS jaccard
+             |FROM p ORDER BY 1""".stripMargin)),
+
+    // Incremental PSI maintenance (dq2's drift monitor as a maintained
+    // MV — the u-family shape applied to the drift gate): bin edges are
+    // FROZEN from the reference snapshot (n24's frozen-quantizer rule —
+    // re-deriving edges per batch would make folded counts meaningless),
+    // each current batch contributes one tiny per-bin count frame, and
+    // the at-rest state folds by keyed sum. The PSI read serves from
+    // 10 state rows without rescanning history; the oracle recomputes
+    // the whole current population in one shot — fold ≡ recompute is
+    // the query's contract. The 2-value edge stats are a bounded driver
+    // collect (the audited S7 class), NOT a 1-row crossJoin(broadcast)
+    // — that shape plans as the banned BroadcastNestedLoopJoin.
+    Q("u10_incremental_psi",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        def pop(c: org.apache.spark.sql.Column) = orders.where(c)
+          .select(col("o_totalprice").cast("double").as("v"))
+          .where(col("v").isNotNull && !isnan(col("v")))
+        val ref = pop(pmod(col("o_orderkey"), lit(2)) === 0)
+        val st = ref.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax")).head
+        val (vmin, vmax) = (st.getDouble(0), st.getDouble(1))
+        def binned(df: DataFrame, cnt: String) = df
+          .select((if (vmax == vmin) lit(0)
+            else least(greatest(
+              floor((col("v") - vmin) / (vmax - vmin) * 10), lit(0)),
+              lit(9))).cast("int").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+        val stateDir = scratch(s, "u10_state").toString
+        // cur population = odd orderkeys, streamed in 3 residue batches
+        binned(pop(pmod(col("o_orderkey"), lit(6)) === 1), "n_cur")
+          .write.mode("overwrite").parquet(stateDir)
+        Seq(3, 5).foreach { r =>
+          val next = s.read.parquet(stateDir)
+            .unionByName(binned(pop(pmod(col("o_orderkey"), lit(6)) === r), "n_cur"))
+            .groupBy(col("bin")).agg(sum(col("n_cur")).as("n_cur"))
+            .localCheckpoint(true)
+          next.write.mode("overwrite").parquet(stateDir)
+        }
+        val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        val j = spine
+          .join(binned(ref, "n_ref"), Seq("bin"), "left")
+          .join(s.read.parquet(stateDir), Seq("bin"), "left")
+          .na.fill(0L, Seq("n_ref", "n_cur"))
+        val p = (col("n_ref") + 0.5) / (sum(col("n_ref")).over(wAll) + 5.0)
+        val q = (col("n_cur") + 0.5) / (sum(col("n_cur")).over(wAll) + 5.0)
+        j.withColumn("p_ref", p).withColumn("q", q)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("q"), 6).as("p_cur"),
+            round((col("p_ref") - col("q")) * log(col("p_ref") / col("q")), 6)
+              .as("psi_contrib"),
+            round(sum((col("p_ref") - col("q")) *
+              log(col("p_ref") / col("q"))).over(wAll), 6).as("psi_total"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+             |  AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+             |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+             |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+             |  AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+             |s AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM ref),
+             |rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - vmin) / (vmax - vmin) * 10)
+             |    AS INT), 0), 9) AS bin, COUNT(*) AS n_ref
+             |  FROM ref, s GROUP BY 1),
+             |cb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - vmin) / (vmax - vmin) * 10)
+             |    AS INT), 0), 9) AS bin, COUNT(*) AS n_cur
+             |  FROM cur, s GROUP BY 1),
+             |spine AS (SELECT CAST(r.range AS INT) AS bin FROM range(0, 10) r),
+             |j AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref,
+             |    COALESCE(n_cur, 0) AS n_cur
+             |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+             |t AS (SELECT *, SUM(n_ref) OVER () AS nr, SUM(n_cur) OVER () AS nc
+             |  FROM j),
+             |p AS (SELECT bin, n_ref, n_cur,
+             |    (n_ref + 0.5) / (nr + 5.0) AS p_ref,
+             |    (n_cur + 0.5) / (nc + 5.0) AS q FROM t)
+             |SELECT bin, n_ref, n_cur,
+             |  ROUND(p_ref, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+             |  ROUND((p_ref - q) * LN(p_ref / q), 6) AS psi_contrib,
+             |  ROUND(SUM((p_ref - q) * LN(p_ref / q)) OVER (), 6) AS psi_total
+             |FROM p ORDER BY bin""".stripMargin)),
+
+    // Incremental Bloom membership index (Frequency.Bloom — the
+    // at-rest dedup/decontam pre-filter maintained WITHOUT rescans):
+    // signup users stream in 3 batches, each folding a ≤1024-row word
+    // bitset into the state by keyed BIT_OR (idempotent + commutative,
+    // so any decomposition — including at-least-once redelivery — folds
+    // to the identical bitset; the in-query full-outer compare against
+    // the one-shot build enforces it with a require). Purchase users
+    // then probe the state through one broadcast join. The hash family
+    // is explicit universal hashing, so the oracle replays the WHOLE
+    // filter — the false-positive count is exact-checked, not just the
+    // no-false-negative floor.
+    Q("u11_incremental_bloom",
+      (s, d) => {
+        val B = graft.llm.Frequency.Bloom
+        val ev = graft.core.Tables.readEvents(s, d)
+        val keys = ev.where(col("event_type") === "signup")
+          .select(col("user_id").as("u")).distinct()
+        val stateDir = scratch(s, "u11_state").toString
+        B.build(keys.where(pmod(col("u"), lit(3)) === 0), "u")
+          .write.mode("overwrite").parquet(stateDir)
+        Seq(1, 2).foreach { r =>
+          val next = B.merge(s.read.parquet(stateDir),
+            B.build(keys.where(pmod(col("u"), lit(3)) === r), "u"))
+            .localCheckpoint(true)
+          next.write.mode("overwrite").parquet(stateDir)
+        }
+        val state = s.read.parquet(stateDir)
+        val mismatches = state
+          .join(B.build(keys, "u").withColumnRenamed("w", "w2"),
+            Seq("idx"), "full")
+          .where(col("w").isNull || col("w2").isNull || col("w") =!= col("w2"))
+          .count()
+        require(mismatches == 0,
+          s"bloom fold != one-shot build: $mismatches words differ")
+        val probes = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("u")).distinct()
+        B.memberHits(probes, state, "u")
+          .join(keys.select(col("u"), lit(1).as("in_set")), Seq("u"), "left")
+          .agg(count(lit(1)).as("n_probes"),
+            countIf(col("bloom_hit")).as("n_bloom_hits"),
+            countIf(col("in_set").isNotNull).as("n_present"),
+            countIf(col("bloom_hit") && col("in_set").isNull).as("n_false_pos"),
+            countIf(!col("bloom_hit") && col("in_set").isNotNull)
+              .as("n_false_neg"))
+      },
+      Some(s"""WITH keys AS (SELECT DISTINCT user_id AS u FROM events
+              |  WHERE event_type = 'signup'),
+              |probes AS (SELECT DISTINCT user_id AS u FROM events
+              |  WHERE event_type = 'purchase'),
+              |kb AS (SELECT DISTINCT b FROM (
+              |  SELECT ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM keys
+              |  UNION ALL
+              |  SELECT ((1234567891*u + 54321) % 2147483647) % 65536 FROM keys
+              |  UNION ALL
+              |  SELECT ((987654321*u + 192837465) % 2147483647) % 65536 FROM keys)),
+              |pb AS (
+              |  SELECT u, ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM probes
+              |  UNION ALL
+              |  SELECT u, ((1234567891*u + 54321) % 2147483647) % 65536 FROM probes
+              |  UNION ALL
+              |  SELECT u, ((987654321*u + 192837465) % 2147483647) % 65536 FROM probes),
+              |hit AS (SELECT pb.u,
+              |    CASE WHEN COUNT(*) =
+              |      SUM(CASE WHEN kb.b IS NOT NULL THEN 1 ELSE 0 END)
+              |      THEN 1 ELSE 0 END AS bloom_hit
+              |  FROM pb LEFT JOIN kb ON pb.b = kb.b GROUP BY 1),
+              |j AS (SELECT h.u, h.bloom_hit,
+              |    CASE WHEN k.u IS NOT NULL THEN 1 ELSE 0 END AS present
+              |  FROM hit h LEFT JOIN keys k ON h.u = k.u)
+              |SELECT COUNT(*) AS n_probes,
+              |  ${countIfSql("bloom_hit = 1")} AS n_bloom_hits,
+              |  ${countIfSql("present = 1")} AS n_present,
+              |  ${countIfSql("bloom_hit = 1 AND present = 0")} AS n_false_pos,
+              |  ${countIfSql("bloom_hit = 0 AND present = 1")} AS n_false_neg
+              |FROM j""".stripMargin))
   )
 }

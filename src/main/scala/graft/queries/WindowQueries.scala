@@ -1507,16 +1507,22 @@ object WindowQueries {
           .agg(count(lit(1)).as("f"),
             sum(col("value").cast(DecimalType(27, 6))).cast("double").as("m"),
             max(to_date(col("ts"))).as("last_day"))
-        val gmax = u.agg(max(col("last_day")).as("gmax"))
-        val base = u.crossJoin(broadcast(gmax))
-          .withColumn("rec", datediff(col("gmax"), col("last_day")))
-          .select(col("user_id"), col("rec"), col("f"), col("m"))
+        // Recency never needs the global max attached: rec =
+        // datediff(gmax, last_day) is a strictly decreasing function of
+        // last_day, so NTILE over (rec ASC, user_id) ≡ NTILE over
+        // (last_day DESC, user_id) — identical ties, identical
+        // tie-break, identical quartile labels. Ordering the rq pass on
+        // last_day DESC drops the 1-row crossJoin(broadcast) that
+        // planned as the banned BroadcastNestedLoopJoin AND avoids the
+        // constant-partition-window alternative (a single-partition
+        // exchange of the full user frame — worse at corpus scale).
+        val base = u.select(col("user_id"), col("last_day"), col("f"), col("m"))
         def quartile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
             name: String) =
           graft.core.Relational.decileExact(df, order, n = 4)
             .withColumnRenamed("decile", name)
         val q = quartile(quartile(quartile(base,
-            Seq(col("rec"), col("user_id")), "rq"),
+            Seq(col("last_day").desc, col("user_id")), "rq"),
             Seq(col("f"), col("user_id")), "fq"),
             Seq(col("m"), col("user_id")), "mq")
         q.groupBy(col("rq"), col("fq"), col("mq"))
@@ -1583,6 +1589,201 @@ object WindowQueries {
              |      ORDER BY ABS(delta) DESC, c_mktsegment) AS INTEGER) AS rk
              |  FROM l WHERE delta IS NOT NULL)
              |SELECT week, rk, c_mktsegment, CAST(revd AS DOUBLE) AS revenue, delta
-             |FROM r WHERE rk <= 3 ORDER BY week, rk""".stripMargin))
+             |FROM r WHERE rk <= 3 ORDER BY week, rk""".stripMargin)),
+
+    // 2-D SKYLINE (Pareto front): parts not dominated on
+    // (p_retailprice min-better, p_size max-better). The naive operator
+    // is the O(n²) NOT-EXISTS dominance join; the distributed rewrite is
+    // O(n log n): collapse to the per-price max-size frame, take the
+    // STRICT-prior running max over the price order with
+    // Relational.withGlobalCumMax (range exchange + per-partition
+    // window + broadcast prefix maxima — no single-partition stage, no
+    // pair join anywhere), and a part survives iff it carries its
+    // price's max size AND beats every strictly-cheaper part's best
+    // size. Equal (price, size) duplicates are both kept (dominance
+    // needs one strict inequality) — both engines agree by
+    // construction. The oracle replays the same one-pass window form,
+    // which is provably the dominance definition.
+    Q("w19_skyline",
+      (s, d) => {
+        val h = T(s, d, "part").groupBy(col("p_retailprice").as("pr"))
+          .agg(max(col("p_size")).as("ms"))
+        val r = graft.core.Relational.withGlobalCumMax(
+          h, Seq(col("pr")), col("ms"), "rmax")
+        T(s, d, "part")
+          .join(r, col("p_retailprice") === col("pr"))
+          .where(col("p_size") === col("ms") &&
+            (col("rmax").isNull || col("p_size") > col("rmax")))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+      },
+      Some("""WITH h AS (SELECT p_retailprice AS pr, MAX(p_size) AS ms
+             |  FROM part GROUP BY 1),
+             |r AS (SELECT pr, ms, MAX(ms) OVER (ORDER BY pr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+             |  FROM h)
+             |SELECT p.p_partkey, p.p_retailprice, p.p_size
+             |FROM part p JOIN r ON p.p_retailprice = r.pr
+             |WHERE p.p_size = r.ms AND (r.rmax IS NULL OR p.p_size > r.rmax)
+             |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin)),
+
+    // Lead-lag CROSS-CORRELATION between two event streams (does a
+    // click surge predict purchases h days later?): daily counts per
+    // type, then for each lag 0..7 the Pearson correlation of
+    // clicks[t] vs purchases[t+lag] over days present in BOTH series
+    // (inner-join contract, mirrored in the oracle). Everything after
+    // the scan rides the O(days) daily frame; the 8-lag expansion is a
+    // bounded explode + date-key equi join (hash join, never a range
+    // nested loop). Counts are integers, so every corr input sum is
+    // BIGINT-exact — the only doubles are the final closed form,
+    // rounded on both sides.
+    Q("w20_lag_xcorr",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val a = daily.where(col("event_type") === "click")
+          .select(col("day").as("day_a"), col("c").as("ca"))
+          .withColumn("lag", explode(sequence(lit(0), lit(7))))
+        val b = daily.where(col("event_type") === "purchase")
+          .select(col("day").as("day_b"), col("c").as("cb"))
+        a.join(b, date_add(col("day_a"), col("lag")) === col("day_b"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_days"),
+            sumLong(col("ca")).as("sa"), sumLong(col("cb")).as("sb"),
+            sumLong(col("ca") * col("ca")).as("saa"),
+            sumLong(col("cb") * col("cb")).as("sbb"),
+            sumLong(col("ca") * col("cb")).as("sab"))
+          .select(col("lag"), col("n_days"),
+            round((col("n_days") * col("sab") - col("sa") * col("sb"))
+              .cast("double") /
+              sqrt((col("n_days") * col("saa") - col("sa") * col("sa"))
+                .cast("double") *
+                (col("n_days") * col("sbb") - col("sb") * col("sb"))
+                  .cast("double")), 6).as("xcorr"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT day AS day_a, c AS ca, CAST(l.lag AS INTEGER) AS lag
+             |  FROM daily, range(8) l(lag) WHERE event_type = 'click'),
+             |b AS (SELECT day AS day_b, c AS cb FROM daily
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT lag, ca, cb FROM a JOIN b
+             |  ON day_a + lag = day_b),
+             |g AS (SELECT lag, COUNT(*) AS n_days,
+             |    CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+             |    CAST(SUM(ca*ca) AS BIGINT) AS saa,
+             |    CAST(SUM(cb*cb) AS BIGINT) AS sbb,
+             |    CAST(SUM(ca*cb) AS BIGINT) AS sab
+             |  FROM j GROUP BY 1)
+             |SELECT lag, n_days,
+             |  ROUND(CAST(n_days*sab - sa*sb AS DOUBLE) /
+             |    SQRT(CAST(n_days*saa - sa*sa AS DOUBLE) *
+             |      CAST(n_days*sbb - sb*sb AS DOUBLE)), 6) AS xcorr
+             |FROM g ORDER BY lag""".stripMargin)),
+
+    // Sessionized conversion funnel (st2's gap sessionization carried
+    // into an ORDER-AWARE per-session funnel — t6/t17 count step
+    // sequences per user, this one per session): sessions break on
+    // >30-min gaps under the (tsu, event_id) total order, and a session
+    // CONVERTS iff a purchase lands strictly after its first click
+    // (min click tsu < max purchase tsu — equal-timestamp edges are
+    // deliberately non-conversions on both engines). Two user-keyed
+    // window passes (per-key rows = the user's event cadence, never
+    // corpus size) + one session-grained aggregate; gap math stays in
+    // integer micros.
+    Q("t24_session_conversion",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("event_type"))
+          .withColumn("new_s",
+            when(lag(col("tsu"), 1).over(byUser).isNull ||
+              col("tsu") - lag(col("tsu"), 1).over(byUser) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(byUser))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(when(col("event_type") === "click", col("tsu"))).as("c0"),
+            max(when(col("event_type") === "purchase", col("tsu"))).as("p1"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countIf(col("c0").isNotNull).as("n_with_click"),
+            countIf(col("c0").isNotNull && col("p1") > col("c0"))
+              .as("n_converted"))
+          .select(col("n_sessions"), col("n_with_click"), col("n_converted"),
+            round(col("n_converted").cast("double") / col("n_with_click"), 6)
+              .as("conv_rate"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+              |    event_type FROM events),
+              |g AS (SELECT user_id, tsu, event_id, event_type,
+              |    CASE WHEN LAG(tsu) OVER (PARTITION BY user_id
+              |        ORDER BY tsu, event_id) IS NULL
+              |      OR tsu - LAG(tsu) OVER (PARTITION BY user_id
+              |        ORDER BY tsu, event_id) > 1800000000
+              |      THEN 1 ELSE 0 END AS new_s
+              |  FROM e),
+              |sess AS (SELECT user_id, event_type, tsu,
+              |    SUM(new_s) OVER (PARTITION BY user_id
+              |      ORDER BY tsu, event_id) AS sid
+              |  FROM g),
+              |per AS (SELECT user_id, sid,
+              |    MIN(CASE WHEN event_type='click' THEN tsu END) AS c0,
+              |    MAX(CASE WHEN event_type='purchase' THEN tsu END) AS p1
+              |  FROM sess GROUP BY 1, 2)
+              |SELECT COUNT(*) AS n_sessions,
+              |  ${countIfSql("c0 IS NOT NULL")} AS n_with_click,
+              |  ${countIfSql("c0 IS NOT NULL AND p1 > c0")} AS n_converted,
+              |  ROUND(CAST(${countIfSql("c0 IS NOT NULL AND p1 > c0")} AS DOUBLE) /
+              |    ${countIfSql("c0 IS NOT NULL")}, 6) AS conv_rate
+              |FROM per""".stripMargin)),
+
+    // Inter-arrival-time distribution per event type (latency/cadence
+    // SLO reporting): per-(user, type) consecutive gaps from ONE keyed
+    // lag window, then p50/p90/p99 via weightedQuantiles' histogram-
+    // compressed pass — the percentile-class rule (PLANS.md): never
+    // feed raw rows into built-in exact `percentile` with few groups;
+    // the per-group window here only ever scans DISTINCT gap values.
+    // Gap values are micro-precise seconds, so the histogram genuinely
+    // compresses (cadences repeat); interpolation matches QUANTILE_CONT
+    // (a21's proven contract).
+    Q("t26_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tsu"), col("event_id"))
+        // gaps in SECONDS, not micros: the two engines' quantile
+        // interpolation trees differ in the last ulp, and at 1e11-micro
+        // magnitudes that ulp is ~1e-4 — visible through round(…,6).
+        // At second magnitudes it is ~1e-11, invisible. The integer→
+        // double division is bit-identical on both sides.
+        val gaps = graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("gap",
+            (col("tsu") - lag(col("tsu"), 1).over(w)) / lit(1000000.0))
+          .where(col("gap").isNotNull)
+          .withColumn("w1", lit(1L))
+        graft.core.Relational.weightedQuantiles(
+            gaps, "event_type", "gap", "w1", ps = Seq(0.5, 0.9, 0.99))
+          .select(col("event_type"), col("total_weight").as("n_gaps"),
+            round(col("q_0_5"), 6).as("p50"),
+            round(col("q_0_9"), 6).as("p90"),
+            round(col("q_0_99"), 6).as("p99"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             |    event_id FROM events),
+             |g AS (SELECT event_type,
+             |    (tsu - LAG(tsu) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY tsu, event_id)) / 1000000.0 AS gap
+             |  FROM e)
+             |SELECT event_type, COUNT(gap) AS n_gaps,
+             |  ROUND(QUANTILE_CONT(gap, 0.5), 6) AS p50,
+             |  ROUND(QUANTILE_CONT(gap, 0.9), 6) AS p90,
+             |  ROUND(QUANTILE_CONT(gap, 0.99), 6) AS p99
+             |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

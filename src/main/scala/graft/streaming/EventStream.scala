@@ -63,6 +63,57 @@ object EventStream {
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** Shared replay loop for the MV-maintenance runners (merge/agg/
+    * count/first-seen/KLL/top-k/CMS): drives the stream with
+    * `foreachBatch`, folding `state_{batchId} → state_{batchId+1}` via
+    * `fold(prevState, batch)` (prevState is None on the first batch).
+    *
+    * Generations are keyed off the ENGINE-SUPPLIED batchId, never a
+    * driver-side counter, and a micro-batch whose output generation is
+    * already committed (its `_SUCCESS` marker exists) is SKIPPED —
+    * `foreachBatch` is at-least-once, so under a redelivered trigger a
+    * counter-based loop would double-increment the generation and fold
+    * the same rows twice, corrupting every non-idempotent fold (counts,
+    * sums, KLL weights). Checking `_SUCCESS` rather than the directory
+    * makes a half-written generation (crash mid-write) re-run instead
+    * of being trusted; `mode("overwrite")` then clears the partial
+    * output. At cluster scale the same idempotence comes from a table
+    * format's transactional commit keyed on batchId — this is that
+    * contract over raw parquet generations.
+    *
+    * Returns the final state, `localCheckpoint`ed so it survives
+    * deleting the scratch generations without a driver collect. */
+  private[graft] def foldMvReplay(spark: SparkSession, work: java.nio.file.Path,
+      stream: DataFrame)(
+      fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val lastGen = new java.util.concurrent.atomic.AtomicLong(0L)
+    withReplayPartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val outDir = work.resolve(s"state_${batchId + 1}")
+          if (!java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))) {
+            val prev =
+              if (batchId == 0L) None
+              else Some(spark.read.parquet(
+                work.resolve(s"state_$batchId").toString))
+            fold(prev, batch).write.mode("overwrite").parquet(outDir.toString)
+          }
+          lastGen.updateAndGet(g => math.max(g, batchId + 1))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val gen = lastGen.get()
+    require(gen >= 2, s"MV replay must run multiple micro-batches, ran $gen")
+    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
+      .localCheckpoint(true)
+    rmTree(work)
+    state
+  }
+
   /** Footer-derived raw schema of an events parquet path — `readStream`
     * requires an explicit schema, and hardcoding one breaks the moment the
     * producer changes `ts` encoding (INT64 TIMESTAMP(NANOS) surfaces as
@@ -396,29 +447,11 @@ object EventStream {
       .schema(stateSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val state =
-            if (gen == 0) spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-            else spark.read.parquet(work.resolve(s"state_$gen").toString)
-          graft.core.Merge.latestWins(state, batch, "user_id", "event_id")
-            .write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val state = prev.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema))
+      graft.core.Merge.latestWins(state, batch, "user_id", "event_id")
     }
-    require(gen >= 2, s"merge replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Bounded replay of the streaming MATERIALIZED-VIEW maintenance loop
@@ -447,31 +480,12 @@ object EventStream {
       .schema(srcSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val partials = graft.core.Merge.aggPartials(
-            batch, Seq("event_type"), "value")
-          val next =
-            if (gen == 0) partials
-            else graft.core.Merge.mergeAggState(
-              spark.read.parquet(work.resolve(s"state_$gen").toString),
-              partials, Seq("event_type"))
-          next.write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partials = graft.core.Merge.aggPartials(
+        batch, Seq("event_type"), "value")
+      prev.fold(partials)(state =>
+        graft.core.Merge.mergeAggState(state, partials, Seq("event_type")))
     }
-    require(gen >= 2, s"MV replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Bounded replay of a streaming CATEGORY-COUNT materialized view —
@@ -500,32 +514,13 @@ object EventStream {
       .schema(srcSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val partials = batch.where(filter)
-            .groupBy(col("event_type").as("cat"))
-            .agg(count(lit(1)).as("o_cur"))
-          val next =
-            if (gen == 0) partials
-            else spark.read.parquet(work.resolve(s"state_$gen").toString)
-              .unionByName(partials)
-              .groupBy(col("cat")).agg(sum(col("o_cur")).as("o_cur"))
-          next.write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partials = batch.where(filter)
+        .groupBy(col("event_type").as("cat"))
+        .agg(count(lit(1)).as("o_cur"))
+      prev.fold(partials)(state => state.unionByName(partials)
+        .groupBy(col("cat")).agg(sum(col("o_cur")).as("o_cur")))
     }
-    require(gen >= 2, s"count-MV replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Streaming EXACT-DISTINCT maintenance (st20 — u6's streaming twin):
@@ -554,31 +549,10 @@ object EventStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val cols = Seq("event_type", "user_id")
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val next =
-            if (gen == 0) batch.select(cols.map(col): _*).distinct()
-            else {
-              val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-              state.unionByName(
-                graft.core.Merge.firstSeenNew(state, batch, cols))
-            }
-          next.write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      prev.fold(batch.select(cols.map(col): _*).distinct())(state =>
+        state.unionByName(graft.core.Merge.firstSeenNew(state, batch, cols)))
     }
-    require(gen >= 2, s"first-seen replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,
@@ -607,32 +581,13 @@ object EventStream {
       .schema(srcSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val partials = batch.groupBy(col("event_type"))
-            .agg(kll_sketch_agg_double(col("value"), k).as("sk"))
-          val next =
-            if (gen == 0) partials
-            else spark.read.parquet(work.resolve(s"state_$gen").toString)
-              .unionByName(partials)
-              .groupBy(col("event_type"))
-              .agg(kll_merge_agg_double(col("sk")).as("sk"))
-          next.write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partials = batch.groupBy(col("event_type"))
+        .agg(kll_sketch_agg_double(col("value"), k).as("sk"))
+      prev.fold(partials)(state => state.unionByName(partials)
+        .groupBy(col("event_type"))
+        .agg(kll_merge_agg_double(col("sk")).as("sk")))
     }
-    require(gen >= 2, s"KLL-MV replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Streaming TOP-K LEADERBOARD maintenance (st18 — u7's streaming
@@ -661,28 +616,10 @@ object EventStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val ord = Seq(col("value").desc, col("event_id").asc)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val state =
-            if (gen == 0) batch.limit(0)
-            else spark.read.parquet(work.resolve(s"state_$gen").toString)
-          graft.core.Merge.topKFold(state, batch, Seq("event_type"), ord, k)
-            .write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      graft.core.Merge.topKFold(prev.getOrElse(batch.limit(0)), batch,
+        Seq("event_type"), ord, k)
     }
-    require(gen >= 2, s"top-k replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Streaming COUNT-MIN MAINTENANCE (st17 — h9's streaming twin, and
@@ -711,32 +648,13 @@ object EventStream {
       .schema(srcSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
-    var gen = 0
-    withReplayPartitions(spark) {
-      val q = stream.writeStream
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val partials = Cms.expand(batch, "user_id")
-            .groupBy(col("depth"), col("bucket"))
-            .agg(count(lit(1)).as("c"))
-          val next =
-            if (gen == 0) partials
-            else spark.read.parquet(work.resolve(s"state_$gen").toString)
-              .unionByName(partials)
-              .groupBy(col("depth"), col("bucket")).agg(sum(col("c")).as("c"))
-          next.write.mode("overwrite")
-            .parquet(work.resolve(s"state_${gen + 1}").toString)
-          gen += 1
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partials = Cms.expand(batch, "user_id")
+        .groupBy(col("depth"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      prev.fold(partials)(state => state.unionByName(partials)
+        .groupBy(col("depth"), col("bucket")).agg(sum(col("c")).as("c")))
     }
-    require(gen >= 2, s"CMS-MV replay must run multiple micro-batches, ran $gen")
-    val state = spark.read.parquet(work.resolve(s"state_$gen").toString)
-      .localCheckpoint(true)
-    rmTree(work)
-    state
   }
 
   /** Streaming exact dedup for ingest pipelines: drop rows whose `keyCols`

@@ -31,6 +31,19 @@ class AssignCentroidsSpec extends SparkSpec {
     assert(out(5L) == 0, s"two-way tie must take the lowest index, got ${out(5L)}")
   }
 
+  test("dimension mismatch fails fast with a clear message, never a wrong cell") {
+    // A longer vector used to throw ArrayIndexOutOfBounds mid-kernel; a
+    // SHORTER one silently scored a prefix distance and returned a wrong
+    // assignment — the worse failure. Both must now fail the job with
+    // the explicit dim-mismatch message.
+    for (bad <- Seq(Seq(1.0), Seq(1.0, 2.0, 3.0))) {
+      val e = intercept[Exception] { assign(Seq((1L, bad))) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("vector dim")), e.toString)
+    }
+  }
+
   test("assignment is invariant to partitioning (map-only, no order dependence)") {
     val s = spark; import s.implicits._
     val rows = (0L until 60L).map(i => (i, Seq((i % 11).toDouble, (i % 7).toDouble)))

@@ -102,6 +102,51 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalCumMax equals the driver strict-prior max at any partition count") {
+    import spark.implicits._
+    // unique order values (same pre-aggregate contract as cumSum);
+    // values chosen so the running max both advances and stalls
+    val rows = (1 to 500).map(i => (((i * 37) % 499) * 1000 + i, ((i * 53) % 97).toLong))
+    val sorted = rows.sortBy(_._1)
+    val truth = sorted.indices.map { i =>
+      val prior = sorted.take(i).map(_._2)
+      sorted(i)._1.toLong -> (if (prior.isEmpty) None else Some(prior.max))
+    }.toMap
+    for (p <- Seq(1, 3, 8)) {
+      val df = rows.toDF("v", "m").repartition(p)
+      val got = graft.core.Relational
+        .withGlobalCumMax(df, Seq(col("v")), col("m"), "rmax")
+        .collect().map(r => r.getAs[Int]("v").toLong ->
+          (if (r.isNullAt(r.fieldIndex("rmax"))) None
+           else Some(r.getAs[Long]("rmax")))).toMap
+      assert(got === truth, s"partitions=$p")
+    }
+  }
+
+  test("withGlobalCumMax skyline identity: survivor set matches the O(n²) dominance filter") {
+    import spark.implicits._
+    // (price, size) points with duplicates, shared prices, and ties —
+    // w19's exact operator contract: keep iff NOT dominated, where
+    // dominance = (price ≤, size ≥) with at least one strict
+    val pts = Seq((5, 3), (5, 3), (4, 7), (6, 9), (6, 9), (3, 2), (4, 5),
+      (7, 9), (8, 10), (3, 1), (9, 10))
+    val brute = pts.zipWithIndex.filterNot { case ((p, sz), i) =>
+      pts.zipWithIndex.exists { case ((p2, s2), j) =>
+        j != i && p2 <= p && s2 >= sz && (p2 < p || s2 > sz)
+      }
+    }.map(_._1).toSet
+    val h = pts.toDF("pr", "sz").groupBy(col("pr"))
+      .agg(max(col("sz")).as("ms"))
+    val r = graft.core.Relational
+      .withGlobalCumMax(h, Seq(col("pr")), col("ms"), "rmax")
+    val got = pts.toDF("pr", "sz").join(r, Seq("pr"))
+      .where(col("sz") === col("ms") &&
+        (col("rmax").isNull || col("sz") > col("rmax")))
+      .select(col("pr"), col("sz"))
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(got === brute)
+  }
+
   test("withGlobalCumSum on a histogram reproduces the doubled average tie rank (a28 identity)") {
     import spark.implicits._
     val vals = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5).map(_.toDouble)

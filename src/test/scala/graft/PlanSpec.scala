@@ -257,6 +257,10 @@ class PlanSpec extends SparkSpec {
   test("t25: RFM quartiles ride the distributed rank — no global ntile window") {
     val p = plan("t25_rfm_segments")
     assert(!p.contains("ntile"), p)
+    // the recency pass orders on last_day DESC directly — the global-max
+    // attach (1-row crossJoin(broadcast), a BroadcastNestedLoopJoin) is
+    // gone entirely, so the banned operator must never reappear here
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     // single-partition exchanges may only sit above aggregates (the
     // tiny offset/total frames), never over the data path — w4's rule
     val lines = p.linesIterator.toSeq

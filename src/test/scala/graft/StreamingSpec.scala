@@ -371,6 +371,41 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 30L * 60000000L)))
   }
 
+  test("MV fold replay skips an already-committed generation (at-least-once redelivery)") {
+    // foreachBatch is at-least-once: a retried micro-batch must NOT fold
+    // twice. foldMvReplay keys generations off the engine batchId and
+    // skips a batch whose output generation carries _SUCCESS — simulated
+    // here by pre-committing batch 0's output (state_1) with a SENTINEL
+    // count before the stream starts. A driver-side generation counter
+    // (the old pattern) would fold batch 0 on top of it; the contract is
+    // that batch 0 is skipped, so the final count is exactly
+    // sentinel + rows of batches 1..n-1.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_spec_mvidem")
+    val srcDir = work.resolve("src").toString
+    val s = spark; import s.implicits._
+    Seq.tabulate(30)(i => (i.toLong, i % 3)).toDF("v", "chunk")
+      .repartitionByRange(3, col("chunk"))
+      .write.mode("overwrite").parquet(srcDir)
+    val sentinel = 1000000L
+    Seq(sentinel).toDF("n").write.parquet(work.resolve("state_1").toString)
+    assert(Files.exists(work.resolve("state_1").resolve("_SUCCESS")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chunk", org.apache.spark.sql.types.IntegerType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val state = EventStream.foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partial = batch.agg(count(lit(1)).as("n"))
+      prev.fold(partial)(st =>
+        st.unionByName(partial).agg(sum(col("n")).as("n")))
+    }
+    // 3 range-chunks of 10 rows each: batch 0 skipped (its committed
+    // generation wins), batches 1 and 2 fold their 10 rows each.
+    assert(state.head.getLong(0) === sentinel + 20L)
+  }
+
   test("streaming HLL distinct-count state merges across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
