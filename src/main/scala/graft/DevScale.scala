@@ -52,6 +52,8 @@ object DevScale {
     if (want("gates14b")) gates14bSection(spark)
     if (want("gates14c")) gates14cSection(spark)
     if (want("gates14d")) gates14dSection(spark)
+    if (want("gates14e")) gates14eSection(spark)
+    if (want("gates14f")) gates14fSection(spark)
     spark.stop()
   }
 
@@ -100,6 +102,25 @@ object DevScale {
     gateQueries(spark, "g14d", Seq("a34_kruskal_wallis",
       "u11_incremental_bloom", "mm13_image_neardup_probe",
       "x51_lexical_complexity"))
+
+  /** Round-14e: third wave at ×1/×10/×100. st21 — replay-volume-bound
+    * like every st MV (state ≤1024 rows at any scale); dq22 — one
+    * global range-rank + a rank-successor equi join (two shuffles of
+    * the slim id column, linear); t28 — distinct (user, day) frame +
+    * user-keyed window (day-level rows ≪ events); a35 — histogram
+    * median pass + one conditional-sum scan (a33's curve + scan). */
+  private def gates14eSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14e", Seq("st21_stream_bloom_mv",
+      "dq22_id_gap_islands", "t28_active_streaks", "a35_brown_forsythe"))
+
+  /** Round-14f: fourth wave at ×1/×10/×100. t27 — one user-keyed
+    * shuffle + per-user sequential fold, t18's curve (users scale with
+    * data → linear; per-user array bounded by event cadence); u12 —
+    * three batch scans + keyed min/max folds over the O(keys/1000)
+    * zone map + one serve aggregate (scan-bound, map flat). */
+  private def gates14fSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14f", Seq("t27_holt_linear",
+      "u12_incremental_zonemap"))
 
   /** Round-13l: sixth operator batch at ×1/×10/×100. t25 chains three
     * decileExact range-rank passes over the USER frame (user count

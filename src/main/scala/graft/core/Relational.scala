@@ -160,6 +160,37 @@ object Relational {
       .drop("__w", "__mid", "__pid", "__pid2", "__lc")
   }
 
+  /** Attach a 1-row scalar frame to every row of `df` — the audit-clean
+    * replacement for `crossJoin(broadcast(oneRow))`: a 1-row cross join
+    * has no equi keys, so Catalyst plans it as BroadcastNestedLoopJoin,
+    * the operator this repo's plan audit bans outright (a BNLJ with a
+    * 1-row build side is executor-harmless, but banning the OPERATOR
+    * unconditionally is what keeps the audit a one-line check — an
+    * exception list would rot). A constant-key equi join does NOT work
+    * either: FoldablePropagation folds the literal keys and the join
+    * degenerates back to BNLJ. So the scalars are COLLECTED (a 1-row
+    * bounded driver collect — the audited S7 class, u10's precedent)
+    * and inlined as typed literals: no join at all, and downstream
+    * constant folding / pushdown get real literals to work with. The
+    * cost is one eager job at plan-build time per call site — the same
+    * job the join would have run anyway to build its broadcast. */
+  def attachSingleton(df: DataFrame, scalars: DataFrame): DataFrame = {
+    val rows = scalars.take(2)
+    require(rows.length == 1,
+      s"attachSingleton needs exactly 1 scalar row, got ${rows.length}")
+    scalars.schema.fields.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
+      acc.withColumn(f.name, lit(rows(0).get(i)).cast(f.dataType))
+    }
+  }
+
+  /** Chain-position syntax for [[attachSingleton]] so a
+    * `.crossJoin(broadcast(one))` call site converts in place:
+    * `.attachSingleton(one)`. */
+  implicit class SingletonAttachOps(private val df: DataFrame) {
+    def attachSingleton(scalars: DataFrame): DataFrame =
+      Relational.attachSingleton(df, scalars)
+  }
+
   /** DISTRIBUTED strict-prior running MAX: `outCol` = max(`value`) over
     * all rows strictly BEFORE this row in the global `order` (null when
     * no predecessor) — the running-extreme sibling of

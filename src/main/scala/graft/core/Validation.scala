@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Relational.SingletonAttachOps
 
 /** One-pass data-quality validation (the pre-training gate a 100-TB
   * pipeline runs before touching a new drop): every constraint is an
@@ -95,7 +96,7 @@ object Validation {
       .agg(min(v).cast("double").as("vmin"), max(v).cast("double").as("vmax"))
       .localCheckpoint()
     def binned(df: DataFrame, cnt: String): DataFrame =
-      df.where(defined).crossJoin(broadcast(stats))
+      df.where(defined).attachSingleton(stats)
         .select(
           when(col("vmax") === col("vmin"), lit(0))
             .otherwise(least(greatest(
@@ -341,7 +342,7 @@ object Validation {
         sum(col("__n")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("__n")).as("max_key_rows"))
-      .crossJoin(broadcast(q))
+      .attachSingleton(q)
       .select(
         lit(keyCols.mkString(",")).as("key"),
         col("n_rows"), col("n_keys"), col("max_key_rows"),
@@ -465,7 +466,7 @@ object Validation {
         sum(when(col("__g") === gb, 1L).otherwise(0L)).as("n_b"))
       val ca = when(col("__g") === ga, col("__rg")).otherwise(col("__r") - col("__rg"))
       val cb = when(col("__g") === gb, col("__rg")).otherwise(col("__r") - col("__rg"))
-      ranked.crossJoin(broadcast(counts)) // 1-row scalar attach
+      ranked.attachSingleton(counts) // 1-row scalar attach
         .select((ca.cast("double") / col("n_a")
           - cb.cast("double") / col("n_b")).as("__diff"),
           col("n_a"), col("n_b"))
@@ -562,7 +563,7 @@ object Validation {
     }
     val term = cellTerm(col("o_ref"), col("t_ref")) +
       cellTerm(col("o_cur"), col("t_cur"))
-    cellsM.crossJoin(broadcast(totals)) // 1-row scalar attach
+    cellsM.attachSingleton(totals) // 1-row scalar attach
       .groupBy(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"), col("k"))
       .agg(sum(round(term, 9).cast(DecimalType(27, 9))).cast(DoubleType).as("chi2"))
       .select(col("n_ref"), col("n_cur"), col("k"),

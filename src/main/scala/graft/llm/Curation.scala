@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.core.Relational.SingletonAttachOps
 
 /** Corpus-curation operators: the filter → dedup → pack flow a
   * pretraining data pipeline runs over raw documents.
@@ -501,7 +502,7 @@ object Curation {
       .withColumn("share", pow(col("n_docs"), tau))
     val norm = counts.agg(sum(col("share")).as("z"))
     // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels)
-    counts.crossJoin(broadcast(norm))
+    counts.attachSingleton(norm)
       .withColumn("keep_bp", least(lit(10000L),
         floor(lit(10000.0) * lit(budget.toDouble) * col("share") / col("z")
           / col("n_docs"))).cast("long"))

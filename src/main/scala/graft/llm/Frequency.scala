@@ -3,6 +3,7 @@ package graft.llm
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import graft.core.Relational.SingletonAttachOps
 
 /** Exact corpus heavy hitters without a vocabulary-sized shuffle — the
   * two-pass Misra–Gries shape (candidates sketch, then exact recount of
@@ -176,7 +177,7 @@ object Frequency {
     // (broadcast semi-filter before the shuffle).
     toks.join(broadcast(candidates), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
+      .attachSingleton(total)
       .filter(col("n") * k > col("n_total"))
       .orderBy(col("n").desc, col("term").asc)
   }
@@ -223,7 +224,7 @@ object Frequency {
       val pa = (col("ca") + 1) / (col("na") + col("v"))
       val pb = (col("cb") + 1) / (col("nb") + col("v"))
       val m = (pa + pb) / 2
-      joined.crossJoin(broadcast(totals))
+      joined.attachSingleton(totals)
         .agg(
           max(col("na")).cast("long").as("n_tokens_a"),
           max(col("nb")).cast("long").as("n_tokens_b"),

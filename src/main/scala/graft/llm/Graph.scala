@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Relational.SingletonAttachOps
 
 /** Distributed analytics over similarity graphs (the mutual k-NN graph
   * from [[Similarity.knnGraphEdges]], or any undirected edge list with
@@ -408,7 +409,7 @@ object Graph {
       (col("sx").cast(DoubleType) / m) * (col("sx").cast(DoubleType) / m)
     val vy = col("syy").cast(DoubleType) / m -
       (col("sy").cast(DoubleType) / m) * (col("sy").cast(DoubleType) / m)
-    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(broadcast(s)) // 1-row scalar attach
+    deg.agg(count(lit(1)).as("n_nodes")).attachSingleton(s) // 1-row scalar attach (BHJ on const key, not BNLJ)
       .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
         round(cov / sqrt(vx * vy), 6).as("assortativity"))
       .localCheckpoint(true) // eager: 1 row, valid after unpersist

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Relational.SingletonAttachOps
 
 /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
   * Language Models via Importance Resampling"): score every raw
@@ -94,7 +95,7 @@ object Importance {
 
     val perTok = toks
       .join(broadcast(counts), Seq("bkt"))
-      .crossJoin(broadcast(totals))
+      .attachSingleton(totals)
       .withColumn("lw",
         log((col("c_tgt") + lit(alpha)) / (col("tot_tgt") + lit(alpha * b))) -
         log((col("c_raw") + lit(alpha)) / (col("tot_raw") + lit(alpha * b))))

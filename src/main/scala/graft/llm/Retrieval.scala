@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Relational.SingletonAttachOps
 
 /** Lexical (sparse) retrieval over the document corpus: Okapi BM25
   * top-k, the text-side complement to the dense ANN layer in
@@ -96,7 +97,7 @@ object Retrieval {
     val scored = postings
       .join(broadcast(dfs), Seq("term"))
       .join(dls, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .attachSingleton(stats)
       .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Relational.SingletonAttachOps
 
 /** Text-analysis operators for the training-data-pipeline surface:
   * tokenization, quality scoring, language-ID, and document
@@ -191,7 +192,7 @@ object TextStats {
     (if (df eq reference) refBg else bigrams(df))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
+      .attachSingleton(v)
       .select(col("id"),
         log(2.0,
           (coalesce(col("c2"), lit(0L)) + alpha) /

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Relational, Sampling, WideAgg}
 import graft.stats.{Auc, Correlations}
+import graft.core.Relational.SingletonAttachOps
 
 /** Aggregation / window / sort queries (SURVEY.md §2.4–§2.5) with DuckDB
   * oracles. Same determinism contract as [[RelationalQueries]]. */
@@ -40,8 +41,9 @@ object AggQueries {
 
     // ---- A: aggregations ---------------------------------------------------
     Q("a1_count_rows",
-      (s, d) => T(s, d, "lineitem").agg(count(lit(1)).as("lineitem_rows"))
-        .crossJoin(T(s, d, "orders").agg(count(lit(1)).as("orders_rows"))),
+      (s, d) => Relational.attachSingleton(
+        T(s, d, "lineitem").agg(count(lit(1)).as("lineitem_rows")),
+        T(s, d, "orders").agg(count(lit(1)).as("orders_rows"))),
       Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
              |(SELECT COUNT(*) FROM orders) AS orders_rows""".stripMargin)),
 
@@ -168,7 +170,7 @@ object AggQueries {
       (s, d) => {
         val li = T(s, d, "lineitem").withColumn("tax0", expr("nullif(l_tax, 0.0D)"))
         val mean = li.agg(avgExact(col("tax0")).as("mean_tax"))
-        li.crossJoin(broadcast(mean))
+        li.attachSingleton(mean)
           .withColumn("imputed", coalesce(col("tax0"), col("mean_tax")))
           .agg(
             count(lit(1)).as("n_rows"),
@@ -1097,7 +1099,7 @@ object AggQueries {
           .select(col("n_chars").cast(DoubleType).as("v"), col("doc_id"))
           .orderBy(col("v").desc, col("doc_id")).limit(201)
         val thr = top.agg(min(col("v")).as("x_thr"))
-        top.crossJoin(broadcast(thr)) // 1-row scalar attach
+        top.attachSingleton(thr) // 1-row scalar attach
           .agg(count(lit(1)).as("n_top"),
             first(col("x_thr")).as("x_thr"),
             sum(round(log(col("v") / col("x_thr")), 9)
@@ -1223,8 +1225,8 @@ object AggQueries {
           .agg(sum(col("t").cast(dec) * (col("t") - 1).cast(dec)).as(s"s$k"))
         val tot = cells.agg(sum(col("cn")).as("n"), count(lit(1)).as("n_cells"))
         val nn = col("n").cast(dec) * (col("n") - 1).cast(dec)
-        tot.crossJoin(broadcast(cd))
-          .crossJoin(broadcast(tieSum("x"))).crossJoin(broadcast(tieSum("y")))
+        tot.attachSingleton(cd)
+          .attachSingleton(tieSum("x")).attachSingleton(tieSum("y"))
           .select(col("n"), col("n_cells"),
             col("c").cast("long").as("concordant"),
             col("dd").cast("long").as("discordant"),
@@ -1594,6 +1596,70 @@ object AggQueries {
              |  ROUND(hraw / (1.0 - CAST(tie3 AS DOUBLE) /
              |    (CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE) - nn)),
              |    6) AS h_tied
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // Brown–Forsythe variance-homogeneity test (Levene with the MEDIAN
+    // center — robust to the heavy tails that break plain Levene; the
+    // precondition check for a32/a34): per-group medians from the
+    // histogram-compressed quantile pass, |x − med| deviations, then a
+    // one-way ANOVA F over deviations from ONE conditional-decimal-sum
+    // scan. The five group terms fold in EXPLICIT alphabetical order on
+    // both engines (a34's rule); both the Spark expressions and the
+    // oracle SQL are GENERATED from the same type list so the two
+    // expression trees cannot drift.
+    Q("a35_brown_forsythe",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = graft.core.Tables.readEvents(s, d)
+          .select(col("event_type").as("g"), col("value").as("x"))
+        val med = Relational.weightedQuantiles(
+            ev.withColumn("w1", lit(1L)), "g", "x", "w1", ps = Seq(0.5))
+          .select(col("g"), col("q_0_5").as("med"))
+        val z = ev.join(broadcast(med), Seq("g"))
+          .withColumn("z", abs(col("x") - col("med")))
+        val aggs = Seq(count(lit(1)).as("nt")) ++ types.flatMap { t =>
+          val m = col("g") === t
+          Seq(countIf(m).cast(DoubleType).as(s"n_$t"),
+            sum(when(m, col("z")).cast(DecimalType(27, 6)))
+              .cast(DoubleType).as(s"s1_$t"),
+            sum(when(m, col("z") * col("z")).cast(DecimalType(27, 6)))
+              .cast(DoubleType).as(s"s2_$t"))
+        }
+        val wide = z.agg(aggs.head, aggs.tail: _*)
+        val zbar = types.map(t => col(s"s1_$t")).reduce(_ + _) / col("nt")
+        val ssw = types.map(t =>
+          col(s"s2_$t") - col(s"s1_$t") * col(s"s1_$t") / col(s"n_$t"))
+          .reduce(_ + _)
+        val ssb = types.map { t =>
+          val dev = col(s"s1_$t") / col(s"n_$t") - zbar
+          col(s"n_$t") * dev * dev
+        }.reduce(_ + _)
+        wide.select(col("nt").as("n_total"),
+          round((ssb / lit(4.0)) / (ssw / (col("nt") - 5)), 6).as("f_stat"))
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val sums = types.map { t =>
+          s"""CAST(SUM(CASE WHEN g='$t' THEN 1 ELSE 0 END) AS DOUBLE) AS n_$t,
+             |    CAST(SUM(CAST(CASE WHEN g='$t' THEN z END AS DECIMAL(27,6))) AS DOUBLE) AS s1_$t,
+             |    CAST(SUM(CAST(CASE WHEN g='$t' THEN z*z END AS DECIMAL(27,6))) AS DOUBLE) AS s2_$t""".stripMargin
+        }.mkString(",\n    ")
+        val zbar = types.map(t => s"s1_$t").mkString("(", " + ", ")") + " / nt"
+        val ssw = types.map(t => s"(s2_$t - s1_$t*s1_$t/n_$t)")
+          .mkString(" + ")
+        val ssb = types.map(t =>
+          s"n_$t*(s1_$t/n_$t - zb)*(s1_$t/n_$t - zb)").mkString(" + ")
+        s"""WITH e AS (SELECT event_type AS g, value AS x FROM events),
+           |med AS (SELECT g, QUANTILE_CONT(x, 0.5) AS med FROM e GROUP BY 1),
+           |z AS (SELECT e.g, ABS(e.x - m.med) AS z FROM e JOIN med m ON e.g = m.g),
+           |s AS (SELECT COUNT(*) AS nt,
+           |    $sums
+           |  FROM z),
+           |zz AS (SELECT *, $zbar AS zb FROM s)
+           |SELECT nt AS n_total,
+           |  ROUND((($ssb) / 4.0) / (($ssw) / (nt - 5)), 6) AS f_stat
+           |FROM zz""".stripMargin
+      })
   )
 }

@@ -44,8 +44,8 @@ object LlmQueries {
         Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-    qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hits)
+    graft.core.Relational.attachSingleton(
+        hits, qs.agg(count(lit(1)).as("n_queries")))
       .select(col("n_queries"), col("n_truth"),
         when(col("n_truth") === 0, lit(true))
           .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
@@ -148,8 +148,8 @@ object LlmQueries {
         Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-    qs.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hits)
+    graft.core.Relational.attachSingleton(
+        hits, qs.agg(count(lit(1)).as("n_queries")))
       .select(col("n_queries"), col("n_truth"),
         when(col("n_truth") === 0, lit(true))
           .otherwise(col("n_hit") / col("n_truth") >= minRecall).as("recall_ok"))
@@ -904,9 +904,11 @@ object LlmQueries {
           k = 3, dim = 64)
         val jl = Similarity.jlTopK(emb, qs, "vec_id", "embedding",
           k = 3, dim = 64, overscan = 8)
-        qs.agg(count(lit(1)).as("n_queries"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth"), avg(col("cos")).as("__t")))
-          .crossJoin(jl.agg(count(lit(1)).as("n_jl"), avg(col("cos")).as("__r")))
+        graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              qs.agg(count(lit(1)).as("n_queries")),
+              truth.agg(count(lit(1)).as("n_truth"), avg(col("cos")).as("__t"))),
+            jl.agg(count(lit(1)).as("n_jl"), avg(col("cos")).as("__r")))
           .select(col("n_queries"), col("n_truth"), col("n_jl"),
             (col("__t") - col("__r") <= 0.1).as("quality_ok"))
       },
@@ -1300,8 +1302,9 @@ object LlmQueries {
             Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        val out = qs.agg(count(lit(1)).as("n_queries"))
-          .crossJoin(hits).crossJoin(eq)
+        val out = graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              hits, qs.agg(count(lit(1)).as("n_queries"))), eq)
           .select(col("n_queries"), col("n_truth"),
             when(col("n_truth") === 0, lit(true))
               .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
@@ -1355,8 +1358,9 @@ object LlmQueries {
             Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        val out = qs.agg(count(lit(1)).as("n_queries"))
-          .crossJoin(hits).crossJoin(eq)
+        val out = graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              hits, qs.agg(count(lit(1)).as("n_queries"))), eq)
           .select(col("n_queries"), col("n_truth"),
             when(col("n_truth") === 0, lit(true))
               .otherwise(col("n_hit") / col("n_truth") >= 0.6).as("recall_ok"),
@@ -1410,8 +1414,9 @@ object LlmQueries {
             Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        val out = qs.agg(count(lit(1)).as("n_queries"))
-          .crossJoin(hits).crossJoin(eq)
+        val out = graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              hits, qs.agg(count(lit(1)).as("n_queries"))), eq)
           .select(col("n_queries"), col("n_truth"),
             when(col("n_truth") === 0, lit(true))
               .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),
@@ -3640,8 +3645,9 @@ object LlmQueries {
             Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        val out = qs.agg(count(lit(1)).as("n_queries"))
-          .crossJoin(hits).crossJoin(eq)
+        val out = graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              hits, qs.agg(count(lit(1)).as("n_queries"))), eq)
           .select(col("n_queries"), col("n_truth"),
             when(col("n_truth") === 0, lit(true))
               .otherwise(col("n_hit") / col("n_truth") >= 0.5).as("recall_ok"),

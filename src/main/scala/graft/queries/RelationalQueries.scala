@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Joins, Layout, Merge, Relational, Sampling, Validation, WideAgg}
 import graft.stats.{Auc, Correlations}
+import graft.core.Relational.SingletonAttachOps
 
 /** One declared query per SURVEY.md §2 operator (the driver's correctness
   * surface). Every query returns a DataFrame whose column names match its
@@ -1795,7 +1796,7 @@ object RelationalQueries {
         val js = s.read.option("multiLine", "true")
           .schema("n_rows BIGINT, sum_total DOUBLE")
           .json(jsonPath)
-        back.crossJoin(broadcast(js)) // 1-row scalar attach
+        back.attachSingleton(js) // 1-row scalar attach (BHJ on const key, not BNLJ)
           .orderBy(col("o_orderpriority"))
       },
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
@@ -2544,6 +2545,124 @@ object RelationalQueries {
               |  ${countIfSql("present = 1")} AS n_present,
               |  ${countIfSql("bloom_hit = 1 AND present = 0")} AS n_false_pos,
               |  ${countIfSql("bloom_hit = 0 AND present = 1")} AS n_false_neg
-              |FROM j""".stripMargin))
+              |FROM j""".stripMargin)),
+
+    // Gaps-and-islands audit over a sequence key (did the extractor
+    // drop id ranges? — the classic contiguity check, distributed):
+    // gaps are PLANTED (event_id ≡ 13 mod 97 filtered out) so the audit
+    // fires with closed-form counts. Adjacent diffs come from
+    // withGlobalRank + a rank-successor EQUI join (rk = rk−1) — the
+    // distributed form of LEAD over a global order, no single-partition
+    // window anywhere. span_missing (max−min+1−rows) cross-checks
+    // n_missing (Σ(diff−1)) through an independent arithmetic path.
+    Q("dq22_id_gap_islands",
+      (s, d) => {
+        val ids = graft.core.Tables.readEvents(s, d)
+          .where(pmod(col("event_id"), lit(97)) =!= 13)
+          .select(col("event_id").as("id"))
+        val ranked = graft.core.Relational
+          .withGlobalRank(ids, Seq(col("id")), "rk", "nt")
+        val diffs = ranked.select(col("rk"), col("id"))
+          .join(ranked.select((col("rk") - 1).as("rk"), col("id").as("next_id")),
+            Seq("rk"))
+          .select((col("next_id") - col("id")).as("diff"))
+        val a1 = diffs.agg(countIf(col("diff") > 1).as("n_breaks"),
+          sumLong(col("diff") - 1).as("n_missing"),
+          max(col("diff") - 1).as("max_gap"))
+        val a2 = ids.agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        graft.core.Relational.attachSingleton(a1, a2)
+          .select(col("n_rows"), (col("n_breaks") + 1).as("n_islands"),
+            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+            coalesce(col("max_gap"), lit(0L)).as("max_gap"),
+            (col("max_id") - col("min_id") + 1 - col("n_rows"))
+              .as("span_missing"))
+      },
+      Some("""WITH ids AS (SELECT event_id AS id FROM events
+             |  WHERE event_id % 97 <> 13),
+             |d AS (SELECT LEAD(id) OVER (ORDER BY id) - id AS diff FROM ids),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN diff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_breaks,
+             |    CAST(SUM(diff - 1) AS BIGINT) AS n_missing,
+             |    CAST(MAX(diff - 1) AS BIGINT) AS max_gap
+             |  FROM d WHERE diff IS NOT NULL),
+             |b AS (SELECT COUNT(*) AS n_rows, MIN(id) AS min_id,
+             |    MAX(id) AS max_id FROM ids)
+             |SELECT n_rows, n_breaks + 1 AS n_islands,
+             |  COALESCE(n_missing, 0) AS n_missing,
+             |  COALESCE(max_gap, 0) AS max_gap,
+             |  max_id - min_id + 1 - n_rows AS span_missing
+             |FROM a, b""".stripMargin)),
+
+    // Incremental ZONE-MAP maintenance (the table-format manifest
+    // min/max index as a maintained MV — what lets a 100 TB scan skip
+    // files without opening them): per-bucket (min, max) of the scan
+    // column, folded across ingest batches by keyed MIN/MAX (idempotent
+    // + commutative — redelivery-proof like u11's BIT_OR; fold ≡
+    // one-shot enforced in-query with a require). The serve side plans
+    // a BETWEEN predicate against the 600-row map: candidate buckets
+    // (range overlap) vs buckets with actual matches — candidates ⊇
+    // actual is the zone-map contract (overlap without membership is
+    // the irreducible false-positive class), and the pruning ratio is
+    // what the planner buys. Everything exact-checkable in SQL.
+    Q("u12_incremental_zonemap",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        def zm(df: DataFrame) = df
+          .groupBy(expr("o_orderkey div 1000").as("bucket"))
+          .agg(min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+        val stateDir = scratch(s, "u12_state").toString
+        zm(orders.where(pmod(col("o_custkey"), lit(3)) === 0))
+          .write.mode("overwrite").parquet(stateDir)
+        Seq(1, 2).foreach { r =>
+          val next = s.read.parquet(stateDir)
+            .unionByName(zm(orders.where(pmod(col("o_custkey"), lit(3)) === r)))
+            .groupBy(col("bucket"))
+            .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+            .localCheckpoint(true)
+          next.write.mode("overwrite").parquet(stateDir)
+        }
+        val state = s.read.parquet(stateDir)
+        val mismatches = state
+          .join(zm(orders).withColumnRenamed("mn", "mn2")
+            .withColumnRenamed("mx", "mx2"), Seq("bucket"), "full")
+          .where(col("mn").isNull || col("mn2").isNull ||
+            col("mn") =!= col("mn2") || col("mx") =!= col("mx2"))
+          .count()
+        require(mismatches == 0,
+          s"zone-map fold != one-shot: $mismatches buckets differ")
+        val (lo, hi) = (150000.0, 160000.0)
+        val cand = state
+          .agg(count(lit(1)).as("n_buckets"),
+            countIf(col("mx") >= lo && col("mn") <= hi).as("n_candidates"))
+        val actual = orders
+          .groupBy(expr("o_orderkey div 1000").as("bucket"))
+          .agg(countIf(col("o_totalprice") >= lo && col("o_totalprice") <= hi)
+            .as("n_in"))
+          .agg(countIf(col("n_in") > 0).as("n_actual"),
+            sumLong(col("n_in")).as("n_match_rows"))
+        graft.core.Relational.attachSingleton(cand, actual)
+          .select(col("n_buckets"), col("n_candidates"), col("n_actual"),
+            col("n_match_rows"),
+            round(lit(1.0) - col("n_candidates").cast("double") /
+              col("n_buckets"), 6).as("prune_ratio"))
+      },
+      Some(s"""WITH zm AS (SELECT o_orderkey // 1000 AS bucket,
+              |    MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+              |  FROM orders GROUP BY 1),
+              |c AS (SELECT COUNT(*) AS n_buckets,
+              |    ${countIfSql("mx >= 150000.0 AND mn <= 160000.0")} AS n_candidates
+              |  FROM zm),
+              |a0 AS (SELECT o_orderkey // 1000 AS bucket,
+              |    ${countIfSql("o_totalprice >= 150000.0 AND o_totalprice <= 160000.0")} AS n_in
+              |  FROM orders GROUP BY 1),
+              |a AS (SELECT ${countIfSql("n_in > 0")} AS n_actual,
+              |    ${sumLongSql("n_in")} AS n_match_rows FROM a0)
+              |SELECT n_buckets, n_candidates, n_actual, n_match_rows,
+              |  ROUND(1.0 - CAST(n_candidates AS DOUBLE) / n_buckets, 6)
+              |    AS prune_ratio
+              |FROM c, a""".stripMargin))
   )
 }

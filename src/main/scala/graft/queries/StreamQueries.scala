@@ -565,5 +565,63 @@ object StreamQueries {
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users,
              |CAST(SUM(DISTINCT user_id) AS BIGINT) AS user_id_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming BLOOM-INDEX maintenance (u11's streaming twin — the
+    // membership sketch joins the MV family: BIT_OR folds are
+    // idempotent AND commutative, so the folded filter is bit-identical
+    // to the one-shot build under any batch order or redelivery). The
+    // final state serves the purchase-user probe batch through one
+    // broadcast join; the explicit universal hash family lets the
+    // oracle replay the WHOLE filter, false positives included — the
+    // same exact contract as u11, arrived at through the stream.
+    Q("st21_stream_bloom_mv",
+      (s, d) => {
+        val B = graft.llm.Frequency.Bloom
+        val state = EventStream.runBloomMvOnce(s, s"$d/events.parquet")
+        val ev = graft.core.Tables.readEvents(s, d)
+        val keys = ev.where(col("event_type") === "signup")
+          .select(col("user_id").as("u")).distinct()
+        val probes = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("u")).distinct()
+        B.memberHits(probes, state, "u")
+          .join(keys.select(col("u"), lit(1).as("in_set")), Seq("u"), "left")
+          .agg(count(lit(1)).as("n_probes"),
+            Det.countIf(col("bloom_hit")).as("n_bloom_hits"),
+            Det.countIf(col("in_set").isNotNull).as("n_present"),
+            Det.countIf(col("bloom_hit") && col("in_set").isNull)
+              .as("n_false_pos"),
+            Det.countIf(!col("bloom_hit") && col("in_set").isNotNull)
+              .as("n_false_neg"))
+      },
+      Some(s"""WITH keys AS (SELECT DISTINCT user_id AS u FROM events
+              |  WHERE event_type = 'signup'),
+              |probes AS (SELECT DISTINCT user_id AS u FROM events
+              |  WHERE event_type = 'purchase'),
+              |kb AS (SELECT DISTINCT b FROM (
+              |  SELECT ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM keys
+              |  UNION ALL
+              |  SELECT ((1234567891*u + 54321) % 2147483647) % 65536 FROM keys
+              |  UNION ALL
+              |  SELECT ((987654321*u + 192837465) % 2147483647) % 65536 FROM keys)),
+              |pb AS (
+              |  SELECT u, ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM probes
+              |  UNION ALL
+              |  SELECT u, ((1234567891*u + 54321) % 2147483647) % 65536 FROM probes
+              |  UNION ALL
+              |  SELECT u, ((987654321*u + 192837465) % 2147483647) % 65536 FROM probes),
+              |hit AS (SELECT pb.u,
+              |    CASE WHEN COUNT(*) =
+              |      SUM(CASE WHEN kb.b IS NOT NULL THEN 1 ELSE 0 END)
+              |      THEN 1 ELSE 0 END AS bloom_hit
+              |  FROM pb LEFT JOIN kb ON pb.b = kb.b GROUP BY 1),
+              |j AS (SELECT h.u, h.bloom_hit,
+              |    CASE WHEN k.u IS NOT NULL THEN 1 ELSE 0 END AS present
+              |  FROM hit h LEFT JOIN keys k ON h.u = k.u)
+              |SELECT COUNT(*) AS n_probes,
+              |  CAST(SUM(CASE WHEN bloom_hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+              |  CAST(SUM(CASE WHEN present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+              |  CAST(SUM(CASE WHEN bloom_hit = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+              |  CAST(SUM(CASE WHEN bloom_hit = 0 AND present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+              |FROM j""".stripMargin)))
 }

@@ -1784,6 +1784,99 @@ object WindowQueries {
              |  ROUND(QUANTILE_CONT(gap, 0.5), 6) AS p50,
              |  ROUND(QUANTILE_CONT(gap, 0.9), 6) AS p90,
              |  ROUND(QUANTILE_CONT(gap, 0.99), 6) AS p99
-             |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Longest consecutive-active-day streak per user (engagement's
+    // classic gaps-and-islands: day − row_number is constant within a
+    // run). Rides the distinct (user, day) frame (day-level rows ≪
+    // events); one user-keyed window + two keyed aggregates; output is
+    // the longest-streak histogram.
+    Q("t28_active_streaks",
+      (s, d) => {
+        val days = graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date")) -
+              row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id")).agg(max(col("len")).as("longest"))
+          .groupBy(col("longest")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("longest"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |g AS (SELECT user_id,
+             |    CAST(day - DATE '1970-01-01' AS BIGINT) -
+             |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM days),
+             |st AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+             |lg AS (SELECT user_id, MAX(len) AS longest FROM st GROUP BY 1)
+             |SELECT longest, COUNT(*) AS n_users FROM lg
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Holt linear trend (double exponential smoothing — t18's EWMA with
+    // a TREND state, the level+slope forecaster): l' = α·x + (1−α)(l+b),
+    // b' = β(l'−l) + (1−β)b, α = 0.5, β = 0.25 (binary-exact factors).
+    // Seed l = x₂, b = x₂−x₁ (users with one event are out of contract).
+    // The fold is inherently sequential per series — the parallelism
+    // axis is users (t18's stance): one user-keyed shuffle, per-user
+    // in-memory fold via functions.aggregate over the sorted struct
+    // array (bounded by a user's event cadence). The b' step recomputes
+    // the l' expression verbatim — same ops, same double — because the
+    // fold lambda cannot bind intermediates; the oracle's recursive CTE
+    // does exactly the same.
+    Q("t27_holt_linear",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        def x(e: org.apache.spark.sql.Column) = e.getField("value")
+        ev.groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .where(size(col("evs")) >= 2)
+          .select(col("user_id"),
+            size(col("evs")).cast("long").as("n_events"),
+            aggregate(
+              expr("slice(evs, 3, size(evs) - 2)"),
+              struct(
+                x(element_at(col("evs"), 2)).as("l"),
+                (x(element_at(col("evs"), 2)) - x(element_at(col("evs"), 1)))
+                  .as("b")),
+              (acc, e) => struct(
+                (lit(0.5) * x(e) +
+                  lit(0.5) * (acc.getField("l") + acc.getField("b"))).as("l"),
+                (lit(0.25) * ((lit(0.5) * x(e) +
+                  lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
+                  acc.getField("l")) + lit(0.75) * acc.getField("b")).as("b")))
+              .as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st").getField("l") + col("st").getField("b"), 6)
+              .as("holt_forecast"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY 1
+             |  HAVING MAX(rn) >= 2),
+             |seed AS (SELECT a.user_id, 2 AS rn,
+             |    CAST(b.value AS DOUBLE) AS l,
+             |    CAST(b.value - a.value AS DOUBLE) AS b
+             |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+             |    AND a.rn = 1 AND b.rn = 2),
+             |r AS (
+             |  SELECT user_id, rn, l, b FROM seed
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |    0.5*e.value + 0.5*(r.l + r.b),
+             |    0.25*((0.5*e.value + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b
+             |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT m.user_id, m.n AS n_events, ROUND(r.l + r.b, 6) AS holt_forecast
+             |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
+             |ORDER BY m.user_id""".stripMargin))
   )
 }

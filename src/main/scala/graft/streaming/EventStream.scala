@@ -555,6 +555,41 @@ object EventStream {
     }
   }
 
+  /** Streaming BLOOM-INDEX maintenance (st21 — u11's streaming twin,
+    * extending the sketch-MV family with the MEMBERSHIP sketch): per
+    * micro-batch, the batch's signup keys fold their ≤1024-row word
+    * bitset into the at-rest filter by keyed BIT_OR
+    * ([[graft.llm.Frequency.Bloom]]). BIT_OR is idempotent AND
+    * commutative — the one fold here that is provably correct under
+    * BOTH arbitrary batch order and at-least-once redelivery by algebra
+    * alone (counting folds need [[foldMvReplay]]'s batchId dedup for
+    * the latter; this one would survive even without it). Final state ≡
+    * one-shot build bit-for-bit, which is what the membership oracle
+    * replays. State ≤1024 rows at every generation; per-trigger cost
+    * O(batch + 1024). Returns the final (idx, w) bitset. */
+  def runBloomMvOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    val B = graft.llm.Frequency.Bloom
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_bloommv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partial = B.build(batch.where(col("event_type") === "signup")
+        .select(col("user_id").as("u")).distinct(), "u")
+      prev.fold(partial)(st => B.merge(st, partial))
+    }
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,
     * completing the sketch-MV triad: st13 HLL distincts, st17 CMS
     * frequencies, this one quantiles): per micro-batch, build per-key
