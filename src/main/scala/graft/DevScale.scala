@@ -54,6 +54,7 @@ object DevScale {
     if (want("gates14d")) gates14dSection(spark)
     if (want("gates14e")) gates14eSection(spark)
     if (want("gates14f")) gates14fSection(spark)
+    if (want("gates14g")) gates14gSection(spark)
     spark.stop()
   }
 
@@ -121,6 +122,14 @@ object DevScale {
   private def gates14fSection(spark: SparkSession): Unit =
     gateQueries(spark, "g14f", Seq("t27_holt_linear",
       "u12_incremental_zonemap"))
+
+  /** Round-14g: fifth wave at ×1/×10/×100. n25 — query-bounded brute
+    * kernels (require-capped; embeddings replicas row-bounded — gates
+    * the pre/post-filter plumbing); dq23 — one user-keyed window over
+    * slim (id, tsu); st22 — replay-volume-bound, state O(buckets). */
+  private def gates14gSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g14g", Seq("n25_filtered_ann",
+      "dq23_monotonic_audit", "st22_stream_zonemap_mv"))
 
   /** Round-13l: sixth operator batch at ×1/×10/×100. t25 chains three
     * decileExact range-rank passes over the USER frame (user count

@@ -2615,6 +2615,78 @@ object LlmQueries {
              |FROM pairs WHERE hamming <= 3
              |ORDER BY hash_old, hash_new""".stripMargin)),
 
+    // FILTERED vector search (the label-predicate serving pattern —
+    // "nearest docs IN THIS COLLECTION"): PRE-filter search (brute over
+    // the filtered corpus — the exactness baseline; at rest this is
+    // (label, cell)-partitioned IVF with partition pruning, n7's shape)
+    // vs POST-filtering an unfiltered top-10 (the cheap-but-lossy
+    // alternative every vector DB documents): its recall against the
+    // pre-filter truth AND its shortfall (queries left with < k
+    // results) are the decision numbers, both exact-replayed by the
+    // oracle. Frames are query-bounded; the kernel is require-capped.
+    Q("n25_filtered_ann",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 10)
+        val pre = Similarity.bruteForceTopK(
+          emb.where(col("label") === 1), qs, "vec_id", "embedding",
+          k = 3, dim = 64)
+        val post = Similarity.bruteForceTopK(
+            emb, qs, "vec_id", "embedding", k = 10, dim = 64)
+          .join(emb.select(col("vec_id").as("corpus_id"), col("label")),
+            Seq("corpus_id"))
+          .where(col("label") === 1)
+          .withColumn("rk2", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id")).orderBy(col("rk"))))
+          .where(col("rk2") <= 3)
+        val hits = pre.select(col("query_id"), col("corpus_id"))
+          .join(post.select(col("query_id"), col("corpus_id"))
+            .withColumn("hit", lit(1)), Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        val full = post.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+          .agg(countIf(col("n") === 3).as("n_full"))
+        graft.core.Relational.attachSingleton(
+            graft.core.Relational.attachSingleton(
+              hits, qs.agg(count(lit(1)).as("n_queries"))), full)
+          .select(col("n_queries"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6)
+              .as("recall"),
+            (col("n_queries") - col("n_full")).as("n_short"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+             |    CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             |pre AS (SELECT query_id, corpus_id FROM (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id WHERE label = 1)
+             |  WHERE rk <= 3),
+             |p10 AS (SELECT query_id, corpus_id, label,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id),
+             |post AS (SELECT query_id, corpus_id FROM (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rk) AS rk2
+             |  FROM p10 WHERE rk <= 10 AND label = 1) WHERE rk2 <= 3),
+             |h AS (SELECT COUNT(*) AS n_truth,
+             |    CAST(SUM(CASE WHEN p2.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hit
+             |  FROM pre p1 LEFT JOIN post p2 USING (query_id, corpus_id)),
+             |f AS (SELECT CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_full
+             |  FROM (SELECT query_id, COUNT(*) AS n FROM post GROUP BY 1)),
+             |nq AS (SELECT COUNT(*) AS n_queries FROM q)
+             |SELECT n_queries, n_truth, n_hit,
+             |  ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+             |  n_queries - n_full AS n_short
+             |FROM nq, h, f""".stripMargin)),
+
     // Lexical-complexity profile per source (the readability face of
     // the x3 quality gates): syllables are proxied by VOWEL RUNS
     // (regexp collapse to a marker, count markers — integer-exact and

@@ -2663,6 +2663,47 @@ object RelationalQueries {
               |SELECT n_buckets, n_candidates, n_actual, n_match_rows,
               |  ROUND(1.0 - CAST(n_candidates AS DOUBLE) / n_buckets, 6)
               |    AS prune_ratio
-              |FROM c, a""".stripMargin))
+              |FROM c, a""".stripMargin)),
+
+    // Sequence/timestamp consistency audit (is the event_id ingest
+    // order actually time order per user? — the out-of-order-delivery
+    // gate every watermark choice depends on): adjacent pairs under the
+    // per-user event_id order, violation = timestamp strictly
+    // decreasing. ONE user-keyed window over slim (id, tsu) columns;
+    // per-key rows = the user's event cadence.
+    Q("dq23_monotonic_audit",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        graft.core.Tables.readEvents(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tsu"))
+          .withColumn("prev", lag(col("tsu"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .withColumn("viol", (col("tsu") < col("prev")).cast("long"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sumLong(col("viol")).as("n_violations"),
+            countDistinct(when(col("viol") === 1L, col("user_id")))
+              .as("n_users_affected"))
+          .select(col("n_pairs"), col("n_violations"), col("n_users_affected"),
+            round(col("n_violations").cast("double") / col("n_pairs"), 6)
+              .as("violation_rate"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+              |  FROM events),
+              |p AS (SELECT user_id, tsu,
+              |    LAG(tsu) OVER (PARTITION BY user_id ORDER BY event_id)
+              |      AS prev
+              |  FROM e),
+              |v AS (SELECT user_id,
+              |    CASE WHEN tsu < prev THEN 1 ELSE 0 END AS viol
+              |  FROM p WHERE prev IS NOT NULL)
+              |SELECT COUNT(*) AS n_pairs,
+              |  ${sumLongSql("viol")} AS n_violations,
+              |  COUNT(DISTINCT CASE WHEN viol = 1 THEN user_id END)
+              |    AS n_users_affected,
+              |  ROUND(CAST(${sumLongSql("viol")} AS DOUBLE) / COUNT(*), 6)
+              |    AS violation_rate
+              |FROM v""".stripMargin))
   )
 }

@@ -623,5 +623,20 @@ object StreamQueries {
               |  CAST(SUM(CASE WHEN present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
               |  CAST(SUM(CASE WHEN bloom_hit = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
               |  CAST(SUM(CASE WHEN bloom_hit = 0 AND present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
-              |FROM j""".stripMargin)))
+              |FROM j""".stripMargin)),
+
+    // Streaming ZONE-MAP maintenance (u12's streaming twin — the
+    // file-skipping min/max statistics kept current under continuous
+    // ingest): per-bucket (min, max) folded by keyed MIN/MAX per
+    // micro-batch — idempotent + commutative, so final state ≡ one-shot
+    // GROUP BY, which is exactly what the oracle runs. min/max of
+    // doubles PICK existing values (no arithmetic), so the comparison
+    // is bit-exact with no decimal detour.
+    Q("st22_stream_zonemap_mv",
+      (s, d) => EventStream.runZoneMapMvOnce(s, s"$d/events.parquet")
+        .select(col("bucket"), col("mn"), col("mx"))
+        .orderBy(col("bucket")),
+      Some("""SELECT event_id // 1000 AS bucket, MIN(value) AS mn,
+             |MAX(value) AS mx
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

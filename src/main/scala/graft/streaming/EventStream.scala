@@ -590,6 +590,39 @@ object EventStream {
     }
   }
 
+  /** Streaming ZONE-MAP maintenance (st22 — u12's streaming twin): per
+    * micro-batch, the batch's per-bucket (min, max) fold into the
+    * at-rest map by keyed MIN/MAX — idempotent AND commutative like
+    * st21's BIT_OR, so the folded map is identical to a one-shot GROUP
+    * BY under any batch order or redelivery. This is how a table
+    * format's file-skipping statistics stay current under continuous
+    * ingest without manifest rescans: state = O(buckets) rows at every
+    * generation, per-trigger cost O(batch + touched buckets). Returns
+    * the final (bucket, mn, mx) map. */
+  def runZoneMapMvOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_zmmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    def zm(df: DataFrame) = df
+      .groupBy(expr("event_id div 1000").as("bucket"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      prev.fold(zm(batch))(st => st.unionByName(zm(batch))
+        .groupBy(col("bucket"))
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx")))
+    }
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,
     * completing the sketch-MV triad: st13 HLL distincts, st17 CMS
     * frequencies, this one quantiles): per micro-batch, build per-key
