@@ -173,8 +173,34 @@ object Relational {
     * and inlined as typed literals: no join at all, and downstream
     * constant folding / pushdown get real literals to work with. The
     * cost is one eager job at plan-build time per call site — the same
-    * job the join would have run anyway to build its broadcast. */
+    * job the join would have run anyway to build its broadcast.
+    *
+    * Two guards, both loud-by-construction:
+    * - name collision: withColumn silently REPLACES an existing column,
+    *   where the crossJoin it replaced raised an ambiguity error — so a
+    *   colliding call site must stay a failure, not silent data loss;
+    * - the scalars frame EXECUTES here, at plan-build time, which is
+    *   invisible to JoinShapeGuardSpec's walk of the final plan — so
+    *   the banned-join-shape audit is enforced inline on the scalars
+    *   sub-plan before collecting (a plan walk, negligible next to the
+    *   collect job itself). */
   def attachSingleton(df: DataFrame, scalars: DataFrame): DataFrame = {
+    val clash = scalars.schema.fieldNames.toSeq.intersect(df.columns.toSeq)
+    require(clash.isEmpty,
+      s"attachSingleton: scalar column(s) ${clash.mkString(", ")} already " +
+        "exist on the target frame — rename one side (withColumn would " +
+        "silently replace)")
+    val bannedShapes = scalars.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+    }
+    require(bannedShapes.isEmpty,
+      s"attachSingleton: scalars sub-plan contains banned join shape(s) " +
+        s"${bannedShapes.distinct.mkString(", ")} — it executes at " +
+        "plan-build time where JoinShapeGuardSpec cannot see it; rewrite " +
+        "the scalars frame (nest attachSingleton, use a real equi key)")
     val rows = scalars.take(2)
     require(rows.length == 1,
       s"attachSingleton needs exactly 1 scalar row, got ${rows.length}")

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Relational.SingletonAttachOps
 
@@ -318,25 +319,49 @@ object Validation {
     * key-count distribution). `skew_ratio` = max key size / mean key
     * size — ≈1 means uniform, ≫1 means one reducer will eat the key.
     *
-    * The quantiles ride [[Relational.weightedQuantiles]]' histogram-
-    * compressed pass (value = a key's row count, w = 1 → compressed to
-    * (distinct count value, #keys) — tiny even at billions of keys,
-    * since counts repeat), NOT built-in exact `percentile`, whose single
-    * global buffer over the per-key count frame is the a21/h7/a26 OOM
-    * class at billion-key scale. One key-keyed shuffle for the counts
-    * (the same exchange the real join would do; recomputed once by each
-    * consumer — two scans beat persisting a billion-key frame), then
-    * one-row summaries joined by cross of two 1-row frames. */
+    * The quantiles use weightedQuantiles' histogram-compress idea
+    * INLINED for the degenerate single-group case (value = a key's row
+    * count, w = 1 → compressed to (distinct count value, #keys) — tiny
+    * even at billions of keys, since counts repeat), NOT built-in exact
+    * `percentile`, whose single global buffer over the per-key count
+    * frame is the a21/h7/a26 OOM class at billion-key scale. It canNOT
+    * delegate to [[Relational.weightedQuantiles]] with a `lit(0)`
+    * group: FoldablePropagation folds the constant key and its
+    * cum⋈targets equi join degenerates to the banned
+    * BroadcastNestedLoopJoin (attachSingleton's inline guard caught
+    * exactly this). Instead the total weight is attached as a literal
+    * and each target's covering rows are selected by WHERE + one
+    * aggregate — no join at all, same QUANTILE_CONT arithmetic. One
+    * key-keyed shuffle for the counts, a window over the DISTINCT
+    * count values, then 1-row literal attaches. */
   def skewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewProfile: at least one key column")
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-    val q = Relational.weightedQuantiles(
-        counts.select(lit(0).as("__qg"), col("__n"), lit(1L).as("__w")),
-        "__qg", "__n", "__w", Seq(0.5, 0.9, 0.99))
-      .select(
-        round(col("q_0_5"), 6).as("p50_key_rows"),
-        round(col("q_0_9"), 6).as("p90_key_rows"),
-        round(col("q_0_99"), 6).as("p99_key_rows"))
+    val hist = counts.groupBy(col("__n").cast("double").as("__v"))
+      .agg(count(lit(1)).as("__w"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__w")).over(
+        Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .attachSingleton(hist.agg(sum(col("__w")).as("__tw")))
+    // per-target covering values: pos/lo/hi fold to literals (they
+    // derive from the attached __tw), so each min() scans once.
+    val ps = Seq(0.5 -> "p50_key_rows", 0.9 -> "p90_key_rows",
+      0.99 -> "p99_key_rows")
+    def pos(p: Double) = lit(p) * (col("__tw") - 1).cast("double")
+    def covers(b: Column) =
+      col("__cum") - col("__w") <= b && col("__cum") - 1 >= b
+    val picked = cum.agg(
+      max(col("__tw")).as("__tw2"),
+      ps.flatMap { case (p, nm) => Seq(
+        min(when(covers(floor(pos(p)).cast("long")), col("__v"))).as(s"__lo_$nm"),
+        min(when(covers(ceil(pos(p)).cast("long")), col("__v"))).as(s"__hi_$nm"))
+      }: _*)
+    val q = picked.select(ps.map { case (p, nm) =>
+      val po = lit(p) * (col("__tw2") - 1).cast("double")
+      round(col(s"__lo_$nm") +
+        (po - floor(po)) * (col(s"__hi_$nm") - col(s"__lo_$nm")), 6).as(nm)
+    }: _*)
     counts
       .agg(
         sum(col("__n")).as("n_rows"),

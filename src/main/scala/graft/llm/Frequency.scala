@@ -40,9 +40,15 @@ object Frequency {
     val Params: Seq[(Long, Long)] =
       Seq((1103515245L, 12345L), (1234567891L, 54321L), (987654321L, 192837465L))
 
+    // The key is reduced mod p BEFORE the multiply: a·(x mod p) ≡ a·x
+    // (mod p) with identical results, but a·x directly overflows Long
+    // for x above ~8.4e9 (Spark wraps silently, ANSI mode and the
+    // DuckDB oracle both throw) — reduced, a·(x mod p) ≤ ~2.7e18 stays
+    // in range on both engines at ANY key magnitude. Oracles mirror
+    // the same reduction.
     def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long)
         : org.apache.spark.sql.Column =
-      pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(W))
+      pmod(pmod(lit(a) * pmod(u, lit(P)) + lit(b), lit(P)), lit(W))
 
     /** (depth, bucket) per input row of `keyCol` — group + count to get
       * partial counters; sum partials to merge. */
@@ -81,9 +87,12 @@ object Frequency {
     val Params: Seq[(Long, Long)] =
       Seq((1103515245L, 12345L), (1234567891L, 54321L), (987654321L, 192837465L))
 
+    // Same pre-reduction as Cms.bucket: a·(x mod p) never overflows,
+    // a·x does for x above ~8.4e9 — the 'oracle replays the whole
+    // filter at any corpus size' claim needs the hash to be total.
     def bitPos(u: org.apache.spark.sql.Column, a: Long, b: Long)
         : org.apache.spark.sql.Column =
-      pmod(pmod(lit(a) * u + lit(b), lit(P)), lit(MBits))
+      pmod(pmod(lit(a) * pmod(u, lit(P)) + lit(b), lit(P)), lit(MBits))
 
     private def withWord(df: DataFrame, extra: Seq[String]): DataFrame =
       df.select(extra.map(col) ++ Seq(

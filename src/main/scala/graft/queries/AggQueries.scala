@@ -786,13 +786,13 @@ object AggQueries {
              |    (0, 1103515245, 12345), (1, 1234567891, 54321),
              |    (2, 987654321, 192837465)) AS t(d, a, b)),
              |counters AS (SELECT d,
-             |    ((a * user_id + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
+             |    ((a * (user_id % 2147483647) + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
              |  FROM events, par GROUP BY 1, 2),
              |probes AS (SELECT UNNEST(range(1, 11)) AS u),
              |est AS (SELECT p.u, MIN(COALESCE(c.c, 0)) AS cms_est
              |  FROM probes p CROSS JOIN par
              |  LEFT JOIN counters c ON c.d = par.d
-             |    AND c.bucket = ((par.a * p.u + par.b) % 2147483647) % 1024
+             |    AND c.bucket = ((par.a * (p.u % 2147483647) + par.b) % 2147483647) % 1024
              |  GROUP BY 1),
              |exact AS (SELECT user_id AS u, COUNT(*) AS n
              |  FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
@@ -1213,14 +1213,37 @@ object AggQueries {
           .groupBy(col("l_quantity").cast("long").as("x"),
             col("l_linenumber").cast("long").as("y"))
           .agg(count(lit(1)).as("cn"))
-        val prod = col("n1").cast(dec) * col("n2").cast(dec)
-        val cd = cells.select(col("x").as("x1"), col("y").as("y1"), col("cn").as("n1"))
-          .join(broadcast(cells.select(
-            col("x").as("x2"), col("y").as("y2"), col("cn").as("n2"))),
-            col("x2") > col("x1"))
-          .agg(
-            sum(when(col("y2") > col("y1"), prod).otherwise(lit(0).cast(dec))).as("c"),
-            sum(when(col("y2") < col("y1"), prod).otherwise(lit(0).cast(dec))).as("dd"))
+        // Concordant/discordant pair mass WITHOUT the triangular pair
+        // join (a x2 > x1 self-join is a BroadcastNestedLoopJoin — the
+        // banned shape; attachSingleton's inline guard caught it hiding
+        // in this build-time scalars frame). Prefix-sum identity on the
+        // dense |X|·|Y| grid instead: F(x,y) = Σ_{x'<x} n(x',y) (strict-
+        // prior cum over x per y), G(x,y) = Σ_{y'<y} F(x,y') (strict-
+        // prior cum over y per x), Ftot(x) = Σ_y F(x,y). Then
+        // C = Σ n·G and D = Σ n·(Ftot − F − G) — two windows over the
+        // vocab-bounded grid, O(|X|·|Y|) instead of O(|cells|²). The
+        // grid densifies missing cells to n = 0 via a bounded collect of
+        // the y vocabulary exploded as literals (the audited S7 class).
+        val yVals = cells.select(col("y")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        require(yVals.length <= 4096,
+          s"a29: y vocabulary ${yVals.length} exceeds the grid cap")
+        val wx = Window.partitionBy(col("y")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wy = Window.partitionBy(col("x")).orderBy(col("y"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val grid = cells.select(col("x")).distinct()
+          .withColumn("y", explode(array(yVals.map(lit(_)): _*)))
+          .join(cells, Seq("x", "y"), "left")
+          .na.fill(0L, Seq("cn"))
+          .withColumn("f", coalesce(sum(col("cn")).over(wx), lit(0L)))
+          .withColumn("g", coalesce(sum(col("f")).over(wy), lit(0L)))
+          .withColumn("ftot",
+            sum(col("f")).over(Window.partitionBy(col("x"))))
+        val cd = grid.agg(
+          sum(col("cn").cast(dec) * col("g").cast(dec)).as("c"),
+          sum(col("cn").cast(dec) *
+            (col("ftot") - col("f") - col("g")).cast(dec)).as("dd"))
         def tieSum(k: String) = cells.groupBy(col(k)).agg(sum(col("cn")).as("t"))
           .agg(sum(col("t").cast(dec) * (col("t") - 1).cast(dec)).as(s"s$k"))
         val tot = cells.agg(sum(col("cn")).as("n"), count(lit(1)).as("n_cells"))

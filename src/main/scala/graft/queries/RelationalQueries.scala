@@ -2352,7 +2352,13 @@ object RelationalQueries {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",
               org.apache.spark.sql.types.IntegerType)))).getField("k")
+        // Null-k rows are EXCLUDED on both engines: concat_ws SKIPS null
+        // inputs (dom would silently degrade to bare event_type) while
+        // the oracle's `||` null-propagates (dom would be NULL) — the
+        // only convergent domain semantics is "a domain value requires
+        // both parts", enforced by an explicit filter on each side.
         val wkd = graft.core.Tables.readEvents(s, d)
+          .where(kCol.isNotNull)
           .select(to_date(date_trunc("week", col("ts"))).as("week"),
             concat_ws(":", col("event_type"), kCol).as("dom"))
           .distinct()
@@ -2374,7 +2380,7 @@ object RelationalQueries {
       },
       Some("""WITH wkd AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
              |    AS week, event_type || ':' || (props->>'k') AS dom
-             |  FROM events),
+             |  FROM events WHERE props->>'k' IS NOT NULL),
              |s AS (SELECT week, COUNT(*) AS n FROM wkd GROUP BY 1),
              |i AS (SELECT a.week AS week, COUNT(*) AS n_inter
              |  FROM wkd a JOIN wkd b ON a.dom = b.dom AND b.week = a.week + 7
@@ -2521,17 +2527,17 @@ object RelationalQueries {
               |probes AS (SELECT DISTINCT user_id AS u FROM events
               |  WHERE event_type = 'purchase'),
               |kb AS (SELECT DISTINCT b FROM (
-              |  SELECT ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM keys
+              |  SELECT ((1103515245*(u % 2147483647) + 12345) % 2147483647) % 65536 AS b FROM keys
               |  UNION ALL
-              |  SELECT ((1234567891*u + 54321) % 2147483647) % 65536 FROM keys
+              |  SELECT ((1234567891*(u % 2147483647) + 54321) % 2147483647) % 65536 FROM keys
               |  UNION ALL
-              |  SELECT ((987654321*u + 192837465) % 2147483647) % 65536 FROM keys)),
+              |  SELECT ((987654321*(u % 2147483647) + 192837465) % 2147483647) % 65536 FROM keys)),
               |pb AS (
-              |  SELECT u, ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM probes
+              |  SELECT u, ((1103515245*(u % 2147483647) + 12345) % 2147483647) % 65536 AS b FROM probes
               |  UNION ALL
-              |  SELECT u, ((1234567891*u + 54321) % 2147483647) % 65536 FROM probes
+              |  SELECT u, ((1234567891*(u % 2147483647) + 54321) % 2147483647) % 65536 FROM probes
               |  UNION ALL
-              |  SELECT u, ((987654321*u + 192837465) % 2147483647) % 65536 FROM probes),
+              |  SELECT u, ((987654321*(u % 2147483647) + 192837465) % 2147483647) % 65536 FROM probes),
               |hit AS (SELECT pb.u,
               |    CASE WHEN COUNT(*) =
               |      SUM(CASE WHEN kb.b IS NOT NULL THEN 1 ELSE 0 END)

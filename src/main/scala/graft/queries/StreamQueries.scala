@@ -470,13 +470,13 @@ object StreamQueries {
              |    (0, 1103515245, 12345), (1, 1234567891, 54321),
              |    (2, 987654321, 192837465)) AS t(d, a, b)),
              |counters AS (SELECT d,
-             |    ((a * user_id + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
+             |    ((a * (user_id % 2147483647) + b) % 2147483647) % 1024 AS bucket, COUNT(*) AS c
              |  FROM events, par GROUP BY 1, 2),
              |probes AS (SELECT UNNEST(range(1, 11)) AS u),
              |est AS (SELECT p.u, MIN(COALESCE(c.c, 0)) AS cms_est
              |  FROM probes p CROSS JOIN par
              |  LEFT JOIN counters c ON c.d = par.d
-             |    AND c.bucket = ((par.a * p.u + par.b) % 2147483647) % 1024
+             |    AND c.bucket = ((par.a * (p.u % 2147483647) + par.b) % 2147483647) % 1024
              |  GROUP BY 1),
              |exact AS (SELECT user_id AS u, COUNT(*) AS n
              |  FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
@@ -599,17 +599,17 @@ object StreamQueries {
               |probes AS (SELECT DISTINCT user_id AS u FROM events
               |  WHERE event_type = 'purchase'),
               |kb AS (SELECT DISTINCT b FROM (
-              |  SELECT ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM keys
+              |  SELECT ((1103515245*(u % 2147483647) + 12345) % 2147483647) % 65536 AS b FROM keys
               |  UNION ALL
-              |  SELECT ((1234567891*u + 54321) % 2147483647) % 65536 FROM keys
+              |  SELECT ((1234567891*(u % 2147483647) + 54321) % 2147483647) % 65536 FROM keys
               |  UNION ALL
-              |  SELECT ((987654321*u + 192837465) % 2147483647) % 65536 FROM keys)),
+              |  SELECT ((987654321*(u % 2147483647) + 192837465) % 2147483647) % 65536 FROM keys)),
               |pb AS (
-              |  SELECT u, ((1103515245*u + 12345) % 2147483647) % 65536 AS b FROM probes
+              |  SELECT u, ((1103515245*(u % 2147483647) + 12345) % 2147483647) % 65536 AS b FROM probes
               |  UNION ALL
-              |  SELECT u, ((1234567891*u + 54321) % 2147483647) % 65536 FROM probes
+              |  SELECT u, ((1234567891*(u % 2147483647) + 54321) % 2147483647) % 65536 FROM probes
               |  UNION ALL
-              |  SELECT u, ((987654321*u + 192837465) % 2147483647) % 65536 FROM probes),
+              |  SELECT u, ((987654321*(u % 2147483647) + 192837465) % 2147483647) % 65536 FROM probes),
               |hit AS (SELECT pb.u,
               |    CASE WHEN COUNT(*) =
               |      SUM(CASE WHEN kb.b IS NOT NULL THEN 1 ELSE 0 END)

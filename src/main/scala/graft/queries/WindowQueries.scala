@@ -1174,28 +1174,25 @@ object WindowQueries {
     // Per-series EWMA (exponential smoothing, the classic trend filter):
     // s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁, α = 0.25 (exact in binary, so
     // both factors are representable). The fold is inherently SEQUENTIAL
-    // per series — the parallelism axis is series (users), so each
-    // user's events collect into one sorted array and fold via the
-    // codegen'd `aggregate` higher-order function: per-user state is
-    // O(events-per-user) (bounded, session-scale), the plan is ONE
-    // user-keyed shuffle, and no window or driver loop anywhere.
+    // per series — the parallelism axis is users — and rides
+    // core.SeqFold: one user-keyed exchange, per-partition EXTERNAL sort
+    // on (user, ts, event_id), then a streaming run fold whose per-user
+    // state is the single accumulator double — O(1), so a hot key costs
+    // sort spill, never memory (the collect_list-array formulation this
+    // replaced held a user's whole history per aggregation buffer).
     // Cross-engine: both engines run the IDENTICAL sequence of IEEE
     // double ops (0.25·v + 0.75·s in order), so the result is bit-equal;
     // the oracle replays the recurrence as a recursive CTE.
     Q("t18_ewma",
       (s, d) => {
-        val ev = events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        ev.groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-          .select(col("user_id"),
-            size(col("evs")).cast("long").as("n_events"),
-            round(aggregate(
-              expr("slice(evs, 2, size(evs) - 1)"),
-              element_at(col("evs"), 1).getField("value"),
-              (acc, e) => lit(0.25) * e.getField("value") + lit(0.75) * acc), 6)
-              .as("ewma"))
+        val ev = graft.core.SeqFold.keyedEvents(events(s, d),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value"))
+        graft.core.SeqFold.fold(ev)(e => e.v)(
+            (acc, e) => 0.25 * e.v + 0.75 * acc)(
+            (_, _, st) => Some(st))
+          .select(col("k").as("user_id"), col("n").as("n_events"),
+            round(col("out"), 6).as("ewma"))
           .orderBy(col("user_id"))
       },
       Some("""WITH RECURSIVE ev AS MATERIALIZED (
@@ -1820,41 +1817,30 @@ object WindowQueries {
     // Holt linear trend (double exponential smoothing — t18's EWMA with
     // a TREND state, the level+slope forecaster): l' = α·x + (1−α)(l+b),
     // b' = β(l'−l) + (1−β)b, α = 0.5, β = 0.25 (binary-exact factors).
-    // Seed l = x₂, b = x₂−x₁ (users with one event are out of contract).
-    // The fold is inherently sequential per series — the parallelism
-    // axis is users (t18's stance): one user-keyed shuffle, per-user
-    // in-memory fold via functions.aggregate over the sorted struct
-    // array (bounded by a user's event cadence). The b' step recomputes
-    // the l' expression verbatim — same ops, same double — because the
-    // fold lambda cannot bind intermediates; the oracle's recursive CTE
-    // does exactly the same.
+    // Seed l = x₂, b = x₂−x₁ (users with one event are out of contract —
+    // SeqFold's finish drops them). Rides core.SeqFold (t18's stance):
+    // one user-keyed exchange, per-partition external sort, streaming
+    // run fold with O(1) per-user state — the (seeded?, l, b) triple,
+    // never the event history. The Scala fold binds l' once and reuses
+    // it for b' — identical ops and doubles to the oracle's recursive
+    // CTE, which recomputes the l' expression verbatim.
     Q("t27_holt_linear",
       (s, d) => {
-        val ev = events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        def x(e: org.apache.spark.sql.Column) = e.getField("value")
-        ev.groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-          .where(size(col("evs")) >= 2)
-          .select(col("user_id"),
-            size(col("evs")).cast("long").as("n_events"),
-            aggregate(
-              expr("slice(evs, 3, size(evs) - 2)"),
-              struct(
-                x(element_at(col("evs"), 2)).as("l"),
-                (x(element_at(col("evs"), 2)) - x(element_at(col("evs"), 1)))
-                  .as("b")),
-              (acc, e) => struct(
-                (lit(0.5) * x(e) +
-                  lit(0.5) * (acc.getField("l") + acc.getField("b"))).as("l"),
-                (lit(0.25) * ((lit(0.5) * x(e) +
-                  lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
-                  acc.getField("l")) + lit(0.75) * acc.getField("b")).as("b")))
-              .as("st"))
-          .select(col("user_id"), col("n_events"),
-            round(col("st").getField("l") + col("st").getField("b"), 6)
-              .as("holt_forecast"))
+        val ev = graft.core.SeqFold.keyedEvents(events(s, d),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value"))
+        graft.core.SeqFold.fold(ev)(
+            // state: (seeded, l, b); before the 2nd row l holds x₁.
+            e => (false, e.v, 0.0))(
+            (st, e) =>
+              if (!st._1) (true, e.v, e.v - st._2)
+              else {
+                val lNew = 0.5 * e.v + 0.5 * (st._2 + st._3)
+                (true, lNew, 0.25 * (lNew - st._2) + 0.75 * st._3)
+              })(
+            (_, n, st) => if (n >= 2) Some(st._2 + st._3) else None)
+          .select(col("k").as("user_id"), col("n").as("n_events"),
+            round(col("out"), 6).as("holt_forecast"))
           .orderBy(col("user_id"))
       },
       Some("""WITH RECURSIVE ev AS MATERIALIZED (
