@@ -36,8 +36,20 @@ object SeqFold {
   /** One output row per surviving key: key, run length, fold result. */
   case class KeyedFold(k: Long, n: Long, out: Double)
 
+  /** [[KeyedFold]]'s multi-value sibling for folds whose final state
+    * carries several numbers (CUSUM: two accumulators + two alarm
+    * counters). Fixed-width per key — still O(1) state. */
+  case class KeyedFoldVec(k: Long, n: Long, out: Array[Double])
+
+  /** [[KeyedEvent]]'s multi-value sibling for folds whose INPUT rows
+    * carry several numbers (a segment summary's (mn, mx, dd, cnt)). */
+  case class KeyedRow(k: Long, o1: Long, o2: Long, vs: Array[Double])
+
   private implicit val evEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+  private implicit val rowEnc: Encoder[KeyedRow] = Encoders.product[KeyedRow]
   private implicit val outEnc: Encoder[KeyedFold] = Encoders.product[KeyedFold]
+  private implicit val vecEnc: Encoder[KeyedFoldVec] =
+    Encoders.product[KeyedFoldVec]
 
   /** Project `df` into the canonical fold shape. `o1` is cast to long
     * AS GIVEN — pass `unix_micros(ts)`, not a raw timestamp (a
@@ -57,32 +69,81 @@ object SeqFold {
   def fold[S](ev: Dataset[KeyedEvent])(init: KeyedEvent => S)(
       step: (S, KeyedEvent) => S)(
       finish: (Long, Long, S) => Option[Double]): Dataset[KeyedFold] =
+    foldWith[S, KeyedFold](ev)(init)(step)(
+      (k, n, st) => finish(k, n, st).map(v => KeyedFold(k, n, v)))
+
+  /** [[fold]] with a fixed-width vector result — `finish` maps the
+    * final state to the output doubles (positional; name them in the
+    * caller's select). */
+  def foldVec[S](ev: Dataset[KeyedEvent])(init: KeyedEvent => S)(
+      step: (S, KeyedEvent) => S)(
+      finish: (Long, Long, S) => Option[Array[Double]]): Dataset[KeyedFoldVec] =
+    foldWith[S, KeyedFoldVec](ev)(init)(step)(
+      (k, n, st) => finish(k, n, st).map(v => KeyedFoldVec(k, n, v)))
+
+  /** Multi-value-row projection: like [[keyedEvents]] but each row
+    * carries `values.length` doubles. */
+  def keyedRows(df: DataFrame, key: Column, o1: Column, o2: Column,
+      values: Seq[Column]): Dataset[KeyedRow] =
+    df.select(key.cast("long").as("k"), o1.cast("long").as("o1"),
+      o2.cast("long").as("o2"),
+      array(values.map(_.cast("double")): _*).as("vs")).as[KeyedRow]
+
+  /** [[foldVec]] over multi-value rows — the vector-in, vector-out
+    * sequential fold (drives e.g. the segment-summary MV read: per key,
+    * walk segments in order with an O(1) running state). */
+  def foldRows[S](ev: Dataset[KeyedRow])(init: KeyedRow => S)(
+      step: (S, KeyedRow) => S)(
+      finish: (Long, Long, S) => Option[Array[Double]]): Dataset[KeyedFoldVec] =
+    foldRowsWith[S, KeyedFoldVec](ev)(init)(step)(
+      (k, n, st) => finish(k, n, st).map(v => KeyedFoldVec(k, n, v)))
+
+  private def foldWith[S, R: Encoder](ev: Dataset[KeyedEvent])(
+      init: KeyedEvent => S)(
+      step: (S, KeyedEvent) => S)(
+      finish: (Long, Long, S) => Option[R]): Dataset[R] =
     ev.repartition(col("k"))
       .sortWithinPartitions(col("k"), col("o1"), col("o2"))
-      .mapPartitions { rows =>
-        val it = rows.buffered
-        new Iterator[KeyedFold] {
-          private var pending: KeyedFold = null
-          private def advance(): Unit = {
-            while (pending == null && it.hasNext) {
-              val first = it.next()
-              var st = init(first)
-              var n = 1L
-              while (it.hasNext && it.head.k == first.k) {
-                st = step(st, it.next()); n += 1
-              }
-              finish(first.k, n, st)
-                .foreach(v => pending = KeyedFold(first.k, n, v))
-            }
+      .mapPartitions(rows =>
+        runIterator[KeyedEvent, S, R](rows, _.k, init, step, finish))
+
+  private def foldRowsWith[S, R: Encoder](ev: Dataset[KeyedRow])(
+      init: KeyedRow => S)(
+      step: (S, KeyedRow) => S)(
+      finish: (Long, Long, S) => Option[R]): Dataset[R] =
+    ev.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions(rows =>
+        runIterator[KeyedRow, S, R](rows, _.k, init, step, finish))
+
+  /** Streaming run walk over a (key, order)-sorted iterator: O(1) state
+    * per run, one output per surviving run. */
+  private def runIterator[T, S, R](rows: Iterator[T], keyOf: T => Long,
+      init: T => S, step: (S, T) => S,
+      finish: (Long, Long, S) => Option[R]): Iterator[R] = {
+    val it = rows.buffered
+    new Iterator[R] {
+      private var pending: Option[R] = None
+      private def advance(): Unit = {
+        while (pending.isEmpty && it.hasNext) {
+          val first = it.next()
+          val k = keyOf(first)
+          var st = init(first)
+          var n = 1L
+          while (it.hasNext && keyOf(it.head) == k) {
+            st = step(st, it.next()); n += 1
           }
-          override def hasNext: Boolean = {
-            if (pending == null) advance()
-            pending != null
-          }
-          override def next(): KeyedFold = {
-            if (!hasNext) throw new NoSuchElementException("exhausted fold")
-            val r = pending; pending = null; r
-          }
+          pending = finish(k, n, st)
         }
       }
+      override def hasNext: Boolean = {
+        if (pending.isEmpty) advance()
+        pending.nonEmpty
+      }
+      override def next(): R = {
+        if (!hasNext) throw new NoSuchElementException("exhausted fold")
+        val r = pending.get; pending = None; r
+      }
+    }
+  }
 }

@@ -1683,6 +1683,129 @@ object AggQueries {
            |SELECT nt AS n_total,
            |  ROUND((($ssb) / 4.0) / (($ssw) / (nt - 5)), 6) AS f_stat
            |FROM zz""".stripMargin
-      })
+      }),
+
+    // Spearman rank correlation (a13's Pearson on MIDRANKS — the
+    // monotone-association measure that survives outliers and
+    // nonlinearity; quantity↔extended-price is the natural pair). The
+    // ranks come from a33's pooled-histogram machinery, per column:
+    // histogram of distinct values + withGlobalCumSum, where 2·midrank
+    // = 2·cum − t + 1 stays BIGINT. Rows pick up both 2·midranks via
+    // two value-keyed equi joins (histogram-sized build sides), and all
+    // four moment sums (n, Σxy, Σx², Σy² in 2-rank units — the scale
+    // cancels in r) accumulate in DECIMAL(38,0), exactly mirroring the
+    // oracle's HUGEINT — so ρ is a single double expression over
+    // identical integers on both engines. Σx = Σy = n(n+1) by the rank
+    // identity, so the marginal sums never need accumulating. Exactness
+    // caveat (a12's class): decimal(38,0) holds n·Σxy up to n ≈ 1e9
+    // rows; beyond that the formula switches to double moments.
+    Q("a36_spearman",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(38, 0)
+        val li = T(s, d, "lineitem")
+          .select(col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"))
+        def ranks2(cn: String) = {
+          val h = li.groupBy(col(cn).as(s"v_$cn"))
+            .agg(count(lit(1)).as("t"))
+          Relational.withGlobalCumSum(h, Seq(col(s"v_$cn")), col("t"), "cum")
+            .select(col(s"v_$cn"),
+              (lit(2L) * col("cum") - col("t") + lit(1L)).as(s"r_$cn"))
+        }
+        val j = li
+          .join(ranks2("x"), col("x") === col("v_x"))
+          .join(ranks2("y"), col("y") === col("v_y"))
+        val m = j.agg(count(lit(1)).as("n"),
+          sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
+          sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
+          sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"))
+        val sr = col("n").cast(dec) * (col("n") + 1).cast(dec) // Σ2·midrank
+        val num = col("n").cast(dec) * col("sxy") - sr * sr
+        val vx = col("n").cast(dec) * col("sxx") - sr * sr
+        val vy = col("n").cast(dec) * col("syy") - sr * sr
+        m.select(col("n"),
+          round(num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 6)
+            .as("rho_spearman"))
+      },
+      Some("""WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y
+             |  FROM lineitem),
+             |hx AS (SELECT x AS v, COUNT(*) AS t FROM li GROUP BY 1),
+             |cx AS (SELECT v, 2*SUM(t) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+             |    AS r FROM hx),
+             |hy AS (SELECT y AS v, COUNT(*) AS t FROM li GROUP BY 1),
+             |cy AS (SELECT v, 2*SUM(t) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+             |    AS r FROM hy),
+             |j AS (SELECT CAST(cx.r AS HUGEINT) AS rx,
+             |    CAST(cy.r AS HUGEINT) AS ry
+             |  FROM li JOIN cx ON li.x = cx.v JOIN cy ON li.y = cy.v),
+             |m AS (SELECT COUNT(*) AS n, SUM(rx*ry) AS sxy,
+             |    SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy FROM j),
+             |f AS (SELECT n, sxy, sxx, syy,
+             |    CAST(n AS HUGEINT) * (n + 1) AS sr FROM m)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  ROUND(CAST(n*sxy - sr*sr AS DOUBLE) /
+             |    SQRT(CAST(n*sxx - sr*sr AS DOUBLE) *
+             |      CAST(n*syy - sr*sr AS DOUBLE)), 6) AS rho_spearman
+             |FROM f""".stripMargin)),
+
+    // OLS trend per series family (slope/intercept/R² of value vs
+    // hours-since-corpus-start — the "is this metric drifting and how
+    // fast" readout; a13 gives direction, this gives the RATE): the six
+    // moment sums accumulate in DECIMAL(27,6) (t31's quantize-then-sum
+    // pattern — x derives from integer micros by one shared double
+    // division, so inputs are bit-identical cross-engine), then slope =
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) etc. are single double expressions over
+    // identical sums. ONE map-side-combined aggregate per group; the
+    // corpus-start scalar attaches as a literal.
+    Q("a37_ols_trend",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(27, 6)
+        val ev = graft.core.Tables.readEvents(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+            col("value").as("y"))
+        val m = Relational.attachSingleton(ev,
+            ev.agg(min(col("tsu")).as("t0")))
+          .withColumn("x", (col("tsu") - col("t0")) / lit(3600000000.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec)).cast("double").as("sx"),
+            sum(col("y").cast(dec)).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+            sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+            sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+        m.select(col("event_type"), col("n"),
+            round(cxy / vx, 6).as("slope"),
+            round((col("sy") - cxy / vx * col("sx")) / col("n"), 6)
+              .as("intercept"),
+            round(cxy * cxy / (vx * vy), 6).as("r2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, value AS y
+             |  FROM events),
+             |t0 AS (SELECT MIN(tsu) AS t0 FROM e),
+             |p AS (SELECT event_type, (tsu - t0) / 3600000000.0 AS x, y
+             |  FROM e CROSS JOIN t0),
+             |m AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x*x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y*y AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x*y AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+             |  FROM p GROUP BY 1)
+             |SELECT event_type, n,
+             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+             |    AS intercept,
+             |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy) /
+             |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+             |FROM m ORDER BY 1""".stripMargin))
   )
 }

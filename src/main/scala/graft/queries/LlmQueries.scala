@@ -2731,6 +2731,65 @@ object LlmQueries {
               |    AS mono_frac
               |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Heaps'-law vocabulary growth (the corpus-forensics curve behind
+    // "is more data still adding new tokens?" — the empirical basis of
+    // a dedup/budget decision): vocabulary size after each quarter of
+    // the corpus, in doc_id ingest order. The distributed form needs NO
+    // ordered scan: a token's contribution to the curve is determined
+    // entirely by its FIRST-SEEN doc (min(doc_id) per token — one
+    // token-keyed map-side-combined aggregate), bucketed into quarters
+    // by integer arithmetic (`div` on both engines — no float rounding
+    // at bucket edges) against the attached max-doc literal. The
+    // cumulative step then runs over exactly 4 rows. Token totals per
+    // quarter ride the same bucketing on the raw token stream. All
+    // counts BIGINT — bit-exact.
+    Q("x52_heaps_law",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+        val m = docs.agg((max(col("doc_id")) + 1).as("m"))
+        def bucketed(df: org.apache.spark.sql.DataFrame) =
+          graft.core.Relational.attachSingleton(df, m)
+            .withColumn("q", expr("CAST(doc_id * 4 div m AS INT) + 1"))
+        val vocab = bucketed(
+            toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id")))
+          .groupBy(col("q")).agg(count(lit(1)).as("n_new_tokens"))
+        val volume = bucketed(toks)
+          .groupBy(col("q")).agg(count(lit(1)).as("n_toks"))
+        val w4 = org.apache.spark.sql.expressions.Window.orderBy(col("q"))
+          .rowsBetween(Long.MinValue, 0L)
+        // anchor on volume: every quarter has tokens, but a saturated
+        // vocabulary stops producing NEW tokens (that flat tail IS the
+        // Heaps signal) — an inner join would drop those quarters.
+        volume.join(vocab, Seq("q"), "left")
+          .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
+          .select(col("q").as("quarter"), col("n_new_tokens"),
+            sum(col("n_toks")).over(w4).as("tokens_cum"),
+            sum(col("n_new_tokens")).over(w4).as("vocab_cum"))
+          .orderBy(col("quarter"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+             |mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+             |fs AS (SELECT w, MIN(doc_id) AS doc_id FROM tf GROUP BY 1),
+             |vb AS (SELECT CAST(doc_id * 4 // m AS INT) + 1 AS q,
+             |    COUNT(*) AS n_new_tokens FROM fs, mx GROUP BY 1),
+             |vol AS (SELECT CAST(doc_id * 4 // m AS INT) + 1 AS q,
+             |    COUNT(*) AS n_toks FROM tf, mx GROUP BY 1)
+             |SELECT vol.q AS quarter,
+             |  COALESCE(vb.n_new_tokens, 0) AS n_new_tokens,
+             |  CAST(SUM(vol.n_toks) OVER (ORDER BY vol.q
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS tokens_cum,
+             |  CAST(SUM(COALESCE(vb.n_new_tokens, 0)) OVER (ORDER BY vol.q
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS vocab_cum
+             |FROM vol LEFT JOIN vb ON vb.q = vol.q
+             |ORDER BY 1""".stripMargin)),
+
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
     // value), one grouped agg. Fully distributed: the shuffle carries
@@ -3740,6 +3799,122 @@ object LlmQueries {
              |  FROM q JOIN c ON query_id <> corpus_id)
              |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
              |  COUNT(*) AS n_truth, TRUE AS recall_ok, TRUE AS fold_equals_recompute
-             |FROM scored WHERE rk <= 3""".stripMargin))
+             |FROM scored WHERE rk <= 3""".stripMargin)),
+
+    // IVF nprobe SWEEP (the serving-knob decision n25 made for
+    // filtering, made here for probe depth): one index build, then
+    // top-k at nprobe ∈ {1,2,4,16} against the SAME brute truth —
+    // recall vs scan-fraction is THE latency/recall trade a serving
+    // tier tunes. Absolute recalls are seed-dependent (no SQL twin —
+    // n2's stance), so the hashed contract is the sweep's SHAPE, which
+    // is exact: recall is NON-DECREASING in nprobe (probing more cells
+    // can only add candidates; the per-query top-k over a superset
+    // dominates), and at nprobe = nlist the probe IS brute force, so
+    // recall ≡ 1 (SimilaritySpec pins that identity per-pair). Index
+    // builds once; the 4 probe passes reuse it (the at-rest serving
+    // shape), each pruning its scan to the probed-cells union.
+    Q("n26_ivf_nprobe_sweep",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 10)
+        val (assigned, cents) =
+          Similarity.ivfIndex(emb, "vec_id", "embedding")
+        val truthKeys = Similarity.bruteForceTopK(
+            emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+          .select(col("query_id"), col("corpus_id"))
+        val sweep = Seq(1, 2, 4, 16).map { np =>
+          val res = Similarity.ivfTopKFromIndex(assigned, cents, qs,
+            "vec_id", "embedding", k = 3, nprobe = np)
+          truthKeys
+            .join(res.select(col("query_id"), col("corpus_id"))
+              .withColumn("hit", lit(1)),
+              Seq("query_id", "corpus_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+            .select(lit(np).as("nprobe"), col("n_truth"), col("n_hit"))
+        }.reduce(_.unionByName(_))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("nprobe"))
+        sweep
+          .withColumn("r", col("n_hit").cast("double") / col("n_truth"))
+          .withColumn("prev", lag(col("r"), 1).over(w))
+          .select(col("nprobe"), col("n_truth"),
+            (col("prev").isNull || col("r") >= col("prev"))
+              .as("recall_nondecreasing"),
+            (col("nprobe") =!= 16 || col("r") === 1.0)
+              .as("exact_at_full_probe"))
+          .orderBy(col("nprobe"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id) AS rk
+             |  FROM q JOIN c ON query_id <> corpus_id),
+             |t AS (SELECT COUNT(*) AS n_truth FROM scored WHERE rk <= 3)
+             |SELECT np.nprobe, t.n_truth,
+             |  TRUE AS recall_nondecreasing, TRUE AS exact_at_full_probe
+             |FROM (VALUES (1), (2), (4), (16)) AS np(nprobe) CROSS JOIN t
+             |ORDER BY 1""".stripMargin)),
+
+    // Collocation mining (adjacent-bigram LIFT — the statistical
+    // phrase detector behind tokenizer-merge and stop-phrase lists):
+    // lift = P(w1w2) / (P(w1)·P(w2)) over adjacent pairs; > 1 means the
+    // pair co-occurs beyond chance. Top-15 bigrams by count under the
+    // total (n desc, w1, w2) order. Everything is integer counts until
+    // ONE double expression (identical cast/op chain both engines — no
+    // engine logs, the dq24 rule: report the ratio, not the PMI log).
+    // Adjacency comes from the token ARRAY (transform over slice — no
+    // self-join on position); counts are token-keyed map-side-combined
+    // aggregates; the two unigram joins are vocab-keyed equi joins.
+    Q("x53_collocations",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+        val uni = docs.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val bi = docs.where(size(col("ws")) >= 2)
+          .select(explode(expr("transform(slice(ws, 1, size(ws) - 1), " +
+            "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        val tot = docs.agg(
+          sumLong(size(col("ws"))).as("n_tokens"),
+          sumLong(when(size(col("ws")) >= 2, size(col("ws")) - 1)
+            .otherwise(0)).as("n_bigrams"))
+        graft.core.Relational.attachSingleton(
+            bi.join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+              .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2")),
+            tot)
+          .select(col("w1"), col("w2"), col("n_pair"),
+            round(col("n_pair").cast("double") * col("n_tokens") *
+              col("n_tokens") /
+              (col("n_bigrams").cast("double") * col("ca") * col("cb")), 6)
+              .as("lift"))
+          .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+          .limit(15)
+      },
+      Some("""WITH l AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+             |  FROM documents),
+             |u AS (SELECT w, COUNT(*) AS c
+             |  FROM (SELECT UNNEST(ws) AS w FROM l) GROUP BY 1),
+             |b AS (SELECT UNNEST(list_zip(ws[1:-2], ws[2:])) AS pair
+             |  FROM l WHERE len(ws) >= 2),
+             |bp AS (SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_pair
+             |  FROM b GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END)
+             |      AS BIGINT) AS n_bigrams
+             |  FROM l)
+             |SELECT bp.w1, bp.w2, bp.n_pair,
+             |  ROUND(CAST(bp.n_pair AS DOUBLE) * n_tokens * n_tokens /
+             |    (CAST(n_bigrams AS DOUBLE) * ua.c * ub.c), 6) AS lift
+             |FROM bp JOIN u ua ON ua.w = bp.w1 JOIN u ub ON ub.w = bp.w2
+             |CROSS JOIN tot
+             |ORDER BY bp.n_pair DESC, 1, 2 LIMIT 15""".stripMargin))
   )
 }

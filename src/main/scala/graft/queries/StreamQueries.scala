@@ -638,5 +638,112 @@ object StreamQueries {
         .orderBy(col("bucket")),
       Some("""SELECT event_id // 1000 AS bucket, MIN(value) AS mn,
              |MAX(value) AS mx
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming MAX-DRAWDOWN maintenance (t30's streaming twin — the
+    // first ORDER-SENSITIVE statistic in the MV family): drawdown over
+    // the event_id ingest order is no commutative row fold, but it IS
+    // mergeable over interval summaries — dd(A|B) = max(dd_A, dd_B,
+    // mx_A − mn_B) for A before B — but ONLY under ordered
+    // concatenation, so the per-batch fold is a pure APPEND of
+    // per-(user, segment-slice) summaries and ALL ordering happens at
+    // read time (EventStream.runDrawdownMvOnce documents the
+    // out-of-order-arrival trap an eager merge falls into). The read
+    // walks each user's partials in lo order (disjoint event_id ranges
+    // make lo the concatenation order) with O(1) state via
+    // SeqFold.foldRows. Every number is a pick or a subtraction of
+    // observed doubles, so the MV read is bit-equal to the one-shot
+    // window recompute the oracle runs — stream ≡ batch, exactly.
+    Q("st23_stream_drawdown_mv",
+      (s, d) => {
+        val state = EventStream.runDrawdownMvOnce(s, s"$d/events.parquet")
+        val rows = graft.core.SeqFold.keyedRows(state, col("user_id"),
+          col("lo"), col("hi"),
+          Seq(col("mn"), col("mx"), col("dd"), col("cnt")))
+        // state: (peak, dd, cnt); dd candidates use the PRE-update peak
+        graft.core.SeqFold.foldRows(rows)(
+            r => (r.vs(1), r.vs(2), r.vs(3)))(
+            (acc, r) => (math.max(acc._1, r.vs(1)),
+              math.max(acc._2, math.max(r.vs(2), acc._1 - r.vs(0))),
+              acc._3 + r.vs(3)))(
+            (_, _, st) => Some(Array(st._2, st._1, st._3)))
+          .select(col("k").as("user_id"),
+            col("out").getItem(2).cast("long").as("n_events"),
+            round(col("out").getItem(0), 6).as("max_drawdown"),
+            round(col("out").getItem(1), 6).as("peak_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, value,
+             |    MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  ROUND(MAX(peak - value), 6) AS max_drawdown,
+             |  ROUND(MAX(peak), 6) AS peak_value
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming LAG-1 AUTOCORRELATION maintenance (t31's streaming twin
+    // over the ingest order — st23's slice pattern GENERALIZED):
+    // consecutive pairs straddle batch boundaries, but a slice summary
+    // carrying its first/last value lets the read reconstruct every
+    // straddling pair — between lo-consecutive slices the one missing
+    // pair is (last_A, first_B), recovered by a rank-successor equi
+    // join (dq22's machinery). Moments are DECIMAL-quantized sums, so
+    // slice partials ∪ boundary terms aggregate COMMUTATIVELY — no
+    // sequential walk at read time at all. Bit-exact vs the one-shot
+    // lag recompute the oracle runs; stream ≡ batch.
+    Q("st24_stream_autocorr_mv",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(37, 6)
+        val state = EventStream.runAutocorrMvOnce(s, s"$d/events.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("lo"))
+        val rk = state.withColumn("rk", row_number().over(w))
+        val bounds = rk.select(col("user_id"), col("rk"), col("lastv"))
+          .join(rk.select(col("user_id"), (col("rk") - 1).as("rk"),
+            col("firstv")), Seq("user_id", "rk"))
+          .select(col("user_id"), lit(1L).as("np"),
+            col("lastv").cast(dec).as("sx"),
+            col("firstv").cast(dec).as("sy"),
+            (col("lastv") * col("lastv")).cast(dec).as("sxx"),
+            (col("firstv") * col("firstv")).cast(dec).as("syy"),
+            (col("lastv") * col("firstv")).cast(dec).as("sxy"))
+        val slices = state.select(col("user_id"), col("np"),
+          col("sx").cast(dec).as("sx"), col("sy").cast(dec).as("sy"),
+          col("sxx").cast(dec).as("sxx"), col("syy").cast(dec).as("syy"),
+          col("sxy").cast(dec).as("sxy"))
+        val m = slices.unionByName(bounds)
+          .groupBy(col("user_id"))
+          .agg(sum(col("np")).as("np"),
+            sum(col("sx")).cast("double").as("sx"),
+            sum(col("sy")).cast("double").as("sy"),
+            sum(col("sxx")).cast("double").as("sxx"),
+            sum(col("syy")).cast("double").as("syy"),
+            sum(col("sxy")).cast("double").as("sxy"))
+        val vx = col("np") * col("sxx") - col("sx") * col("sx")
+        val vy = col("np") * col("syy") - col("sy") * col("sy")
+        m.where(col("np") >= 2 && vx > 0 && vy > 0)
+          .select(col("user_id"), col("np").as("n_pairs"),
+            round((col("np") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(vx * vy), 6).as("autocorr_lag1"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, value AS y,
+             |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+             |      AS x
+             |  FROM events),
+             |m AS (SELECT user_id, COUNT(*) AS np,
+             |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x*x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y*y AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x*y AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+             |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+             |SELECT user_id, np AS n_pairs,
+             |  ROUND((np*sxy - sx*sy) /
+             |    SQRT((np*sxx - sx*sx) * (np*syy - sy*sy)), 6) AS autocorr_lag1
+             |FROM m
+             |WHERE np >= 2 AND np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0
+             |ORDER BY 1""".stripMargin)))
 }

@@ -1863,6 +1863,226 @@ object WindowQueries {
              |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
              |SELECT m.user_id, m.n AS n_events, ROUND(r.l + r.b, 6) AS holt_forecast
              |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
+             |ORDER BY m.user_id""".stripMargin)),
+
+    // Tabular CUSUM change detector (the sequential drift alarm — what
+    // a monitoring pipeline runs per series to catch a sustained shift
+    // that no single-point threshold fires on): s⁺' = max(0, s⁺ + (x −
+    // (μ+κ))), s⁻' = max(0, s⁻ + ((μ−κ) − x)); crossing h resets the
+    // accumulator and counts an alarm. μ = 50, κ = 10, h = 200 (the
+    // fixture's value mean is ~49.6, so drift accrues only on genuine
+    // runs). The RESET makes this genuinely sequential — no window
+    // frame or commutative aggregate expresses it — so it rides
+    // core.SeqFold: one user-keyed exchange, O(1) per-user state (two
+    // accumulators + two counters), spillable sort. max(0, ·) is
+    // written as a strict `> 0` branch on BOTH engines so a tie at
+    // exactly 0 yields literal 0.0, never GREATEST's −0.0 ambiguity.
+    // Same IEEE op sequence both sides → bit-equal; the oracle replays
+    // the 4-column recurrence as a recursive CTE.
+    Q("t29_cusum",
+      (s, d) => {
+        val ev = graft.core.SeqFold.keyedEvents(events(s, d),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value"))
+        // state: (s_up, s_dn, alarms_up, alarms_dn)
+        def stepFn(st: (Double, Double, Long, Long), x: Double) = {
+          val tu = { val z = st._1 + (x - 60.0); if (z > 0.0) z else 0.0 }
+          val td = { val z = st._2 + (40.0 - x); if (z > 0.0) z else 0.0 }
+          (if (tu >= 200.0) 0.0 else tu,
+            if (td >= 200.0) 0.0 else td,
+            st._3 + (if (tu >= 200.0) 1L else 0L),
+            st._4 + (if (td >= 200.0) 1L else 0L))
+        }
+        graft.core.SeqFold.foldVec(ev)(
+            e => stepFn((0.0, 0.0, 0L, 0L), e.v))(
+            (st, e) => stepFn(st, e.v))(
+            (_, _, st) => Some(Array(st._1, st._2,
+              st._3.toDouble, st._4.toDouble)))
+          .select(col("k").as("user_id"), col("n").as("n_events"),
+            col("out").getItem(2).cast("long").as("alarms_up"),
+            col("out").getItem(3).cast("long").as("alarms_dn"),
+            round(col("out").getItem(0), 6).as("cusum_up"),
+            round(col("out").getItem(1), 6).as("cusum_dn"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT user_id, rn,
+             |    CASE WHEN (CASE WHEN 0.0 + (value - 60.0) > 0.0
+             |        THEN 0.0 + (value - 60.0) ELSE 0.0 END) >= 200.0 THEN 0.0
+             |      ELSE (CASE WHEN 0.0 + (value - 60.0) > 0.0
+             |        THEN 0.0 + (value - 60.0) ELSE 0.0 END) END AS su,
+             |    CASE WHEN (CASE WHEN 0.0 + (40.0 - value) > 0.0
+             |        THEN 0.0 + (40.0 - value) ELSE 0.0 END) >= 200.0 THEN 0.0
+             |      ELSE (CASE WHEN 0.0 + (40.0 - value) > 0.0
+             |        THEN 0.0 + (40.0 - value) ELSE 0.0 END) END AS sd,
+             |    CASE WHEN (CASE WHEN 0.0 + (value - 60.0) > 0.0
+             |        THEN 0.0 + (value - 60.0) ELSE 0.0 END) >= 200.0
+             |      THEN 1 ELSE 0 END AS au,
+             |    CASE WHEN (CASE WHEN 0.0 + (40.0 - value) > 0.0
+             |        THEN 0.0 + (40.0 - value) ELSE 0.0 END) >= 200.0
+             |      THEN 1 ELSE 0 END AS ad
+             |  FROM ev WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |    CASE WHEN (CASE WHEN r.su + (e.value - 60.0) > 0.0
+             |        THEN r.su + (e.value - 60.0) ELSE 0.0 END) >= 200.0 THEN 0.0
+             |      ELSE (CASE WHEN r.su + (e.value - 60.0) > 0.0
+             |        THEN r.su + (e.value - 60.0) ELSE 0.0 END) END,
+             |    CASE WHEN (CASE WHEN r.sd + (40.0 - e.value) > 0.0
+             |        THEN r.sd + (40.0 - e.value) ELSE 0.0 END) >= 200.0 THEN 0.0
+             |      ELSE (CASE WHEN r.sd + (40.0 - e.value) > 0.0
+             |        THEN r.sd + (40.0 - e.value) ELSE 0.0 END) END,
+             |    r.au + CASE WHEN (CASE WHEN r.su + (e.value - 60.0) > 0.0
+             |        THEN r.su + (e.value - 60.0) ELSE 0.0 END) >= 200.0
+             |      THEN 1 ELSE 0 END,
+             |    r.ad + CASE WHEN (CASE WHEN r.sd + (40.0 - e.value) > 0.0
+             |        THEN r.sd + (40.0 - e.value) ELSE 0.0 END) >= 200.0
+             |      THEN 1 ELSE 0 END
+             |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT m.user_id, m.n AS n_events,
+             |  CAST(r.au AS BIGINT) AS alarms_up, CAST(r.ad AS BIGINT) AS alarms_dn,
+             |  ROUND(r.su, 6) AS cusum_up, ROUND(r.sd, 6) AS cusum_dn
+             |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
+             |ORDER BY m.user_id""".stripMargin)),
+
+    // Running-peak max drawdown per series (the risk/stability metric:
+    // how far below its historical peak did the series ever fall). A
+    // prefix MAX is window-expressible, so this is NOT a SeqFold case —
+    // the idiomatic distributed plan is one user-keyed shuffle + a
+    // per-user running-max frame (O(1) window state), then a plain
+    // per-user aggregate. peak − value subtracts two observed doubles —
+    // deterministic on both engines; max picks one.
+    Q("t30_drawdown",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("value"))
+          .withColumn("peak", max(col("value")).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(max(col("peak") - col("value")), 6).as("max_drawdown"),
+            round(max(col("peak")), 6).as("peak_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+             |  FROM events),
+             |p AS (SELECT user_id, value,
+             |    MAX(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+             |  FROM e)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  ROUND(MAX(peak - value), 6) AS max_drawdown,
+             |  ROUND(MAX(peak), 6) AS peak_value
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Lag-1 autocorrelation per series (is the signal trending/mean-
+    // reverting or white noise? — the number that justifies t18/t27's
+    // smoothing constants): Pearson over consecutive (xᵢ, xᵢ₊₁) pairs.
+    // One user-keyed shuffle; LAG is an O(1)-state frame; all six
+    // moment sums accumulate in DECIMAL(27,6) (the a35 quantize-then-
+    // sum pattern — double products are bit-identical cross-engine, the
+    // decimal cast rounds identically, the decimal SUM is order-free),
+    // so r is one double expression over identical inputs. Degenerate
+    // series (under 2 pairs, zero variance) are out of contract —
+    // filtered by the same predicate on both engines.
+    Q("t31_autocorr",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(27, 6)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        val m = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), col("value").as("y"))
+          .withColumn("x", lag(col("y"), 1).over(w))
+          .where(col("x").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("np"),
+            sum(col("x").cast(dec)).cast("double").as("sx"),
+            sum(col("y").cast(dec)).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+            sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+            sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+        val vx = col("np") * col("sxx") - col("sx") * col("sx")
+        val vy = col("np") * col("syy") - col("sy") * col("sy")
+        m.where(col("np") >= 2 && vx > 0 && vy > 0)
+          .select(col("user_id"), col("np").as("n_pairs"),
+            round((col("np") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(vx * vy), 6).as("autocorr_lag1"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+             |  FROM events),
+             |p AS (SELECT user_id, value AS y,
+             |    LAG(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+             |      AS x
+             |  FROM e),
+             |m AS (SELECT user_id, COUNT(*) AS np,
+             |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x*x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y*y AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x*y AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+             |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+             |SELECT user_id, np AS n_pairs,
+             |  ROUND((np*sxy - sx*sy) /
+             |    SQRT((np*sxx - sx*sx) * (np*syy - sy*sy)), 6) AS autocorr_lag1
+             |FROM m
+             |WHERE np >= 2 AND np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0
+             |ORDER BY 1""".stripMargin)),
+
+    // 1-D local-level Kalman filter per series (t18's EWMA with a
+    // LEARNED gain — the filter converges its own smoothing factor from
+    // the noise model): K = (P+q)/(P+q+r), l' = l + K·(x−l),
+    // P' = (1−K)·(P+q), with q = 1 (process noise), r = 4 (observation
+    // noise); seed l = x₁, P = r. The gain makes each step depend on
+    // the EVOLVING P — genuinely sequential, like t29's reset. Rides
+    // core.SeqFold.foldVec: O(1) per-user state (l, P). The Scala fold
+    // binds K once; the oracle's recursive CTE recomputes the K
+    // expression verbatim — same ops, same doubles (t27's precedent),
+    // so the filtered level is bit-equal cross-engine.
+    Q("t32_kalman",
+      (s, d) => {
+        val ev = graft.core.SeqFold.keyedEvents(events(s, d),
+          col("user_id"), unix_micros(col("ts")), col("event_id"),
+          col("value"))
+        graft.core.SeqFold.foldVec(ev)(
+            e => Array(e.v, 4.0))(
+            (st, e) => {
+              val k = (st(1) + 1.0) / (st(1) + 1.0 + 4.0)
+              Array(st(0) + k * (e.v - st(0)), (1.0 - k) * (st(1) + 1.0))
+            })(
+            (_, _, st) => Some(st))
+          .select(col("k").as("user_id"), col("n").as("n_events"),
+            round(col("out").getItem(0), 6).as("kalman_level"),
+            round(col("out").getItem(1), 6).as("kalman_var"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE ev AS MATERIALIZED (
+             |  SELECT user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT user_id, rn, CAST(value AS DOUBLE) AS l,
+             |    CAST(4.0 AS DOUBLE) AS p
+             |  FROM ev WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |    r.l + ((r.p + 1.0) / (r.p + 1.0 + 4.0)) * (e.value - r.l),
+             |    (1.0 - ((r.p + 1.0) / (r.p + 1.0 + 4.0))) * (r.p + 1.0)
+             |  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT m.user_id, m.n AS n_events,
+             |  ROUND(r.l, 6) AS kalman_level, ROUND(r.p, 6) AS kalman_var
+             |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
              |ORDER BY m.user_id""".stripMargin))
   )
 }

@@ -623,6 +623,129 @@ object EventStream {
     }
   }
 
+  /** Streaming MAX-DRAWDOWN maintenance (st23 — t30's streaming twin,
+    * and the proof that even an ORDER-SENSITIVE statistic can be a
+    * correct MV under the file source's ARBITRARY batch order): max
+    * drawdown over the event_id ingest order is not a commutative fold
+    * over row sets, but it IS mergeable over interval SUMMARIES. State
+    * = one row per (user, segment of 1000 event_ids): (lo, hi, cnt, mn,
+    * mx, dd), where dd is the drawdown INTERNAL to the summarized rows.
+    * The merge identity — for A entirely before B,
+    *   dd(A|B) = max(dd_A, dd_B, mx_A − mn_B)
+    * (a drawdown either lies inside one side or peaks in A and troughs
+    * in B; the incoming-peak trough is always B's min) — is associative
+    * under ORDERED concatenation only. That is exactly why the fold
+    * NEVER merges partials eagerly: under the source's arbitrary batch
+    * order, a state summary built from chunks [0..249]+[500..749] SPANS
+    * a still-in-flight middle chunk, and merging that chunk "after" the
+    * span overcounts (caught live by DrawdownFoldSpec's first red run —
+    * the lesson is recorded in the spec). So the per-batch fold is a
+    * pure APPEND of per-(user, segment-slice) summaries, and ALL
+    * ordering happens at read time, where every partial is present:
+    * the per-user read walks partials in `lo` order (event_id ranges
+    * are disjoint, so `lo` IS the concatenation order) with O(1) state
+    * via [[graft.core.SeqFold.foldRows]]. Everything picks or subtracts
+    * observed doubles — bit-exact vs the one-shot window recompute the
+    * oracle runs. State is O(users × (touched segments + batch-boundary
+    * splits)) rows; a production compactor would merge provably
+    * ADJACENT (hi, lo)-abutting runs periodically, same identity. */
+  def runDrawdownMvOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_ddmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    // per-(user, seg) summary of a batch's rows: window runpeak within
+    // the partial (event_id order), dd = max(runpeak − x)
+    def summarize(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("seg")).orderBy(col("event_id"))
+        .rowsBetween(Long.MinValue, 0L)
+      df.withColumn("seg", expr("event_id div 1000"))
+        .withColumn("runpeak", max(col("value")).over(w))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("cnt"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"),
+          max(col("runpeak") - col("value")).as("dd"))
+    }
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partial = summarize(batch)
+      prev.fold(partial)(st => st.unionByName(partial))
+    }
+  }
+
+  /** Streaming LAG-1 AUTOCORRELATION maintenance (st24 — t31's
+    * streaming twin over the event_id ingest order, and the second
+    * order-sensitive MV after [[runDrawdownMvOnce]], showing the slice
+    * pattern GENERALIZES): consecutive-pair moment sums are not a row
+    * fold (pairs straddle batch boundaries), but a slice summary that
+    * carries its FIRST and LAST value lets the read reconstruct every
+    * straddling pair — between lo-consecutive slices A, B the one
+    * missing pair is (last_A, first_B). Fold = pure append of
+    * per-(user, segment-slice) rows: (lo, hi, cnt, firstv, lastv) plus
+    * the slice's internal pair moments, DECIMAL(27,6)-quantized then
+    * summed (t31's exactness pattern — decimal sums are order-free, so
+    * slice ∪ boundary terms aggregate commutatively at read time; no
+    * sequential walk needed at all). Bit-exact vs the one-shot lag
+    * recompute the oracle runs. */
+  def runAutocorrMvOnce(spark: SparkSession, path: String,
+      nChunks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(27, 6)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_acmv")
+    val srcDir = work.resolve("src").toString
+    val srcSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    graft.core.Tables.readEventsPath(spark, path)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(nChunks, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    def summarize(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("seg")).orderBy(col("event_id"))
+      val zero = lit(0).cast(DecimalType(37, 6))
+      df.withColumn("seg", expr("event_id div 1000"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("rkd", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("seg"))
+            .orderBy(col("event_id").desc)))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("cnt"),
+          max(when(col("rk") === 1, col("value"))).as("firstv"),
+          max(when(col("rkd") === 1, col("value"))).as("lastv"),
+          count(col("prev")).as("np"),
+          coalesce(sum(col("prev").cast(dec)), zero).as("sx"),
+          coalesce(sum(when(col("prev").isNotNull, col("value")).cast(dec)),
+            zero).as("sy"),
+          coalesce(sum((col("prev") * col("prev")).cast(dec)), zero).as("sxx"),
+          coalesce(sum(when(col("prev").isNotNull,
+            col("value") * col("value")).cast(dec)), zero).as("syy"),
+          coalesce(sum((col("prev") * col("value")).cast(dec)), zero).as("sxy"))
+    }
+    foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partial = summarize(batch)
+      prev.fold(partial)(st => st.unionByName(partial))
+    }
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,
     * completing the sketch-MV triad: st13 HLL distincts, st17 CMS
     * frequencies, this one quantiles): per micro-batch, build per-key
