@@ -67,22 +67,21 @@ object DevScale {
     * state — expect sort-linear; users scale with data); t30 is one
     * user-keyed running-max window + aggregate (linear); t31 is the
     * same shuffle with a LAG frame + six decimal sums (linear); a36 is
-    * two histogram cum-sum passes + two value-keyed joins back onto the
-    * row stream (the y histogram is near-row-scale — a28's honest
-    * distributed-rank curve, expect linear with a rank-pass constant). */
+    * a vocab-bounded contingency grid + margins off one cell aggregate
+    * (scan-bound, near-flat beyond it). */
   private def gates15aSection(spark: SparkSession): Unit =
     gateQueries(spark, "g15a", Seq("t29_cusum", "t30_drawdown",
-      "t31_autocorr", "a36_spearman"))
+      "t31_autocorr", "a36_cramers_v"))
 
   /** Round-15b: corpus/audit wave at ×1/×10/×100. x52 is one token
-    * explode + token-keyed min agg (token-linear; the 4-row cum step is
-    * constant); dq24 is one 9-group map-side-combined aggregate over a
+    * explode + token-keyed min agg + one doc-keyed attribution join
+    * (token-linear; the source×quarter frame is constant); dq24 is one 10-group map-side-combined aggregate over a
     * scan (scan-bound, near-flat beyond it); n26 runs 1 index build + 4
     * probe passes over the row-bounded embeddings table (gates the
     * sweep plumbing, not corpus growth — the kernels are require-
     * capped). */
   private def gates15bSection(spark: SparkSession): Unit =
-    gateQueries(spark, "g15b", Seq("x52_heaps_law", "dq24_benford",
+    gateQueries(spark, "g15b", Seq("x52_vocab_yield", "dq24_last_digit",
       "n26_ivf_nprobe_sweep"))
 
   /** Round-15c: wave-2 at ×1/×10/×100. t32 rides SeqFold (t29's curve);
@@ -94,11 +93,11 @@ object DevScale {
       "st23_stream_drawdown_mv"))
 
   /** Round-15d: wave-3 at ×1/×10/×100. a37 is one map-side-combined
-    * decimal-moment aggregate over the scan (scan-bound); st24 is
+    * conditional-decimal-moment aggregate over the scan (scan-bound); st24 is
     * replay-volume-bound with state O(users × slices), read = one
     * rank-successor join + one keyed decimal aggregate. */
   private def gates15dSection(spark: SparkSession): Unit =
-    gateQueries(spark, "g15d", Seq("a37_ols_trend",
+    gateQueries(spark, "g15d", Seq("a37_trend_break",
       "st24_stream_autocorr_mv"))
 
   /** Round-14a: stats/window batch at ×1/×10/×100. a32 is one

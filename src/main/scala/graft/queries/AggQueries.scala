@@ -1685,127 +1685,159 @@ object AggQueries {
            |FROM zz""".stripMargin
       }),
 
-    // Spearman rank correlation (a13's Pearson on MIDRANKS — the
-    // monotone-association measure that survives outliers and
-    // nonlinearity; quantity↔extended-price is the natural pair). The
-    // ranks come from a33's pooled-histogram machinery, per column:
-    // histogram of distinct values + withGlobalCumSum, where 2·midrank
-    // = 2·cum − t + 1 stays BIGINT. Rows pick up both 2·midranks via
-    // two value-keyed equi joins (histogram-sized build sides), and all
-    // four moment sums (n, Σxy, Σx², Σy² in 2-rank units — the scale
-    // cancels in r) accumulate in DECIMAL(38,0), exactly mirroring the
-    // oracle's HUGEINT — so ρ is a single double expression over
-    // identical integers on both engines. Σx = Σy = n(n+1) by the rank
-    // identity, so the marginal sums never need accumulating. Exactness
-    // caveat (a12's class): decimal(38,0) holds n·Σxy up to n ≈ 1e9
-    // rows; beyond that the formula switches to double moments.
-    Q("a36_spearman",
+    // Cramér's V between two CATEGORICAL fields (the association grid's
+    // missing cell: a13 covers numeric↔numeric, a16 numeric↔binary,
+    // a28 monotone ranks — this is category↔category; dq13 uses the
+    // same chi² machinery but answers a different question, drift
+    // between two POPULATIONS of one field, not association between two
+    // FIELDS). R×C contingency over orders (priority 5 × status 3),
+    // DENSIFIED so structural zeros contribute their (0−e)²/e term —
+    // the column vocabulary is a bounded collect exploded as literals
+    // (a29's grid pattern; a plain cross join is the banned shape on
+    // the Spark side). Each chi² cell term is rounded to 9 places and
+    // DECIMAL-summed (dq13's order-free trick); V = √(χ²/(N·min(R−1,
+    // C−1))) is one double expression over identical sums.
+    Q("a36_cramers_v",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val dec = DecimalType(38, 0)
-        val li = T(s, d, "lineitem")
-          .select(col("l_quantity").cast("double").as("x"),
-            col("l_extendedprice").cast("double").as("y"))
-        def ranks2(cn: String) = {
-          val h = li.groupBy(col(cn).as(s"v_$cn"))
-            .agg(count(lit(1)).as("t"))
-          Relational.withGlobalCumSum(h, Seq(col(s"v_$cn")), col("t"), "cum")
-            .select(col(s"v_$cn"),
-              (lit(2L) * col("cum") - col("t") + lit(1L)).as(s"r_$cn"))
-        }
-        val j = li
-          .join(ranks2("x"), col("x") === col("v_x"))
-          .join(ranks2("y"), col("y") === col("v_y"))
-        val m = j.agg(count(lit(1)).as("n"),
-          sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
-          sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
-          sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"))
-        val sr = col("n").cast(dec) * (col("n") + 1).cast(dec) // Σ2·midrank
-        val num = col("n").cast(dec) * col("sxy") - sr * sr
-        val vx = col("n").cast(dec) * col("sxx") - sr * sr
-        val vy = col("n").cast(dec) * col("syy") - sr * sr
-        m.select(col("n"),
-          round(num.cast("double") /
-            sqrt(vx.cast("double") * vy.cast("double")), 6)
-            .as("rho_spearman"))
+        val o = T(s, d, "orders")
+          .select(col("o_orderpriority").as("p"), col("o_orderstatus").as("c"))
+        val cells = o.groupBy(col("p"), col("c")).agg(count(lit(1)).as("nij"))
+        val cVals = cells.select(col("c")).distinct()
+          .collect().map(_.getString(0)).sorted
+        require(cVals.length <= 1024,
+          s"a36: column vocabulary ${cVals.length} exceeds the grid cap")
+        val grid = cells.select(col("p")).distinct()
+          .withColumn("c", explode(array(cVals.map(lit(_)): _*)))
+          .join(cells, Seq("p", "c"), "left")
+          .na.fill(0L, Seq("nij"))
+        val rows = cells.groupBy(col("p")).agg(sum(col("nij")).as("ri"))
+        val colsT = cells.groupBy(col("c")).agg(sum(col("nij")).as("cj"))
+        val tot = cells.agg(sum(col("nij")).as("n"),
+          countDistinct(col("p")).as("r_levels"),
+          countDistinct(col("c")).as("c_levels"))
+        val e = col("ri").cast("double") * col("cj") / col("n")
+        val terms = Relational.attachSingleton(
+            grid.join(rows, Seq("p")).join(colsT, Seq("c")), tot)
+          .select(col("n"), col("r_levels"), col("c_levels"),
+            round((col("nij") - e) * (col("nij") - e) / e, 9)
+              .cast(DecimalType(27, 9)).as("term"))
+        terms.groupBy(col("n"), col("r_levels"), col("c_levels"))
+          .agg(sum(col("term")).cast("double").as("chi2"))
+          .select(col("n"), col("r_levels"), col("c_levels"),
+            round(col("chi2"), 6).as("chi2"),
+            ((col("r_levels") - 1) * (col("c_levels") - 1)).as("df"),
+            round(sqrt(col("chi2") /
+              (col("n") * least(col("r_levels") - 1, col("c_levels") - 1))), 6)
+              .as("cramers_v"))
       },
-      Some("""WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y
-             |  FROM lineitem),
-             |hx AS (SELECT x AS v, COUNT(*) AS t FROM li GROUP BY 1),
-             |cx AS (SELECT v, 2*SUM(t) OVER (ORDER BY v
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
-             |    AS r FROM hx),
-             |hy AS (SELECT y AS v, COUNT(*) AS t FROM li GROUP BY 1),
-             |cy AS (SELECT v, 2*SUM(t) OVER (ORDER BY v
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
-             |    AS r FROM hy),
-             |j AS (SELECT CAST(cx.r AS HUGEINT) AS rx,
-             |    CAST(cy.r AS HUGEINT) AS ry
-             |  FROM li JOIN cx ON li.x = cx.v JOIN cy ON li.y = cy.v),
-             |m AS (SELECT COUNT(*) AS n, SUM(rx*ry) AS sxy,
-             |    SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy FROM j),
-             |f AS (SELECT n, sxy, sxx, syy,
-             |    CAST(n AS HUGEINT) * (n + 1) AS sr FROM m)
-             |SELECT CAST(n AS BIGINT) AS n,
-             |  ROUND(CAST(n*sxy - sr*sr AS DOUBLE) /
-             |    SQRT(CAST(n*sxx - sr*sr AS DOUBLE) *
-             |      CAST(n*syy - sr*sr AS DOUBLE)), 6) AS rho_spearman
-             |FROM f""".stripMargin)),
+      Some("""WITH o AS (SELECT o_orderpriority AS p, o_orderstatus AS c
+             |  FROM orders),
+             |cells AS (SELECT p, c, COUNT(*) AS nij FROM o GROUP BY 1, 2),
+             |grid AS (SELECT pr.p, cc.c, COALESCE(cells.nij, 0) AS nij
+             |  FROM (SELECT DISTINCT p FROM cells) pr
+             |  CROSS JOIN (SELECT DISTINCT c FROM cells) cc
+             |  LEFT JOIN cells ON cells.p = pr.p AND cells.c = cc.c),
+             |rws AS (SELECT p, SUM(nij) AS ri FROM cells GROUP BY 1),
+             |cls AS (SELECT c, SUM(nij) AS cj FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             |    COUNT(DISTINCT p) AS r_levels, COUNT(DISTINCT c) AS c_levels
+             |  FROM cells),
+             |terms AS (SELECT n, r_levels, c_levels,
+             |    CAST(ROUND((g.nij - CAST(ri AS DOUBLE) * cj / n)
+             |      * (g.nij - CAST(ri AS DOUBLE) * cj / n)
+             |      / (CAST(ri AS DOUBLE) * cj / n), 9) AS DECIMAL(27,9))
+             |      AS term
+             |  FROM grid g JOIN rws ON rws.p = g.p JOIN cls ON cls.c = g.c
+             |  CROSS JOIN tot),
+             |agg AS (SELECT n, r_levels, c_levels,
+             |    CAST(SUM(term) AS DOUBLE) AS chi2
+             |  FROM terms GROUP BY 1, 2, 3)
+             |SELECT n, r_levels, c_levels, ROUND(chi2, 6) AS chi2,
+             |  CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS df,
+             |  ROUND(SQRT(chi2 / (n * LEAST(r_levels - 1, c_levels - 1))), 6)
+             |    AS cramers_v
+             |FROM agg""".stripMargin)),
 
-    // OLS trend per series family (slope/intercept/R² of value vs
-    // hours-since-corpus-start — the "is this metric drifting and how
-    // fast" readout; a13 gives direction, this gives the RATE): the six
-    // moment sums accumulate in DECIMAL(27,6) (t31's quantize-then-sum
-    // pattern — x derives from integer micros by one shared double
-    // division, so inputs are bit-identical cross-engine), then slope =
-    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) etc. are single double expressions over
-    // identical sums. ONE map-side-combined aggregate per group; the
-    // corpus-start scalar attaches as a literal.
-    Q("a37_ols_trend",
+    // Trend BREAK per series family (the changepoint readout t11's
+    // CUSUM statistic flags but doesn't size, and a question t21's
+    // per-user slope doesn't ask): split the corpus at its time
+    // midpoint and fit OLS value-vs-hours on each half in ONE
+    // conditional-moment scan — slope_shift = slope_post − slope_pre is
+    // the magnitude of the regime change per event_type. The ten
+    // half-moments accumulate in DECIMAL(27,6) (t31's quantize pattern;
+    // x comes from integer micros by one shared double division, the
+    // midpoint from attached integer min/max — all bit-identical
+    // cross-engine). Degenerate halves (under 2 points or zero
+    // x-variance) are out of contract via the same predicate on both
+    // engines. Spark aggregate list and oracle SQL are generated from
+    // one `half` template (a35's cannot-drift trick).
+    Q("a37_trend_break",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val dec = DecimalType(27, 6)
         val ev = graft.core.Tables.readEvents(s, d)
           .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
             col("value").as("y"))
-        val m = Relational.attachSingleton(ev,
-            ev.agg(min(col("tsu")).as("t0")))
+        val withX = Relational.attachSingleton(ev,
+            ev.agg(min(col("tsu")).as("t0"), max(col("tsu")).as("t1")))
           .withColumn("x", (col("tsu") - col("t0")) / lit(3600000000.0))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("x").cast(dec)).cast("double").as("sx"),
-            sum(col("y").cast(dec)).cast("double").as("sy"),
-            sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
-            sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
-            sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
-        val vx = col("n") * col("sxx") - col("sx") * col("sx")
-        val vy = col("n") * col("syy") - col("sy") * col("sy")
-        val cxy = col("n") * col("sxy") - col("sx") * col("sy")
-        m.select(col("event_type"), col("n"),
-            round(cxy / vx, 6).as("slope"),
-            round((col("sy") - cxy / vx * col("sx")) / col("n"), 6)
-              .as("intercept"),
-            round(cxy * cxy / (vx * vy), 6).as("r2"))
+          .withColumn("pre",
+            col("x") < (col("t1") - col("t0")) / lit(3600000000.0) / lit(2.0))
+        def half(tag: String, cond: org.apache.spark.sql.Column) = Seq(
+          sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+          sum(when(cond, col("x")).cast(dec)).cast("double").as(s"sx_$tag"),
+          sum(when(cond, col("y")).cast(dec)).cast("double").as(s"sy_$tag"),
+          sum(when(cond, col("x") * col("x")).cast(dec)).cast("double")
+            .as(s"sxx_$tag"),
+          sum(when(cond, col("x") * col("y")).cast(dec)).cast("double")
+            .as(s"sxy_$tag"))
+        val aggs = half("pre", col("pre")) ++ half("post", !col("pre"))
+        val m = withX.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        def slope(tag: String) =
+          (col(s"n_$tag") * col(s"sxy_$tag") -
+            col(s"sx_$tag") * col(s"sy_$tag")) /
+          (col(s"n_$tag") * col(s"sxx_$tag") -
+            col(s"sx_$tag") * col(s"sx_$tag"))
+        def varOk(tag: String) = col(s"n_$tag") >= 2 &&
+          col(s"n_$tag") * col(s"sxx_$tag") -
+            col(s"sx_$tag") * col(s"sx_$tag") > 0
+        m.where(varOk("pre") && varOk("post"))
+          .select(col("event_type"), col("n_pre"), col("n_post"),
+            round(slope("pre"), 6).as("slope_pre"),
+            round(slope("post"), 6).as("slope_post"),
+            round(slope("post") - slope("pre"), 6).as("slope_shift"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, value AS y
-             |  FROM events),
-             |t0 AS (SELECT MIN(tsu) AS t0 FROM e),
-             |p AS (SELECT event_type, (tsu - t0) / 3600000000.0 AS x, y
-             |  FROM e CROSS JOIN t0),
-             |m AS (SELECT event_type, COUNT(*) AS n,
-             |    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-             |    CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-             |    CAST(SUM(CAST(x*x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
-             |    CAST(SUM(CAST(y*y AS DECIMAL(27,6))) AS DOUBLE) AS syy,
-             |    CAST(SUM(CAST(x*y AS DECIMAL(27,6))) AS DOUBLE) AS sxy
-             |  FROM p GROUP BY 1)
-             |SELECT event_type, n,
-             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
-             |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
-             |    AS intercept,
-             |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy) /
-             |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
-             |FROM m ORDER BY 1""".stripMargin))
+      Some {
+        def half(tag: String, cond: String) =
+          s"""CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag,
+             |    CAST(SUM(CAST(CASE WHEN $cond THEN x END AS DECIMAL(27,6))) AS DOUBLE) AS sx_$tag,
+             |    CAST(SUM(CAST(CASE WHEN $cond THEN y END AS DECIMAL(27,6))) AS DOUBLE) AS sy_$tag,
+             |    CAST(SUM(CAST(CASE WHEN $cond THEN x*x END AS DECIMAL(27,6))) AS DOUBLE) AS sxx_$tag,
+             |    CAST(SUM(CAST(CASE WHEN $cond THEN x*y END AS DECIMAL(27,6))) AS DOUBLE) AS sxy_$tag""".stripMargin
+        def slope(tag: String) =
+          s"(n_$tag*sxy_$tag - sx_$tag*sy_$tag) / (n_$tag*sxx_$tag - sx_$tag*sx_$tag)"
+        def varOk(tag: String) =
+          s"n_$tag >= 2 AND n_$tag*sxx_$tag - sx_$tag*sx_$tag > 0"
+        s"""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, value AS y
+           |  FROM events),
+           |t0 AS (SELECT MIN(tsu) AS t0, MAX(tsu) AS t1 FROM e),
+           |p AS (SELECT event_type, (tsu - t0) / 3600000000.0 AS x, y,
+           |    (tsu - t0) / 3600000000.0 < (t1 - t0) / 3600000000.0 / 2.0
+           |      AS pre
+           |  FROM e CROSS JOIN t0),
+           |m AS (SELECT event_type,
+           |    ${half("pre", "pre")},
+           |    ${half("post", "NOT pre")}
+           |  FROM p GROUP BY 1)
+           |SELECT event_type, n_pre, n_post,
+           |  ROUND(${slope("pre")}, 6) AS slope_pre,
+           |  ROUND(${slope("post")}, 6) AS slope_post,
+           |  ROUND(${slope("post")} - ${slope("pre")}, 6) AS slope_shift
+           |FROM m
+           |WHERE ${varOk("pre")} AND ${varOk("post")}
+           |ORDER BY 1""".stripMargin
+      })
   )
 }

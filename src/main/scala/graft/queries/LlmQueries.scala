@@ -2731,64 +2731,63 @@ object LlmQueries {
               |    AS mono_frac
               |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Heaps'-law vocabulary growth (the corpus-forensics curve behind
-    // "is more data still adding new tokens?" — the empirical basis of
-    // a dedup/budget decision): vocabulary size after each quarter of
-    // the corpus, in doc_id ingest order. The distributed form needs NO
-    // ordered scan: a token's contribution to the curve is determined
-    // entirely by its FIRST-SEEN doc (min(doc_id) per token — one
-    // token-keyed map-side-combined aggregate), bucketed into quarters
-    // by integer arithmetic (`div` on both engines — no float rounding
-    // at bucket edges) against the attached max-doc literal. The
-    // cumulative step then runs over exactly 4 rows. Token totals per
-    // quarter ride the same bucketing on the raw token stream. All
+    // Vocabulary YIELD per source (which source still ADDS vocabulary —
+    // the per-source face of x45's global Heaps fit, and a direct input
+    // to the x12/x30 mix decision: a source whose new-token yield went
+    // flat is re-treading the corpus): each token is attributed to the
+    // SOURCE of its globally-first doc (one token-keyed MIN aggregate +
+    // one doc-keyed equi join), bucketed into corpus quarters by
+    // integer `div` arithmetic against the attached max-doc literal.
+    // The (source × quarter) frame is densified (explode of quarter
+    // literals — no cross join) so a source's dry quarters read as
+    // explicit zeros; cumulative per source runs over ≤4 rows. All
     // counts BIGINT — bit-exact.
-    Q("x52_heaps_law",
+    Q("x52_vocab_yield",
       (s, d) => {
         val docs = T(s, d, "documents")
         val toks = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) > 0)
-        val m = docs.agg((max(col("doc_id")) + 1).as("m"))
-        def bucketed(df: org.apache.spark.sql.DataFrame) =
-          graft.core.Relational.attachSingleton(df, m)
-            .withColumn("q", expr("CAST(doc_id * 4 div m AS INT) + 1"))
-        val vocab = bucketed(
-            toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id")))
-          .groupBy(col("q")).agg(count(lit(1)).as("n_new_tokens"))
-        val volume = bucketed(toks)
-          .groupBy(col("q")).agg(count(lit(1)).as("n_toks"))
-        val w4 = org.apache.spark.sql.expressions.Window.orderBy(col("q"))
+        val firstSeen = toks.groupBy(col("w"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val cnt = graft.core.Relational.attachSingleton(firstSeen,
+            docs.agg((max(col("doc_id")) + 1).as("m")))
+          .withColumn("q", expr("CAST(doc_id * 4 div m AS INT) + 1"))
+          .groupBy(col("source"), col("q"))
+          .agg(count(lit(1)).as("n_new_tokens"))
+        val grid = docs.select(col("source")).distinct()
+          .withColumn("q", explode(array((1 to 4).map(lit(_)): _*)))
+        val w4 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("q"))
           .rowsBetween(Long.MinValue, 0L)
-        // anchor on volume: every quarter has tokens, but a saturated
-        // vocabulary stops producing NEW tokens (that flat tail IS the
-        // Heaps signal) — an inner join would drop those quarters.
-        volume.join(vocab, Seq("q"), "left")
+        grid.join(cnt, Seq("source", "q"), "left")
           .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
-          .select(col("q").as("quarter"), col("n_new_tokens"),
-            sum(col("n_toks")).over(w4).as("tokens_cum"),
+          .select(col("source"), col("q").as("quarter"), col("n_new_tokens"),
             sum(col("n_new_tokens")).over(w4).as("vocab_cum"))
-          .orderBy(col("quarter"))
+          .orderBy(col("source"), col("quarter"))
       },
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
              |  FROM documents),
              |tf AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
              |mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
              |fs AS (SELECT w, MIN(doc_id) AS doc_id FROM tf GROUP BY 1),
-             |vb AS (SELECT CAST(doc_id * 4 // m AS INT) + 1 AS q,
-             |    COUNT(*) AS n_new_tokens FROM fs, mx GROUP BY 1),
-             |vol AS (SELECT CAST(doc_id * 4 // m AS INT) + 1 AS q,
-             |    COUNT(*) AS n_toks FROM tf, mx GROUP BY 1)
-             |SELECT vol.q AS quarter,
-             |  COALESCE(vb.n_new_tokens, 0) AS n_new_tokens,
-             |  CAST(SUM(vol.n_toks) OVER (ORDER BY vol.q
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |    AS tokens_cum,
-             |  CAST(SUM(COALESCE(vb.n_new_tokens, 0)) OVER (ORDER BY vol.q
+             |att AS (SELECT fs.w, fs.doc_id, d.source
+             |  FROM fs JOIN documents d ON d.doc_id = fs.doc_id),
+             |cnt AS (SELECT source, CAST(doc_id * 4 // m AS INT) + 1 AS q,
+             |    COUNT(*) AS n_new_tokens
+             |  FROM att, mx GROUP BY 1, 2),
+             |grid AS (SELECT source, q
+             |  FROM (SELECT DISTINCT source FROM documents)
+             |  CROSS JOIN (VALUES (1), (2), (3), (4)) v(q))
+             |SELECT g.source, g.q AS quarter,
+             |  COALESCE(cnt.n_new_tokens, 0) AS n_new_tokens,
+             |  CAST(SUM(COALESCE(cnt.n_new_tokens, 0)) OVER (
+             |    PARTITION BY g.source ORDER BY g.q
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS vocab_cum
-             |FROM vol LEFT JOIN vb ON vb.q = vol.q
-             |ORDER BY 1""".stripMargin)),
+             |FROM grid g LEFT JOIN cnt ON cnt.source = g.source AND cnt.q = g.q
+             |ORDER BY 1, 2""".stripMargin)),
 
     // Vector AGGREGATE (the other half of the embedding surface next to
     // ANN search): per-label class centroids — posexplode to (label, dim,
@@ -3859,8 +3858,10 @@ object LlmQueries {
              |FROM (VALUES (1), (2), (4), (16)) AS np(nprobe) CROSS JOIN t
              |ORDER BY 1""".stripMargin)),
 
-    // Collocation mining (adjacent-bigram LIFT — the statistical
-    // phrase detector behind tokenizer-merge and stop-phrase lists):
+    // Collocation mining (adjacent WORD-bigram LIFT — the statistical
+    // phrase detector behind stop-phrase lists and multi-word-entry
+    // decisions; x23_bpe_pairs counts adjacent CHARACTER pairs inside
+    // words for BPE round-0 — different unit, different question):
     // lift = P(w1w2) / (P(w1)·P(w2)) over adjacent pairs; > 1 means the
     // pair co-occurs beyond chance. Top-15 bigrams by count under the
     // total (n desc, w1, w2) order. Everything is integer counts until

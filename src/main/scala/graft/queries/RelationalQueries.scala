@@ -2712,64 +2712,53 @@ object RelationalQueries {
               |    AS violation_rate
               |FROM v""".stripMargin)),
 
-    // Benford first-digit audit (the fabricated-or-truncated-numbers
-    // smell test a warehouse runs on money columns): observed
-    // first-significant-digit shares of o_totalprice vs the Benford
-    // expectation log10(1+1/d), with a per-digit chi² term. The digit
-    // is floor(x / 10^floor(log10 x)) clamped to [1,9] — log10 is exact
-    // at powers of 10 on both engines (the only inputs where the floor
-    // could tip). Expected shares are pinned as 15-digit LITERALS on
-    // both sides (never engine-computed logs — libm ulp differences
-    // would leak into the hash). One map-side-combined 9-group
-    // aggregate; N attaches as a literal. chi² terms stay per-digit
-    // (digit-ordered output) — a 9-term SUM would make the double
-    // accumulation order engine-dependent (a34's rule).
-    Q("dq24_benford",
+    // Terminal-digit uniformity audit (dq10's Benford COMPLEMENT:
+    // first digits follow log10(1+1/d) in organic data, LAST digits of
+    // sufficiently-precise measurements are near-UNIFORM — fabricated
+    // or truncated values typically fail one of the two, and the pair
+    // is the standard two-sided forensic): the cents digit of
+    // o_totalprice, extracted by round(x·100) mod 10 — pure arithmetic
+    // (both engines round the same double half-away-from-zero on
+    // positives; 2-decimal prices sit ~2⁻³⁰ off an integer, never on a
+    // tie). One 10-group map-side aggregate; expected share is the
+    // LITERAL 0.1; per-digit chi² terms, no engine-ordered sum (a34's
+    // rule); digits densified from a 10-row range so an absent digit
+    // reads as an explicit zero row.
+    Q("dq24_last_digit",
       (s, d) => {
-        val exp = Seq(0.301029995663981, 0.176091259055681, 0.124938736608300,
-          0.096910013008056, 0.079181246047625, 0.066946789630613,
-          0.057991946977687, 0.051152522447381, 0.045757490560675)
         val x = T(s, d, "orders")
           .select(col("o_totalprice").cast("double").as("x"))
           .where(col("x") > 0)
-        val h = x.select(least(greatest(
-            floor(col("x") / pow(lit(10.0), floor(log10(col("x"))))), lit(1.0)),
-            lit(9.0)).cast("int").as("digit"))
+        val h = x.select(
+            pmod(round(col("x") * 100, 0).cast("long"), lit(10L)).as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val dense = s.range(0, 10)
+          .select(col("id").as("digit"))
+          .join(h, Seq("digit"), "left")
+          .na.fill(0L, Seq("n_obs"))
         val withN = graft.core.Relational.attachSingleton(
-          h, x.agg(count(lit(1)).as("n_total")))
-        val pCol = element_at(
-          array(exp.map(lit(_)): _*), col("digit"))
+          dense, x.agg(count(lit(1)).as("n_total")))
+        val e = col("n_total") * lit(0.1)
         withN.select(col("digit"), col("n_obs"),
             round(col("n_obs").cast("double") / col("n_total"), 6)
               .as("obs_share"),
-            round(pCol, 6).as("exp_share"),
-            round((col("n_obs") - col("n_total") * pCol) *
-              (col("n_obs") - col("n_total") * pCol) /
-              (col("n_total") * pCol), 6).as("chi2_term"))
+            round((col("n_obs") - e) * (col("n_obs") - e) / e, 6)
+              .as("chi2_term"))
           .orderBy(col("digit"))
       },
-      Some {
-        val exp = Seq(0.301029995663981, 0.176091259055681, 0.124938736608300,
-          0.096910013008056, 0.079181246047625, 0.066946789630613,
-          0.057991946977687, 0.051152522447381, 0.045757490560675)
-        val vals = exp.zipWithIndex
-          .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
-        s"""WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-           |  WHERE o_totalprice > 0),
-           |b AS (SELECT * FROM (VALUES $vals) AS t(digit, p)),
-           |h AS (SELECT CAST(LEAST(GREATEST(
-           |      FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))), 1.0), 9.0) AS INT)
-           |      AS digit, COUNT(*) AS n_obs
-           |  FROM x GROUP BY 1),
-           |nt AS (SELECT COUNT(*) AS n_total FROM x)
-           |SELECT h.digit, h.n_obs,
-           |  ROUND(CAST(h.n_obs AS DOUBLE) / n_total, 6) AS obs_share,
-           |  ROUND(b.p, 6) AS exp_share,
-           |  ROUND((h.n_obs - n_total * b.p) * (h.n_obs - n_total * b.p) /
-           |    (n_total * b.p), 6) AS chi2_term
-           |FROM h JOIN b ON h.digit = b.digit CROSS JOIN nt
-           |ORDER BY 1""".stripMargin
-      })
+      Some("""WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+             |  WHERE o_totalprice > 0),
+             |h AS (SELECT CAST(ROUND(x * 100, 0) AS BIGINT) % 10 AS digit,
+             |    COUNT(*) AS n_obs
+             |  FROM x GROUP BY 1),
+             |dense AS (SELECT r.range AS digit, COALESCE(h.n_obs, 0) AS n_obs
+             |  FROM range(0, 10) r LEFT JOIN h ON h.digit = r.range),
+             |nt AS (SELECT COUNT(*) AS n_total FROM x)
+             |SELECT digit, n_obs,
+             |  ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+             |  ROUND((n_obs - n_total * 0.1) * (n_obs - n_total * 0.1) /
+             |    (n_total * 0.1), 6) AS chi2_term
+             |FROM dense CROSS JOIN nt
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -1865,9 +1865,12 @@ object WindowQueries {
              |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
              |ORDER BY m.user_id""".stripMargin)),
 
-    // Tabular CUSUM change detector (the sequential drift alarm — what
-    // a monitoring pipeline runs per series to catch a sustained shift
-    // that no single-point threshold fires on): s⁺' = max(0, s⁺ + (x −
+    // Tabular CUSUM change detector (the ONLINE sequential drift alarm
+    // with threshold-and-RESET semantics — t11_cusum_drift computes the
+    // retrospective max|S|/(σ√n) drift STATISTIC over daily aggregates;
+    // this one runs the per-event alarm PROCESS itself, counting
+    // threshold crossings and resetting the accumulator, which is what
+    // a monitor deploys): s⁺' = max(0, s⁺ + (x −
     // (μ+κ))), s⁻' = max(0, s⁻ + ((μ−κ) − x)); crossing h resets the
     // accumulator and counts an alarm. μ = 50, κ = 10, h = 200 (the
     // fixture's value mean is ~49.6, so drift accrues only on genuine
@@ -1983,9 +1986,11 @@ object WindowQueries {
              |  ROUND(MAX(peak), 6) AS peak_value
              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Lag-1 autocorrelation per series (is the signal trending/mean-
-    // reverting or white noise? — the number that justifies t18/t27's
-    // smoothing constants): Pearson over consecutive (xᵢ, xᵢ₊₁) pairs.
+    // Lag-1 autocorrelation per series (is each user's VALUE signal
+    // trending/mean-reverting or white noise? — the number that
+    // justifies t18/t27's smoothing constants; t13_daily_acf is the
+    // different axis: lag-1..7 ACF of the single global daily VOLUME
+    // series): Pearson over consecutive (xᵢ, xᵢ₊₁) pairs.
     // One user-keyed shuffle; LAG is an O(1)-state frame; all six
     // moment sums accumulate in DECIMAL(27,6) (the a35 quantize-then-
     // sum pattern — double products are bit-identical cross-engine, the
