@@ -61,6 +61,25 @@ class SeqFoldSpec extends SparkSpec {
     assert(out === Map(1L -> 42.0, 2L -> 7.0))
   }
 
+  test("fold result is invariant to shuffle partition count") {
+    val s = spark
+    def run(parts: String): Map[Long, (Long, Double)] = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val ev = SeqFold.keyedEvents(fixture(9, 23),
+          col("k"), col("o1"), col("o2"), col("v"))
+        SeqFold.fold(ev)(e => e.v)(
+            (acc, e) => acc * 2.0 + e.v)(
+            (_, _, st) => Some(st))
+          .collect().map(r => r.k -> ((r.n, r.out))).toMap
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at1 = run("1")
+    assert(run("7") === at1)
+    assert(run("32") === at1)
+  }
+
   test("t18 EWMA via SeqFold is bit-equal to the array-aggregate fold") {
     val raw = graft.core.Tables.readEvents(spark, "/root/testdata/sf0.001")
     // the replaced formulation, verbatim (oracle-green through r14)
