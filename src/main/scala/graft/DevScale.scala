@@ -59,6 +59,7 @@ object DevScale {
     if (want("gates15b")) gates15bSection(spark)
     if (want("gates15c")) gates15cSection(spark)
     if (want("gates15d")) gates15dSection(spark)
+    if (want("gates15e")) gates15eSection(spark)
     spark.stop()
   }
 
@@ -99,6 +100,12 @@ object DevScale {
   private def gates15dSection(spark: SparkSession): Unit =
     gateQueries(spark, "g15d", Seq("a37_trend_break",
       "st24_stream_autocorr_mv"))
+
+  /** Round-15e: t33 at ×1/×10/×100 — one user-keyed aggregate is the
+    * row-scale work; the curve math runs on the hour-grid-bounded
+    * deaths frame (require-capped driver collect, the S7 class). */
+  private def gates15eSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g15e", Seq("t33_kaplan_meier"))
 
   /** Round-14a: stats/window batch at ×1/×10/×100. a32 is one
     * conditional-sum scan (map-side combined — the scan IS the work,

@@ -2088,6 +2088,91 @@ object WindowQueries {
              |SELECT m.user_id, m.n AS n_events,
              |  ROUND(r.l, 6) AS kalman_level, ROUND(r.p, 6) AS kalman_var
              |FROM mx m JOIN r ON r.user_id = m.user_id AND r.rn = m.n
-             |ORDER BY m.user_id""".stripMargin))
+             |ORDER BY m.user_id""".stripMargin)),
+
+    // Kaplan–Meier survival curve over user lifetimes (the churn
+    // analysis t4's retention cohorts approximate — KM handles RIGHT
+    // CENSORING correctly: a user still active at observation end is
+    // "at risk" up to their observed lifetime but never counted as
+    // churned, which naive retention gets wrong). Lifetime = HOURS
+    // between a user's first and last event (integer div — exact; the
+    // fixture spans ~30 days, so hours is the grid where the curve has
+    // resolution); churned iff inactive ≥ 12 h at corpus end, else
+    // censored — the fixture's inactivity p90 is ~17 h, so both
+    // branches are populated at every SF.
+    // S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over death times, where the
+    // at-risk counts come from a suffix sum over the DURATION
+    // HISTOGRAM — bounded by the day grid, never users. The KM product
+    // is inherently ordered, and the curve frame is day-grid-bounded,
+    // so it folds on the driver (the audited S7 bounded-collect class,
+    // require-capped): both engines multiply the identical doubles in
+    // ascending duration order — Scala fold here, recursive CTE there —
+    // so the curve is bit-equal. Row-scale work is ONE user-keyed
+    // aggregate; everything after is O(days).
+    Q("t33_kaplan_meier",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val ev = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(col("tsu")).as("f"), max(col("tsu")).as("l"))
+        val lab = graft.core.Relational.attachSingleton(users,
+            ev.agg(max(col("tsu")).as("ce")))
+          .select(expr(s"CAST((l - f) div $HourUs AS BIGINT)").as("dur"),
+            when(col("ce") - col("l") >= lit(12L * HourUs), 1L).otherwise(0L)
+              .as("death"))
+        val h = lab.groupBy(col("dur"))
+          .agg(count(lit(1)).as("n_all"), sumLong(col("death")).as("dd"))
+        val w = Window.orderBy(col("dur").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val deaths = h
+          .withColumn("n_risk", sum(col("n_all")).over(w))
+          .where(col("dd") > 0)
+          .select(col("dur"), col("n_risk"), col("dd"))
+          .orderBy(col("dur"))
+          .collect()
+        require(deaths.length <= 100000,
+          s"t33: death-time grid ${deaths.length} exceeds the curve cap")
+        var sAcc = 1.0
+        val curve = deaths.map { r =>
+          val (dur, nRisk, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          sAcc = sAcc * (1.0 - dd.toDouble / nRisk)
+          (dur, nRisk, dd, sAcc)
+        }.toSeq
+        val s2 = s; import s2.implicits._
+        curve.toDF("duration_hours", "n_at_risk", "n_deaths", "s")
+          .select(col("duration_hours"), col("n_at_risk"), col("n_deaths"),
+            round(col("s"), 6).as("km_survival"))
+          .orderBy(col("duration_hours"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tsu
+             |  FROM events),
+             |u AS (SELECT user_id, MIN(tsu) AS f, MAX(tsu) AS l
+             |  FROM e GROUP BY 1),
+             |ce AS (SELECT MAX(tsu) AS ce FROM e),
+             |lab AS (SELECT (l - f) // 3600000000 AS dur,
+             |    CASE WHEN ce - l >= 12 * 3600000000 THEN 1 ELSE 0 END
+             |      AS death
+             |  FROM u CROSS JOIN ce),
+             |h AS (SELECT dur, COUNT(*) AS n_all,
+             |    CAST(SUM(death) AS BIGINT) AS d FROM lab GROUP BY 1),
+             |r AS (SELECT dur, d, CAST(SUM(n_all) OVER (ORDER BY dur DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM h),
+             |dd AS (SELECT dur, n_risk, d,
+             |    ROW_NUMBER() OVER (ORDER BY dur) AS rn
+             |  FROM r WHERE d > 0),
+             |km AS (
+             |  SELECT dur, n_risk, d, rn,
+             |    CAST(1.0 * (1.0 - CAST(d AS DOUBLE) / n_risk) AS DOUBLE) AS s
+             |  FROM dd WHERE rn = 1
+             |  UNION ALL
+             |  SELECT dd.dur, dd.n_risk, dd.d, dd.rn,
+             |    km.s * (1.0 - CAST(dd.d AS DOUBLE) / dd.n_risk)
+             |  FROM km JOIN dd ON dd.rn = km.rn + 1)
+             |SELECT dur AS duration_hours, n_risk AS n_at_risk,
+             |  d AS n_deaths, ROUND(s, 6) AS km_survival
+             |FROM km ORDER BY 1""".stripMargin))
   )
 }
