@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Distributed per-key SEQUENTIAL fold with O(1) per-key state — the
   * engine behind the order-dependent recurrences (EWMA t18, Holt t27,
-  * drawdown t29) whose per-step arithmetic cannot be re-associated, so
-  * neither a window frame nor a commutative aggregate can express them.
+  * CUSUM t29, Kalman t32, the st23 MV read) whose per-step arithmetic
+  * cannot be re-associated, so neither a window frame nor a commutative
+  * aggregate can express them.
   *
   * The shape is the classic secondary sort: ONE hash exchange on the
   * key, a per-partition EXTERNAL sort on (key, order), then a streaming
