@@ -1422,8 +1422,18 @@ object WindowQueries {
             sum((col("value") * col("value")).cast(DecimalType(27, 6)))
               .cast("double").as("svv"))
           .select(col("dow"), col("hr"), (col("sv") / col("n")).as("mu"),
-            sqrt(col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")))
-              .as("sd"))
+            // clamp the variance at 0 (a 1-event cell's quantized
+            // svv/n − mu² can land a hair NEGATIVE → Spark sqrt gives
+            // NaN, DuckDB sqrt ERRORS) and take zero-variance cells
+            // out of contract on BOTH engines — otherwise the z
+            // division is a DIVIDE_BY_ZERO under Spark's ANSI default
+            // the moment any (dow, hr) cell is constant (seen live at
+            // sf0.001's ~6-events-per-cell density).
+            sqrt(greatest(
+              col("svv") / col("n") -
+                (col("sv") / col("n")) * (col("sv") / col("n")),
+              lit(0.0))).as("sd"))
+          .where(col("sd") > 0)
         ev.join(broadcast(prof), Seq("dow", "hr"))
           .withColumn("z", (col("value") - col("mu")) / col("sd"))
           .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
@@ -1439,7 +1449,8 @@ object WindowQueries {
               |    ${sumExactSql("value*value")} AS svv
               |  FROM e GROUP BY 1, 2),
               |m AS (SELECT dow, hr, sv / n AS mu,
-              |    SQRT(svv / n - (sv / n) * (sv / n)) AS sd FROM p),
+              |    SQRT(GREATEST(svv / n - (sv / n) * (sv / n), 0)) AS sd
+              |  FROM p WHERE sd > 0),
               |z AS (SELECT STRFTIME(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
               |    (value - mu) / sd AS z
               |  FROM e JOIN m USING (dow, hr))
