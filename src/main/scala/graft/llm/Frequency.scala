@@ -44,8 +44,12 @@ object Frequency {
     // (mod p) with identical results, but a·x directly overflows Long
     // for x above ~8.4e9 (Spark wraps silently, ANSI mode and the
     // DuckDB oracle both throw) — reduced, a·(x mod p) ≤ ~2.7e18 stays
-    // in range on both engines at ANY key magnitude. Oracles mirror
-    // the same reduction.
+    // in range on both engines at any NON-NEGATIVE key magnitude.
+    // Negative keys are outside the contract: Spark's pmod returns the
+    // non-negative residue while the oracle's % is sign-preserving, so
+    // cross-engine replay requires u ≥ 0 (all current callers hash
+    // xxhash64/abs-derived or natural-id keys, which satisfy it).
+    // Oracles mirror the same reduction.
     def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long)
         : org.apache.spark.sql.Column =
       pmod(pmod(lit(a) * pmod(u, lit(P)) + lit(b), lit(P)), lit(W))

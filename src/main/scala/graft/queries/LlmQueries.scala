@@ -3816,12 +3816,19 @@ object LlmQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
         val qs = emb.where(col("vec_id") < 10)
+        // nlist is passed EXPLICITLY and the sweep's final point is
+        // derived from it, so the 'nprobe = nlist is brute force'
+        // identity (exact_at_full_probe) is tied to the actual index
+        // parameter — if the default ever changes, this gate cannot
+        // silently weaken into a plain approximate probe. The oracle's
+        // VALUES list mirrors the same constant.
+        val nlist = 16
         val (assigned, cents) =
-          Similarity.ivfIndex(emb, "vec_id", "embedding")
+          Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = nlist)
         val truthKeys = Similarity.bruteForceTopK(
             emb, qs, "vec_id", "embedding", k = 3, dim = 64)
           .select(col("query_id"), col("corpus_id"))
-        val sweep = Seq(1, 2, 4, 16).map { np =>
+        val sweep = Seq(1, 2, 4, nlist).map { np =>
           val res = Similarity.ivfTopKFromIndex(assigned, cents, qs,
             "vec_id", "embedding", k = 3, nprobe = np)
           truthKeys
@@ -3839,7 +3846,7 @@ object LlmQueries {
           .select(col("nprobe"), col("n_truth"),
             (col("prev").isNull || col("r") >= col("prev"))
               .as("recall_nondecreasing"),
-            (col("nprobe") =!= 16 || col("r") === 1.0)
+            (col("nprobe") =!= nlist || col("r") === 1.0)
               .as("exact_at_full_probe"))
           .orderBy(col("nprobe"))
       },

@@ -41,6 +41,22 @@ object EventStream {
     * production-stream one. */
   val ReplayPartitionsKey = "spark.graft.streaming.replayPartitions"
 
+  /** Test-only micro-batch PLAN probe (StreamingPlanShapeSpec): when
+    * non-null, every `foreachBatch` runner offers the physical plan of
+    * its per-batch derived frame (the fold output in [[foldMvReplay]],
+    * the pair/index frames in IngestStream) before writing it. This is
+    * the only window where the micro-batch join shapes are visible —
+    * the DECLARED frame of a streaming query is just a scan of the
+    * replay's output, so the batch-side BNLJ/Cartesian audit must hook
+    * here. Null in production: one volatile read per micro-batch. */
+  private[graft] val batchPlanProbe = new java.util.concurrent.atomic.AtomicReference[
+    org.apache.spark.sql.execution.SparkPlan => Unit](null)
+
+  private[graft] def probeBatchPlan(df: DataFrame): Unit = {
+    val f = batchPlanProbe.get()
+    if (f != null) f(df.queryExecution.sparkPlan)
+  }
+
   /** Bounded-replay sizing: each stateful operator commits one state
     * store per shuffle partition per micro-batch, so a replay over ~1e5
     * rows pays pure per-partition overhead at 32 partitions (measured 2×
@@ -97,7 +113,9 @@ object EventStream {
               if (batchId == 0L) None
               else Some(spark.read.parquet(
                 work.resolve(s"state_$batchId").toString))
-            fold(prev, batch).write.mode("overwrite").parquet(outDir.toString)
+            val out = fold(prev, batch)
+            probeBatchPlan(out)
+            out.write.mode("overwrite").parquet(outDir.toString)
           }
           lastGen.updateAndGet(g => math.max(g, batchId + 1))
           ()

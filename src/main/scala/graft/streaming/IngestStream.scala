@@ -71,6 +71,7 @@ object IngestStream {
         // one signature pass per batch serves both the probe and the roll
         val (pairs, batchIdx) = Dedup.incrementalNearDupRoll(
           corpus, index, batch, "doc_id", "text", w, k, bands, minJaccard)
+        EventStream.probeBatchPlan(pairs)
         pairs.write.mode("overwrite")
           .parquet(java.nio.file.Paths.get(pairsDir, s"batch=$batchId").toString)
         // roll the index forward (at scale: append to the bucketed
@@ -132,6 +133,7 @@ object IngestStream {
         val corpus = emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
         val (pairs, batchIdx) = Dedup.incrementalCosineNearDupRoll(
           corpus, index, batch, "vec_id", "embedding", minCos, dim, nPlanes, nBands)
+        EventStream.probeBatchPlan(pairs)
         pairs.write.mode("overwrite")
           .parquet(java.nio.file.Paths.get(pairsDir, s"batch=$batchId").toString)
         index.unionByName(batchIdx)

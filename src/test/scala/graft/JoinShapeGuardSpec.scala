@@ -23,7 +23,10 @@ class JoinShapeGuardSpec extends SparkSpec {
 
   // Streaming queries replay real micro-batch streams inside their
   // constructors; their declared frames are scans of the replay output
-  // with no joins visible to this walk — excluded for suite-time.
+  // with no joins visible to this walk. They are audited by
+  // StreamingPlanShapeSpec instead, which hooks the per-micro-batch
+  // plans via EventStream.batchPlanProbe AND checks the declared
+  // post-replay frame — same banned set, no blind spot.
   private def walkable(name: String): Boolean = !name.startsWith("st")
 
   private def banned(plan: SparkPlan): Seq[String] =

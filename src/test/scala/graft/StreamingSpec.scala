@@ -406,6 +406,45 @@ class StreamingSpec extends SparkSpec {
     assert(state.head.getLong(0) === sentinel + 20L)
   }
 
+  test("MV fold replay re-folds an UN-committed generation (crash-mid-write recovery)") {
+    // The other half of the idempotence contract: foldMvReplay checks
+    // _SUCCESS, not directory existence, so a generation directory left
+    // by a crash mid-write — parquet part-files present, no commit
+    // marker — must be RE-FOLDED from its input batch, with
+    // mode("overwrite") clearing the partial garbage. A
+    // directory-existence check (the naive pattern) would trust the
+    // half-written state: here that would either crash on the corrupt
+    // part-file or silently serve garbage. Planted: state_1 with a
+    // syntactically invalid parquet part-file and NO _SUCCESS.
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_spec_mvrecover")
+    val srcDir = work.resolve("src").toString
+    val s = spark; import s.implicits._
+    Seq.tabulate(30)(i => (i.toLong, i % 3)).toDF("v", "chunk")
+      .repartitionByRange(3, col("chunk"))
+      .write.mode("overwrite").parquet(srcDir)
+    val gen1 = work.resolve("state_1")
+    Files.createDirectories(gen1)
+    Files.write(gen1.resolve("part-00000-crash-remnant.snappy.parquet"),
+      "NOT A PARQUET FILE".getBytes("UTF-8"))
+    assert(!Files.exists(gen1.resolve("_SUCCESS")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chunk", org.apache.spark.sql.types.IntegerType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val state = EventStream.foldMvReplay(spark, work, stream) { (prev, batch) =>
+      val partial = batch.agg(count(lit(1)).as("n"))
+      prev.fold(partial)(st =>
+        st.unionByName(partial).agg(sum(col("n")).as("n")))
+    }
+    // batch 0 re-folds over the garbage (10 rows), batches 1 and 2 fold
+    // on top — the crash remnant contributes NOTHING to the final state
+    assert(state.head.getLong(0) === 30L,
+      "un-committed generation was trusted instead of re-folded")
+  }
+
   test("streaming HLL distinct-count state merges across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
