@@ -641,6 +641,150 @@ object EventStream {
     }
   }
 
+  // ---- slice-state compaction (st23/st24) ---------------------------------
+
+  /** Driver-side union of coverage intervals: sort by lo, sweep, merge
+    * overlapping or integer-abutting (next.lo ≤ cur.hi + 1) ranges.
+    * Input size is O(batches since last compaction + in-flight holes) —
+    * one sentinel per micro-batch, re-merged every cycle — so the
+    * require cap is a real bound, not a hope (the audited S7 class). */
+  private[graft] def mergeIntervals(ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    require(ivs.size <= 100000,
+      s"coverage sentinel count ${ivs.size} exceeds the compaction cap — " +
+        "raise the compaction cadence")
+    val sorted = ivs.sortBy(identity)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for ((lo, hi) <- sorted) {
+      if (out.nonEmpty && lo <= out.last._2 + 1)
+        out(out.size - 1) = (out.last._1, math.max(out.last._2, hi))
+      else out += ((lo, hi))
+    }
+    out.toSeq
+  }
+
+  /** Marks per-user lo-consecutive state rows whose gap is PROVABLY
+    * complete — every integer in (prev.hi, lo) lies inside one merged
+    * coverage interval, so no event can still arrive between them (the
+    * arrival-order trap DrawdownFoldSpec pins is exactly merging across
+    * an UNPROVEN gap) — and assigns a run id to each maximal mergeable
+    * chain. Coverage comes from the sentinel rows each micro-batch
+    * appends (its contiguous source id-range — the replay's
+    * range-partitioned chunks model a log source's per-partition offset
+    * ranges, which carry the same contract in production). Returns the
+    * rows with a `run` column; the caller merges each (user, run) group
+    * with its statistic's own identity. Keyed windows only — running
+    * lag/sum over (user) — so the marking shuffles once and spills. */
+  private def markMergeRuns(rows: DataFrame, cov: Seq[(Long, Long)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("lo"))
+    val gapLo = col("prev_hi") + 1
+    val gapHi = col("lo") - 1
+    val covered = (gapLo > gapHi) || cov.map { case (a, c) =>
+      gapLo >= lit(a) && gapHi <= lit(c)
+    }.foldLeft(lit(false))(_ || _)
+    rows
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_hi").isNull || !covered, 1L).otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Long.MinValue, 0L)))
+      .drop("prev_hi", "brk")
+  }
+
+  /** Compacts the drawdown slice state: provably-adjacent per-user runs
+    * collapse to ONE summary row via the same identity the read uses —
+    * merged dd = max over the run of max(dd_i, prefixmax(mx)_{<i} −
+    * mn_i), a keyed prefix-max window plus a group agg (no sequential
+    * walk; every candidate is a pick or subtraction of observed
+    * doubles, so compacted state reads BIT-EQUAL to uncompacted).
+    * Sentinels are re-merged into O(in-flight holes) rows, which is
+    * what turns state growth from O(stream age) into O(users ×
+    * in-flight gaps). If coverage is too fragmented to inline as a
+    * predicate (> 64 intervals), the cycle is skipped — compaction is
+    * an optimization and must never be wrong. */
+  private[graft] def compactDrawdownState(spark: SparkSession,
+      state: DataFrame): DataFrame = {
+    val sent = state.where(col("user_id") === -1L)
+    val rows = state.where(col("user_id") >= 0L)
+    val cov = mergeIntervals(sent.select(col("lo"), col("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    if (cov.isEmpty || cov.size > 64) return state
+    val s = spark; import s.implicits._
+    val sentinel = cov.toDF("lo", "hi").select(
+      lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"), col("hi"),
+      lit(0L).as("cnt"), lit(0.0).as("mn"), lit(0.0).as("mx"),
+      lit(0.0).as("dd"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("run")).orderBy(col("lo"))
+    val merged = markMergeRuns(rows, cov)
+      .withColumn("prev_peak",
+        max(col("mx")).over(wr.rowsBetween(Long.MinValue, -1L)))
+      .withColumn("ddc", when(col("prev_peak").isNotNull,
+        greatest(col("dd"), col("prev_peak") - col("mn")))
+        .otherwise(col("dd")))
+      .groupBy(col("user_id"), col("run"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("cnt")).as("cnt"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"), max(col("ddc")).as("dd"))
+      .select(col("user_id"), expr("lo div 1000").as("seg"), col("lo"),
+        col("hi"), col("cnt"), col("mn"), col("mx"), col("dd"))
+    merged.unionByName(sentinel)
+  }
+
+  /** Compacts the autocorr slice state ([[compactDrawdownState]]'s
+    * pattern for st24): within a provably-adjacent run, each absorbed
+    * boundary contributes the SAME decimal-quantized pair terms the
+    * read would reconstruct — (lastv_prev, firstv_cur) via a keyed lag
+    * — so the merged moments are the identical decimal sums in a
+    * different (exact, commutative) addition order: compacted reads
+    * bit-equal to uncompacted. */
+  private[graft] def compactAutocorrState(spark: SparkSession,
+      state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(37, 6)
+    val zero = lit(0).cast(dec)
+    val sent = state.where(col("user_id") === -1L)
+    val rows = state.where(col("user_id") >= 0L)
+    val cov = mergeIntervals(sent.select(col("lo"), col("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    if (cov.isEmpty || cov.size > 64) return state
+    val s = spark; import s.implicits._
+    val sentinel = cov.toDF("lo", "hi").select(
+      lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"), col("hi"),
+      lit(0L).as("cnt"), lit(0.0).as("firstv"), lit(0.0).as("lastv"),
+      lit(0L).as("np"), zero.as("sx"), zero.as("sy"), zero.as("sxx"),
+      zero.as("syy"), zero.as("sxy"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("run")).orderBy(col("lo"))
+    val wrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("run")).orderBy(col("lo").desc)
+    val merged = markMergeRuns(rows, cov)
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("rnd", row_number().over(wrd))
+      .withColumn("pl", lag(col("lastv"), 1).over(wr))
+      .groupBy(col("user_id"), col("run"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("cnt")).as("cnt"),
+        max(when(col("rn") === 1, col("firstv"))).as("firstv"),
+        max(when(col("rnd") === 1, col("lastv"))).as("lastv"),
+        (sum(col("np")) + count(col("pl"))).as("np"),
+        (sum(col("sx")) + coalesce(sum(col("pl").cast(dec)), zero))
+          .cast(dec).as("sx"),
+        (sum(col("sy")) + coalesce(sum(when(col("pl").isNotNull,
+          col("firstv")).cast(dec)), zero)).cast(dec).as("sy"),
+        (sum(col("sxx")) + coalesce(sum((col("pl") * col("pl")).cast(dec)),
+          zero)).cast(dec).as("sxx"),
+        (sum(col("syy")) + coalesce(sum(when(col("pl").isNotNull,
+          col("firstv") * col("firstv")).cast(dec)), zero))
+          .cast(dec).as("syy"),
+        (sum(col("sxy")) + coalesce(sum((col("pl") * col("firstv"))
+          .cast(dec)), zero)).cast(dec).as("sxy"))
+      .select(col("user_id"), expr("lo div 1000").as("seg"), col("lo"),
+        col("hi"), col("cnt"), col("firstv"), col("lastv"), col("np"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+    merged.unionByName(sentinel)
+  }
+
   /** Streaming MAX-DRAWDOWN maintenance (st23 — t30's streaming twin,
     * and the proof that even an ORDER-SENSITIVE statistic can be a
     * correct MV under the file source's ARBITRARY batch order): max
@@ -664,11 +808,18 @@ object EventStream {
     * are disjoint, so `lo` IS the concatenation order) with O(1) state
     * via [[graft.core.SeqFold.foldRows]]. Everything picks or subtracts
     * observed doubles — bit-exact vs the one-shot window recompute the
-    * oracle runs. State is O(users × (touched segments + batch-boundary
-    * splits)) rows; a production compactor would merge provably
-    * ADJACENT (hi, lo)-abutting runs periodically, same identity. */
+    * oracle runs.
+    *
+    * State growth is bounded by COMPACTION (every `compactEvery`
+    * folds): each micro-batch appends a coverage sentinel (user_id −1)
+    * recording its contiguous source id-range, and
+    * [[compactDrawdownState]] merges per-user runs whose gaps are
+    * provably complete under the merged coverage — turning state from
+    * O(stream age) into O(users × in-flight gaps). Merging uses the
+    * same dd identity as the read, so compacted state reads bit-equal
+    * (DrawdownFoldSpec pins it, including the unproven-gap trap). */
   def runDrawdownMvOnce(spark: SparkSession, path: String,
-      nChunks: Int = 4): DataFrame = {
+      nChunks: Int = 4, compactEvery: Int = 2): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_ddmv")
     val srcDir = work.resolve("src").toString
     val srcSchema = StructType(Seq(
@@ -696,10 +847,20 @@ object EventStream {
           max(col("value")).as("mx"),
           max(col("runpeak") - col("value")).as("dd"))
     }
+    val folds = new java.util.concurrent.atomic.AtomicLong(0L)
     foldMvReplay(spark, work, stream) { (prev, batch) =>
-      val partial = summarize(batch)
-      prev.fold(partial)(st => st.unionByName(partial))
-    }
+      val sentinel = batch
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .where(col("lo").isNotNull)
+        .select(lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"),
+          col("hi"), lit(0L).as("cnt"), lit(0.0).as("mn"),
+          lit(0.0).as("mx"), lit(0.0).as("dd"))
+      val partial = summarize(batch).unionByName(sentinel)
+      val st = prev.fold(partial)(p => p.unionByName(partial))
+      if (folds.incrementAndGet() % compactEvery == 0)
+        compactDrawdownState(spark, st)
+      else st
+    }.where(col("user_id") >= 0L)
   }
 
   /** Streaming LAG-1 AUTOCORRELATION maintenance (st24 — t31's
@@ -715,9 +876,13 @@ object EventStream {
     * summed (t31's exactness pattern — decimal sums are order-free, so
     * slice ∪ boundary terms aggregate commutatively at read time; no
     * sequential walk needed at all). Bit-exact vs the one-shot lag
-    * recompute the oracle runs. */
+    * recompute the oracle runs. State is compacted every `compactEvery`
+    * folds via [[compactAutocorrState]] (coverage sentinels + provable
+    * per-user adjacency, [[runDrawdownMvOnce]]'s contract): absorbed
+    * boundaries contribute the identical decimal pair terms the read
+    * would reconstruct, so compacted reads bit-equal to uncompacted. */
   def runAutocorrMvOnce(spark: SparkSession, path: String,
-      nChunks: Int = 4): DataFrame = {
+      nChunks: Int = 4, compactEvery: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(27, 6)
     val work = java.nio.file.Files.createTempDirectory("graft_stream_acmv")
@@ -758,10 +923,23 @@ object EventStream {
             col("value") * col("value")).cast(dec)), zero).as("syy"),
           coalesce(sum((col("prev") * col("value")).cast(dec)), zero).as("sxy"))
     }
+    val zero37 = lit(0).cast(DecimalType(37, 6))
+    val folds = new java.util.concurrent.atomic.AtomicLong(0L)
     foldMvReplay(spark, work, stream) { (prev, batch) =>
-      val partial = summarize(batch)
-      prev.fold(partial)(st => st.unionByName(partial))
-    }
+      val sentinel = batch
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .where(col("lo").isNotNull)
+        .select(lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"),
+          col("hi"), lit(0L).as("cnt"), lit(0.0).as("firstv"),
+          lit(0.0).as("lastv"), lit(0L).as("np"), zero37.as("sx"),
+          zero37.as("sy"), zero37.as("sxx"), zero37.as("syy"),
+          zero37.as("sxy"))
+      val partial = summarize(batch).unionByName(sentinel)
+      val st = prev.fold(partial)(p => p.unionByName(partial))
+      if (folds.incrementAndGet() % compactEvery == 0)
+        compactAutocorrState(spark, st)
+      else st
+    }.where(col("user_id") >= 0L)
   }
 
   /** Streaming QUANTILE-SKETCH maintenance (st19 — h7's streaming twin,

@@ -72,6 +72,119 @@ class DrawdownFoldSpec extends SparkSpec {
     assert(readTime === oneShot)
   }
 
+  // ---- compaction ---------------------------------------------------------
+
+  /** st23's read, verbatim: lo-ordered SeqFold over the slice state. */
+  private def readDrawdown(state: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Double, Double)] = {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.SeqFold.keyedRows(state, col("user_id"),
+      col("lo"), col("hi"), Seq(col("mn"), col("mx"), col("dd"), col("cnt")))
+    graft.core.SeqFold.foldRows(rows)(r => (r.vs(1), r.vs(2), r.vs(3)))(
+        (acc, r) => (math.max(acc._1, r.vs(1)),
+          math.max(acc._2, math.max(r.vs(2), acc._1 - r.vs(0))),
+          acc._3 + r.vs(3)))(
+        (_, _, st) => Some(Array(st._2, st._1, st._3)))
+      .collect()
+      .map(f => f.k -> ((f.out(2).toLong, f.out(0), f.out(1)))).toMap
+  }
+
+  test("compacted MV state reads bit-equal to uncompacted and is bounded by user count") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    // same replay twice: aggressive compaction vs never — the READ must
+    // be bit-identical (no tolerance: every merged dd candidate is a
+    // pick or subtraction of the same observed doubles)
+    val compacted = graft.streaming.EventStream
+      .runDrawdownMvOnce(spark, path, nChunks = 4, compactEvery = 1)
+    val raw = graft.streaming.EventStream
+      .runDrawdownMvOnce(spark, path, nChunks = 4, compactEvery = Int.MaxValue)
+    assert(readDrawdown(compacted) === readDrawdown(raw))
+    // final compaction ran with full coverage → exactly one run per user
+    val users = compacted.select(col("user_id")).distinct().count()
+    assert(compacted.count() === users,
+      "full-coverage compaction should leave one summary row per user")
+    assert(raw.count() > compacted.count(),
+      "fixture produced no batch-boundary splits — compaction test is vacuous")
+  }
+
+  test("compaction never merges across an UNPROVEN gap, and merges once the hole fills") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // user 7 has slices [0,99] and [200,299]; coverage sentinels say
+    // chunks [0,99] and [200,299] were ingested — ids 100..199 may
+    // still arrive (the DrawdownFoldSpec trap, now at the compactor)
+    def row(u: Long, lo: Long, hi: Long, cnt: Long, mn: Double, mx: Double,
+        dd: Double) = (u, lo / 1000L, lo, hi, cnt, mn, mx, dd)
+    val withHole = Seq(
+      row(7L, 0L, 99L, 10L, 1.0, 9.0, 2.0),
+      row(7L, 200L, 299L, 10L, 0.5, 4.0, 1.0),
+      row(-1L, 0L, 99L, 0L, 0.0, 0.0, 0.0),
+      row(-1L, 200L, 299L, 0L, 0.0, 0.0, 0.0))
+      .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd")
+    val still = graft.streaming.EventStream
+      .compactDrawdownState(spark, withHole)
+    assert(still.where(col("user_id") === 7L).count() === 2L,
+      "compactor merged across a gap no coverage proves complete")
+    // the middle chunk arrives (no events for user 7 in it) → the gap
+    // becomes provable and the two slices merge: dd = max(2, 1, 9-0.5)
+    val filled = withHole.unionByName(
+      Seq(row(-1L, 100L, 199L, 0L, 0.0, 0.0, 0.0))
+        .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd"))
+    val merged = graft.streaming.EventStream
+      .compactDrawdownState(spark, filled)
+    val u7 = merged.where(col("user_id") === 7L).collect()
+    assert(u7.length === 1)
+    val r = u7.head
+    assert((r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("cnt"),
+      r.getAs[Double]("mn"), r.getAs[Double]("mx"), r.getAs[Double]("dd")) ===
+      ((0L, 299L, 20L, 0.5, 9.0, 8.5)))
+    // sentinels collapsed to the single covered range
+    val sent = merged.where(col("user_id") === -1L)
+      .select(col("lo"), col("hi")).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(sent.toSeq === Seq((0L, 299L)))
+  }
+
+  test("compacted autocorr MV state reads to identical decimal moments") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    def moments(state: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, String, String, String, String, String)] = {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(37, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("lo"))
+      val rk = state.withColumn("rk", row_number().over(w))
+      val bounds = rk.select(col("user_id"), col("rk"), col("lastv"))
+        .join(rk.select(col("user_id"), (col("rk") - 1).as("rk"),
+          col("firstv")), Seq("user_id", "rk"))
+        .select(col("user_id"), lit(1L).as("np"),
+          col("lastv").cast(dec).as("sx"), col("firstv").cast(dec).as("sy"),
+          (col("lastv") * col("lastv")).cast(dec).as("sxx"),
+          (col("firstv") * col("firstv")).cast(dec).as("syy"),
+          (col("lastv") * col("firstv")).cast(dec).as("sxy"))
+      state.select(col("user_id"), col("np"), col("sx").cast(dec).as("sx"),
+          col("sy").cast(dec).as("sy"), col("sxx").cast(dec).as("sxx"),
+          col("syy").cast(dec).as("syy"), col("sxy").cast(dec).as("sxy"))
+        .unionByName(bounds)
+        .groupBy(col("user_id"))
+        .agg(sum(col("np")).as("np"), sum(col("sx")).as("sx"),
+          sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+          sum(col("syy")).as("syy"), sum(col("sxy")).as("sxy"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
+          r.getDecimal(4).toPlainString, r.getDecimal(5).toPlainString,
+          r.getDecimal(6).toPlainString))).toMap
+    }
+    val compacted = graft.streaming.EventStream
+      .runAutocorrMvOnce(spark, path, nChunks = 4, compactEvery = 1)
+    val raw = graft.streaming.EventStream
+      .runAutocorrMvOnce(spark, path, nChunks = 4, compactEvery = Int.MaxValue)
+    assert(moments(compacted) === moments(raw))
+    assert(raw.count() > compacted.count(),
+      "fixture produced no batch-boundary splits — compaction test is vacuous")
+  }
+
   test("st23's MV read on the real fixture equals the one-shot window") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.readEvents(spark, "/root/testdata/sf0.001")
