@@ -60,7 +60,40 @@ object DevScale {
     if (want("gates15c")) gates15cSection(spark)
     if (want("gates15d")) gates15dSection(spark)
     if (want("gates15e")) gates15eSection(spark)
+    if (want("gates16a")) gates16aSection(spark)
     spark.stop()
+  }
+
+  /** Round-16a: dq20 on a REPLICATED customer axis at ×1/×10/×100 —
+    * the g14c row ran it against the shared dir's un-replicated
+    * customer copy, so its ×100 row measured nothing (a gate row whose
+    * input doesn't grow is not a gate). This dir replicates customer
+    * ×mult with per-replica custkey offsets and a per-replica acctbal
+    * shift of 501 (one full band + 1), so the quasi-id groups keep the
+    * bounded (nation, segment) vocabulary while each group's row count
+    * AND its distinct sensitive-band set grow with mult — the honest
+    * countDistinct stress (partial-agg dedup cannot collapse replicas
+    * to the base vocabulary). */
+  private def gates16aSection(spark: SparkSession): Unit = {
+    Seq(1, 10, 100).foreach { mult =>
+      val dir = s"/tmp/graft_scale_g16a_x$mult"
+      if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+        val base = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        (0 until mult).map { i =>
+          base.select(
+            (col("c_custkey") + lit(i.toLong * 10000000L)).as("c_custkey"),
+            col("c_name"), col("c_nationkey"),
+            (col("c_acctbal") + lit(i * 501.0)).as("c_acctbal"),
+            col("c_mktsegment"))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      }
+      val fn = SparkEntry.queries("dq20_l_diversity")
+      Bench.exec(fn(spark, dir)) // warm
+      val t0 = System.nanoTime()
+      Bench.exec(fn(spark, dir))
+      println(f"[g16a] x$mult%-4d dq20_l_diversity           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
   }
 
   /** Round-15a: SeqFold + window wave at ×1/×10/×100. t29 rides the
@@ -130,14 +163,14 @@ object DevScale {
     gateQueries(spark, "g14b", Seq("t24_session_conversion",
       "t26_interarrival", "j17_scd2_point_in_time"))
 
-  /** Round-14c: DQ/incremental batch at ×1/×10/×100. dq20 rides the
-    * un-replicated customer table (gates the plan, not growth — two
-    * map-side-combined aggregates, trivially linear on a real
-    * dimension); dq21 rides the distinct (week, domain) frame (vocab ×
+  /** Round-14c: DQ/incremental batch at ×1/×10/×100. dq20's row here
+    * was vacuous (the shared dir's customer copy is un-replicated) and
+    * moved to [[gates16aSection]], which replicates the customer axis
+    * for real. dq21 rides the distinct (week, domain) frame (vocab ×
     * weeks bounded — expect scan-bound); u10 is three batch scans +
     * keyed 10-row folds (scan-bound; state flat). */
   private def gates14cSection(spark: SparkSession): Unit =
-    gateQueries(spark, "g14c", Seq("dq20_l_diversity",
+    gateQueries(spark, "g14c", Seq(
       "dq21_valueset_drift", "u10_incremental_psi"))
 
   /** Round-14d: stats/index/text batch at ×1/×10/×100. a34 — a33's

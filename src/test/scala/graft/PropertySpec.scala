@@ -437,4 +437,66 @@ class PropertySpec extends SparkSpec {
         s"closed-form EWMA drifted: got $got expected $expected n=${xs.size}")
     }
   }
+
+  test("quantile magnitude rule (t26): interpolation trees agree to round-6 at " +
+      "second magnitudes, diverge past it at micro magnitudes; " +
+      "weightedQuantiles is pinned to the vlo + f*(vhi-vlo) tree") {
+    // The rule behind t26's micros→seconds rescale: linear quantile
+    // interpolation has two algebraically-equal evaluation trees,
+    //   f1 = vlo + f·(vhi − vlo)      (this repo / Spark percentile)
+    //   f2 = vlo·(1 − f) + vhi·f      (the other common engine tree)
+    // whose results differ by a few ulps of the VALUE magnitude. At
+    // 1e11 (micro timestamps/gaps) ulp ≈ 1.6e-5, so the 6th decimal of
+    // a round(…,6) contract can flip between engines; at ≤1e5
+    // (seconds) ulp ≈ 1.6e-11 and round-6 is safe. Any future
+    // timestamp-quantile operator must divide to seconds BEFORE the
+    // quantile, not after — this pins both halves executably.
+    def f1(vlo: Double, vhi: Double, f: Double) = vlo + f * (vhi - vlo)
+    def f2(vlo: Double, vhi: Double, f: Double) = vlo * (1.0 - f) + vhi * f
+    val micsPairs = for {
+      base <- Gen.choose(1.0e11, 9.0e11)
+      gap <- Gen.choose(1.0, 1.0e7)
+      f <- Gen.choose(0.0, 1.0)
+    } yield (base, base + gap, f)
+    var microDivergences = 0
+    forAll(micsPairs, n = 400) { case (vlo, vhi, f) =>
+      val d = math.abs(f1(vlo, vhi, f) - f2(vlo, vhi, f))
+      assert(d <= 1.0e-3, s"trees drifted beyond the documented envelope: $d")
+      if (d > 5.0e-7) microDivergences += 1 // flips round(…,6)
+    }
+    assert(microDivergences > 0,
+      "no micro-magnitude case crossed round-6 — the hazard this rule exists for " +
+        "is no longer demonstrated; re-derive the rule before trusting it")
+    val secPairs = for {
+      base <- Gen.choose(0.0, 1.0e5)
+      gap <- Gen.choose(1.0e-6, 10.0)
+      f <- Gen.choose(0.0, 1.0)
+    } yield (base, base + gap, f)
+    forAll(secPairs, n = 400) { case (vlo, vhi, f) =>
+      assert(math.abs(f1(vlo, vhi, f) - f2(vlo, vhi, f)) <= 5.0e-7,
+        s"second-magnitude trees crossed round-6 at ($vlo, $vhi, $f)")
+    }
+    // and the PRODUCTION operator uses exactly f1 — bit-for-bit at both
+    // magnitudes — so a rewrite that silently changes the tree goes red
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (scale <- Seq(1.0, 1.0e6)) {
+      val vals = Seq(11L, 23L, 47L, 102L, 211L, 400L, 593L, 1201L)
+        .map(v => v * 97.0 * scale + 1.0e11 * (if (scale > 1) 1 else 0))
+      val df = vals.map(v => ("g", v, 1L)).toDF("g", "v", "w")
+      val got = graft.core.Relational
+        .weightedQuantiles(df, "g", "v", "w", ps = Seq(0.5, 0.9, 0.99))
+      val sorted = vals.sorted
+      def ref(p: Double): Double = {
+        val pos = p * (sorted.size - 1)
+        val lo = pos.toLong.toInt
+        val hi = math.ceil(pos).toLong.toInt
+        f1(sorted(lo), sorted(hi), pos - lo)
+      }
+      val r = got.select(col("q_0_5"), col("q_0_9"), col("q_0_99")).head()
+      assert(r.getDouble(0) === ref(0.5) && r.getDouble(1) === ref(0.9) &&
+        r.getDouble(2) === ref(0.99),
+        s"weightedQuantiles no longer evaluates the f1 tree at scale $scale")
+    }
+  }
 }
