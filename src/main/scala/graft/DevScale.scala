@@ -61,8 +61,25 @@ object DevScale {
     if (want("gates15d")) gates15dSection(spark)
     if (want("gates15e")) gates15eSection(spark)
     if (want("gates16a")) gates16aSection(spark)
+    if (want("gates16b")) gates16bSection(spark)
     spark.stop()
   }
+
+  /** Round-16b: new-operator wave at ×1/×10/×100 (g12b dirs — all four
+    * inputs replicate: documents for d18, events for t34/a38,
+    * embeddings for n27). d18 — one signature aggregation (the
+    * token-linear stage) + 4 banded equi self-joins from the SAME
+    * signatures + pair-bounded anti-join supersetship checks (d3's
+    * cost law, ×4 band layouts); t34 — one daily aggregate (scan-bound)
+    * + a per-type SeqFold over day-count rows (days×types ≪ events);
+    * a38 — one scan to the 5×24 cell grid + per-row p arithmetic +
+    * constant-partition windows over 120 rows (scan-bound, the BH
+    * frame is fixed by the test family, not the data); n27 — three
+    * seeded PQ builds (10k-capped driver k-means + one encode pass
+    * each) + one decode/MSE pass per m (vector-linear ×3). */
+  private def gates16bSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g16b", Seq("d18_lsh_band_sweep",
+      "t34_holt_winters", "a38_bh_fdr", "n27_pq_distortion_sweep"))
 
   /** Round-16a: dq20 on a REPLICATED customer axis at ×1/×10/×100 —
     * the g14c row ran it against the shared dir's un-replicated

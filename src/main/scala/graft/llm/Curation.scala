@@ -497,10 +497,22 @@ object Curation {
       tau: Double, budget: Long): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // share is QUANTIZED to DECIMAL(38,9) before any use (a27's
+    // ROUND(…,9) rule): pow is not correctly-rounded across libm
+    // implementations, and z = Σ share as a plain double sum is
+    // accumulation-order dependent — both feed FLOOR below, where a
+    // last-ulp difference flips a whole basis point (observed live:
+    // keep_bp 599 vs 600 at sf0.1, flaky run-to-run). Decimal-quantized
+    // shares make every input to the floor bit-identical across
+    // engines AND across partition orders (decimal sums are exact).
     val counts = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share", pow(col("n_docs"), tau))
-    val norm = counts.agg(sum(col("share")).as("z"))
+      .withColumn("share",
+        pow(col("n_docs"), tau).cast(org.apache.spark.sql.types.DecimalType(38, 9))
+          .cast("double"))
+    val norm = counts.agg(
+      sum(col("share").cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+        .cast("double").as("z"))
     // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels)
     counts.attachSingleton(norm)
       .withColumn("keep_bp", least(lit(10000L),

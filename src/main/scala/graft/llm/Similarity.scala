@@ -703,6 +703,51 @@ object Similarity {
     (encoded, books)
   }
 
+  /** Reconstruction-distortion audit of a PQ index (n27): decodes each
+    * vector's m byte codes against the broadcast codebooks and emits
+    * per-vector squared reconstruction error `mse`, plus `mse0` — the
+    * error of the degenerate all-zeros code assignment — whose only
+    * purpose is pinning the encoder's nearest-code property
+    * (mse ≤ mse0 for EVERY vector; a nearestCode regression flips it).
+    * One mapPartitions over the codes⋈corpus join; nothing leaves the
+    * executors but (id, two doubles). */
+  def pqDistortion(codes: DataFrame, books: Array[Array[Array[Double]]],
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val m = books.length
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, l2normalize(v)) })
+      .toDF("corpus_id", "cv")
+      .join(codes, "corpus_id")
+      .as[(Long, Array[Double], Array[Byte])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, v, cs) =>
+          var mse = 0.0; var mse0 = 0.0
+          var s = 0
+          while (s < m) {
+            val cent = bks(s)(cs(s).toInt)
+            val zero = bks(s)(0)
+            var j = 0
+            while (j < dsub) {
+              val x = v(s * dsub + j)
+              val dx = x - cent(j); mse += dx * dx
+              val d0 = x - zero(j); mse0 += d0 * d0
+              j += 1
+            }
+            s += 1
+          }
+          (id, mse, mse0)
+        }
+      }.toDF("corpus_id", "mse", "mse0")
+  }
+
   /** Probe half of [[pqTopK]] over an existing codes table — in-memory
     * or re-read from rest. `corpus` supplies the ORIGINAL vectors only
     * for the exact rerank of the (tiny) shortlist; the ADC scan itself

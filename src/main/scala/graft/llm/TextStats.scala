@@ -68,19 +68,35 @@ object TextStats {
     val tokLenScore = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.5)
     val stopScore = least(stopHits * 8.0 / greatest(nTok, lit(1.0)), lit(1.0))
     val alnumScore = alnum / greatest(nChars, lit(1.0))
-    round(lenScore * 0.35 + tokLenScore * 0.15 + stopScore * 0.2 + alnumScore * 0.3, 6)
+    // round6Bin, not round: the blend is a raw double ratio score, and
+    // Spark's repr-based round diverges from the oracle's binary ROUND
+    // exactly at shortest-repr ties (see Det.round6Bin — the r16 sf0.1
+    // sweep's x31 doc-2240 find)
+    graft.queries.Det.round6Bin(
+      lenScore * 0.35 + tokLenScore * 0.15 + stopScore * 0.2 + alnumScore * 0.3)
   }
 
   /** DuckDB twin of [[qualityScore]] (shared by the x3/x31 oracles):
-    * identical blend, engine-portable constructs only. */
+    * identical blend, engine-portable constructs only.
+    *
+    * Every term chain is anchored in DOUBLE with an explicit CAST —
+    * DuckDB types bare numeric literals as DECIMAL and keeps
+    * decimal×decimal arithmetic EXACT, where the JVM computes the same
+    * products in IEEE double (0.34375·0.35 is 0.1203125 exactly in
+    * decimal but 0.12031249999999999 in double). The blends then differ
+    * by one ulp, which is invisible until a document's score lands
+    * astride a round-6 boundary — found by the r16 sf0.1 full-Verify
+    * sweep (doc 2240: 0.520313 vs 0.520312). One double operand
+    * poisons the whole chain to double on DuckDB's side, making the op
+    * sequence bit-identical to Spark's. */
   def qualityScoreSql(textExpr: String = "text"): String = {
     val allMarkers = LangMarkers.flatMap(_._2).map(m => s"'$m'").mkString("(", ",", ")")
-    s"""LEAST(len(string_split($textExpr,' ')) / 64.0, 1.0) * 0.35
-       | + (CASE WHEN (length($textExpr) - (len(string_split($textExpr,' ')) - 1.0)) / len(string_split($textExpr,' '))
-       |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.15
-       | + LEAST(len(list_filter(string_split($textExpr,' '), t -> t IN $allMarkers)) * 8.0
+    s"""LEAST(CAST(len(string_split($textExpr,' ')) AS DOUBLE) / 64.0, 1.0) * 0.35
+       | + CAST(CASE WHEN (CAST(length($textExpr) AS DOUBLE) - (len(string_split($textExpr,' ')) - 1.0)) / len(string_split($textExpr,' '))
+       |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS DOUBLE) * 0.15
+       | + LEAST(CAST(len(list_filter(string_split($textExpr,' '), t -> t IN $allMarkers)) AS DOUBLE) * 8.0
        |      / GREATEST(len(string_split($textExpr,' ')), 1), 1.0) * 0.2
-       | + length(regexp_replace($textExpr, '[^A-Za-z0-9一-鿿]', '', 'g'))
+       | + CAST(length(regexp_replace($textExpr, '[^A-Za-z0-9一-鿿]', '', 'g')) AS DOUBLE)
        |      / GREATEST(length($textExpr), 1.0) * 0.3""".stripMargin
   }
 

@@ -1838,6 +1838,111 @@ object AggQueries {
            |FROM m
            |WHERE ${varOk("pre")} AND ${varOk("post")}
            |ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Benjamini–Hochberg FDR control over a family of m = 120 cell
+    // tests (the multiple-testing layer every screening query in this
+    // family eventually needs: a16/a32/a34 emit per-test statistics;
+    // running 120 of them at α=.05 "finds" 6 effects in pure noise —
+    // BH caps the expected false-discovery RATE instead). Tests:
+    // per (event_type, hour-of-day), is the cell over-represented
+    // among its type's events vs uniform 1/24? One-sided normal z on
+    // exact integer counts; the p-value is DEFINED BY the classical
+    // Abramowitz–Stegun 7.1.26 erfc polynomial (max abs err 1.5e-7 —
+    // far below the round-6 contract), spelled out identically on both
+    // engines because neither exposes erfc; EXP is the only
+    // transcendental (LN/EXP round-6 parity precedent: a27, x47, dq2).
+    // Everything is scan-bound: one aggregate to the 120-cell grid,
+    // per-row p arithmetic, then the BH step-up (sort p ascending,
+    // reject ranks ≤ max{k : p_(k) ≤ kα/m}) on the vocabulary-bounded
+    // frame via constant-partition windows (a31/dq19's tiny-frame
+    // class — the grid is 5×24 at ANY corpus size; ties broken by
+    // (p, event_type, hour) so the permutation is total on both
+    // engines). BH needs no driver collect and no per-test resort at
+    // scale: m is fixed by the test family, not the data.
+    Q("a38_bh_fdr",
+      (s, d) => {
+        val alpha = 0.05
+        // the fixture's hours are uniform (every p ≈ U[0,1]), so a real
+        // signal is PLANTED — purchase@hour-3 events are doubled (x21's
+        // pattern, replayed by the oracle) — to force the step-up
+        // branch to actually reject; without it kstar is NULL and the
+        // rejection path would hold vacuously
+        val ev0 = graft.core.Tables.readEvents(s, d)
+          .select(col("event_type"), col("ts"))
+        val planted = ev0.unionByName(ev0.where(
+          col("event_type") === "purchase" && hour(col("ts")) === 3))
+        val cells = planted
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n_obs"))
+        val totals = cells.groupBy(col("event_type"))
+          .agg(sum(col("n_obs")).as("n_type"))
+        val p0 = 1.0 / 24.0
+        val withZ = cells.join(totals, Seq("event_type"))
+          .withColumn("z",
+            (col("n_obs") - col("n_type") * lit(p0)) /
+              sqrt(col("n_type") * lit(p0) * lit(1.0 - p0)))
+        // erfc(x) for x ≥ 0 via A&S 7.1.26; upper-tail p = erfc(z/√2)/2,
+        // reflected for negative z (erfc(−x) = 2 − erfc(x))
+        def erfcPos(x: org.apache.spark.sql.Column) = {
+          val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+          (((((lit(1.061405429) * t - lit(1.453152027)) * t) + lit(1.421413741)) * t
+            - lit(0.284496736)) * t + lit(0.254829592)) * t * exp(-x * x)
+        }
+        val xa = abs(col("z")) / lit(math.sqrt(2.0))
+        val scored = withZ.withColumn("p",
+            round(when(col("z") >= 0, erfcPos(xa) / 2)
+              .otherwise(lit(1.0) - erfcPos(xa) / 2), 6))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        val wRank = wAll.orderBy(col("p"), col("event_type"), col("hr"))
+        val m = count(lit(1)).over(wAll)
+        val ranked = scored
+          .withColumn("bh_rank", row_number().over(wRank))
+          .withColumn("__ok",
+            col("p") <= col("bh_rank") * lit(alpha) / m)
+          .withColumn("__kstar",
+            max(when(col("__ok"), col("bh_rank"))).over(wAll))
+        ranked
+          .select(col("event_type"), col("hr"), col("n_obs"),
+            round(col("z"), 6).as("z"), col("p"), col("bh_rank"),
+            (col("__kstar").isNotNull && col("bh_rank") <= col("__kstar"))
+              .as("bh_reject"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, ts FROM events
+             |  UNION ALL
+             |  SELECT event_type, ts FROM events
+             |  WHERE event_type = 'purchase' AND EXTRACT(hour FROM ts) = 3),
+             |c AS (SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             |    COUNT(*) AS n_obs
+             |  FROM ev GROUP BY 1, 2),
+             |t AS (SELECT event_type, SUM(n_obs) AS n_type FROM c GROUP BY 1),
+             |z0 AS (SELECT c.event_type, hr, n_obs,
+             |    (n_obs - n_type * (1.0/24)) /
+             |      SQRT(n_type * (1.0/24) * (1 - 1.0/24)) AS z
+             |  FROM c JOIN t ON c.event_type = t.event_type),
+             |e AS (SELECT *, ABS(z) / SQRT(2.0) AS x,
+             |    1.0 / (1.0 + 0.3275911 * (ABS(z) / SQRT(2.0))) AS tt
+             |  FROM z0),
+             |pp AS (SELECT event_type, hr, n_obs, z,
+             |    ROUND(CASE WHEN z >= 0
+             |      THEN (((((1.061405429*tt - 1.453152027)*tt) + 1.421413741)*tt
+             |        - 0.284496736)*tt + 0.254829592)*tt * EXP(-x*x) / 2
+             |      ELSE 1.0 - (((((1.061405429*tt - 1.453152027)*tt) + 1.421413741)*tt
+             |        - 0.284496736)*tt + 0.254829592)*tt * EXP(-x*x) / 2
+             |      END, 6) AS p
+             |  FROM e),
+             |rk AS (SELECT *,
+             |    ROW_NUMBER() OVER (ORDER BY p, event_type, hr) AS bh_rank,
+             |    COUNT(*) OVER () AS m
+             |  FROM pp),
+             |ks AS (SELECT *,
+             |    MAX(CASE WHEN p <= bh_rank * 0.05 / m THEN bh_rank END)
+             |      OVER () AS kstar
+             |  FROM rk)
+             |SELECT event_type, hr, n_obs, ROUND(z, 6) AS z, p, bh_rank,
+             |  (kstar IS NOT NULL AND bh_rank <= kstar) AS bh_reject
+             |FROM ks ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -28,6 +28,22 @@ object Det {
   val Prec = 27
   val Scale = 6
 
+  /** Binary half-up 6-decimal round — DuckDB's ROUND(double, 6)
+    * semantics reproduced op-for-op (std::round(x·10⁶)/10⁶, half away
+    * from zero on the PRODUCT double; valid for the non-negative
+    * bounded-magnitude scores this is used on). Spark's own `round`
+    * rounds the value's SHORTEST DECIMAL REPR instead
+    * (BigDecimal(Double.toString)), so the two engines disagree
+    * exactly when a double's shortest repr lands on a …5 tie at the
+    * 7th significant decimal — found by the r16 sf0.1 full-Verify
+    * sweep (x31 doc 2240: quality repr '0.5203125', Spark .520313 vs
+    * DuckDB .520312; the binary value is BELOW the boundary). Rule:
+    * ratio/score doubles that feed a plain-ROUND oracle use THIS
+    * helper; decimal-exact aggregates keep `round` (a DECIMAL(…,6)
+    * value cannot tie at the 6th decimal). */
+  def round6Bin(c: Column): Column =
+    floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
+
   /** Exact sum of a double column: decimal-accumulate, emit double. */
   def sumExact(c: Column): Column =
     sum(c.cast(DecimalType(Prec, Scale))).cast(DoubleType)

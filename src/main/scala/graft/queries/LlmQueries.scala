@@ -391,6 +391,76 @@ object LlmQueries {
              |SELECT src_a, src_b, COUNT(*) AS n_pairs, src_a = src_b AS within_source
              |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // MinHash-LSH BAND-COUNT sweep (n26's serving-knob pattern brought
+    // to dedup: one signature build, candidates at bands ∈ {4,8,16,32}
+    // from the SAME k=64 signatures — recall vs candidate volume is THE
+    // cost/completeness trade an LSH dedup tier tunes). Absolute
+    // recalls are xxhash-dependent (d4's stance — no SQL twin), so the
+    // hashed contract is the sweep's exact STRUCTURE: (1) with k fixed,
+    // doubling the band count NESTS the slice boundaries (an r-long
+    // slice equality implies equality of both r/2 halves), so each
+    // level's candidate set is a SUPERSET of the previous level's —
+    // checked pair-for-pair with an anti join, which also forces
+    // recall non-decreasing; (2) identical-text pairs have identical
+    // signatures and collide in EVERY band, so the exact-dup pair set
+    // (SQL-recomputable via md5 self-join) must be fully candidate at
+    // even the cheapest level. The star-cap never fires at fixture
+    // bucket sizes (buckets ≪ 1024), so the nesting identity is exact.
+    // The fixture has no natural byte-identical docs, so 20 are PLANTED
+    // (x21's pattern, replayed identically by the oracle) — the
+    // exact-dup anchor must bite, not hold vacuously.
+    Q("d18_lsh_band_sweep",
+      (s, d) => {
+        val base = T(s, d, "documents")
+        val docs = base.unionByName(
+          base.where(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val bandsSeq = Seq(4, 8, 16, 32)
+        val k = 64
+        val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", w = 5, k = k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cands = bandsSeq.map { b =>
+            b -> Dedup.minHashCandidatesFromSigs(sigs, k, b)
+              .select(col("id_a"), col("id_b"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          }
+          try {
+            val exact = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("h"))
+              .join(docs.select(col("doc_id").as("id_b"), md5(col("text")).as("h")), "h")
+              .where(col("id_a") < col("id_b"))
+              .select("id_a", "id_b")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val nExact = exact.count()
+              val rows = cands.zipWithIndex.map { case ((b, c), i) =>
+                val missedFromPrev =
+                  if (i == 0) 0L
+                  else cands(i - 1)._2.join(c, Seq("id_a", "id_b"), "left_anti").count()
+                val exactMissed = exact.join(c, Seq("id_a", "id_b"), "left_anti").count()
+                (b, nExact, missedFromPrev == 0L, exactMissed == 0L)
+              }
+              val sdf = s; import sdf.implicits._
+              rows.toDF("bands", "n_exact_dups", "superset_of_prev",
+                  "exact_dups_all_candidate")
+                .orderBy(col("bands"))
+            } finally exact.unpersist(blocking = false)
+          } finally cands.foreach(_._2.unpersist(blocking = false))
+        } finally sigs.unpersist(blocking = false)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20),
+             |e AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b
+             |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+             |SELECT bands, (SELECT COUNT(*) FROM e) AS n_exact_dups,
+             |  TRUE AS superset_of_prev, TRUE AS exact_dups_all_candidate
+             |FROM (VALUES (4), (8), (16), (32)) AS t(bands)
+             |ORDER BY 1""".stripMargin)),
+
     Q("d6_dedup_resolve",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -3199,9 +3269,10 @@ object LlmQueries {
         .orderBy(col("domain")),
       Some("""WITH counts AS (
              |  SELECT source AS domain, COUNT(*) AS n_docs,
-             |    POW(COUNT(*), 0.7) AS share
+             |    CAST(CAST(POW(COUNT(*), 0.7) AS DECIMAL(38,9)) AS DOUBLE) AS share
              |  FROM documents GROUP BY 1),
-             |norm AS (SELECT SUM(share) AS z FROM counts),
+             |norm AS (SELECT CAST(SUM(CAST(share AS DECIMAL(38,9))) AS DOUBLE) AS z
+             |  FROM counts),
              |rates AS (
              |  SELECT domain, n_docs,
              |    LEAST(10000, CAST(FLOOR(10000.0 * 300 * share / z / n_docs) AS BIGINT))
@@ -3863,6 +3934,60 @@ object LlmQueries {
              |SELECT np.nprobe, t.n_truth,
              |  TRUE AS recall_nondecreasing, TRUE AS exact_at_full_probe
              |FROM (VALUES (1), (2), (4), (16)) AS np(nprobe) CROSS JOIN t
+             |ORDER BY 1""".stripMargin)),
+
+    // PQ sub-quantizer sweep (the THIRD serving knob after n25's filter
+    // selectivity and n26's probe depth: m trades bytes/vector against
+    // reconstruction distortion — the memory/fidelity curve a
+    // compressed-corpus tier sizes against its RAM budget). One corpus,
+    // three indexes at m ∈ {4,8,16} (dim 64 → 16/8/4-dim subspaces,
+    // 16/8/4 bytes per vector = 32×/64×/128× compression vs raw
+    // doubles). Absolute distortions are k-means-dependent (n2's
+    // stance — no SQL twin); the hashed contract is what IS exact:
+    // (1) the encoder's nearest-code property — every vector's
+    // reconstruction error ≤ the degenerate all-zeros assignment's
+    // (pqDistortion's mse0; a nearestCode regression flips it);
+    // (2) rebuild determinism — pqIndex re-run on the same corpus and
+    // seed yields byte-identical codes (the at-rest contract n7-n9
+    // lean on); (3) the observed distortion curve is non-increasing in
+    // m at this fixture (deterministic given the seeded build; the
+    // serving trade-off the sweep exists to expose — documented as
+    // fixture-envelope, n24's stance, since k-means local optima make
+    // it unprovable in general). bytes_per_vec and n_vectors are
+    // SQL-recomputable anchors.
+    Q("n27_pq_distortion_sweep",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val ms = Seq(4, 8, 16)
+        val rows = ms.map { m =>
+          val (codes, books) =
+            Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64, m = m)
+          val (codes2, _) =
+            Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64, m = m)
+          val dist = Similarity.pqDistortion(
+            codes, books, emb, "vec_id", "embedding", dim = 64)
+          val agg = dist.agg(count(lit(1)).as("n"),
+            sum(when(col("mse") <= col("mse0") + 1e-12, 0L).otherwise(1L))
+              .as("n_worse"),
+            sum(col("mse")).as("sum_mse")).head()
+          val rebuildSame = codes.as("a")
+            .join(codes2.as("b"), Seq("corpus_id"))
+            .where(not(col("a.codes") === col("b.codes"))).count() == 0L
+          (m, m, agg.getLong(0), agg.getLong(1) == 0L, rebuildSame,
+            agg.getDouble(2) / agg.getLong(0))
+        }
+        val sdf = s; import sdf.implicits._
+        rows.zipWithIndex.map { case ((m, bpv, n, opt, rb, avg), i) =>
+          (m, bpv, n, opt, rb, i == 0 || avg <= rows(i - 1)._6)
+        }.toDF("m", "bytes_per_vec", "n_vectors", "nearest_optimal",
+            "rebuild_identical", "distortion_nonincreasing")
+          .orderBy(col("m"))
+      },
+      Some("""SELECT m, m AS bytes_per_vec,
+             |  (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+             |  TRUE AS nearest_optimal, TRUE AS rebuild_identical,
+             |  TRUE AS distortion_nonincreasing
+             |FROM (VALUES (4), (8), (16)) AS t(m)
              |ORDER BY 1""".stripMargin)),
 
     // Collocation mining (adjacent WORD-bigram LIFT — the statistical

@@ -2184,6 +2184,84 @@ object WindowQueries {
              |  FROM km JOIN dd ON dd.rn = km.rn + 1)
              |SELECT dur AS duration_hours, n_risk AS n_at_risk,
              |  d AS n_deaths, ROUND(s, 6) AS km_survival
-             |FROM km ORDER BY 1""".stripMargin))
+             |FROM km ORDER BY 1""".stripMargin)),
+
+    // Holt-Winters ADDITIVE seasonal smoothing over the per-type daily
+    // series (t27's Holt + a rotating length-7 seasonal register —
+    // proving SeqFold's O(1)-per-key contract extends to O(period)
+    // fixed-width state, still independent of the key's event count).
+    // Recurrence (α=0.3, β=0.1, γ=0.2, m=7, positional seasons over
+    // OBSERVED days — gaps advance the register by position, a
+    // documented convention, not calendar-filled):
+    //   l' = α(x − s_old) + (1−α)(l + b)
+    //   b' = β(l' − l) + (1−β)b
+    //   s' = γ(x − l − b) + (1−γ)s_old ; register = tail ++ [s']
+    // seeded l=x₁, b=0, s=0⁷ (the uniform t27-style convention both
+    // engines replay verbatim). Keys are event types — SeqFold wants a
+    // long key, so the ≤5-value vocabulary gets a dense rank from
+    // withGlobalRank (mirrored by DENSE_RANK in the oracle) and maps
+    // back after the fold via a broadcast-sized join. Daily x is a
+    // decimal-exact sum cast to double; every step is the identical
+    // IEEE op sequence on both engines (oracle: recursive CTE carrying
+    // the seasonal register as a DOUBLE list). Forecast = l + b + head
+    // of the rotated register (the next day's seasonal slot).
+    Q("t34_holt_winters",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sumExact(col("value")).as("x"))
+        val vocab = graft.core.Relational.withGlobalRank(
+            daily.select(col("event_type")).distinct(),
+            Seq(col("event_type")), "k", "__tot")
+          .select(col("event_type"), col("k"))
+        val keyed = daily.join(broadcast(vocab), Seq("event_type"))
+        val ev = graft.core.SeqFold.keyedEvents(keyed,
+          col("k"), unix_micros(col("day")), lit(0L), col("x"))
+        val m = 7
+        def step(st: (Double, Double, Vector[Double]), x: Double) = {
+          val (l, b, sv) = st
+          val sOld = sv.head
+          val lN = 0.3 * (x - sOld) + 0.7 * (l + b)
+          val bN = 0.1 * (lN - l) + 0.9 * b
+          val sN = 0.2 * (x - l - b) + 0.8 * sOld
+          (lN, bN, sv.tail :+ sN)
+        }
+        graft.core.SeqFold.foldVec(ev)(
+            e => (e.v, 0.0, Vector.fill(m)(0.0)))(
+            (st, e) => step(st, e.v))(
+            (_, n, st) =>
+              if (n >= 2) Some(Array(st._1 + st._2 + st._3.head)) else None)
+          .join(broadcast(vocab), Seq("k"))
+          .select(col("event_type"), col("n").as("n_days"),
+            round(col("out").getItem(0), 6).as("hw_forecast"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH RECURSIVE d0 AS MATERIALIZED (
+             |  SELECT event_type, date_trunc('day', ts) AS day,
+             |    ${sumExactSql("value")} AS x
+             |  FROM events GROUP BY 1, 2),
+             |e AS MATERIALIZED (SELECT
+             |    DENSE_RANK() OVER (ORDER BY event_type) AS k, event_type, x,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |  FROM d0),
+             |mx AS (SELECT event_type, MAX(rn) AS n FROM e GROUP BY 1
+             |  HAVING MAX(rn) >= 2),
+             |seed AS (SELECT event_type, 1 AS rn, CAST(x AS DOUBLE) AS l,
+             |    CAST(0 AS DOUBLE) AS b,
+             |    [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0] AS s
+             |  FROM e WHERE rn = 1),
+             |r AS (
+             |  SELECT * FROM seed
+             |  UNION ALL
+             |  SELECT e.event_type, e.rn,
+             |    0.3*(e.x - r.s[1]) + 0.7*(r.l + r.b),
+             |    0.1*((0.3*(e.x - r.s[1]) + 0.7*(r.l + r.b)) - r.l) + 0.9*r.b,
+             |    r.s[2:] || [0.2*(e.x - r.l - r.b) + 0.8*r.s[1]]
+             |  FROM r JOIN e ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+             |SELECT m.event_type, m.n AS n_days,
+             |  ROUND(r.l + r.b + r.s[1], 6) AS hw_forecast
+             |FROM mx m JOIN r ON r.event_type = m.event_type AND r.rn = m.n
+             |ORDER BY 1""".stripMargin))
   )
 }
