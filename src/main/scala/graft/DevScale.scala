@@ -76,10 +76,13 @@ object DevScale {
     * constant-partition windows over 120 rows (scan-bound, the BH
     * frame is fixed by the test family, not the data); n27 — three
     * seeded PQ builds (10k-capped driver k-means + one encode pass
-    * each) + one decode/MSE pass per m (vector-linear ×3). */
+    * each) + one decode/MSE pass per m (vector-linear ×3); t35 — one
+    * scan to the ≤168-cell grid per type, term folds on the cell
+    * frame (scan-bound). */
   private def gates16bSection(spark: SparkSession): Unit =
     gateQueries(spark, "g16b", Seq("d18_lsh_band_sweep",
-      "t34_holt_winters", "a38_bh_fdr", "n27_pq_distortion_sweep"))
+      "t34_holt_winters", "a38_bh_fdr", "n27_pq_distortion_sweep",
+      "t35_seasonal_strength"))
 
   /** Round-16a: dq20 on a REPLICATED customer axis at ×1/×10/×100 —
     * the g14c row ran it against the shared dir's un-replicated

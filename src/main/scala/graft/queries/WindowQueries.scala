@@ -2262,6 +2262,69 @@ object WindowQueries {
              |SELECT m.event_type, m.n AS n_days,
              |  ROUND(r.l + r.b + r.s[1], 6) AS hw_forecast
              |FROM mx m JOIN r ON r.event_type = m.event_type AND r.rn = m.n
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Seasonal STRENGTH per series (Hyndman's STL strength measure as
+    // one-way ANOVA R² over the (dow, hour) factor: 1 − SSE_within/SST.
+    // t14 profiles the seasonal means, t23 alarms on deviations from
+    // them; this one answers whether the seasonal factor EXPLAINS the
+    // series at all — the go/no-go input for t34's seasonal register
+    // vs t27's plain Holt). Everything is one scan to the ≤168-cell
+    // grid per type: per-cell decimal-exact moments; the per-cell SSE
+    // terms fold via ROUND(…,9) → DECIMAL quantization (a27/a31's
+    // order-free trick — an engine-ordered double sum over cells would
+    // not hash-match); global moments re-aggregate the per-cell
+    // DECIMALS (exact, order-free). Final ratio through Det.round6Bin
+    // (the x31 repr-tie rule for ratio scores). */
+    Q("t35_seasonal_strength",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(27, 6)
+        val ev = events(s, d).select(col("event_type"),
+          expr("weekday(ts)").cast("int").as("dow"),
+          hour(col("ts")).as("hr"), col("value"))
+        val cells = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+          .agg(count(col("value")).as("n_c"),
+            sum(col("value").cast(dec)).as("sxd"),
+            sum((col("value") * col("value")).cast(dec)).as("sxxd"))
+        val per = cells
+          .withColumn("sse_t",
+            round(col("sxxd").cast("double")
+              - col("sxd").cast("double") * col("sxd").cast("double")
+                / col("n_c").cast("double"), 9)
+              .cast(DecimalType(27, 9)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n_c")).as("n_events"), count(lit(1)).as("n_cells"),
+            sum(col("sse_t")).cast("double").as("sse"),
+            sum(col("sxd")).cast("double").as("sx"),
+            sum(col("sxxd")).cast("double").as("sxx"))
+        val sst = col("sxx") - col("sx") * col("sx") / col("n_events").cast("double")
+        per.where(sst > 0)
+          .select(col("event_type"), col("n_events"), col("n_cells"),
+            graft.queries.Det.round6Bin(
+              greatest(lit(0.0), lit(1.0) - col("sse") / sst))
+              .as("seasonal_strength"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow,
+             |    EXTRACT(hour FROM ts) AS hr,
+             |    COUNT(value) AS n_c,
+             |    SUM(CAST(value AS DECIMAL(27,6))) AS sxd,
+             |    SUM(CAST(value*value AS DECIMAL(27,6))) AS sxxd
+             |  FROM events GROUP BY 1, 2, 3),
+             |per AS (
+             |  SELECT event_type, CAST(SUM(n_c) AS BIGINT) AS n_events,
+             |    COUNT(*) AS n_cells,
+             |    CAST(SUM(CAST(ROUND(CAST(sxxd AS DOUBLE)
+             |      - CAST(sxd AS DOUBLE)*CAST(sxd AS DOUBLE)/CAST(n_c AS DOUBLE), 9)
+             |      AS DECIMAL(27,9))) AS DOUBLE) AS sse,
+             |    CAST(SUM(sxd) AS DOUBLE) AS sx,
+             |    CAST(SUM(sxxd) AS DOUBLE) AS sxx
+             |  FROM cells GROUP BY 1)
+             |SELECT event_type, n_events, n_cells,
+             |  ROUND(GREATEST(0, 1.0 - sse / (sxx - sx*sx/n_events)), 6)
+             |    AS seasonal_strength
+             |FROM per WHERE sxx - sx*sx/n_events > 0 ORDER BY 1""".stripMargin))
   )
 }
