@@ -297,23 +297,18 @@ object Dedup {
     * sizes ≪ cap) produce byte-identical output. */
   val DefaultMaxBucket = 1024L
 
-  private[graft] def minHashCandidatesFromSigs(
+  /** Candidate PAIR SET only — the banded self-join without the
+    * signature attach. d18's band sweep consumes just the pairs, so
+    * the two est_jaccard attach joins would be pure waste ×4 layouts;
+    * [[minHashCandidatesFromSigs]] wraps this with the attach. The
+    * censused band frame feeds three pair branches — persist +
+    * finally-unpersist so it computes once and releases
+    * deterministically; the pair result localCheckpoints (eager,
+    * pair-set-sized) so it stays valid after the unpersist. */
+  private[graft] def minHashCandidatePairs(
       sigs: DataFrame, k: Int, bands: Int,
       maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    // Shuffle hygiene (mirrors cosinePairsLsh and the incremental-probe
-    // fix): the band self-join moves SLIM (id, band, band_hash) rows —
-    // the k-long signature arrays attach to the (far smaller) surviving
-    // DEDUPED pair set afterwards, instead of riding every banded row
-    // ×bands through the exchange. The signature frame feeds the banding
-    // and both attach sides, and the censused band frame feeds three
-    // pair branches — both compute ONCE (the 64-min signature aggregate
-    // is the expensive stage; re-executing it per branch was most of
-    // d3's bench time). persist + finally-unpersist (NOT localCheckpoint,
-    // whose blocks only free on driver GC): the pair result is eagerly
-    // materialized below, so every consumer of the cached frames runs
-    // inside the try and the blocks release deterministically.
-    val sigsM = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedSignatures(sigsM, k, bands).select("id", "band", "band_hash")
+    val banded = bandedSignatures(sigs, k, bands).select("id", "band", "band_hash")
     val sized = banded.join(
       banded.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("m"), min(col("id")).as("rep")),
@@ -330,19 +325,37 @@ object Dedup {
       // star pairs: rep < id by construction (rep is the bucket min)
       val starPairs = big.where(col("id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("id").as("id_b"))
-      val cands = allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
-      cands
+      allPairs.union(starPairs).dropDuplicates("id_a", "id_b")
+        .localCheckpoint(true) // eager: pair-set-sized, valid after unpersist
+    } finally sized.unpersist(blocking = false)
+  }
+
+  private[graft] def minHashCandidatesFromSigs(
+      sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    // Shuffle hygiene (mirrors cosinePairsLsh and the incremental-probe
+    // fix): the band self-join moves SLIM (id, band, band_hash) rows —
+    // the k-long signature arrays attach to the (far smaller) surviving
+    // DEDUPED pair set afterwards, instead of riding every banded row
+    // ×bands through the exchange. The signature frame feeds the banding
+    // and both attach sides (the 64-min signature aggregate is the
+    // expensive stage; re-executing it per consumer was most of d3's
+    // bench time) — persist + finally-unpersist (NOT localCheckpoint,
+    // whose blocks only free on driver GC): the pair set is eagerly
+    // materialized inside [[minHashCandidatePairs]], so every consumer
+    // of the cached frame runs inside the try and the blocks release
+    // deterministically.
+    val sigsM = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      minHashCandidatePairs(sigsM, k, bands, maxBucket)
         .join(sigsM.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sigsM.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .withColumn("est_jaccard",
           size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
             .cast("double") / k)
         .select("id_a", "id_b", "est_jaccard")
-        .localCheckpoint(true) // eager: pair-set-sized, valid after unpersist
-    } finally {
-      sized.unpersist(blocking = false)
-      sigsM.unpersist(blocking = false)
-    }
+        .localCheckpoint(true)
+    } finally sigsM.unpersist(blocking = false)
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates verified with exact

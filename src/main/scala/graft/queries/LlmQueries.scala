@@ -421,8 +421,9 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val cands = bandsSeq.map { b =>
-            b -> Dedup.minHashCandidatesFromSigs(sigs, k, b)
-              .select(col("id_a"), col("id_b"))
+            // pairs-only path: the sweep never reads est_jaccard, so the
+            // two signature-attach joins would be pure waste ×4 layouts
+            b -> Dedup.minHashCandidatePairs(sigs, k, b)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           }
           try {
