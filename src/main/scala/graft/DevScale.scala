@@ -62,6 +62,7 @@ object DevScale {
     if (want("gates15e")) gates15eSection(spark)
     if (want("gates16a")) gates16aSection(spark)
     if (want("gates16b")) gates16bSection(spark)
+    if (want("gates16c")) gates16cSection(spark)
     spark.stop()
   }
 
@@ -83,6 +84,15 @@ object DevScale {
     gateQueries(spark, "g16b", Seq("d18_lsh_band_sweep",
       "t34_holt_winters", "a38_bh_fdr", "n27_pq_distortion_sweep",
       "t35_seasonal_strength"))
+
+  /** Round-16c: second new-operator wave at ×1/×10/×100. a39 — one
+    * map-side-combined scan to 5 integers (scan-bound by construction);
+    * u13 — three per-batch keyed latest windows + the pairwise
+    * latestWins folds (per-key rows = the key's change cadence; the
+    * resurrection probe is one key-keyed join on the tombstone set). */
+  private def gates16cSection(spark: SparkSession): Unit =
+    gateQueries(spark, "g16c", Seq("a39_cochran_armitage",
+      "u13_cdc_tombstones"))
 
   /** Round-16a: dq20 on a REPLICATED customer axis at ×1/×10/×100 —
     * the g14c row ran it against the shared dir's un-replicated

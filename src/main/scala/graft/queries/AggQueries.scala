@@ -1943,6 +1943,56 @@ object AggQueries {
              |  FROM rk)
              |SELECT event_type, hr, n_obs, ROUND(z, 6) AS z, p, bh_rank,
              |  (kstar IS NOT NULL AND bh_rank <= kstar) AS bh_reject
-             |FROM ks ORDER BY 1, 2""".stripMargin))
+             |FROM ks ORDER BY 1, 2""".stripMargin)),
+
+    // Cochran–Armitage trend test (the ORDERED-categories member of the
+    // association family: a36 measures nominal association, this one
+    // tests for a monotone trend in a binary rate across ordered levels
+    // — priority 1-URGENT…5-LOW vs the F-status rate). The whole test
+    // reduces to FIVE integer row-sums (N, X, Σsᵢ over rows, Σsᵢ² over
+    // rows, Σsᵢ·[F]) — integer aggregation is order-free and exact on
+    // both engines, so the closed form T = Sx − X·Sn/N,
+    // VarT = (X/N)(1−X/N)(Snn − Sn²/N), z = T/√VarT is a deterministic
+    // double chain over bit-identical inputs. One scan, map-side
+    // combined; no per-level frame at all. z ≠ 0 at the fixture (the
+    // priority×status grid is not flat), so the statistic bites.
+    Q("a39_cochran_armitage",
+      (s, d) => {
+        val o = T(s, d, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+        val agg = o.agg(count(lit(1)).as("n"), sum(col("f")).as("x"),
+          sum(col("sc")).as("sn"), sum(col("sc") * col("sc")).as("snn"),
+          sum(col("sc") * col("f")).as("sx"))
+        val nD = col("n").cast("double"); val xD = col("x").cast("double")
+        val pbar = xD / nD
+        val t = col("sx").cast("double") - pbar * col("sn").cast("double")
+        val varT = pbar * (lit(1.0) - pbar) *
+          (col("snn").cast("double")
+            - col("sn").cast("double") * col("sn").cast("double") / nD)
+        agg.select(col("n").as("n_total"), col("x").as("n_f"),
+            round(t, 6).as("t_stat"),
+            round(t / sqrt(varT), 6).as("z"))
+      },
+      Some("""WITH r AS (SELECT
+             |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+             |  FROM orders),
+             |a AS (SELECT COUNT(*) AS n, CAST(SUM(f) AS BIGINT) AS x,
+             |    CAST(SUM(sc) AS BIGINT) AS sn, CAST(SUM(sc*sc) AS BIGINT) AS snn,
+             |    CAST(SUM(sc*f) AS BIGINT) AS sx
+             |  FROM r)
+             |SELECT n AS n_total, x AS n_f,
+             |  ROUND(CAST(sx AS DOUBLE)
+             |    - (CAST(x AS DOUBLE)/CAST(n AS DOUBLE)) * CAST(sn AS DOUBLE), 6)
+             |    AS t_stat,
+             |  ROUND((CAST(sx AS DOUBLE)
+             |    - (CAST(x AS DOUBLE)/CAST(n AS DOUBLE)) * CAST(sn AS DOUBLE))
+             |   / SQRT((CAST(x AS DOUBLE)/CAST(n AS DOUBLE))
+             |     * (1.0 - CAST(x AS DOUBLE)/CAST(n AS DOUBLE))
+             |     * (CAST(snn AS DOUBLE)
+             |       - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE))), 6)
+             |    AS z
+             |FROM a""".stripMargin))
   )
 }

@@ -2671,6 +2671,75 @@ object RelationalQueries {
               |    AS prune_ratio
               |FROM c, a""".stripMargin)),
 
+    // CDC key-latest MV with DELETE records (the tombstone-retention
+    // lesson every log-compacted consumer relearns: u1/u5 maintain
+    // upsert state, this one adds the 'd' op — and the fold must KEEP
+    // tombstone rows in intermediate state, because dropping a delete
+    // eagerly lets an OLDER insert arriving in a later batch resurrect
+    // the key with stale data). Feed: events as a change log — key =
+    // user_id, LSN = event_id (the log's total order), op = delete on
+    // event_id % 7 = 0; batches interleaved by lsn % 3, so late-
+    // arriving older records are guaranteed. Fold = Merge.latestWins
+    // per batch with the deleted flag RETAINED; tombstones filter only
+    // at the read. The in-query require pins fold ≡ one-shot row-for-
+    // row, and n_eager_resurrected COUNTS the keys the naive eager-drop
+    // fold would wrongly revive (replayed independently by the oracle:
+    // global-latest is a delete ∧ an older record lives in a later-
+    // processed batch) — nonzero at the fixture, so the lesson bites.
+    Q("u13_cdc_tombstones",
+      (s, d) => {
+        val feed = graft.core.Tables.readEvents(s, d)
+          .select(col("user_id").as("k"), col("event_id").as("lsn"),
+            (pmod(col("event_id"), lit(7)) === 0).as("del"))
+        val batches = Seq(0, 1, 2).map(b =>
+          feed.where(pmod(col("lsn"), lit(3)) === b))
+        def latestOf(df: DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("lsn").desc)
+          df.withColumn("__rk", row_number().over(w))
+            .where(col("__rk") === 1).drop("__rk")
+        }
+        // tombstone-retaining fold: deletedCol = None keeps 'd' rows
+        val folded = batches.tail.foldLeft(latestOf(batches.head))(
+          (st, b) => graft.core.Merge.latestWins(st, latestOf(b), "k", "lsn"))
+          .localCheckpoint(true)
+        val oneShot = latestOf(feed)
+        val mismatches = folded.select("k", "lsn", "del")
+          .join(oneShot.select("k", "lsn", "del"), Seq("k", "lsn", "del"), "full_outer")
+          .count() - oneShot.count()
+        require(mismatches == 0L,
+          s"tombstone-retaining fold diverged from one-shot by $mismatches rows")
+        // keys the EAGER-drop fold would resurrect: global latest is a
+        // delete, and some older record sits in a later-processed batch
+        val res = oneShot.where(col("del")).select(col("k"), col("lsn").as("dlsn"))
+          .join(feed.select(col("k"), col("lsn")), Seq("k"))
+          .where(pmod(col("lsn"), lit(3)) > pmod(col("dlsn"), lit(3))
+            && col("lsn") < col("dlsn"))
+          .select("k").distinct().count()
+        folded.agg(count(lit(1)).as("n_keys"),
+            Det.countIf(!col("del")).as("n_live"),
+            Det.countIf(col("del")).as("n_tombstoned"))
+          .select(col("n_keys"), col("n_live"), col("n_tombstoned"),
+            lit(res).as("n_eager_resurrected"), lit(true).as("fold_equals_one_shot"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT user_id AS k, event_id AS lsn,
+             |    (event_id % 7 = 0) AS del
+             |  FROM events),
+             |latest AS (
+             |  SELECT k, lsn, del FROM feed
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY lsn DESC) = 1),
+             |res AS (
+             |  SELECT DISTINCT l.k
+             |  FROM latest l JOIN feed f ON f.k = l.k
+             |  WHERE l.del AND f.lsn % 3 > l.lsn % 3 AND f.lsn < l.lsn)
+             |SELECT COUNT(*) AS n_keys,
+             |  CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+             |  CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+             |  (SELECT COUNT(*) FROM res) AS n_eager_resurrected,
+             |  TRUE AS fold_equals_one_shot
+             |FROM latest""".stripMargin)),
+
     // Sequence/timestamp consistency audit (is the event_id ingest
     // order actually time order per user? — the out-of-order-delivery
     // gate every watermark choice depends on): adjacent pairs under the

@@ -108,6 +108,53 @@ class DrawdownFoldSpec extends SparkSpec {
       "fixture produced no batch-boundary splits — compaction test is vacuous")
   }
 
+  test("compaction is exact under RANDOM batch orders (incremental fold + compact each step)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic series: 3 users interleaved over ids 0..299, values from
+    // the spec's own generator; 5 chunks of 60 ids, folded in several
+    // permutations with compaction after EVERY batch — the strongest
+    // cadence, hitting every partial-coverage shape the order produces
+    val rows = (0L until 300L).map(i =>
+      (i, i % 3, ((i * 48271 + 11) % 9973).toDouble / 7.0))
+    val oneShot: Map[Long, (Long, Double, Double)] = rows.groupBy(_._2).map {
+      case (u, rs) =>
+        val xs = rs.sortBy(_._1).map(_._3)
+        val sm = summarize(xs)
+        u -> ((xs.size.toLong, sm.dd, sm.mx))
+    }
+    val chunks = rows.grouped(60).toSeq // contiguous id ranges, like the source
+    def summarizeChunk(c: Seq[(Long, Long, Double)]) = {
+      val byUser = c.groupBy(_._2)
+      byUser.toSeq.map { case (u, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val sm = summarize(sorted.map(_._3))
+        (u, sorted.head._1 / 1000L, sorted.head._1, sorted.last._1,
+          sorted.size.toLong, sorted.map(_._3).min, sorted.map(_._3).max, sm.dd)
+      }
+    }
+    val orders = Seq(
+      Seq(0, 1, 2, 3, 4), Seq(4, 3, 2, 1, 0), Seq(0, 2, 4, 1, 3),
+      Seq(2, 0, 4, 3, 1), Seq(3, 1, 4, 0, 2))
+    for (order <- orders) {
+      var state = Seq.empty[(Long, Long, Long, Long, Long, Double, Double, Double)]
+        .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd")
+      for (ci <- order) {
+        val c = chunks(ci)
+        val sentinel = Seq((-1L, -1L, c.map(_._1).min, c.map(_._1).max,
+          0L, 0.0, 0.0, 0.0))
+        state = graft.streaming.EventStream.compactDrawdownState(spark,
+          state.unionByName((summarizeChunk(c) ++ sentinel)
+            .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd")))
+      }
+      val got = readDrawdown(state.where(col("user_id") >= 0L))
+      assert(got === oneShot, s"order $order diverged from the one-shot answer")
+      // and with FULL coverage at the end, state is fully compacted
+      assert(state.where(col("user_id") >= 0L).count() === 3L,
+        s"order $order left uncompacted runs under full coverage")
+    }
+  }
+
   test("compaction never merges across an UNPROVEN gap, and merges once the hole fills") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
