@@ -92,7 +92,7 @@ object DevScale {
     * resurrection probe is one key-keyed join on the tombstone set). */
   private def gates16cSection(spark: SparkSession): Unit =
     gateQueries(spark, "g16c", Seq("a39_cochran_armitage",
-      "u13_cdc_tombstones"))
+      "u13_cdc_tombstones", "x55_padding_waste"))
 
   /** Round-16a: dq20 on a REPLICATED customer axis at ×1/×10/×100 —
     * the g14c row ran it against the shared dir's un-replicated

@@ -2231,6 +2231,87 @@ object LlmQueries {
     // overflow the budget; close when the pack fills) replayed row-by-row
     // as a DuckDB recursive CTE carrying (pack, next-pack, next-used) —
     // same technique as d6's recursive-CTE connected components.
+    // Padding-waste audit of micro-batch composition (the training-
+    // efficiency number behind length-bucketed batching: a batch pads
+    // every sequence to its longest member, so arrival-order batching
+    // burns compute on pad tokens; sorting by length first is the
+    // classic fix. x7 PACKS docs into fixed budgets — this one measures
+    // the padding cost of NOT packing, under both orders, which is the
+    // decision input for whether packing/bucketing is worth its
+    // shuffle). Batches of 8, lengths capped at 128 (the truncation
+    // rule a fixed-context trainer applies). Ranks come from
+    // withGlobalRank (distributed, order-consistent — never a global
+    // row window over the data); everything is INTEGER until the one
+    // final ratio per order. waste(sorted) ≤ waste(arrival) is a
+    // theorem (sorting minimizes per-batch max−len spread), checked as
+    // a column rather than trusted.
+    Q("x55_padding_waste",
+      (s, d) => {
+        val B = 8
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"),
+            least(size(split(col("text"), " ")), lit(128)).cast("long").as("len"))
+        def waste(ordered: DataFrame, kind: String) = {
+          val batched = ordered
+            .withColumn("batch", expr(s"(rk - 1) div $B"))
+            .groupBy(col("batch"))
+            .agg(count(lit(1)).as("n"), sum(col("len")).as("toks"),
+              max(col("len")).as("mx"))
+          batched.agg(
+              lit(kind).as("order_kind"),
+              count(lit(1)).as("n_batches"),
+              sum(col("toks")).as("real_tokens"),
+              sum(col("n") * col("mx")).as("padded_tokens"))
+            .select(col("order_kind"), col("n_batches"), col("real_tokens"),
+              col("padded_tokens"),
+              graft.queries.Det.round6Bin(lit(1.0)
+                - col("real_tokens").cast("double")
+                / col("padded_tokens").cast("double")).as("waste_ratio"))
+        }
+        val arrival = waste(graft.core.Relational.withGlobalRank(
+          docs, Seq(col("doc_id")), "rk", "__tot"), "arrival")
+        val bucketed = waste(graft.core.Relational.withGlobalRank(
+          docs, Seq(col("len"), col("doc_id")), "rk", "__tot"), "length_sorted")
+        arrival.unionByName(bucketed)
+          .withColumn("sorted_no_worse",
+            min(when(col("order_kind") === "length_sorted",
+              col("padded_tokens"))).over(
+                org.apache.spark.sql.expressions.Window.partitionBy(lit(0)))
+              <= max(when(col("order_kind") === "arrival",
+                col("padded_tokens"))).over(
+                  org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+          .orderBy(col("order_kind"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    LEAST(len(string_split(text, ' ')), 128) AS len
+             |  FROM documents),
+             |a AS (SELECT len,
+             |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+             |  FROM docs),
+             |s AS (SELECT len,
+             |    (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+             |  FROM docs),
+             |wa AS (SELECT 'arrival' AS order_kind, COUNT(*) AS n_batches,
+             |    CAST(SUM(toks) AS BIGINT) AS real_tokens,
+             |    CAST(SUM(n * mx) AS BIGINT) AS padded_tokens
+             |  FROM (SELECT batch, COUNT(*) AS n, SUM(len) AS toks,
+             |      MAX(len) AS mx FROM a GROUP BY 1)),
+             |ws AS (SELECT 'length_sorted' AS order_kind, COUNT(*) AS n_batches,
+             |    CAST(SUM(toks) AS BIGINT) AS real_tokens,
+             |    CAST(SUM(n * mx) AS BIGINT) AS padded_tokens
+             |  FROM (SELECT batch, COUNT(*) AS n, SUM(len) AS toks,
+             |      MAX(len) AS mx FROM s GROUP BY 1)),
+             |u AS (SELECT * FROM wa UNION ALL SELECT * FROM ws)
+             |SELECT order_kind, n_batches, real_tokens, padded_tokens,
+             |  ROUND(1.0 - CAST(real_tokens AS DOUBLE)
+             |    / CAST(padded_tokens AS DOUBLE), 6) AS waste_ratio,
+             |  (SELECT MIN(CASE WHEN order_kind = 'length_sorted'
+             |      THEN padded_tokens END) FROM u)
+             |    <= (SELECT MAX(CASE WHEN order_kind = 'arrival'
+             |      THEN padded_tokens END) FROM u) AS sorted_no_worse
+             |FROM u ORDER BY 1""".stripMargin)),
+
     Q("x7_pack_sequences",
       (s, d) => {
         val docs = T(s, d, "documents")
