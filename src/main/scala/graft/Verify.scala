@@ -28,9 +28,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ANSI-mode sweep axis: Spark 4's DEFAULT is ansi.enabled=true, so
+    // the gate has ALWAYS run ANSI-on (r15's t23 sf0.001 crash was a
+    // live ANSI DIVIDE_BY_ZERO — proof the mode is active). The knob
+    // exists for the OPPOSITE sweep: SPARK_GRAFT_ANSI=false re-runs the
+    // surface under legacy silent-null arithmetic, catching any query
+    // whose RESULT (not just error behavior) depends on the mode.
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -497,27 +497,33 @@ object Curation {
       tau: Double, budget: Long): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    // share is QUANTIZED to DECIMAL(38,9) before any use (a27's
-    // ROUND(…,9) rule): pow is not correctly-rounded across libm
-    // implementations, and z = Σ share as a plain double sum is
-    // accumulation-order dependent — both feed FLOOR below, where a
-    // last-ulp difference flips a whole basis point (observed live:
-    // keep_bp 599 vs 600 at sf0.1, flaky run-to-run). Decimal-quantized
-    // shares make every input to the floor bit-identical across
-    // engines AND across partition orders (decimal sums are exact).
+    // share is QUANTIZED to an INTEGER count of ninths — floor(x·1e9 +
+    // 0.5) as BIGINT — before any use: pow is not correctly-rounded
+    // across libm implementations, and z = Σ share as a plain double
+    // sum is accumulation-order dependent — both feed FLOOR below,
+    // where a last-ulp difference flips a whole basis point (observed
+    // live: keep_bp 599 vs 600 at sf0.1, flaky run-to-run). An earlier
+    // fix quantized via CAST(… AS DECIMAL(38,9)), but double→decimal
+    // CAST itself diverges on shortest-repr ties (Spark HALF_UP on the
+    // repr vs DuckDB rounding the binary value — the Det.round6Bin
+    // class, relocated to the 9th decimal); the explicit binary rule
+    // has no repr step at all. Integer shares make the sum exact and
+    // order-free, and the downstream chain is one identical IEEE
+    // double sequence on both engines. Residual contract (documented,
+    // same as the decimal version's): n_docs^τ must stay below ~9e6 so
+    // x·1e9 is exact in a double — a DOMAIN count, not a row count, so
+    // safe at any corpus size for τ ≤ 1 and sane domain cardinality.
     val counts = docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share",
-        pow(col("n_docs"), tau).cast(org.apache.spark.sql.types.DecimalType(38, 9))
-          .cast("double"))
-    val norm = counts.agg(
-      sum(col("share").cast(org.apache.spark.sql.types.DecimalType(38, 9)))
-        .cast("double").as("z"))
-    // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels)
+      .withColumn("share9",
+        floor(pow(col("n_docs"), tau) * lit(1.0e9) + lit(0.5)).cast("long"))
+    val norm = counts.agg(sum(col("share9")).as("z9"))
+    // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels);
+    // share9/z9 is the same ratio — the 1e-9 grid factor cancels too
     counts.attachSingleton(norm)
       .withColumn("keep_bp", least(lit(10000L),
-        floor(lit(10000.0) * lit(budget.toDouble) * col("share") / col("z")
-          / col("n_docs"))).cast("long"))
+        floor(lit(10000.0) * lit(budget.toDouble) * col("share9").cast("double")
+          / col("z9").cast("double") / col("n_docs"))).cast("long"))
       .select(col("domain"), col("n_docs"), col("keep_bp"))
   }
 

@@ -1890,9 +1890,14 @@ object AggQueries {
             - lit(0.284496736)) * t + lit(0.254829592)) * t * exp(-x * x)
         }
         val xa = abs(col("z")) / lit(math.sqrt(2.0))
+        // p is a raw-double score feeding a plain-ROUND oracle (and the
+        // BH rejection compare below — a repr-tie here flips bh_reject,
+        // not just a display digit), so it takes Det.round6Bin, the
+        // binary half-up round; p ∈ [0,1] satisfies its non-negative
+        // contract. Same rule sign-aware for z below.
         val scored = withZ.withColumn("p",
-            round(when(col("z") >= 0, erfcPos(xa) / 2)
-              .otherwise(lit(1.0) - erfcPos(xa) / 2), 6))
+            Det.round6Bin(when(col("z") >= 0, erfcPos(xa) / 2)
+              .otherwise(lit(1.0) - erfcPos(xa) / 2)))
         val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
         val wRank = wAll.orderBy(col("p"), col("event_type"), col("hr"))
         val m = count(lit(1)).over(wAll)
@@ -1904,7 +1909,7 @@ object AggQueries {
             max(when(col("__ok"), col("bh_rank"))).over(wAll))
         ranked
           .select(col("event_type"), col("hr"), col("n_obs"),
-            round(col("z"), 6).as("z"), col("p"), col("bh_rank"),
+            Det.round6BinSigned(col("z")).as("z"), col("p"), col("bh_rank"),
             (col("__kstar").isNotNull && col("bh_rank") <= col("__kstar"))
               .as("bh_reject"))
           .orderBy(col("event_type"), col("hr"))
@@ -1938,8 +1943,8 @@ object AggQueries {
              |    COUNT(*) OVER () AS m
              |  FROM pp),
              |ks AS (SELECT *,
-             |    MAX(CASE WHEN p <= bh_rank * 0.05 / m THEN bh_rank END)
-             |      OVER () AS kstar
+             |    MAX(CASE WHEN p <= CAST(bh_rank AS DOUBLE) * 0.05 / m
+             |      THEN bh_rank END) OVER () AS kstar
              |  FROM rk)
              |SELECT event_type, hr, n_obs, ROUND(z, 6) AS z, p, bh_rank,
              |  (kstar IS NOT NULL AND bh_rank <= kstar) AS bh_reject
@@ -1970,9 +1975,11 @@ object AggQueries {
         val varT = pbar * (lit(1.0) - pbar) *
           (col("snn").cast("double")
             - col("sn").cast("double") * col("sn").cast("double") / nD)
+        // t and z are signed raw-double statistics vs a plain-ROUND
+        // oracle → sign-aware binary round (the repr-tie rule).
         agg.select(col("n").as("n_total"), col("x").as("n_f"),
-            round(t, 6).as("t_stat"),
-            round(t / sqrt(varT), 6).as("z"))
+            Det.round6BinSigned(t).as("t_stat"),
+            Det.round6BinSigned(t / sqrt(varT)).as("z"))
       },
       Some("""WITH r AS (SELECT
              |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS sc,

@@ -44,6 +44,17 @@ object Det {
   def round6Bin(c: Column): Column =
     floor(c * lit(1.0e6) + lit(0.5)).cast(DoubleType) / lit(1.0e6)
 
+  /** Sign-aware sibling of [[round6Bin]] for SIGNED statistics (z, t):
+    * `floor(x·10⁶+0.5)` is half-away-from-zero only for x ≥ 0 (on a
+    * negative tie it rounds toward +∞), so signed values route through
+    * |x| and reattach the sign by multiplication. `signum` (not a
+    * `when`) so that a negative value rounding to zero yields −0.0 —
+    * exactly what DuckDB's ROUND emits there (verified:
+    * ROUND(-1e-7::DOUBLE, 6) → -0.0); sign-multiplication is IEEE-exact,
+    * so nonzero magnitudes are bit-identical to round6Bin's. */
+  def round6BinSigned(c: Column): Column =
+    round6Bin(abs(c)) * signum(c)
+
   /** Exact sum of a double column: decimal-accumulate, emit double. */
   def sumExact(c: Column): Column =
     sum(c.cast(DecimalType(Prec, Scale))).cast(DoubleType)

@@ -3351,14 +3351,13 @@ object LlmQueries {
         .orderBy(col("domain")),
       Some("""WITH counts AS (
              |  SELECT source AS domain, COUNT(*) AS n_docs,
-             |    CAST(CAST(POW(COUNT(*), 0.7) AS DECIMAL(38,9)) AS DOUBLE) AS share
+             |    CAST(FLOOR(POW(COUNT(*), 0.7) * 1e9 + 0.5) AS BIGINT) AS share9
              |  FROM documents GROUP BY 1),
-             |norm AS (SELECT CAST(SUM(CAST(share AS DECIMAL(38,9))) AS DOUBLE) AS z
-             |  FROM counts),
+             |norm AS (SELECT SUM(share9) AS z9 FROM counts),
              |rates AS (
              |  SELECT domain, n_docs,
-             |    LEAST(10000, CAST(FLOOR(10000.0 * 300 * share / z / n_docs) AS BIGINT))
-             |      AS keep_bp
+             |    LEAST(10000, CAST(FLOOR(10000.0 * 300 * CAST(share9 AS DOUBLE)
+             |      / CAST(z9 AS DOUBLE) / n_docs) AS BIGINT)) AS keep_bp
              |  FROM counts CROSS JOIN norm),
              |kept AS (
              |  SELECT d.source AS domain, COUNT(*) AS n_kept

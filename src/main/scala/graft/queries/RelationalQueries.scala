@@ -2704,11 +2704,19 @@ object RelationalQueries {
           (st, b) => graft.core.Merge.latestWins(st, latestOf(b), "k", "lsn"))
           .localCheckpoint(true)
         val oneShot = latestOf(feed)
-        val mismatches = folded.select("k", "lsn", "del")
+        // two-sided row-for-row check: the full_outer-minus-one-side
+        // arithmetic alone counts only |folded ∖ oneShot| — a fold that
+        // silently DROPS rows (e.g. eagerly filtering tombstones) would
+        // pass it with mismatches == 0. Asserting equal cardinality as
+        // well makes union == |oneShot| == |folded| ⇒ set equality.
+        val nFolded = folded.count()
+        val nOneShot = oneShot.count()
+        val nUnion = folded.select("k", "lsn", "del")
           .join(oneShot.select("k", "lsn", "del"), Seq("k", "lsn", "del"), "full_outer")
-          .count() - oneShot.count()
-        require(mismatches == 0L,
-          s"tombstone-retaining fold diverged from one-shot by $mismatches rows")
+          .count()
+        require(nFolded == nOneShot && nUnion == nOneShot,
+          s"tombstone-retaining fold diverged from one-shot: " +
+            s"folded=$nFolded oneShot=$nOneShot union=$nUnion")
         // keys the EAGER-drop fold would resurrect: global latest is a
         // delete, and some older record sits in a later-processed batch
         val res = oneShot.where(col("del")).select(col("k"), col("lsn").as("dlsn"))

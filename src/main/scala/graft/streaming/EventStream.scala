@@ -42,20 +42,30 @@ object EventStream {
   val ReplayPartitionsKey = "spark.graft.streaming.replayPartitions"
 
   /** Test-only micro-batch PLAN probe (StreamingPlanShapeSpec): when
-    * non-null, every `foreachBatch` runner offers the physical plan of
-    * its per-batch derived frame (the fold output in [[foldMvReplay]],
-    * the pair/index frames in IngestStream) before writing it. This is
-    * the only window where the micro-batch join shapes are visible —
-    * the DECLARED frame of a streaming query is just a scan of the
-    * replay's output, so the batch-side BNLJ/Cartesian audit must hook
-    * here. Null in production: one volatile read per micro-batch. */
+    * non-null, every `foreachBatch` runner offers its per-batch derived
+    * frame (the fold output in [[foldMvReplay]], the pair/index frames
+    * in IngestStream) before writing it — the spec reads BOTH the
+    * physical plan (BNLJ/Cartesian audit) and the analyzed logical plan
+    * (the unbounded collect-buffer audit, GroupArrayGuard's walk). This
+    * is the only window where the micro-batch shapes are visible — the
+    * DECLARED frame of a streaming query is just a scan of the replay's
+    * output, so the batch-side audits must hook here. Null in
+    * production: one volatile read per micro-batch. */
   private[graft] val batchPlanProbe = new java.util.concurrent.atomic.AtomicReference[
-    org.apache.spark.sql.execution.SparkPlan => Unit](null)
+    DataFrame => Unit](null)
 
   private[graft] def probeBatchPlan(df: DataFrame): Unit = {
     val f = batchPlanProbe.get()
-    if (f != null) f(df.queryExecution.sparkPlan)
+    if (f != null) f(df)
   }
+
+  /** Width of the event_id slices the st23/st24 MV folds summarize by
+    * (seg = event_id div SliceWidth). ONE definition shared by the two
+    * folds AND the two compactors' seg reassignment — the compacted
+    * row's seg must be recomputed under the same width the fold keys
+    * by, so a width change in one place must not silently desync the
+    * other (previously a literal 1000 in four places). */
+  private[graft] val SliceWidth = 1000L
 
   /** Bounded-replay sizing: each stateful operator commits one state
     * store per shuffle partition per micro-batch, so a replay over ~1e5
@@ -700,20 +710,27 @@ object EventStream {
     * Sentinels are re-merged into O(in-flight holes) rows, which is
     * what turns state growth from O(stream age) into O(users ×
     * in-flight gaps). If coverage is too fragmented to inline as a
-    * predicate (> 64 intervals), the cycle is skipped — compaction is
-    * an optimization and must never be wrong. */
+    * predicate (> 64 intervals), the ROW merge is skipped — compaction
+    * is an optimization and must never be wrong — but the sentinels are
+    * STILL replaced by the merged coverage (already computed), so the
+    * sentinel partition stays O(in-flight holes) even on a perpetually
+    * fragmented stream; before this, each skipped cycle left one
+    * sentinel per micro-batch accumulating until the mergeIntervals cap
+    * killed the replay (the O(stream age) growth this compactor exists
+    * to remove, recreated on its own skip path). */
   private[graft] def compactDrawdownState(spark: SparkSession,
-      state: DataFrame): DataFrame = {
+      state: DataFrame, width: Long = SliceWidth): DataFrame = {
     val sent = state.where(col("user_id") === -1L)
     val rows = state.where(col("user_id") >= 0L)
     val cov = mergeIntervals(sent.select(col("lo"), col("hi"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    if (cov.isEmpty || cov.size > 64) return state
+    if (cov.isEmpty) return state
     val s = spark; import s.implicits._
     val sentinel = cov.toDF("lo", "hi").select(
       lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"), col("hi"),
       lit(0L).as("cnt"), lit(0.0).as("mn"), lit(0.0).as("mx"),
       lit(0.0).as("dd"))
+    if (cov.size > 64) return rows.unionByName(sentinel)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("run")).orderBy(col("lo"))
     val merged = markMergeRuns(rows, cov)
@@ -726,7 +743,7 @@ object EventStream {
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
         sum(col("cnt")).as("cnt"), min(col("mn")).as("mn"),
         max(col("mx")).as("mx"), max(col("ddc")).as("dd"))
-      .select(col("user_id"), expr("lo div 1000").as("seg"), col("lo"),
+      .select(col("user_id"), expr(s"lo div $width").as("seg"), col("lo"),
         col("hi"), col("cnt"), col("mn"), col("mx"), col("dd"))
     merged.unionByName(sentinel)
   }
@@ -739,7 +756,7 @@ object EventStream {
     * different (exact, commutative) addition order: compacted reads
     * bit-equal to uncompacted. */
   private[graft] def compactAutocorrState(spark: SparkSession,
-      state: DataFrame): DataFrame = {
+      state: DataFrame, width: Long = SliceWidth): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(37, 6)
     val zero = lit(0).cast(dec)
@@ -747,13 +764,16 @@ object EventStream {
     val rows = state.where(col("user_id") >= 0L)
     val cov = mergeIntervals(sent.select(col("lo"), col("hi"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    if (cov.isEmpty || cov.size > 64) return state
+    if (cov.isEmpty) return state
     val s = spark; import s.implicits._
     val sentinel = cov.toDF("lo", "hi").select(
       lit(-1L).as("user_id"), lit(-1L).as("seg"), col("lo"), col("hi"),
       lit(0L).as("cnt"), lit(0.0).as("firstv"), lit(0.0).as("lastv"),
       lit(0L).as("np"), zero.as("sx"), zero.as("sy"), zero.as("sxx"),
       zero.as("syy"), zero.as("sxy"))
+    // fragmented coverage (> 64 intervals): skip the row merge but
+    // still collapse the sentinels — see compactDrawdownState
+    if (cov.size > 64) return rows.unionByName(sentinel)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("run")).orderBy(col("lo"))
     val wrd = org.apache.spark.sql.expressions.Window
@@ -779,7 +799,7 @@ object EventStream {
           .cast(dec).as("syy"),
         (sum(col("sxy")) + coalesce(sum((col("pl") * col("firstv"))
           .cast(dec)), zero)).cast(dec).as("sxy"))
-      .select(col("user_id"), expr("lo div 1000").as("seg"), col("lo"),
+      .select(col("user_id"), expr(s"lo div $width").as("seg"), col("lo"),
         col("hi"), col("cnt"), col("firstv"), col("lastv"), col("np"),
         col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
     merged.unionByName(sentinel)
@@ -819,7 +839,8 @@ object EventStream {
     * same dd identity as the read, so compacted state reads bit-equal
     * (DrawdownFoldSpec pins it, including the unproven-gap trap). */
   def runDrawdownMvOnce(spark: SparkSession, path: String,
-      nChunks: Int = 4, compactEvery: Int = 2): DataFrame = {
+      nChunks: Int = 4, compactEvery: Int = 2,
+      sliceWidth: Long = SliceWidth): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_ddmv")
     val srcDir = work.resolve("src").toString
     val srcSchema = StructType(Seq(
@@ -839,7 +860,7 @@ object EventStream {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("seg")).orderBy(col("event_id"))
         .rowsBetween(Long.MinValue, 0L)
-      df.withColumn("seg", expr("event_id div 1000"))
+      df.withColumn("seg", expr(s"event_id div $sliceWidth"))
         .withColumn("runpeak", max(col("value")).over(w))
         .groupBy(col("user_id"), col("seg"))
         .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
@@ -858,7 +879,7 @@ object EventStream {
       val partial = summarize(batch).unionByName(sentinel)
       val st = prev.fold(partial)(p => p.unionByName(partial))
       if (folds.incrementAndGet() % compactEvery == 0)
-        compactDrawdownState(spark, st)
+        compactDrawdownState(spark, st, sliceWidth)
       else st
     }.where(col("user_id") >= 0L)
   }
@@ -882,7 +903,8 @@ object EventStream {
     * boundaries contribute the identical decimal pair terms the read
     * would reconstruct, so compacted reads bit-equal to uncompacted. */
   def runAutocorrMvOnce(spark: SparkSession, path: String,
-      nChunks: Int = 4, compactEvery: Int = 2): DataFrame = {
+      nChunks: Int = 4, compactEvery: Int = 2,
+      sliceWidth: Long = SliceWidth): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(27, 6)
     val work = java.nio.file.Files.createTempDirectory("graft_stream_acmv")
@@ -902,7 +924,7 @@ object EventStream {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("seg")).orderBy(col("event_id"))
       val zero = lit(0).cast(DecimalType(37, 6))
-      df.withColumn("seg", expr("event_id div 1000"))
+      df.withColumn("seg", expr(s"event_id div $sliceWidth"))
         .withColumn("prev", lag(col("value"), 1).over(w))
         .withColumn("rk", row_number().over(w))
         .withColumn("rkd", row_number().over(
@@ -937,7 +959,7 @@ object EventStream {
       val partial = summarize(batch).unionByName(sentinel)
       val st = prev.fold(partial)(p => p.unionByName(partial))
       if (folds.incrementAndGet() % compactEvery == 0)
-        compactAutocorrState(spark, st)
+        compactAutocorrState(spark, st, sliceWidth)
       else st
     }.where(col("user_id") >= 0L)
   }

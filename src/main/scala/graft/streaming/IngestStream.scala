@@ -39,6 +39,20 @@ object IngestStream {
   def runNearDupIngestOnce(spark: SparkSession, docsPath: String, nChunks: Int = 3,
       w: Int = 5, k: Int = 64, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_neardup_ingest")
+    val out = runNearDupIngestAt(spark, work, docsPath, nChunks, w, k, bands, minJaccard)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** [[runNearDupIngestOnce]] against a CALLER-OWNED work dir, left on
+    * disk afterwards — the crash-recovery spec plants a garbage
+    * index generation there before the replay and inspects the rolled
+    * index after it (StreamingSpec's planted-crash pattern). */
+  private[graft] def runNearDupIngestAt(spark: SparkSession,
+      work: java.nio.file.Path, docsPath: String, nChunks: Int = 3,
+      w: Int = 5, k: Int = 64, bands: Int = 32, minJaccard: Double = 0.5): DataFrame = {
     val srcDir = work.resolve("src").toString
     val pairsDir = work.resolve("pairs").toString
     val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
@@ -84,14 +98,10 @@ object IngestStream {
       .start()
     q.awaitTermination()
     require(maxGen >= 2, s"near-dup ingest replay must run multiple micro-batches, ran $maxGen")
-    val out = spark.read.parquet(pairsDir)
+    spark.read.parquet(pairsDir)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
   }
 
   /** The rolling-ingestion loop for the EMBEDDING near-dup index — the
@@ -112,6 +122,19 @@ object IngestStream {
       minCos: Double = 0.45, dim: Int = 64,
       nPlanes: Int = 16, nBands: Int = 8): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_embed_ingest")
+    val out = runEmbedIngestAt(spark, work, embPath, nChunks, minCos, dim, nPlanes, nBands)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** [[runEmbedIngestOnce]] against a caller-owned work dir (see
+    * [[runNearDupIngestAt]]). */
+  private[graft] def runEmbedIngestAt(spark: SparkSession,
+      work: java.nio.file.Path, embPath: String, nChunks: Int = 3,
+      minCos: Double = 0.45, dim: Int = 64,
+      nPlanes: Int = 16, nBands: Int = 8): DataFrame = {
     val srcDir = work.resolve("src").toString
     val pairsDir = work.resolve("pairs").toString
     val emb = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
@@ -144,13 +167,9 @@ object IngestStream {
       .start()
     q.awaitTermination()
     require(maxGen >= 2, s"embed ingest replay must run multiple micro-batches, ran $maxGen")
-    val out = spark.read.parquet(pairsDir)
+    spark.read.parquet(pairsDir)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverseIterator
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
   }
 }

@@ -192,6 +192,62 @@ class DrawdownFoldSpec extends SparkSpec {
     assert(sent.toSeq === Seq((0L, 299L)))
   }
 
+  test("fragmented coverage (>64 intervals) still re-merges sentinels — " +
+      "state stays O(in-flight holes), not O(stream age)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 66 permanently-separated coverage islands (always > the 64-interval
+    // inlining cap, so EVERY cycle takes the row-merge skip path), each
+    // fed by 2 abutting chunks → 132 micro-batches total. Before the
+    // skip-path fix, each skipped cycle left its sentinel row unmerged:
+    // 132 sentinel rows, growing one per batch forever until the
+    // mergeIntervals 100k require killed the replay. After it, the
+    // sentinels are collapsed to the merged coverage every cycle — 66
+    // rows, the in-flight hole structure, regardless of batch count.
+    val islands = 66
+    var state = Seq.empty[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd")
+    for (r <- 0 until 2; j <- 0 until islands) {
+      val lo = j * 1000L + r * 10L
+      val hi = lo + 9L
+      val batch = Seq(
+        (7L, lo / 1000L, lo, hi, 10L, 1.0, 2.0, 0.5),
+        (-1L, -1L, lo, hi, 0L, 0.0, 0.0, 0.0))
+        .toDF("user_id", "seg", "lo", "hi", "cnt", "mn", "mx", "dd")
+      state = graft.streaming.EventStream
+        .compactDrawdownState(spark, state.unionByName(batch))
+        .localCheckpoint(true) // the replay's per-generation parquet write
+    }
+    val sentinels = state.where(col("user_id") === -1L).count()
+    assert(sentinels === islands.toLong,
+      s"$sentinels sentinel rows after 132 fragmented batches — the skip " +
+        "path no longer re-merges coverage (O(stream age) growth is back)")
+    // and the skip path must not have TOUCHED the data rows: with the
+    // row merge skipped every cycle, all 132 per-chunk summaries survive
+    assert(state.where(col("user_id") >= 0L).count() === 2L * islands,
+      "row merge ran despite fragmented coverage — the >64-interval cap is gone")
+  }
+
+  test("MV built at a NON-DEFAULT slice width reads bit-equal compacted vs uncompacted") {
+    import org.apache.spark.sql.functions._
+    // the fold keys summaries by seg = event_id div width and the
+    // compactor REASSIGNS seg = lo div width after a merge — one shared
+    // width definition (EventStream.SliceWidth, threaded through both);
+    // this case pins that a non-default width keeps them in sync (a
+    // drifted literal would mis-key compacted rows and corrupt the read)
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val compacted = graft.streaming.EventStream
+      .runDrawdownMvOnce(spark, path, nChunks = 4, compactEvery = 1, sliceWidth = 128L)
+    val raw = graft.streaming.EventStream
+      .runDrawdownMvOnce(spark, path, nChunks = 4, compactEvery = Int.MaxValue, sliceWidth = 128L)
+    assert(readDrawdown(compacted) === readDrawdown(raw))
+    assert(raw.count() > compacted.count(),
+      "width-128 replay produced no batch-boundary splits — the case is vacuous")
+    // the compacted rows' seg keying matches the non-default width
+    val bad = compacted.where(col("seg") =!= expr("lo div 128")).count()
+    assert(bad === 0L, "compacted rows keyed by a different slice width than the fold's")
+  }
+
   test("compacted autocorr MV state reads to identical decimal moments") {
     import org.apache.spark.sql.functions._
     val path = "/root/testdata/sf0.001/events.parquet"

@@ -1,9 +1,103 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{CurrentRow, Expression, Literal, RowFrame, SpecifiedWindowFrame, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, CurrentRow, Expression, Literal, RowFrame, SpecifiedWindowFrame, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan, Project, Union, Window => LogicalWindow}
 import org.apache.spark.sql.functions._
+
+/** The plan walk behind [[GroupArrayGuardSpec]], factored out so
+  * StreamingPlanShapeSpec can run the SAME audit over the captured
+  * micro-batch logical plans (the streaming side of the t18/t27 class —
+  * most dangerous exactly where state accumulates across batches). */
+object GroupArrayGuard {
+
+  private def isCollect(e: Expression): Boolean = e.exists {
+    case _: CollectList => true
+    case _: CollectSet => true
+    case _ => false
+  }
+
+  /** Attributes the collect functions inside `e` actually consume. */
+  private def collectInputs(e: Expression): AttributeSet =
+    AttributeSet(e.collect {
+      case c: CollectList => c.references
+      case c: CollectSet => c.references
+    }.flatten)
+
+  /** Row-bounded on both ends: a RowFrame whose bounds are literal
+    * offsets or CurrentRow — buffer size is a plan-time constant. */
+  private def rowBounded(frame: Expression): Boolean = frame match {
+    case SpecifiedWindowFrame(RowFrame, lo, hi) =>
+      def ok(b: Expression): Boolean = b match {
+        case CurrentRow => true
+        case Literal(_, _) => true
+        case _ => false
+      }
+      ok(lo) && ok(hi)
+    case _ => false
+  }
+
+  /** True iff EVERY lineage path of `attrs` passes through an Aggregate
+    * below `plan` — i.e. the collected values are group-count-scale,
+    * not row-scale. The walk follows only the children that PRODUCE the
+    * attributes (remapping through Project aliases, window expressions,
+    * generators, and Union's positional output), so an Aggregate parked
+    * on the OTHER side of a join no longer launders a row-scale collect
+    * past the guard (the r16 exemption matched an Aggregate anywhere in
+    * the child subtree — a hot-key collect over an unaggregated probe
+    * side escaped whenever any aggregated frame happened to be joined
+    * in). Unknown producers fall through to `false` = flagged:
+    * conservative in the safe direction. */
+  private def lineageAggregated(plan: LogicalPlan, attrs: AttributeSet): Boolean =
+    plan match {
+      case _ if attrs.isEmpty =>
+        // collect of a constant still buffers one element per input row
+        false
+      case _: Aggregate => true
+      case p: Project =>
+        val mapped = AttributeSet(p.projectList.collect {
+          case a: Alias if attrs.contains(a.toAttribute) => a.child.references
+          case ne if attrs.contains(ne.toAttribute) => AttributeSet(ne.toAttribute)
+        }.flatten)
+        lineageAggregated(p.child, mapped)
+      case w: LogicalWindow =>
+        val winOut = AttributeSet(w.windowExpressions.map(_.toAttribute))
+        val fromWin = AttributeSet(w.windowExpressions
+          .filter(ne => attrs.contains(ne.toAttribute)).flatMap(_.references))
+        lineageAggregated(w.child, (attrs -- winOut) ++ fromWin)
+      case g: Generate =>
+        val genOut = AttributeSet(g.generatorOutput)
+        val mapped =
+          if (attrs.intersect(genOut).nonEmpty)
+            (attrs -- g.generatorOutput) ++ g.generator.references
+          else attrs
+        lineageAggregated(g.child, mapped)
+      case u: Union =>
+        // positional lineage: output attr i ↔ each child's output attr i
+        val idx = u.output.zipWithIndex.collect {
+          case (a, i) if attrs.contains(a) => i
+        }
+        u.children.forall(c => lineageAggregated(c, AttributeSet(idx.map(c.output))))
+      case other =>
+        val kids = other.children.filter(c => attrs.intersect(c.outputSet).nonEmpty)
+        kids.nonEmpty &&
+          kids.forall(c => lineageAggregated(c, attrs.intersect(c.outputSet)))
+    }
+
+  /** (kind, detail) for every banned shape in the plan. */
+  def offenders(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(isCollect) =>
+        val inputs = AttributeSet(a.aggregateExpressions.map(collectInputs).flatten)
+        if (lineageAggregated(a.child, inputs)) Seq.empty
+        else Seq(s"collect aggregate over unaggregated input (groups=${a.groupingExpressions.size})")
+      case w: LogicalWindow =>
+        w.windowExpressions.flatMap(_.collect {
+          case WindowExpression(f, spec) if isCollect(f) && !rowBounded(spec.frameSpecification) =>
+            s"collect window with non-row-bounded frame ${spec.frameSpecification.sql}"
+        })
+    }.flatten
+}
 
 /** Structural guard for the unbounded-group-array OOM class (the shape
   * that produced t18 AND t27 before their SeqFold rewrites): a
@@ -17,12 +111,14 @@ import org.apache.spark.sql.functions._
   * sortWithinPartitions + streaming run-walk, O(1) per-key state).
   *
   * This spec (the PercentileGuard pattern, third application) walks every
-  * declared query's OPTIMIZED logical plan and fails on:
+  * declared query's OPTIMIZED logical plan via [[GroupArrayGuard]] and
+  * fails on:
   *
-  *   1. any CollectList/CollectSet AGGREGATE whose input is not already
-  *      an aggregated frame (an Aggregate in the child subtree means the
-  *      buffer holds group-count-scale data, not row-scale data), unless
-  *      the query is allowlisted with a written justification; and
+  *   1. any CollectList/CollectSet AGGREGATE whose collected attributes'
+  *      LINEAGE does not pass through an Aggregate (an Aggregate on the
+  *      collected column's own producing path means the buffer holds
+  *      group-count-scale data, not row-scale data), unless the query is
+  *      allowlisted with a written justification; and
   *   2. any CollectList/CollectSet WINDOW function whose frame is not
   *      row-bounded on BOTH ends — `rowsBetween(-k, +m)` with literal
   *      offsets caps the buffer at k+m+1 rows regardless of partition
@@ -39,6 +135,7 @@ import org.apache.spark.sql.functions._
   * point of the guard is that the third recurrence of the t18/t27 class
   * becomes a red test, not a judge finding. */
 class GroupArrayGuardSpec extends SparkSpec {
+  import GroupArrayGuard.offenders
 
   /** Per-document reassembly sites: group key = doc id, collected rows =
     * that document's OWN lines/chunks (a decomposition of a single
@@ -47,50 +144,21 @@ class GroupArrayGuardSpec extends SparkSpec {
   private val allow: Map[String, String] = Map(
     "d9_chunk_dedup" -> "per-doc chunk reassembly (Dedup.chunkDedup) — group = one doc's own chunks",
     "x21_line_dedup" -> "per-doc line reassembly (Curation.dedupLines) — group = one doc's own lines",
-    "x24_quality_trim" -> "per-doc line reassembly (Curation.qualityTrim) — group = one doc's own lines")
-  // x25_boilerplate is the same per-doc reassembly class
-  // (Curation.removeBoilerplate) but needs no entry: its anti-join's
-  // build side carries the minDocs boilerplate Aggregate, so the walk's
-  // conservative already-aggregated rule passes it on its own.
+    "x24_quality_trim" -> "per-doc line reassembly (Curation.qualityTrim) — group = one doc's own lines",
+    // r16's subtree rule passed x25 without an entry because its
+    // anti-join BUILD side carries the minDocs Aggregate — but the
+    // COLLECTED lines are the unaggregated probe side, i.e. exactly the
+    // join-laundered shape the lineage walk now sees through. The
+    // collect is still safe for the per-doc reason above, so it moves
+    // to the allowlist instead of silently riding the exemption.
+    "x25_boilerplate" -> "per-doc line reassembly (Curation.removeBoilerplate) — group = one doc's own lines")
 
   // Streaming queries replay real micro-batch streams inside their
   // constructors (seconds each) and their DECLARED frames are scans of
   // the stream's output — excluded for suite-time, not for safety; the
-  // replayed batch plans are audited by StreamingPlanShapeSpec.
+  // replayed batch plans are audited by StreamingPlanShapeSpec, which
+  // runs THIS walk over every captured micro-batch plan.
   private def walkable(name: String): Boolean = !name.startsWith("st")
-
-  private def isCollect(e: Expression): Boolean = e.exists {
-    case _: CollectList => true
-    case _: CollectSet => true
-    case _ => false
-  }
-
-  /** Row-bounded on both ends: a RowFrame whose bounds are literal
-    * offsets or CurrentRow — buffer size is a plan-time constant. */
-  private def rowBounded(frame: Expression): Boolean = frame match {
-    case SpecifiedWindowFrame(RowFrame, lo, hi) =>
-      def ok(b: Expression): Boolean = b match {
-        case CurrentRow => true
-        case Literal(_, _) => true
-        case _ => false
-      }
-      ok(lo) && ok(hi)
-    case _ => false
-  }
-
-  /** (kind, detail) for every banned shape in the plan. */
-  private def offenders(plan: LogicalPlan): Seq[String] =
-    plan.collect {
-      case a: Aggregate
-          if a.aggregateExpressions.exists(isCollect) &&
-            a.child.collectFirst { case c: Aggregate => c }.isEmpty =>
-        Seq(s"collect aggregate over unaggregated input (groups=${a.groupingExpressions.size})")
-      case w: LogicalWindow =>
-        w.windowExpressions.flatMap(_.collect {
-          case WindowExpression(f, spec) if isCollect(f) && !rowBounded(spec.frameSpecification) =>
-            s"collect window with non-row-bounded frame ${spec.frameSpecification.sql}"
-        })
-    }.flatten
 
   test("no declared query collects an unbounded group into an array (the t18/t27 class)") {
     val dir = "/root/testdata/sf0.001"
@@ -145,5 +213,27 @@ class GroupArrayGuardSpec extends SparkSpec {
     val unbounded = ev.withColumn("hist", collect_list(col("value")).over(wu))
     assert(offenders(unbounded.queryExecution.optimizedPlan).nonEmpty,
       "guard failed to flag an unbounded-frame collect window")
+  }
+
+  test("an Aggregate on a join's OTHER side no longer launders a row-scale collect") {
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+      .toDF("user_id", "k", "value")
+    val dim = rows.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    // the r16 blind spot: collect the UNAGGREGATED probe side's values
+    // after joining ANY aggregated frame — the old subtree rule saw
+    // dim's Aggregate and exempted it; the buffer is still row-scale
+    val laundered = rows.join(dim, Seq("k"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("value")).as("hist"))
+    assert(offenders(laundered.queryExecution.optimizedPlan).nonEmpty,
+      "join-laundered row-scale collect escaped the lineage walk")
+    // while collecting a column the Aggregate itself PRODUCED stays
+    // green — that frame is group-count-scale by construction
+    val legit = dim.join(rows.select(col("k")).distinct(), Seq("k"))
+      .groupBy(lit(1).as("g"))
+      .agg(collect_list(col("n_k")).as("counts"))
+    assert(offenders(legit.queryExecution.optimizedPlan).isEmpty,
+      "lineage walk wrongly flags a collect over an aggregate-produced column")
   }
 }
