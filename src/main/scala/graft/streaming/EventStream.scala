@@ -776,17 +776,18 @@ object EventStream {
     if (cov.size > 64) return rows.unionByName(sentinel)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("run")).orderBy(col("lo"))
-    val wrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("run")).orderBy(col("lo").desc)
+    // first/last slice values come from min_by/max_by over the (unique)
+    // lo key — one aggregate pass instead of the asc+desc row_number
+    // window pair (each of which costs a sort over the whole state
+    // every compaction cycle); only the boundary-pair lag still needs
+    // a window, and it shares the existing (user, run) sort
     val merged = markMergeRuns(rows, cov)
-      .withColumn("rn", row_number().over(wr))
-      .withColumn("rnd", row_number().over(wrd))
       .withColumn("pl", lag(col("lastv"), 1).over(wr))
       .groupBy(col("user_id"), col("run"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
         sum(col("cnt")).as("cnt"),
-        max(when(col("rn") === 1, col("firstv"))).as("firstv"),
-        max(when(col("rnd") === 1, col("lastv"))).as("lastv"),
+        min_by(col("firstv"), col("lo")).as("firstv"),
+        max_by(col("lastv"), col("lo")).as("lastv"),
         (sum(col("np")) + count(col("pl"))).as("np"),
         (sum(col("sx")) + coalesce(sum(col("pl").cast(dec)), zero))
           .cast(dec).as("sx"),
@@ -924,18 +925,16 @@ object EventStream {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("seg")).orderBy(col("event_id"))
       val zero = lit(0).cast(DecimalType(37, 6))
+      // first/last value per slice via min_by/max_by on the (unique)
+      // event_id — saves the asc+desc row_number window pair per
+      // micro-batch; only the consecutive-pair lag needs a window
       df.withColumn("seg", expr(s"event_id div $sliceWidth"))
         .withColumn("prev", lag(col("value"), 1).over(w))
-        .withColumn("rk", row_number().over(w))
-        .withColumn("rkd", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id"), col("seg"))
-            .orderBy(col("event_id").desc)))
         .groupBy(col("user_id"), col("seg"))
         .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
           count(lit(1)).as("cnt"),
-          max(when(col("rk") === 1, col("value"))).as("firstv"),
-          max(when(col("rkd") === 1, col("value"))).as("lastv"),
+          min_by(col("value"), col("event_id")).as("firstv"),
+          max_by(col("value"), col("event_id")).as("lastv"),
           count(col("prev")).as("np"),
           coalesce(sum(col("prev").cast(dec)), zero).as("sx"),
           coalesce(sum(when(col("prev").isNotNull, col("value")).cast(dec)),
