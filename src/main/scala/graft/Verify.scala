@@ -35,12 +35,24 @@ object Verify {
     // surface under legacy silent-null arithmetic, catching any query
     // whose RESULT (not just error behavior) depends on the mode.
     val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "true")
-    val spark = SparkSession.builder()
+    // Generic sweep-axis knob: SPARK_GRAFT_CONF="k1=v1;k2=v2" lets a
+    // sweep pin ANY session conf without code churn — used for the
+    // interpreted-vs-codegen parity axis (codegen.wholeStage=false +
+    // codegen.factoryMode=NO_CODEGEN exercises the custom expressions'
+    // nullSafeEval paths against the same oracle) and the AQE-off axis.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k.trim, v.trim)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", ansi)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
