@@ -45,8 +45,9 @@ object EventStream {
     * non-null, every `foreachBatch` runner offers its per-batch derived
     * frame (the fold output in [[foldMvReplay]], the pair/index frames
     * in IngestStream) before writing it — the spec reads BOTH the
-    * physical plan (BNLJ/Cartesian audit) and the analyzed logical plan
-    * (the unbounded collect-buffer audit, GroupArrayGuard's walk). This
+    * physical plan (BNLJ/Cartesian audit) and the optimized logical plan
+    * (the unbounded collect-buffer audit, GroupArrayGuard's walk —
+    * consistent with GroupArrayGuardSpec's walk over optimized plans). This
     * is the only window where the micro-batch shapes are visible — the
     * DECLARED frame of a streaming query is just a scan of the replay's
     * output, so the batch-side audits must hook here. Null in

@@ -23,6 +23,19 @@ object Bridge {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(session)
 
+  /** Plan a (resolved) logical plan to a physical plan — test-only, for
+    * the plan-shape guards: at the `sparkPlan` stage a subquery
+    * expression still wraps its LOGICAL plan (physical subquery planning
+    * happens in prepare, and under AQE the prepared subquery hides
+    * behind a leaf AdaptiveSparkPlanExec), so auditing the physical
+    * shape INSIDE a scalar/EXISTS subquery requires planning it
+    * explicitly. `sessionState`/`executePlan` are `private[sql]`. */
+  def planLogical(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.execution.SparkPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.executePlan(plan).sparkPlan
+
   def injectedFunctionNames(
       ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
     // registerFunctions folds the injected entries into a registry; use a

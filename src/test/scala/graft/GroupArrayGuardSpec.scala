@@ -66,12 +66,15 @@ object GroupArrayGuard {
           .filter(ne => attrs.contains(ne.toAttribute)).flatMap(_.references))
         lineageAggregated(w.child, (attrs -- winOut) ++ fromWin)
       case g: Generate =>
-        val genOut = AttributeSet(g.generatorOutput)
-        val mapped =
-          if (attrs.intersect(genOut).nonEmpty)
-            (attrs -- g.generatorOutput) ++ g.generator.references
-          else attrs
-        lineageAggregated(g.child, mapped)
+        // a generator RE-INFLATES cardinality: explode() of an array a
+        // lower Aggregate produced (collect_list → explode) is row-scale
+        // again, so lineage that flows through a generator output must
+        // NOT inherit the child Aggregate's group-count-scale guarantee
+        // (the r17 advice false negative — the old walk mapped generator
+        // outputs to the generator's references and kept descending).
+        // Attrs the generator merely passes through are unaffected.
+        if (attrs.intersect(AttributeSet(g.generatorOutput)).nonEmpty) false
+        else lineageAggregated(g.child, attrs)
       case u: Union =>
         // positional lineage: output attr i ↔ each child's output attr i
         val idx = u.output.zipWithIndex.collect {
@@ -84,8 +87,17 @@ object GroupArrayGuard {
           kids.forall(c => lineageAggregated(c, attrs.intersect(c.outputSet)))
     }
 
-  /** (kind, detail) for every banned shape in the plan. */
+  /** (kind, detail) for every banned shape in the plan — including the
+    * plans nested inside SCALAR/EXISTS/IN subquery expressions:
+    * `plan.collect` alone does NOT descend into expression-embedded
+    * subquery plans, so a collect_list inside a scalar subquery was
+    * invisible to the walk (the r17 verdict's shared blind spot of all
+    * three plan guards). `subqueriesAll` is transitive, so arbitrarily
+    * nested subqueries are covered. */
   def offenders(plan: LogicalPlan): Seq[String] =
+    (plan +: plan.subqueriesAll).flatMap(offendersOne)
+
+  private def offendersOne(plan: LogicalPlan): Seq[String] =
     plan.collect {
       case a: Aggregate if a.aggregateExpressions.exists(isCollect) =>
         val inputs = AttributeSet(a.aggregateExpressions.map(collectInputs).flatten)
@@ -235,5 +247,48 @@ class GroupArrayGuardSpec extends SparkSpec {
       .agg(collect_list(col("n_k")).as("counts"))
     assert(offenders(legit.queryExecution.optimizedPlan).isEmpty,
       "lineage walk wrongly flags a collect over an aggregate-produced column")
+  }
+
+  test("a collect_list inside a scalar subquery is visible to the walk") {
+    // plan.collect does not descend into expression-embedded subquery
+    // plans — without the subqueriesAll walk, a row-scale collect hidden
+    // in a scalar/EXISTS subquery was invisible to all three plan guards
+    // (the r17 verdict's shared blind spot).
+    val s = spark; import s.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value")
+      .createOrReplaceTempView("garr_subq_t")
+    val hidden = spark.sql(
+      """SELECT user_id,
+        |  (SELECT collect_list(value) FROM garr_subq_t) AS all_vals
+        |FROM garr_subq_t""".stripMargin)
+    assert(offenders(hidden.queryExecution.optimizedPlan).nonEmpty,
+      "collect_list inside a scalar subquery escaped the walk — the " +
+        "subquery blind spot is back")
+    spark.catalog.dropTempView("garr_subq_t")
+  }
+
+  test("explode of an aggregate-built array re-inflates lineage to row scale") {
+    // collect_list → explode → collect_list: the middle Aggregate bounds
+    // nothing once the generator blows the arrays back up — the outer
+    // collect's buffer is row-scale again and must be flagged (the r17
+    // advice false negative).
+    // built so that EVERY collect except the final one is individually
+    // exempt (each collects an aggregate-produced column) — the ONLY
+    // thing that can flag this plan is the Generate case refusing to
+    // pass the group-count-scale guarantee through the explode. The old
+    // walk mapped v back to vals, found the Aggregate below, and
+    // exempted the outer collect.
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "a", 1.0), (1L, "a", 2.0), (2L, "b", 3.0))
+      .toDF("user_id", "k", "value")
+    val dim = rows.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val reinflated = dim.groupBy(lit(1).as("g"))
+      .agg(collect_list(col("n")).as("vals"))
+      .select(explode(col("vals")).as("v"))
+      .groupBy(lit(1).as("g2"))
+      .agg(collect_list(col("v")).as("all_vals"))
+    assert(offenders(reinflated.queryExecution.optimizedPlan).nonEmpty,
+      "explode-re-inflated collect escaped the lineage walk — the " +
+        "Generate pass-through false negative is back")
   }
 }

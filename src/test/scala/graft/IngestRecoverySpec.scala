@@ -55,4 +55,42 @@ class IngestRecoverySpec extends SparkSpec {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("MinHash ingest roll recovers from a half-written index generation (planted crash)") {
+    // the st10 twin of the embed case above: same batchId-keyed state
+    // layout, but the recovery branch of the TEXT loop (shingle MinHash
+    // band index) had never executed with planted garbage — and
+    // runNearDupIngestAt existed for exactly this spec.
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+    val cleanWork = Files.createTempDirectory("graft_spec_neardup_clean")
+    val cleanPairs = IngestStream.runNearDupIngestAt(spark, cleanWork, docsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val cleanIndex = spark.read.parquet(cleanWork.resolve("index_3").toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val crashWork = Files.createTempDirectory("graft_spec_neardup_crash")
+    val gen1 = crashWork.resolve("index_1")
+    Files.createDirectories(gen1)
+    Files.write(gen1.resolve("part-00000-crash-remnant.snappy.parquet"),
+      "NOT A PARQUET FILE".getBytes("UTF-8"))
+    assert(!Files.exists(gen1.resolve("_SUCCESS")))
+    val recoveredPairs = IngestStream.runNearDupIngestAt(spark, crashWork, docsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recoveredIndex = spark.read.parquet(crashWork.resolve("index_3").toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    assert(recoveredPairs === cleanPairs,
+      "near-dup pair emissions diverged after recovering a half-written index generation")
+    assert(recoveredIndex === cleanIndex,
+      "rolled MinHash band index diverged after recovering a half-written index generation")
+    assert(cleanPairs.nonEmpty && cleanIndex.nonEmpty,
+      "fixture produced no pairs/index rows — the recovery case is vacuous")
+
+    for (w <- Seq(cleanWork, crashWork)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(w).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -3,6 +3,40 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
+/** The physical-plan walk behind [[JoinShapeGuardSpec]], factored out so
+  * StreamingPlanShapeSpec runs the SAME audit over captured micro-batch
+  * physical plans. Descends into expression-embedded subquery plans
+  * (`subqueriesAll`) — `plan.collect` alone never sees a cartesian
+  * hidden inside a scalar/EXISTS subquery (the r17 verdict's shared
+  * blind spot of all three plan guards). */
+object JoinShapeGuard {
+  def bannedJoins(plan: SparkPlan): Seq[String] = {
+    val nodes = plan.collect { case p => p }
+    val direct = nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j.nodeName
+      case j: CartesianProductExec => j.nodeName
+    }
+    // NOTE: `plan.subqueriesAll` is unusable at the sparkPlan stage — a
+    // subquery expression there still wraps its LOGICAL plan (physical
+    // subquery planning happens in prepare), and QueryPlan's subqueries
+    // accessor casts every embedded plan to SparkPlan → CCE. Collect the
+    // PlanExpressions by hand, dispatch on the runtime plan type, and
+    // plan logical subqueries explicitly before recursing (nested
+    // subqueries descend one level per recursion; finite nesting
+    // terminates it).
+    val subPlans = nodes.flatMap(p => p.expressions.flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => e.plan
+    }))
+    direct ++ subPlans.flatMap {
+      case p: SparkPlan => bannedJoins(p)
+      case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        bannedJoins(org.apache.spark.sql.graftbridge.Bridge.planLogical(
+          org.apache.spark.sql.SparkSession.active, lp))
+      case _ => Seq.empty
+    }
+  }
+}
+
 /** Structural guard for the banned join shapes (PercentileGuardSpec's
   * stance applied to joins): BroadcastNestedLoopJoin and
   * CartesianProduct are banned OPERATORS in this repo's plan audit —
@@ -30,10 +64,7 @@ class JoinShapeGuardSpec extends SparkSpec {
   private def walkable(name: String): Boolean = !name.startsWith("st")
 
   private def banned(plan: SparkPlan): Seq[String] =
-    plan.collect {
-      case j: BroadcastNestedLoopJoinExec => j.nodeName
-      case j: CartesianProductExec => j.nodeName
-    }
+    JoinShapeGuard.bannedJoins(plan)
 
   test("no declared query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
@@ -53,5 +84,21 @@ class JoinShapeGuardSpec extends SparkSpec {
       s"banned join shape in: ${offenders.mkString(", ")} — rewrite via a " +
         "constant-partition window, a real equi key, or " +
         "Relational.attachSingleton (literal inlining)")
+  }
+
+  test("a banned join inside a scalar subquery is visible to the walk") {
+    // plan.collect does not descend into expression-embedded subquery
+    // plans; the walk must (the r17 subquery blind spot, physical side)
+    val s = spark; import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("user_id", "k")
+      .createOrReplaceTempView("jg_subq_t")
+    val hidden = spark.sql(
+      """SELECT user_id,
+        |  (SELECT count(*) FROM jg_subq_t a CROSS JOIN jg_subq_t b) AS n
+        |FROM jg_subq_t""".stripMargin)
+    assert(banned(hidden.queryExecution.sparkPlan).nonEmpty,
+      "cartesian/BNLJ inside a scalar subquery escaped the walk — the " +
+        "subquery blind spot is back")
+    spark.catalog.dropTempView("jg_subq_t")
   }
 }

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
 
@@ -35,11 +34,11 @@ import graft.streaming.EventStream
   * collect walk actually fires on a collecting streaming fold. */
 class StreamingPlanShapeSpec extends SparkSpec {
 
+  // the shared walk descends into expression-embedded subquery plans
+  // (subqueriesAll) — same audit, logical and physical, declared and
+  // micro-batch, with no subquery blind spot anywhere
   private def bannedJoins(plan: SparkPlan): Seq[String] =
-    plan.collect {
-      case j: BroadcastNestedLoopJoinExec => j.nodeName
-      case j: CartesianProductExec => j.nodeName
-    }
+    JoinShapeGuard.bannedJoins(plan)
 
   test("no streaming micro-batch plan contains a banned join or an unbounded collect buffer") {
     val dir = "/root/testdata/sf0.001"
