@@ -19,7 +19,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Same sweep knobs as Verify (SPARK_GRAFT_ANSI / SPARK_GRAFT_CONF):
+    // the correctness matrix runs axes the perf harness previously
+    // could not measure — e.g. what forced-SMJ (no auto-broadcast) or
+    // spill mode actually COSTS. Defaults unchanged: the driver's bench
+    // sets neither, so the committed artifact is always the plain axis.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // bounded replays at bench scale: 4 state partitions beats the
@@ -27,7 +32,10 @@ object Bench {
       // EventStream.ReplayPartitionsKey scaladoc for cluster sizing)
       .config(graft.streaming.EventStream.ReplayPartitionsKey, "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
+    val spark = Verify.parseConf(sys.env.get("SPARK_GRAFT_CONF"))
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one untimed warm pass of every query AT

@@ -25,6 +25,22 @@ object Verify {
   private[graft] def jsonObj(kv: Iterable[(String, String)]): String =
     kv.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
 
+  /** Parse the `SPARK_GRAFT_CONF` sweep knob ("k1=v1;k2=v2"). Entries
+    * are ';'-split unconditionally, so VALUES MAY NOT CONTAIN ';'
+    * (documented in the verify skill); an entry without '=' used to die
+    * with an opaque MatchError — fail with a message naming the bad
+    * token instead, so a typo'd sweep axis is a one-glance fix. Shared
+    * by Verify and Bench so a sweep axis can be both gated and timed. */
+  private[graft] def parseConf(env: Option[String]): Seq[(String, String)] =
+    env.toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0,
+          s"SPARK_GRAFT_CONF entry '$kv' is not key=value (format: k1=v1;k2=v2; " +
+            "values may not contain ';')")
+        (kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,12 +56,7 @@ object Verify {
     // interpreted-vs-codegen parity axis (codegen.wholeStage=false +
     // codegen.factoryMode=NO_CODEGEN exercises the custom expressions'
     // nullSafeEval paths against the same oracle) and the AQE-off axis.
-    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        (k.trim, v.trim)
-      }
+    val extraConf = parseConf(sys.env.get("SPARK_GRAFT_CONF"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -517,7 +517,18 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share9",
         floor(pow(col("n_docs"), tau) * lit(1.0e9) + lit(0.5)).cast("long"))
-    val norm = counts.agg(sum(col("share9")).as("z9"))
+    // z9 sums as DECIMAL(38,0), not BIGINT: each share9 can reach ~9e15
+    // under the per-domain bound above, so ~1000+ max-share domains
+    // would overflow a long sum — web-scale curation has millions of
+    // domains. Under ANSI that's a loud throw, but in the ANSI-off
+    // sweep a long sum wraps SILENTLY while DuckDB's SUM(BIGINT) →
+    // HUGEINT stays exact (cross-engine divergence). A decimal sum is
+    // exact (1e23 headroom over the worst case) and order-free, and the
+    // downstream double cast is the same correctly-rounded
+    // integer→double on both engines.
+    val norm = counts.agg(
+      sum(col("share9").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("z9"))
     // p_i^τ / Σ p_j^τ == n_i^τ / Σ n_j^τ (the 1/N^τ factor cancels);
     // share9/z9 is the same ratio — the 1e-9 grid factor cancels too
     counts.attachSingleton(norm)

@@ -136,8 +136,16 @@ object Graph {
           .select(col("id"), col("degree"),
             (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("pr_fp"))
       }
+      // 9-dp display value rounded in INTEGER space: round(fp/1e12, 9)
+      // rounded the shortest double REPR (Spark) vs the binary value
+      // (DuckDB) and could tie at the 9th decimal (the Det.round6Bin
+      // class — n22's sf0.001 envelope finding was exactly this, one
+      // iteration landing on a repr tie). (fp + 500) div 1000 is exact
+      // half-up on the fixed-point grid (fp ≥ 0 by construction); the
+      // quotient ≤ 1e9 is double-exact and the single /1e9 division is
+      // one identical IEEE op on both engines — no repr step anywhere.
       pr.select(col("id"), col("degree"), col("pr_fp"),
-        round(col("pr_fp").cast("double") / PrScale, 9).as("pr"))
+        (expr("(pr_fp + 500L) div 1000L").cast("double") / lit(1.0e9)).as("pr"))
         .localCheckpoint(true) // eager: N rows, valid after unpersist
     } finally {
       deg.unpersist(blocking = false)
@@ -266,8 +274,10 @@ object Graph {
             (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
               expr("coalesce(s, 0L) * 85 div 100")).as("ppr_fp"))
       }
+      // same integer-space 9-dp rounding as pageRankFixed (and for the
+      // same reason: this exact site produced n22's sf0.001 repr tie)
       ppr.select(col("id"), col("degree"), col("is_seed"), col("ppr_fp"),
-        round(col("ppr_fp").cast("double") / PrScale, 9).as("ppr"))
+        (expr("(ppr_fp + 500L) div 1000L").cast("double") / lit(1.0e9)).as("ppr"))
         .localCheckpoint(true) // eager: N rows, valid after unpersist
     } finally {
       nodes.unpersist(blocking = false)
