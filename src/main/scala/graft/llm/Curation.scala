@@ -513,8 +513,21 @@ object Curation {
     // same as the decimal version's): n_docs^τ must stay below ~9e6 so
     // x·1e9 is exact in a double — a DOMAIN count, not a row count, so
     // safe at any corpus size for τ ≤ 1 and sane domain cardinality.
-    val counts = docs.groupBy(col(domainCol).as("domain"))
-      .agg(count(lit(1)).as("n_docs"))
+    mixRatesFromCounts(
+      docs.groupBy(col(domainCol).as("domain"))
+        .agg(count(lit(1)).as("n_docs")),
+      tau, budget)
+  }
+
+  /** Rate computation of [[temperatureMixRates]] from a pre-aggregated
+    * (domain, n_docs) frame — factored so the overflow contract on the
+    * normalizer is testable at web-scale domain cardinalities (a spec
+    * cannot materialize 1e10 raw docs, but 1100 count rows is free;
+    * CurationSpec pins the z9 > Long.MaxValue case red-verified against
+    * a plain long sum: ARITHMETIC_OVERFLOW under ANSI). */
+  private[graft] def mixRatesFromCounts(domCounts: DataFrame,
+      tau: Double, budget: Long): DataFrame = {
+    val counts = domCounts
       .withColumn("share9",
         floor(pow(col("n_docs"), tau) * lit(1.0e9) + lit(0.5)).cast("long"))
     // z9 sums as DECIMAL(38,0), not BIGINT: each share9 can reach ~9e15

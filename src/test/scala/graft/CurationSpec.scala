@@ -342,6 +342,36 @@ class CurationSpec extends SparkSpec {
     assert(t03.values.forall(v => v >= 0 && v <= 10000))
   }
 
+  test("mix normalizer survives web-scale domain cardinality (z9 past Long.MaxValue)") {
+    import spark.implicits._
+    // 1100 domains at the per-domain share ceiling (n_docs^τ = 9e6 →
+    // share9 = 9e15): the normalizer sum is 9.9e18, PAST Long.MaxValue
+    // (~9.22e18). A BIGINT sum throws under ANSI (this spec goes red)
+    // and wraps silently with ANSI off (keep_bp diverges from the
+    // expectation below); the DECIMAL(38,0) sum is exact. 1100 count
+    // rows stand in for the ~1e10 raw docs a groupBy would need — the
+    // reason mixRatesFromCounts is factored out of temperatureMixRates.
+    val nDomains = 1100
+    val nDocs = 9000000L
+    val share9 = 9000000000000000L // floor(9e6^1.0 · 1e9 + 0.5)
+    assert(BigInt(nDomains) * BigInt(share9) > BigInt(Long.MaxValue),
+      "fixture no longer exercises the overflow class")
+    val counts = (0 until nDomains).map(i => (s"d$i", nDocs)).toDF("domain", "n_docs")
+    // budget chosen so keep_bp sits ~0.05 away from its floor boundary:
+    // ulp dust in the (identical) double chains cannot flip the bucket
+    val budget = 1234567890L
+    val got = Curation.mixRatesFromCounts(counts, tau = 1.0, budget)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("keep_bp"))).toMap
+    // reference: the SAME left-associated IEEE sequence the operator
+    // documents, with the decimal→double cast as BigDecimal.doubleValue
+    val z9d = (BigDecimal(nDomains) * BigDecimal(share9)).doubleValue
+    val expected = math.min(10000L,
+      math.floor(10000.0 * budget.toDouble * share9.toDouble / z9d / nDocs).toLong)
+    assert(got.size === nDomains)
+    assert(got.values.toSet === Set(expected), s"got ${got.values.toSet}, want $expected")
+    assert(expected === 1247L) // budget/total = 0.12470…, in basis points
+  }
+
   test("paretoQualityKeep: perfect quality always survives; keep rate grows with quality") {
     import spark.implicits._
     val hi = "the of and is in to it for on as" // stopword-dense, alnum, good length band
