@@ -429,19 +429,37 @@ object Similarity {
     * cells' partitions (the scan prunes at the source — see
     * [[ivfTopKFromIndex]]'s cell filter), and new vectors append to
     * their cell partition without touching the rest. The centroid table
-    * is nlist rows — driver/broadcast-sized by construction. */
+    * is nlist rows — driver/broadcast-sized by construction.
+    *
+    * The quantizer trains like [[ivfPqIndex]]'s: deterministic
+    * hash-bucket driver sample ([[trainingSample]], value-keyed by
+    * md5(seed#id) so the SAME rows are picked whatever the scan's
+    * split/partition layout) + local Lloyd, then one map-only
+    * [[assignToCentroids]] pass over the full corpus. An earlier
+    * version fit distributed `ml.KMeans` on the corpus frame directly;
+    * its k-means|| init samples PER PARTITION, so the centroids — and
+    * with them every cell boundary and the probe's recall — depended
+    * on `spark.sql.files.maxPartitionBytes` (caught by the r18
+    * tiny-split sweep axis: n3/n7 recall_ok flipped at 256 KB splits).
+    * An index whose content depends on scan-split layout re-shuffles
+    * every cell on any file-layout change at 100 TB; the sample+Lloyd
+    * build is bit-identical for any layout, and trains on a bounded
+    * sample instead of iterating over the full corpus — the only
+    * full-corpus work is the broadcast-argmin assignment. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nlist: Int = 16, seed: Long = 42L,
+      trainMax: Int = 10000): (DataFrame, Array[Array[Double]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("features", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell").setMaxIter(10) // coarse quantizer: 10 iters is plenty
-    val model = km.fit(c)
-    (model.transform(c).select("corpus_id", "cv", "cell"),
-      model.clusterCenters.map(_.toArray))
+    val sample = trainingSample(
+      c.select(col("corpus_id").as("_1"), col("cv").as("_2"))
+        .as[(Long, Array[Double])], trainMax, seed)
+    if (sample.isEmpty)
+      return (c.limit(0).withColumn("cell", lit(0)), Array.empty)
+    val cents = lloyd(sample, nlist, iters = 10, seed)
+    (assignToCentroids(c, cents, "corpus_id", "cv"), cents)
   }
 
   /** Assign vectors to EXISTING (frozen) centroids — the INCREMENTAL
@@ -589,8 +607,38 @@ object Similarity {
       seed: Long): Array[Array[Double]] = {
     require(data.nonEmpty)
     val rnd = new scala.util.Random(seed)
-    val centers = rnd.shuffle(data.indices.toVector).distinct.take(k)
-      .map(i => data(i).clone).toArray
+    // Deterministic k-means++ seeding (D² sampling off the seeded RNG):
+    // the original take-k-random init left centers wherever the shuffle
+    // landed, which cost real recall once [[ivfIndex]] switched from
+    // ml.KMeans (k-means|| init) to this trainer — on the worst-case
+    // near-uniform fixture, IVF recall@3 read 0.625 vs the spec's 0.7
+    // floor. Spread-out seeds close that gap; same determinism: every
+    // draw comes from the one seeded RNG, no layout dependence.
+    val n = data.length
+    val centersBuf = scala.collection.mutable.ArrayBuffer(data(rnd.nextInt(n)).clone)
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var exhausted = false
+    while (centersBuf.length < k && !exhausted) {
+      val last = centersBuf.last
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        var d = 0.0; var j = 0
+        val p = data(i)
+        while (j < p.length) { val t = p(j) - last(j); d += t * t; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        total += d2(i)
+        i += 1
+      }
+      if (total == 0.0) exhausted = true // ≤ centersBuf distinct points
+      else {
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < n - 1 && r >= d2(pick)) { r -= d2(pick); pick += 1 }
+        centersBuf += data(pick).clone
+      }
+    }
+    val centers = centersBuf.toArray
     val kEff = centers.length
     var it = 0
     while (it < iters) {
