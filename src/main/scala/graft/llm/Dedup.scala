@@ -1061,24 +1061,32 @@ object Dedup {
     * distribution and tune nClusters. Cross-cluster near-dups are
     * missed by design (that is SemDeDup's recall/cost trade).
     *
-    * Determinism: KMeans with a fixed seed on a fixed input is
-    * deterministic, and the greedy visit order is total (ascending id),
-    * so the kept set is reproducible run-over-run. */
+    * Determinism: the quantizer trains like [[Similarity.ivfIndex]]'s —
+    * deterministic hash-bucket driver sample + seeded local Lloyd
+    * (k-means++ init) + map-only broadcast-argmin assignment — so the
+    * clustering is BIT-IDENTICAL under any scan split/partition layout,
+    * and the greedy visit order is total (ascending id), so the kept
+    * set is reproducible run-over-run. (An earlier version fit
+    * distributed `ml.KMeans` here; its k-means|| init samples per
+    * partition, which made cluster membership — and thereby kept/dropped
+    * verdicts — depend on file layout, the exact class the r18
+    * tiny-split sweep axis caught on ivfIndex.) */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, minCos: Double = 0.95, seed: Long = 42L,
-      maxClusterSize: Int = 1 << 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxClusterSize: Int = 1 << 20, trainMax: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val c = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cluster").setMaxIter(10)
-    val model = km.fit(c)
-    model.transform(c)
-      .select(col("id"), col("v"), col("cluster"))
+    val sample = Similarity.trainingSample(
+      c.select(col("id").as("_1"), col("v").as("_2")).as[(Long, Array[Double])],
+      trainMax, seed)
+    if (sample.isEmpty)
+      return c.limit(0).select(col("id"), lit(0).as("cluster"),
+        lit(true).as("kept"), lit(0).as("cluster_size"))
+    val cents = Similarity.lloyd(sample, nClusters, iters = 10, seed)
+    Similarity.assignToCentroids(c, cents, "id", "v")
+      .select(col("corpus_id").as("id"), col("cv").as("v"), col("cell").as("cluster"))
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .flatMapGroups { (cl: Int, it: Iterator[(Long, Array[Double], Int)]) =>

@@ -320,6 +320,38 @@ class DedupSpec extends SparkSpec {
     assert(cl(1L) === cl(10L) && cl(3L) === cl(11L))
   }
 
+  test("semDedup and ivfIndex are partition-layout-invariant (bit-identical rows)") {
+    import spark.implicits._
+    // The r18 tiny-split sweep caught ivfIndex's old ml.KMeans build
+    // flipping recall with spark.sql.files.maxPartitionBytes: k-means||
+    // init samples PER PARTITION, so centroids depended on input
+    // layout. Both quantizers now train on a value-keyed driver sample
+    // (md5(seed#id) order) — this pin reruns them across three very
+    // different partitionings and demands IDENTICAL per-row output.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val base = rows.toDF("vec_id", "embedding")
+    def semRows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semDedup(df, "vec_id", "embedding", nClusters = 5, minCos = 0.9)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cluster"),
+          r.getAs[Boolean]("kept"), r.getAs[Int]("cluster_size"))).toSet
+    def ivfRows(df: org.apache.spark.sql.DataFrame) = {
+      val (assigned, cents) = graft.llm.Similarity.ivfIndex(
+        df, "vec_id", "embedding", nlist = 5)
+      (assigned.select("corpus_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet,
+        cents.map(_.toSeq).toSeq)
+    }
+    val layouts = Seq(base.repartition(1), base.repartition(13),
+      base.repartitionByRange(4, col("vec_id").desc))
+    val sem = layouts.map(semRows)
+    assert(sem(1) === sem(0) && sem(2) === sem(0),
+      "semDedup rows diverged across input partitionings")
+    val ivf = layouts.map(ivfRows)
+    assert(ivf(1) === ivf(0) && ivf(2) === ivf(0),
+      "ivfIndex assignments/centroids diverged across input partitionings")
+  }
+
   test("semDedup enforces maxClusterSize and reports cluster_size") {
     import spark.implicits._
     // 8 near-identical vectors in direction A, 2 in direction B → one
