@@ -36,6 +36,13 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.executePlan(plan).sparkPlan
 
+  /** Block until the listener bus has delivered every queued event —
+    * profiling tools attribute job/stage/task counts to the query that
+    * just ran, and the bus is asynchronous (`listenerBus` is
+    * `private[spark]`, reachable from this package). */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def injectedFunctionNames(
       ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
     // registerFunctions folds the injected entries into a registry; use a
